@@ -1,0 +1,27 @@
+"""record_matcher_ray — a Ray-Data-native record-linkage / data-processing engine.
+
+Re-implements, from scratch, the capabilities of ``jtai-dev/record_matcher``
+(reference at /root/reference — see SURVEY.md) on top of ``ray.data.Dataset``
+pipelines: zero-copy Arrow ``map_batches`` stages, groupby-shuffle blocking,
+stateful actor pools for scoring, and groupby-aggregate reduces for the
+match-semantics and duplicate passes, plus union-find transitive clustering
+and a family of large-scale training-data operators (dedup, similarity
+search, text analysis, multimodal plumbing).
+
+Layout
+------
+- ``core``      — pure (no-Ray) semantics: config, record utilities, the
+                  vectorized block-local match kernel.
+- ``functions`` — scorer registry + text / hashing kernels.
+- ``sources``   — readers and the deterministic interleaved-document corpus.
+- ``stages``    — reusable map_batches stage callables (flatten, blocking,
+                  scoring actor pools).
+- ``pipelines`` — end-to-end Dataset pipelines (match, cluster, dedup,
+                  similarity, analysis).
+- ``state``     — per-partition lineage manifests + resumable runner.
+
+NOTE: nothing in this package calls ``ray.init()`` / ``ray.shutdown()`` —
+the session is owned by the caller (driver, bench.py, or test fixture).
+"""
+
+__version__ = "0.1.0"
