@@ -1,0 +1,374 @@
+"""The distributed match pipeline — `records_match` + `RecordMatcher.match`
+(reference matcher.py:92-216, 320-449) re-expressed as a Ray Data pipeline.
+
+Dataflow (SURVEY.md §4.3):
+
+1. **uniqueness aggregate** (one streaming pass over X + two tiny shuffles
+   of deduplicated partials) → small dict, broadcast into stage closures.
+2. **normalize + key-derive** — `map_batches` over zero-copy Arrow: cast
+   match/group columns to string, fill nulls with "", derive the blocking
+   key (the `columns_to_group` value tuple — exact semantics of
+   records.group_by at records.py:106-132).
+3. **blocking shuffle** — tag sides, union, `groupby(key).map_groups`:
+   within a group every x-row sees exactly its reference candidate set, so
+   the per-x argmax reduce is group-local (no second wide shuffle). The
+   vectorized `score_block` kernel runs per group.
+   With NO group columns the reference scans all of Y per x
+   (matcher.py:179-182); here Y is broadcast once via `ray.put` and scored
+   against each X batch in a stateless `map_batches` — no shuffle at all.
+4. **duplicate pass** — project winners to 3 columns, `groupby(winner_y_id)`
+   (a shuffle over winner triples only, not the data), resolve with the
+   shared `resolve_duplicates`, collect the (typically tiny) flip set and
+   broadcast it into the finalize stage. Flips are bounded by y-rows winning
+   multiple x's; they are NOT O(|X|) under sane blocking.
+5. **finalize** — `map_batches`: status display-mapping, flip application,
+   strict-mode quirk columns, output column assembly.
+
+The scored intermediate is consumed twice (winners projection + finalize) —
+it is materialized; at 100 TB route it through the checkpoint layer
+(state/checkpoint.py) instead, which writes stage output as partitioned
+parquet with lineage manifests.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from record_matcher_ray.core.config import MatchConfig
+from record_matcher_ray.core.dup import resolve_duplicates
+from record_matcher_ray.core.kernel import MATCH_STATUS, NO_WINNER, score_block
+from record_matcher_ray.pipelines import table_ops
+
+COLUMNS_TO_ADD = {
+    "match_status": "match_status",
+    "matched_with_row": "row(s)_matched",
+    "match_score": "match_score",
+}
+
+_KEY = "__key__"
+_SIDE = "__side__"
+_RID = "__rid__"
+_SEP = "\x1f"
+
+
+def _arrow_schema(ds: ray.data.Dataset) -> pa.Schema:
+    """Arrow schema of a Dataset regardless of its block format (pandas
+    blocks report numpy dtypes through ds.schema())."""
+    sch = ds.schema()
+    base = getattr(sch, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+    for b in ds.limit(1).iter_batches(batch_size=1, batch_format="pyarrow"):
+        return b.schema
+    return pa.schema([(n, pa.string()) for n in sch.names])
+
+
+def _norm(batch: pa.Table, col: str) -> pa.Array:
+    if col in batch.column_names:
+        return pc.fill_null(pc.cast(batch[col], pa.string()), "").combine_chunks()
+    return pa.nulls(len(batch), pa.string()).fill_null("")
+
+
+def _key_expr(batch: pa.Table, cols: list[str]) -> pa.Array:
+    if not cols:
+        return pa.array([""] * len(batch), pa.string())
+    parts = [_norm(batch, c) for c in cols]
+    out = parts[0]
+    for p in parts[1:]:
+        out = pc.binary_join_element_wise(out, p, _SEP)
+    return out
+
+
+class MatchResult:
+    """Handle over the matched Dataset + the reference-quirk summary."""
+
+    def __init__(self, dataset: ray.data.Dataset, summary: Counter):
+        self.dataset = dataset
+        self.summary = summary
+
+    def __iter__(self):  # (dataset, summary) tuple-unpacking convenience
+        yield self.dataset
+        yield self.summary
+
+
+def match_datasets(
+    x_ds: ray.data.Dataset,
+    y_ds: ray.data.Dataset,
+    cfg: MatchConfig,
+    x_id: str,
+    y_id: str,
+    *,
+    uniqueness: dict[str, float] | None = None,
+    batch_size: int = 4096,
+) -> MatchResult:
+    """Match every row of ``x_ds`` against candidates in ``y_ds``.
+
+    ``x_id`` / ``y_id`` name int64 columns of stable unique row ids (the
+    reference's dict indices, load-bearing in the output strings —
+    matcher.py:393-396).
+    """
+    x_match_cols = cfg.x_match_columns()
+    group_y = [y for y, _ in cfg.columns_to_group]
+    group_x = [x for _, x in cfg.columns_to_group]
+    y_needed = cfg.y_columns_needed()
+    x_schema = x_ds.schema()
+    x_passthrough = [c for c in x_schema.names]
+
+    if uniqueness is None:
+        uniqueness = table_ops.uniqueness(x_ds, x_match_cols)
+
+    if cfg.columns_to_group:
+        scored = _match_shuffled(
+            x_ds, y_ds, cfg, x_id, y_id, uniqueness,
+            x_passthrough, x_match_cols, group_x, group_y, y_needed,
+        )
+    else:
+        scored = _match_broadcast(
+            x_ds, y_ds, cfg, x_id, y_id, uniqueness,
+            x_match_cols, y_needed, batch_size,
+        )
+
+    scored = scored.materialize()
+
+    # ---- duplicate pass: winners only, 3 narrow columns -------------------
+    def winners(batch: pa.Table) -> pa.Table:
+        mask = pc.not_equal(batch["winner_y_id"], NO_WINNER)
+        t = batch.filter(mask)
+        return t.select(["__x_id__", "winner_y_id", "winner_score"])
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        pairs = list(zip(df["__x_id__"].tolist(), df["winner_score"].tolist()))
+        verdict, ids = resolve_duplicates(pairs, cfg.duplicate_threshold)
+        if verdict == "none":
+            ids = []
+        return pd.DataFrame(
+            {
+                "x_id": pd.Series(ids, dtype="int64"),
+                "verdict": pd.Series([verdict] * len(ids), dtype=object),
+            }
+        )
+
+    flips_df = (
+        scored.map_batches(winners, batch_format="pyarrow")
+        .groupby("winner_y_id")
+        .map_groups(resolve, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(flips_df) and "x_id" in flips_df.columns:
+        flips = dict(zip(flips_df["x_id"].astype(np.int64), flips_df["verdict"]))
+    else:
+        flips = {}
+    flips_ref = ray.put(flips)
+
+    # ---- summary (reference over-count quirk, SURVEY.md §2.5.3) ----------
+    summary = Counter()
+    pre_counts = scored.groupby("pre_status").count().to_pandas()
+    for _, row in pre_counts.iterrows():
+        summary[row["pre_status"]] += int(row["count()"])
+    for v in flips.values():
+        summary["duplicate" if v == "duplicate" else "unmatched"] += 1
+
+    # ---- finalize --------------------------------------------------------
+    get_pairs = cfg.columns_to_get
+    strict = cfg.strict_semantics
+    status_col = COLUMNS_TO_ADD["match_status"]
+    rows_col = COLUMNS_TO_ADD["matched_with_row"]
+    score_col = COLUMNS_TO_ADD["match_score"]
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        fl = ray.get(flips_ref)
+        n = len(df)
+        xids = df["__x_id__"].to_numpy()
+        pre = df["pre_status"].to_numpy(dtype=object)
+        final = np.array([MATCH_STATUS[s] for s in pre], dtype=object)
+        rows_s = df["rows_matched"].to_numpy(dtype=object)
+        score_s = df["match_score_str"].to_numpy(dtype=object)
+        out = pd.DataFrame()
+        for c in x_passthrough:
+            out[c] = df["x::" + c].values
+        copied = {x_col: df["get::" + x_col].to_numpy(dtype=object) for _, x_col in get_pairs}
+        demoted = np.zeros(n, dtype=bool)
+        if fl:
+            for i, xid in enumerate(xids):
+                v = fl.get(int(xid))
+                if v == "duplicate":
+                    final[i] = MATCH_STATUS["duplicate"]
+                elif v == "demote":
+                    final[i] = MATCH_STATUS["unmatched"]
+                    rows_s[i] = ""
+                    score_s[i] = ""
+                    demoted[i] = True
+        for _, x_col in get_pairs:
+            vals = copied[x_col]
+            if not strict and demoted.any():
+                vals = vals.copy()
+                vals[demoted] = None
+            out[x_col] = vals
+        if strict and demoted.any():
+            # quirk §2.5.2: loser-nulling writes the *y*-column name
+            for y_col, _ in get_pairs:
+                if y_col not in out.columns:
+                    out[y_col] = pd.Series([None] * n, dtype=object)
+                else:
+                    out[y_col] = out[y_col].astype(object)
+                out.loc[demoted, y_col] = None
+        out[status_col] = final
+        out[rows_col] = rows_s
+        out[score_col] = score_s
+        return out
+
+    final_ds = scored.map_batches(finalize, batch_format="pandas", batch_size=batch_size)
+    return MatchResult(final_ds, summary)
+
+
+# ---------------------------------------------------------------------------
+# shuffled (blocked) path
+# ---------------------------------------------------------------------------
+
+
+def _match_shuffled(
+    x_ds, y_ds, cfg, x_id, y_id, uniq,
+    x_passthrough, x_match_cols, group_x, group_y, y_needed,
+):
+    # combined wire schema: rid/side/key + original x cols + normalized
+    # match cols (x) + normalized/original y cols
+    arrow_schema = _arrow_schema(x_ds)
+    x_fields = [("x::" + c, arrow_schema.field(c).type) for c in x_passthrough]
+    xn_fields = [("xn::" + c, pa.string()) for c in x_match_cols]
+    # y_needed already includes the columns_to_get y-columns
+    yn_fields = [("yn::" + c, pa.string()) for c in y_needed]
+    all_fields = (
+        [(_RID, pa.int64()), (_SIDE, pa.int8()), (_KEY, pa.string())]
+        + x_fields + xn_fields + yn_fields
+    )
+    wire_schema = pa.schema(all_fields)
+
+    def x_prepare(batch: pa.Table) -> pa.Table:
+        cols: dict[str, pa.Array] = {}
+        n = len(batch)
+        cols[_RID] = pc.cast(batch[x_id], pa.int64()).combine_chunks()
+        cols[_SIDE] = pa.array(np.zeros(n, dtype=np.int8))
+        cols[_KEY] = _key_expr(batch, group_x)
+        for c in x_passthrough:
+            cols["x::" + c] = batch[c].combine_chunks()
+        for c in x_match_cols:
+            cols["xn::" + c] = _norm(batch, c)
+        for name, typ in yn_fields:
+            cols[name] = pa.nulls(n, typ)
+        return pa.table({f.name: cols[f.name] for f in wire_schema})
+
+    def y_prepare(batch: pa.Table) -> pa.Table:
+        cols = {}
+        n = len(batch)
+        cols[_RID] = pc.cast(batch[y_id], pa.int64()).combine_chunks()
+        cols[_SIDE] = pa.array(np.ones(n, dtype=np.int8))
+        cols[_KEY] = _key_expr(batch, group_y)
+        for name, typ in x_fields + xn_fields:
+            cols[name] = pa.nulls(n, typ)
+        for c in y_needed:
+            cols["yn::" + c] = _norm(batch, c)
+        return pa.table({f.name: cols[f.name] for f in wire_schema})
+
+    tagged = x_ds.map_batches(x_prepare, batch_format="pyarrow").union(
+        y_ds.map_batches(y_prepare, batch_format="pyarrow")
+    )
+
+    def score_group(t: pa.Table) -> pa.Table:
+        xt = t.filter(pc.equal(t[_SIDE], 0))
+        yt = t.filter(pc.equal(t[_SIDE], 1))
+        return _score_tables(xt, yt, cfg, uniq, x_passthrough, x_match_cols)
+
+    return tagged.groupby(_KEY).map_groups(score_group, batch_format="pyarrow")
+
+
+def _str_np(tbl: pa.Table, name: str) -> np.ndarray:
+    col = tbl[name]
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    return np.asarray(arr.to_pylist(), dtype=object)
+
+
+def _result_table(
+    xt: pa.Table | None, res, copied, cfg, x_passthrough
+) -> pa.Table:
+    """Assemble the scored-intermediate Arrow table, preserving original
+    x-column types (zero pandas round-trips)."""
+    cols: dict = {"__x_id__": pa.array(res["x_id"], pa.int64())}
+    for c in x_passthrough:
+        cols["x::" + c] = (
+            xt.column("x::" + c) if "x::" + c in xt.column_names else xt.column(c)
+        )
+    cols["pre_status"] = pa.array(res["pre_status"], pa.string())
+    cols["rows_matched"] = pa.array(res["rows_matched"], pa.string())
+    cols["match_score_str"] = pa.array(res["match_score"], pa.string())
+    cols["winner_y_id"] = pa.array(res["winner_y_id"], pa.int64())
+    cols["winner_score"] = pa.array(res["winner_score"], pa.float64())
+    for _, x_col in cfg.columns_to_get:
+        cols["get::" + x_col] = pa.array(copied[x_col], pa.string())
+    return pa.table(cols)
+
+
+def _score_tables(xt, yt, cfg, uniq, x_passthrough, x_match_cols) -> pa.Table:
+    x_ids = xt[_RID].to_numpy()
+    y_ids = yt[_RID].to_numpy() if len(yt) else np.empty(0, dtype=np.int64)
+    x_cols = {c: _str_np(xt, "xn::" + c) for c in x_match_cols}
+    y_cols = {c: _str_np(yt, "yn::" + c) for c in cfg.y_columns_needed()}
+    res, copied = score_block(x_cols, y_cols, x_ids, y_ids, cfg, uniq)
+    return _result_table(xt, res, copied, cfg, x_passthrough)
+
+
+# ---------------------------------------------------------------------------
+# broadcast (ungrouped) path
+# ---------------------------------------------------------------------------
+
+
+def _match_broadcast(
+    x_ds, y_ds, cfg, x_id, y_id, uniq, x_match_cols, y_needed, batch_size
+):
+    """No blocking columns: every x scores against ALL of Y (reference
+    ungrouped semantics, matcher.py:179-182 with an empty group map). Y is
+    collected once, put in the object store ONCE, and read zero-copy by
+    every scoring task — never re-shipped per batch. This is the
+    broadcast-small-side pattern; a Y too large to broadcast should be given
+    blocking columns (as the reference itself requires for tractability)."""
+    y_tables = ray.get(y_ds.to_arrow_refs())
+    y_tbl = pa.concat_tables([t for t in y_tables if len(t)]) if y_tables else None
+
+    if y_tbl is not None and len(y_tbl) > 0:
+        y_ids_np = y_tbl[y_id].combine_chunks().cast(pa.int64()).to_numpy()
+        y_cols_np: dict[str, np.ndarray] = {}
+        names = set(y_tbl.column_names)
+        for c in y_needed:
+            if c in names:
+                arr = pc.fill_null(pc.cast(y_tbl[c], pa.string()), "").combine_chunks()
+                y_cols_np[c] = np.asarray(arr.to_pylist(), dtype=object)
+            else:
+                y_cols_np[c] = np.full(len(y_tbl), "", dtype=object)
+    else:
+        y_ids_np, y_cols_np = np.empty(0, dtype=np.int64), {}
+    y_ref = ray.put((y_ids_np, y_cols_np))
+
+    x_passthrough = list(x_ds.schema().names)
+    x_names = set(x_passthrough)
+
+    def score_batch(t: pa.Table) -> pa.Table:
+        yids, ycols = ray.get(y_ref)
+        x_ids = t[x_id].combine_chunks().cast(pa.int64()).to_numpy()
+        x_cols = {}
+        for c in x_match_cols:
+            if c in x_names:
+                arr = pc.fill_null(pc.cast(t[c], pa.string()), "").combine_chunks()
+                x_cols[c] = np.asarray(arr.to_pylist(), dtype=object)
+            else:
+                x_cols[c] = np.full(len(t), "", dtype=object)
+        res, copied = score_block(x_cols, ycols, x_ids, yids, cfg, uniq)
+        return _result_table(t, res, copied, cfg, x_passthrough)
+
+    return x_ds.map_batches(score_batch, batch_format="pyarrow", batch_size=batch_size)

@@ -1,0 +1,141 @@
+"""Distributed Dataset equivalents of the reference's records utilities
+(O1-O5 in SURVEY.md §2.1), built streaming-first:
+
+- no driver-side row loops — every operator is `map_batches` (Arrow) or a
+  `groupby` shuffle over pre-reduced partials;
+- uniqueness runs one pass over the data emitting per-batch distinct pairs,
+  then two tiny shuffles over the deduplicated partials.
+
+Blank semantics: null or "" ⇒ blank (SURVEY.md §1.4; the reference's falsy
+test on raw values, records.py:66).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+
+def column_names(ds: ray.data.Dataset) -> set[str]:
+    """O1 — schema inference; free with Arrow (records.py:33-46)."""
+    return set(ds.schema().names)
+
+
+def _non_blank(col: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray:
+    s = pc.cast(col, pa.string())
+    return pc.and_kleene(pc.is_valid(s), pc.not_equal(s, ""))
+
+
+def uniqueness(ds: ray.data.Dataset, columns: list[str], total: int | None = None) -> dict[str, float]:
+    """O2 for many columns in one data pass: per-column distinct-ratio
+    ``len({v non-blank}) / len(rows)`` (records.py:49-67 — denominator
+    counts all rows).
+
+    Scale shape: one streaming pass emits per-batch distinct (column, value)
+    pairs; a groupby dedupes pairs; a second tiny groupby counts distincts
+    per column. The shuffles move only already-deduplicated partials.
+    """
+    if total is None:
+        total = ds.count()
+    if total == 0:
+        return {c: 0.0 for c in columns}
+    present = [c for c in columns if c in ds.schema().names]
+
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        cols, vals = [], []
+        for c in present:
+            s = pc.cast(batch[c], pa.string())
+            mask = pc.and_kleene(pc.is_valid(s), pc.not_equal(s, ""))
+            u = pc.unique(s.filter(mask))
+            cols.append(pa.array([c] * len(u), pa.string()))
+            vals.append(u.combine_chunks() if isinstance(u, pa.ChunkedArray) else u)
+        return pa.table(
+            {
+                "c": pa.concat_arrays(cols) if cols else pa.array([], pa.string()),
+                "v": pa.concat_arrays([v.cast(pa.string()) for v in vals])
+                if vals
+                else pa.array([], pa.string()),
+            }
+        )
+
+    out: dict[str, float] = {c: 0.0 for c in columns}
+    if present:
+        counts = (
+            ds.map_batches(distinct_pairs, batch_format="pyarrow")
+            .groupby(["c", "v"])
+            .count()
+            .groupby("c")
+            .count()
+            .to_pandas()
+        )
+        for _, row in counts.iterrows():
+            out[row["c"]] = row["count()"] / total
+    return out
+
+
+def uniqueness_by_column(ds: ray.data.Dataset, column: str) -> float:
+    return uniqueness(ds, [column])[column]
+
+
+def group_by(ds: ray.data.Dataset, column_map: dict[str, str]) -> ray.data.Dataset:
+    """O4 — conjunctive equality filter (records.py:106-132): keep rows where
+    each column equals the given literal; missing column ⇒ "" semantics.
+    A vectorized pushed-down filter — no shuffle."""
+    if not column_map:
+        return ds
+    schema_names = set(ds.schema().names)
+
+    def flt(batch: pa.Table) -> pa.Table:
+        mask = None
+        for col, value in column_map.items():
+            if col in schema_names:
+                s = pc.fill_null(pc.cast(batch[col], pa.string()), "")
+                m = pc.equal(s, str(value) if value is not None else "")
+            else:
+                keep = value == "" or value is None
+                m = pa.array([keep] * len(batch), pa.bool_())
+            mask = m if mask is None else pc.and_(mask, m)
+        return batch.filter(mask)
+
+    return ds.map_batches(flt, batch_format="pyarrow")
+
+
+def duplicated_by_column(ds: ray.data.Dataset, column: str) -> ray.data.Dataset:
+    """O5 — rows whose non-blank value in ``column`` occurs more than once
+    (records.py:135-153). One hash shuffle on the column; groups with a
+    single row are dropped."""
+
+    def keep_dups(df: pd.DataFrame) -> pd.DataFrame:
+        vals = df[column]
+        blank = vals.isna() | (vals.astype(str) == "")
+        if len(df) > 1 and not blank.any():
+            return df
+        return df.iloc[0:0]
+
+    return ds.groupby(column).map_groups(keep_dups, batch_format="pandas")
+
+
+def exact_duplicates(
+    ds: ray.data.Dataset, columns: list[str], keep: str = "first"
+) -> ray.data.Dataset:
+    """Exact dedup: hash-partition on the key tuple, keep one row per group
+    (hash-partition + per-group first — the scale path for exact dedup)."""
+
+    def pick(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(columns[0] if len(columns) == 1 else columns, kind="stable")
+        return df.head(1) if keep == "first" else df.tail(1)
+
+    return ds.groupby(columns).map_groups(pick, batch_format="pandas")
+
+
+def adjusted_uniqueness(
+    selected_columns: list[str], uniqueness_vector: dict[str, float]
+) -> dict[str, float]:
+    """O3 — driver-side weight renormalization (records.py:70-103)."""
+    sel = {c: u for c, u in uniqueness_vector.items() if c in set(selected_columns)}
+    total = sum(sel.values())
+    return {c: u / total for c, u in sel.items() if total > 0}

@@ -17,6 +17,11 @@ def ray_session():
         ignore_reinit_error=True,
         logging_level="ERROR",
     )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
     yield
     ray.shutdown()
 

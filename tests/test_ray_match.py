@@ -1,0 +1,192 @@
+"""Distributed match pipeline parity: `pipelines.match.match_datasets` on
+Ray Datasets vs the reference RecordMatcher executed in-process on the same
+tables (both blocked/shuffled and ungrouped/broadcast paths)."""
+
+import copy
+import random
+
+import pandas as pd
+import pytest
+
+from record_matcher_ray.core.config import MatchConfigBuilder
+from record_matcher_ray.functions.scorers import difflib_ratio
+
+
+def _to_dataset(records, id_col):
+    import ray.data
+
+    rows = []
+    for idx, row in records.items():
+        r = dict(row)
+        r[id_col] = idx
+        rows.append(r)
+    return ray.data.from_pandas(pd.DataFrame(rows))
+
+
+def _run_reference(reference, x, y, setup):
+    _, ref_matcher = reference
+    import record_matcher.config as ref_config
+
+    ref_config.ScorersByColumn.SCORERS["difflib_ratio"] = difflib_ratio
+    m = ref_matcher.RecordMatcher()
+    m.x_records = copy.deepcopy(x)
+    m.y_records = copy.deepcopy(y)
+    setup(m.config)
+    return m.match()
+
+
+def _run_ray(x, y, setup, **kw):
+    from record_matcher_ray.pipelines.match import match_datasets
+
+    x_ds = _to_dataset(x, "__xid__")
+    y_ds = _to_dataset(y, "__yid__")
+    b = MatchConfigBuilder(
+        x_columns=set().union(*(set(r) for r in x.values())),
+        y_columns=set().union(*(set(r) for r in y.values())),
+    )
+    setup(b)
+    cfg = b.build(**kw)
+    res = match_datasets(x_ds, y_ds, cfg, "__xid__", "__yid__")
+    df = res.dataset.to_pandas().set_index("__xid__")
+    return df, res.summary
+
+
+def _assert_ray_parity(got_df, got_summary, want, x):
+    want_records, want_summary = want
+    assert set(got_df.index) == set(want_records)
+    for idx, wrow in want_records.items():
+        grow = got_df.loc[idx]
+        for col, wval in wrow.items():
+            if col == "__xid__":
+                continue
+            gval = grow[col]
+            if col == "match_score" and wval:
+                gs = [float(s) for s in gval.split(", ")] if gval else []
+                ws = [float(s) for s in wval.split(", ")]
+                assert gs == pytest.approx(ws, abs=1e-6), (idx, col)
+            elif wval is None:
+                assert gval is None or gval != gval, (idx, col, gval)
+            else:
+                assert gval == wval, (idx, col, gval, wval)
+    assert dict(got_summary) == dict(want_summary)
+
+
+def _random_tables(seed, nx=50, ny=40, noise=0.3):
+    rng = random.Random(seed)
+    first = ["alice", "bob", "carol", "dan", "erin", "frank", "gina", "hank"]
+    last = ["smith", "jones", "lee", "patel", "garcia", "chen", "kim", "brown"]
+    cities = ["nyc", "sf", "la"]
+
+    def corrupt(s):
+        if not s or rng.random() > noise:
+            return s
+        i = rng.randrange(len(s))
+        return s[:i] + rng.choice("abcdefghijklmnopqrstuvwxyz") + s[i + 1 :]
+
+    y = {
+        j + 100: {
+            "fn": rng.choice(first),
+            "ln": rng.choice(last),
+            "town": rng.choice(cities),
+            "yid": f"Y{j}",
+        }
+        for j in range(ny)
+    }
+    x = {}
+    for i in range(nx):
+        if rng.random() < 0.8:
+            src = y[rng.randrange(ny) + 100]
+            x[i] = {"fn": corrupt(src["fn"]), "ln": corrupt(src["ln"]), "city": src["town"]}
+        else:
+            x[i] = {
+                "fn": rng.choice(first) + "zz",
+                "ln": rng.choice(last) + "qq",
+                "city": rng.choice(cities),
+            }
+    return x, y
+
+
+@pytest.mark.parametrize("seed", [3, 42])
+def test_ray_grouped_fuzzy_parity(ray_session, reference, seed):
+    x, y = _random_tables(seed)
+
+    def setup(c):
+        c.scorers_by_column.default = "difflib_ratio"
+        c.columns_to_match["fn"] = "fn"
+        c.columns_to_match["ln"] = "ln"
+        c.columns_to_group["town"] = "city"
+        c.columns_to_get["yid"] = "gotten"
+
+    want = _run_reference(reference, x, y, setup)
+    got_df, got_summary = _run_ray(x, y, setup)
+    _assert_ray_parity(got_df, got_summary, want, x)
+
+
+def test_ray_broadcast_ungrouped_parity(ray_session, reference):
+    x, y = _random_tables(7, nx=30, ny=25)
+
+    def setup(c):
+        c.scorers_by_column.default = "difflib_ratio"
+        c.columns_to_match["fn"] = "fn"
+        c.columns_to_match["ln"] = "ln"
+        c.columns_to_get["yid"] = "gotten"
+
+    want = _run_reference(reference, x, y, setup)
+    got_df, got_summary = _run_ray(x, y, setup)
+    _assert_ray_parity(got_df, got_summary, want, x)
+
+
+def test_ray_exact_with_duplicates(ray_session, reference):
+    x = {
+        0: {"fn": "alice", "ln": "smith", "city": "nyc"},
+        1: {"fn": "alice", "ln": "smith", "city": "nyc"},  # exact dup → DUPLICATE
+        2: {"fn": "bob", "ln": "jones", "city": "sf"},
+    }
+    y = {
+        10: {"fn": "alice", "ln": "smith", "town": "nyc", "yid": "A"},
+        11: {"fn": "bob", "ln": "jones", "town": "sf", "yid": "B"},
+    }
+
+    def setup(c):
+        c.columns_to_match["fn"] = "fn"
+        c.columns_to_match["ln"] = "ln"
+        c.columns_to_group["town"] = "city"
+        c.columns_to_get["yid"] = "gotten"
+
+    want = _run_reference(reference, x, y, setup)
+    got_df, got_summary = _run_ray(x, y, setup)
+    _assert_ray_parity(got_df, got_summary, want, x)
+    assert got_df.loc[0, "match_status"] == "DUPLICATE"
+    assert got_df.loc[2, "match_status"] == "MATCHED"
+
+
+def test_ray_table_ops_uniqueness(ray_session):
+    import ray.data
+
+    from record_matcher_ray.pipelines import table_ops
+
+    df = pd.DataFrame(
+        {"a": ["x", "y", "x", ""], "b": ["1", "1", "1", "1"], "c": ["p", "q", "r", "s"]}
+    )
+    ds = ray.data.from_pandas(df)
+    u = table_ops.uniqueness(ds, ["a", "b", "c", "missing"])
+    assert u == {"a": 2 / 4, "b": 1 / 4, "c": 1.0, "missing": 0.0}
+
+
+def test_ray_table_ops_group_by_and_dups(ray_session):
+    import ray.data
+
+    from record_matcher_ray.pipelines import table_ops
+
+    df = pd.DataFrame(
+        {
+            "k": ["a", "a", "b", "b", ""],
+            "v": ["1", "2", "3", "3", "5"],
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    assert table_ops.group_by(ds, {"k": "a"}).count() == 2
+    assert table_ops.group_by(ds, {"k": "a", "v": "1"}).count() == 1
+    assert table_ops.group_by(ds, {}).count() == 5
+    dups = table_ops.duplicated_by_column(ds, "v").to_pandas()
+    assert sorted(dups["v"]) == ["3", "3"]
