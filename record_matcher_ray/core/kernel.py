@@ -66,6 +66,76 @@ def as_string_array(values, n: int | None = None) -> np.ndarray:
     return out
 
 
+def score_pairs(
+    x_cols: dict[str, np.ndarray],
+    y_cols: dict[str, np.ndarray],
+    x_ids: np.ndarray,
+    y_ids: np.ndarray,
+    cfg: MatchConfig,
+    uniqueness: dict[str, float],
+) -> dict[str, np.ndarray]:
+    """Partial variant of :func:`score_block` for OR-blocking (LSH / n-gram
+    multi-key candidate generation): emits one row per candidate PAIR
+    (x_id, y_id, score, optimal) instead of reducing per x. The per-x argmax
+    + status reduce then happens in a ``groupby(x_id)`` stage, because with
+    OR-blocking a given x's candidates span multiple key groups (unlike the
+    reference's conjunctive grouping where the group IS the candidate set).
+    Scoring semantics are identical to score_block."""
+    nx, ny = len(x_ids), len(y_ids)
+    mcols = cfg.columns_to_match
+    empty = {
+        "x_id": np.empty(0, np.int64),
+        "y_id": np.empty(0, np.int64),
+        "score": np.empty(0, np.float64),
+        "optimal": np.empty(0, np.float64),
+    }
+    if nx == 0 or ny == 0 or not mcols:
+        return empty
+    order = [c for c, _ in mcols]
+    blank = np.full(nx, "", dtype=object)
+
+    refined = {}
+    rowsum = np.zeros(nx, dtype=np.float64)
+    for c in order:
+        xc = x_cols.get(c, blank)
+        refined[c] = np.asarray(xc != "", dtype=bool)
+        rowsum = rowsum + uniqueness.get(c, 0.0) * refined[c]
+    safe = np.where(rowsum > 0, rowsum, 1.0)
+    weights = {
+        c: np.where(rowsum > 0, uniqueness.get(c, 0.0) * refined[c] / safe, 0.0)
+        for c in order
+    }
+
+    score = np.zeros((nx, ny), dtype=np.float64)
+    cand = np.zeros((nx, ny), dtype=bool)
+    for c, ycols in mcols:
+        xc = x_cols.get(c, blank)
+        best = None
+        if ycols:
+            scorer = get_scorer(cfg.scorer_of(c))
+            for ycol in ycols:
+                m = scorer.pairwise(xc, y_cols.get(ycol, np.full(ny, "", dtype=object)))
+                best = m if best is None else np.maximum(best, m)
+        if best is None:
+            best = np.zeros((nx, ny), dtype=np.float64)
+        thr = cfg.threshold_of(c)
+        passing = (best >= thr) if cfg.cutoff_of(c) else (best > 0)
+        cand |= passing
+        score += best * passing * weights[c][:, None]
+
+    optimal = np.zeros(nx, dtype=np.float64)
+    for c in order:
+        optimal = optimal + cfg.threshold_of(c) * weights[c]
+
+    xs, ys = np.nonzero(cand)
+    return {
+        "x_id": np.asarray(x_ids, np.int64)[xs],
+        "y_id": np.asarray(y_ids, np.int64)[ys],
+        "score": score[xs, ys],
+        "optimal": optimal[xs],
+    }
+
+
 def score_block(
     x_cols: dict[str, np.ndarray],
     y_cols: dict[str, np.ndarray],

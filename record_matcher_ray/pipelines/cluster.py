@@ -1,0 +1,130 @@
+"""Transitive clustering — connected components over accepted match pairs
+(engine addition per BASELINE.json north_rule; absent from the reference,
+SURVEY.md §2.4 M6).
+
+Two execution paths:
+- **driver union-find** (default when the edge list is small): stream the
+  two int64 edge columns to the driver, classic union-find with path
+  compression. Exact, one pass.
+- **BSP min-label propagation** (scale path): iterate
+  ``labels(v) = min(labels(v), min over neighbors labels(u))`` as a
+  hash_join + groupby-min per round until the label sum reaches a fixpoint.
+  Convergence is monotone; rounds ≈ cluster diameter (entity clusters are
+  shallow). Each round shuffles only (node, label) pairs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import Min, Sum
+
+from record_matcher_ray.pipelines.joins import hash_join
+
+
+def _find(parent: dict[int, int], x: int) -> int:
+    root = x
+    while parent.get(root, root) != root:
+        root = parent[root]
+    while parent.get(x, x) != x:  # path compression
+        parent[x], x = root, parent[x]
+    return root
+
+
+def connected_components_local(edges) -> dict[int, int]:
+    """Union-find over an iterable of (u, v); returns node → component root
+    (the minimum node id in the component)."""
+    parent: dict[int, int] = {}
+    seen: set[int] = set()
+    for u, v in edges:
+        u, v = int(u), int(v)
+        seen.add(u)
+        seen.add(v)
+        ru, rv = _find(parent, u), _find(parent, v)
+        if ru != rv:
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+    return {n: _find(parent, n) for n in seen}
+
+
+def connected_components(
+    edges: ray.data.Dataset,
+    u: str = "u",
+    v: str = "v",
+    driver_threshold: int = 2_000_000,
+    max_iter: int = 30,
+) -> ray.data.Dataset:
+    """→ Dataset(node:int64, component:int64). Component id = min node id."""
+    n_edges = edges.count()
+    if n_edges == 0:
+        return ray.data.from_pandas(
+            pd.DataFrame({"node": pd.Series([], dtype="int64"),
+                          "component": pd.Series([], dtype="int64")})
+        )
+    if n_edges <= driver_threshold:
+        pairs = []
+        for b in edges.select_columns([u, v]).iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow"
+        ):
+            pairs.append(np.stack([b[u].to_numpy(), b[v].to_numpy()], axis=1))
+        comp = connected_components_local(np.concatenate(pairs))
+        nodes = np.fromiter(comp.keys(), dtype=np.int64, count=len(comp))
+        roots = np.fromiter(comp.values(), dtype=np.int64, count=len(comp))
+        return ray.data.from_arrow(
+            pa.table({"node": pa.array(nodes), "component": pa.array(roots)})
+        )
+    return _connected_components_bsp(edges, u, v, max_iter)
+
+
+def _connected_components_bsp(edges, u, v, max_iter) -> ray.data.Dataset:
+    def fwd(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t[u].combine_chunks().cast(pa.int64()),
+                         "dst": t[v].combine_chunks().cast(pa.int64())})
+
+    def rev(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t[v].combine_chunks().cast(pa.int64()),
+                         "dst": t[u].combine_chunks().cast(pa.int64())})
+
+    sym = edges.map_batches(fwd, batch_format="pyarrow").union(
+        edges.map_batches(rev, batch_format="pyarrow")
+    ).materialize()
+
+    # label init: min(node, min neighbor)
+    labels = (
+        sym.groupby("src").aggregate(Min("dst", alias_name="nbr"))
+        .map_batches(
+            lambda t: pa.table(
+                {"node": t["src"].combine_chunks(),
+                 "label": pa.compute.min_element_wise(
+                     t["src"].combine_chunks(), t["nbr"].combine_chunks())}
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    prev_sum = labels.aggregate(Sum("label"))["sum(label)"]
+
+    for _ in range(max_iter):
+        msgs = hash_join(sym, labels, left_on="src", right_on="node").map_batches(
+            lambda t: pa.table({"node": t["dst"].combine_chunks(),
+                                "label": t["label"].combine_chunks()}),
+            batch_format="pyarrow",
+        )
+        labels = (
+            labels.union(msgs)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        cur = labels.aggregate(Sum("label"))["sum(label)"]
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    return labels.map_batches(
+        lambda t: pa.table({"node": t["node"].combine_chunks(),
+                            "component": t["label"].combine_chunks()}),
+        batch_format="pyarrow",
+    )

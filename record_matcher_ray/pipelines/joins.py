@@ -1,0 +1,120 @@
+"""Partitioned hash join built from groupby-shuffle primitives.
+
+Ray Data's portable join pattern (the reference has no general join —
+SURVEY.md §2.4 M4 — but the engine's clustering and copy-back stages need
+one): tag both sides, union, `groupby(key)`, cross the sides inside each
+group with vectorized take/repeat. Use `broadcast_lookup` instead when one
+side fits in the object store — no shuffle at all.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+_J_SIDE = "__jside__"
+
+
+def hash_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_on: str,
+    right_on: str,
+    how: str = "inner",
+) -> ray.data.Dataset:
+    """Equi-join; output columns = left columns + right columns (right key
+    dropped; non-key right columns must not collide with left names).
+    ``how``: "inner" or "left"."""
+    from record_matcher_ray.pipelines.match import _arrow_schema
+
+    lschema = _arrow_schema(left)
+    rschema = _arrow_schema(right)
+    lcols = list(lschema.names)
+    rcols = [c for c in rschema.names if c != right_on]
+    overlap = set(lcols) & set(rcols)
+    if overlap:
+        raise ValueError(f"hash_join column collision: {overlap}")
+
+    key_type = lschema.field(left_on).type
+    fields = [(_J_SIDE, pa.int8()), ("__jkey__", key_type)]
+    fields += [(c, lschema.field(c).type) for c in lcols]
+    fields += [(c, rschema.field(c).type) for c in rcols]
+    wire = pa.schema(fields)
+
+    def prep_l(t: pa.Table) -> pa.Table:
+        cols = {_J_SIDE: pa.array(np.zeros(len(t), np.int8)),
+                "__jkey__": pc.cast(t[left_on], key_type).combine_chunks()}
+        for c in lcols:
+            cols[c] = t[c].combine_chunks()
+        for c in rcols:
+            cols[c] = pa.nulls(len(t), wire.field(c).type)
+        return pa.table({f.name: cols[f.name] for f in wire})
+
+    def prep_r(t: pa.Table) -> pa.Table:
+        cols = {_J_SIDE: pa.array(np.ones(len(t), np.int8)),
+                "__jkey__": pc.cast(t[right_on], key_type).combine_chunks()}
+        for c in lcols:
+            cols[c] = pa.nulls(len(t), wire.field(c).type)
+        for c in rcols:
+            cols[c] = t[c].combine_chunks()
+        return pa.table({f.name: cols[f.name] for f in wire})
+
+    tagged = left.map_batches(prep_l, batch_format="pyarrow").union(
+        right.map_batches(prep_r, batch_format="pyarrow")
+    )
+
+    out_schema = pa.schema(
+        [(c, lschema.field(c).type) for c in lcols]
+        + [(c, rschema.field(c).type) for c in rcols]
+    )
+
+    def cross(t: pa.Table) -> pa.Table:
+        lmask = pc.equal(t[_J_SIDE], 0)
+        lt = t.filter(lmask)
+        rt = t.filter(pc.invert(lmask))
+        nl, nr = len(lt), len(rt)
+        if nl == 0:
+            return out_schema.empty_table()
+        if nr == 0:
+            if how == "left":
+                cols = {c: lt[c].combine_chunks() for c in lcols}
+                for c in rcols:
+                    cols[c] = pa.nulls(nl, out_schema.field(c).type)
+                return pa.table({f.name: cols[f.name] for f in out_schema})
+            return out_schema.empty_table()
+        li = np.repeat(np.arange(nl), nr)
+        ri = np.tile(np.arange(nr), nl)
+        cols = {c: pc.take(lt[c].combine_chunks(), pa.array(li)) for c in lcols}
+        for c in rcols:
+            cols[c] = pc.take(rt[c].combine_chunks(), pa.array(ri))
+        return pa.table({f.name: cols[f.name] for f in out_schema})
+
+    return tagged.groupby("__jkey__").map_groups(cross, batch_format="pyarrow")
+
+
+def broadcast_lookup(
+    ds: ray.data.Dataset,
+    small: ray.data.Dataset | pd.DataFrame,
+    left_on: str,
+    right_on: str,
+    columns: list[str] | None = None,
+    how: str = "left",
+) -> ray.data.Dataset:
+    """Broadcast join: collect the small side ONCE into the object store
+    (``ray.put``) and merge per batch — the no-shuffle path for dimension
+    tables (ray_guide "Joins and lookups")."""
+    sdf = small.to_pandas() if isinstance(small, ray.data.Dataset) else small
+    if columns is not None:
+        sdf = sdf[[right_on] + [c for c in columns if c != right_on]]
+    ref = ray.put(sdf)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        s = ray.get(ref)
+        return df.merge(s, how=how, left_on=left_on, right_on=right_on)
+
+    return ds.map_batches(merge, batch_format="pandas")

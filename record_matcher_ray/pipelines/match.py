@@ -99,6 +99,42 @@ class MatchResult:
         yield self.summary
 
 
+def compute_flips(
+    scored: ray.data.Dataset, duplicate_threshold: float, x_id_col: str = "__x_id__"
+) -> dict[int, str]:
+    """Duplicate pass (matcher.py:408-447): project winners to 3 narrow
+    columns, groupby(winner_y_id), resolve with the shared rule, and return
+    the (typically tiny) x_id → verdict flip map for broadcast application.
+    ``scored`` needs columns x_id_col / winner_y_id / winner_score."""
+
+    def winners(batch: pa.Table) -> pa.Table:
+        mask = pc.not_equal(batch["winner_y_id"], NO_WINNER)
+        t = batch.filter(mask)
+        return t.select([x_id_col, "winner_y_id", "winner_score"])
+
+    def resolve(df: pd.DataFrame) -> pd.DataFrame:
+        pairs = list(zip(df[x_id_col].tolist(), df["winner_score"].tolist()))
+        verdict, ids = resolve_duplicates(pairs, duplicate_threshold)
+        if verdict == "none":
+            ids = []
+        return pd.DataFrame(
+            {
+                "x_id": pd.Series(ids, dtype="int64"),
+                "verdict": pd.Series([verdict] * len(ids), dtype=object),
+            }
+        )
+
+    flips_df = (
+        scored.map_batches(winners, batch_format="pyarrow")
+        .groupby("winner_y_id")
+        .map_groups(resolve, batch_format="pandas")
+        .to_pandas()
+    )
+    if len(flips_df) and "x_id" in flips_df.columns:
+        return dict(zip(flips_df["x_id"].astype(np.int64), flips_df["verdict"]))
+    return {}
+
+
 def match_datasets(
     x_ds: ray.data.Dataset,
     y_ds: ray.data.Dataset,
@@ -137,35 +173,7 @@ def match_datasets(
         )
 
     scored = scored.materialize()
-
-    # ---- duplicate pass: winners only, 3 narrow columns -------------------
-    def winners(batch: pa.Table) -> pa.Table:
-        mask = pc.not_equal(batch["winner_y_id"], NO_WINNER)
-        t = batch.filter(mask)
-        return t.select(["__x_id__", "winner_y_id", "winner_score"])
-
-    def resolve(df: pd.DataFrame) -> pd.DataFrame:
-        pairs = list(zip(df["__x_id__"].tolist(), df["winner_score"].tolist()))
-        verdict, ids = resolve_duplicates(pairs, cfg.duplicate_threshold)
-        if verdict == "none":
-            ids = []
-        return pd.DataFrame(
-            {
-                "x_id": pd.Series(ids, dtype="int64"),
-                "verdict": pd.Series([verdict] * len(ids), dtype=object),
-            }
-        )
-
-    flips_df = (
-        scored.map_batches(winners, batch_format="pyarrow")
-        .groupby("winner_y_id")
-        .map_groups(resolve, batch_format="pandas")
-        .to_pandas()
-    )
-    if len(flips_df) and "x_id" in flips_df.columns:
-        flips = dict(zip(flips_df["x_id"].astype(np.int64), flips_df["verdict"]))
-    else:
-        flips = {}
+    flips = compute_flips(scored, cfg.duplicate_threshold)
     flips_ref = ray.put(flips)
 
     # ---- summary (reference over-count quirk, SURVEY.md §2.5.3) ----------

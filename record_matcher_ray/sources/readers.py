@@ -1,0 +1,54 @@
+"""Sources/sinks. The reference has NONE (SURVEY.md §2.4 M3 — tables enter
+and leave as Python dicts); the engine adds real ones.
+
+``read_documents`` targets the north-star Lance corpus; ``pylance`` is not
+installed in this sandbox, so it transparently falls back to parquet with
+the same schema (SURVEY.md §7.4)."""
+
+from __future__ import annotations
+
+import ray.data
+
+
+def read_documents(path: str, **kwargs) -> ray.data.Dataset:
+    """Read an interleaved-document table (doc_id, spans). Prefers Lance
+    (``ray.data.read_lance``) when the dataset is Lance and pylance is
+    importable; otherwise parquet."""
+    if path.endswith(".lance"):
+        try:
+            import lance  # noqa: F401
+
+            return ray.data.read_lance(path, **kwargs)
+        except ImportError as e:
+            raise ImportError(
+                "pylance is not available in this environment; "
+                "use the parquet fallback"
+            ) from e
+    return ray.data.read_parquet(path, **kwargs)
+
+
+def read_table(path: str, columns: list[str] | None = None, **kwargs) -> ray.data.Dataset:
+    """Column-pruned parquet read (always pass ``columns`` in pipelines —
+    a read that loads all columns for a 2-column transform is wrong)."""
+    return ray.data.read_parquet(path, columns=columns, **kwargs)
+
+
+def records_to_dataset(records: dict[int, dict], id_column: str = "__rid__") -> ray.data.Dataset:
+    """Dict-table (reference format) → Dataset with an explicit id column."""
+    import pandas as pd
+
+    rows = []
+    for idx, row in records.items():
+        r = dict(row)
+        r[id_column] = idx
+        rows.append(r)
+    return ray.data.from_pandas(pd.DataFrame(rows))
+
+
+def dataset_to_records(ds: ray.data.Dataset, id_column: str = "__rid__") -> dict[int, dict]:
+    """Dataset → dict-table (small results only — materializes)."""
+    out = {}
+    for row in ds.to_pandas().to_dict("records"):
+        idx = int(row.pop(id_column))
+        out[idx] = row
+    return out

@@ -1,0 +1,141 @@
+"""Interleaved-document pipeline: corpus determinism, span-sequence
+invariant, blocking recall, end-to-end F1 vs ground truth on co-blocked
+pairs (the BASELINE.json metric: pairwise F1 ≥ 0.99), clustering."""
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from record_matcher_ray.sources.corpus import generate_corpus
+from record_matcher_ray.stages import blocking
+from record_matcher_ray.stages.flatten import flatten_spans, span_signature
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("corpus")
+    generate_corpus(str(d), n_entities=120, max_docs_per_entity=3, seed=7)
+    return str(d)
+
+
+def test_corpus_deterministic(tmp_path):
+    a = tmp_path / "a"
+    b = tmp_path / "b"
+    generate_corpus(str(a), n_entities=20, seed=5)
+    generate_corpus(str(b), n_entities=20, seed=5)
+    for name in ["registry", "corpus", "truth"]:
+        ta = pq.read_table(f"{a}/{name}.parquet")
+        tb = pq.read_table(f"{b}/{name}.parquet")
+        assert ta.equals(tb), name
+
+
+def test_corpus_schema(corpus_dir):
+    t = pq.read_table(f"{corpus_dir}/corpus.parquet")
+    assert t.schema.names == ["doc_id", "spans"]
+    first = t["spans"][0].as_py()
+    assert set(first[0]) == {"kind", "text", "media_ref", "offset"}
+    kinds = {s["kind"] for spans in t["spans"].to_pylist() for s in spans}
+    assert "media" in kinds and "text" in kinds  # interleaved text + media
+
+
+def test_flatten_preserves_span_sequence(corpus_dir):
+    t = pq.read_table(f"{corpus_dir}/corpus.parquet")
+    flat = flatten_spans(t)
+    # per-row invariant: flatten's fingerprint == recomputed from raw spans
+    raw = t["spans"].to_pylist()
+    for i in range(len(t)):
+        assert flat["span_sig"][i].as_py() == span_signature(raw[i])
+    assert flat["n_spans"][0].as_py() == len(raw[0])
+    # registry titles are canonical entity names
+    reg = flatten_spans(pq.read_table(f"{corpus_dir}/registry.parquet"))
+    titles = reg["title"].to_pylist()
+    assert all(titles), "registry docs must all have title spans"
+
+
+def test_minhash_similar_texts_collide():
+    h = blocking.MinHasher(num_perm=64, seed=1)
+    a = blocking.minhash_band_keys("alice smith 12 oak st springfield", h)
+    b = blocking.minhash_band_keys("alice smith 12 oak st sprongfield", h)
+    c = blocking.minhash_band_keys("completely different text entirely", h)
+    assert set(a) & set(b), "near-identical texts must share a band"
+    assert not (set(a) & set(c)), "unrelated texts must not collide"
+
+
+def test_blocking_keys_deterministic_across_calls():
+    h1 = blocking.MinHasher(seed=1)
+    h2 = blocking.MinHasher(seed=1)
+    k1 = blocking.default_doc_keys("alice smith", "body text here", "img://a|img://b", h1)
+    k2 = blocking.default_doc_keys("alice smith", "body text here", "img://a|img://b", h2)
+    assert k1 == k2
+    assert any(k.startswith("md:") for k in k1)
+    assert any(k.startswith("mh") for k in k1)
+    assert any(k.startswith("tt:") for k in k1)
+
+
+def test_docmatch_end_to_end_f1(ray_session, corpus_dir):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.docmatch import match_documents
+
+    x = rd.read_parquet(f"{corpus_dir}/corpus.parquet")
+    y = rd.read_parquet(f"{corpus_dir}/registry.parquet")
+    res = match_documents(x, y, cluster_edges=True)
+
+    truth = pq.read_table(f"{corpus_dir}/truth.parquet").to_pandas()
+    truth_map = dict(zip(truth["doc_id"], truth["entity_id"]))
+
+    adf = res.assignments.to_pandas()
+    # accepted (x,y) pairs from edges; node decode: u=2x, v=2y+1
+    edf = res.edges.to_pandas()
+    accepted = {(u // 2, v // 2) for u, v in zip(edf["u"], edf["v"])}
+
+    # candidate-pair label set: pairs sharing a blocking key = pairs that
+    # were scored; approximate with all (x, y=true entity) pairs — i.e.
+    # recall of the true assignment — plus precision over accepted pairs.
+    tp = sum(1 for (xi, yi) in accepted if truth_map.get(f"x{xi:08d}", -2) == yi)
+    fp = len(accepted) - tp
+    n_true = sum(1 for v in truth_map.values() if v >= 0)
+    fn = n_true - tp
+    precision = tp / max(1, tp + fp)
+    recall = tp / max(1, tp + fn)
+    f1 = 2 * precision * recall / max(1e-9, precision + recall)
+    assert f1 >= 0.99, (precision, recall, f1, res.counters)
+
+    # clustering: every accepted x lands in its entity's component with the
+    # registry doc
+    cdf = res.clusters.to_pandas()
+    comp = dict(zip(cdf["node"], cdf["component"]))
+    for xi, yi in accepted:
+        assert comp[2 * xi] == comp[2 * yi + 1]
+
+    assert res.counters["pairs_scored"] > 0
+    assert res.counters["matches_accepted"] == len(accepted)
+
+
+def test_connected_components_local():
+    from record_matcher_ray.pipelines.cluster import connected_components_local
+
+    comp = connected_components_local([(1, 2), (2, 3), (10, 11), (5, 5)])
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == 10
+
+
+def test_connected_components_bsp_matches_local(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.cluster import (
+        connected_components,
+        connected_components_local,
+    )
+
+    rng = np.random.RandomState(3)
+    edges = [(int(rng.randint(0, 60)), int(rng.randint(0, 60))) for _ in range(80)]
+    ds = rd.from_pandas(pd.DataFrame(edges, columns=["u", "v"]))
+    local = connected_components_local(edges)
+    # force the BSP path
+    bsp = connected_components(ds, driver_threshold=0).to_pandas()
+    got = dict(zip(bsp["node"], bsp["component"]))
+    assert set(got) == set(local)
+    for n in local:
+        assert got[n] == local[n], n
