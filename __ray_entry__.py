@@ -1,44 +1,406 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` maps one entry per implemented operator family from
+SURVEY.md §2 (+ the engine's training-data additions) to callables over an
+``sf_dir``; ``oracle_sql()`` holds the DuckDB-equivalent SQL where the
+operator is SQL-expressible (non-SQL ops — LSH dedup, simhash, lang-id,
+docmatch, IVF ANN, media featurization — get rows-only checks).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def _registry_from_customer(sf_dir):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_mktsegment"],
+    )
+
+    def to_y(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "ykey": t["c_custkey"],
+                "name": t["c_name"],
+                "segment": t["c_mktsegment"],
+                "registry_id": pc.binary_join_element_wise(
+                    "R-", pc.cast(t["c_custkey"], pa.string()), ""
+                ),
+            }
+        )
+
+    return cust.map_batches(to_y, batch_format="pyarrow")
+
+
+def _match_exact_customer(sf_dir: str):
+    """O7/O8 end-to-end: customers matched against a derived registry,
+    blocked on mktsegment, exact scorer on name, copy-over of registry_id.
+    Names are unique ⇒ every row MATCHED at 100 with its own key."""
+    import ray.data
+
+    from record_matcher_ray.core.config import MatchConfigBuilder
+    from record_matcher_ray.pipelines.match import match_datasets
+
+    x = ray.data.read_parquet(f"{sf_dir}/customer.parquet")
+    y = _registry_from_customer(sf_dir)
+    b = MatchConfigBuilder(
+        x_columns={"c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"},
+        y_columns={"ykey", "name", "segment", "registry_id"},
+    )
+    b.match("c_name", ["name"], scorer="exact_match")
+    b.group("segment", "c_mktsegment")
+    b.get("registry_id", "matched_registry_id")
+    cfg = b.build()
+    return match_datasets(x, y, cfg, "c_custkey", "ykey").dataset
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline smoke: the blocked exact match on sf0.001."""
+    return _match_exact_customer(SF001)
+
+
+# ---------------------------------------------------------------------------
+
+
+def _q_uniqueness_customer(sf_dir: str):
+    import pandas as pd
+    import ray.data
+
+    from record_matcher_ray.pipelines import table_ops
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_name", "c_mktsegment", "c_nationkey"],
+    )
+    u = table_ops.uniqueness(ds, ["c_name", "c_mktsegment", "c_nationkey"])
+    return pd.DataFrame(
+        sorted(u.items()), columns=["col", "uniqueness"]
+    )
+
+
+def _q_group_by_segment(sf_dir: str):
+    import ray.data
+
+    from record_matcher_ray.pipelines import table_ops
+
+    ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet")
+    return table_ops.group_by(ds, {"c_mktsegment": "BUILDING"})
+
+
+def _q_duplicated_orders(sf_dir: str):
+    import ray.data
+
+    from record_matcher_ray.pipelines import table_ops
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet")
+    return table_ops.duplicated_by_column(ds, "o_custkey")
+
+
+def _q_dedup_exact_docs(sf_dir: str):
+    import ray.data
+    from ray.data.aggregate import Count, Min
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = (
+        ds.groupby("text")
+        .aggregate(Min("doc_id", alias_name="keeper_id"),
+                   Count(alias_name="n_copies"))
+        .to_pandas()
+    )
+    out["keeper_id"] = out["keeper_id"].astype("int64")
+    out["n_copies"] = out["n_copies"].astype("int64")
+    return out
+
+
+def _q_ann_topk(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from record_matcher_ray.pipelines.similarity import brute_force_topk
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    head = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).slice(0, 5)
+    q = np.stack([np.asarray(v, dtype=np.float64) for v in head["embedding"].to_pylist()])
+    out = brute_force_topk(
+        ds, q, k=10, query_ids=head["vec_id"].to_numpy()
+    )
+    out = out[["query_id", "vec_id", "cos_sim"]].copy()
+    out["cos_sim"] = out["cos_sim"].round(4)
+    return out
+
+
+def _q_docmatch(sf_dir: str):
+    """North-star pipeline over a deterministic interleaved corpus sized by
+    sf (rows-only check: blocking + scoring + clustering are not SQL)."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.docmatch import match_documents
+    from record_matcher_ray.sources.corpus import generate_corpus
+
+    scale = {"0.001": 60, "0.01": 200, "0.1": 800}.get(
+        sf_dir.rstrip("/").split("sf")[-1], 200
+    )
+    d = f"/tmp/rmr_corpus_{scale}"
+    if not os.path.exists(f"{d}/truth.parquet"):
+        generate_corpus(d, n_entities=scale, seed=42)
+    res = match_documents(
+        ray.data.read_parquet(f"{d}/corpus.parquet"),
+        ray.data.read_parquet(f"{d}/registry.parquet"),
+    )
+    return res.assignments
+
+
+def _q_minhash_dedup(sf_dir: str):
+    import ray.data
+
+    from record_matcher_ray.pipelines.dedup import minhash_dedup
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return minhash_dedup(ds, "text", "doc_id", jaccard_threshold=60.0)["pairs"]
+
+
+def _q_simhash(sf_dir: str):
+    import ray.data
+
+    from record_matcher_ray.pipelines.dedup import simhash64
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return simhash64(ds, "text", "doc_id")
+
+
+def _q_lang_id(sf_dir: str):
+    import ray.data
+
+    from record_matcher_ray.pipelines.analysis import language_id
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return language_id(ds)
+
+
+def _q_fingerprints(sf_dir: str):
+    import ray.data
+
+    from record_matcher_ray.pipelines.analysis import fingerprints
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return fingerprints(ds)
+
+
+def _q_embedding_near_dups(sf_dir: str):
+    import ray.data
+
+    from record_matcher_ray.pipelines.similarity import embedding_near_dups
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_dups(ds, threshold=0.9)
+
+
+def _q_media_features(sf_dir: str):
+    import ray.data
+
+    from record_matcher_ray.stages.multimodal import featurize_media, synth_media_table
+
+    ds = ray.data.from_arrow(synth_media_table(n=96, seed=3))
+    return featurize_media(ds, decoder="fake", concurrency=2)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from record_matcher_ray.pipelines import analysis, relational
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def token_counts(sf_dir):
+        import ray.data
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return analysis.token_counts(ds)
+
+    def quality(sf_dir):
+        import ray.data
+
+        ds = ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        return analysis.quality_scores(ds)
+
+    return {
+        # relational / aggregate shapes
+        "lineitem_agg": relational.lineitem_agg,
+        "customer_topk": relational.customer_nation_topk,
+        "orders_by_status": relational.orders_by_status,
+        "events_window": relational.events_tumbling_window,
+        # reference records-utility operators (O2, O4, O5)
+        "uniqueness_customer": _q_uniqueness_customer,
+        "group_by_segment": _q_group_by_segment,
+        "duplicated_orders": _q_duplicated_orders,
+        # match pipeline (O6-O8) + scorer kernel surface
+        "match_exact_customer": _match_exact_customer,
+        "supplier_levenshtein": relational.supplier_nation_levenshtein,
+        # dedup family
+        "dedup_exact_docs": _q_dedup_exact_docs,
+        "minhash_dedup_docs": _q_minhash_dedup,
+        "simhash_docs": _q_simhash,
+        # similarity search
+        "ann_topk": _q_ann_topk,
+        "embedding_near_dups": _q_embedding_near_dups,
+        # text analysis
+        "token_count_docs": token_counts,
+        "quality_docs": quality,
+        "lang_id_docs": _q_lang_id,
+        "fingerprint_docs": _q_fingerprints,
+        # north-star document pipeline + multimodal plumbing
+        "docmatch_corpus": _q_docmatch,
+        "media_features": _q_media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop = ", ".join(f"'{w}'" for w in sorted(
+        {"the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "for",
+         "on", "with", "as", "at", "by", "be"}))
+    bpe = r"[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+"
+    return {
+        "lineitem_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "customer_topk": """
+            SELECT c_custkey, c_name, n_name, r_name,
+                   round(c_acctbal, 2) AS c_acctbal
+            FROM customer
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            ORDER BY c_acctbal DESC, c_custkey LIMIT 20
+        """,
+        "orders_by_status": """
+            SELECT o_orderstatus, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total
+            FROM orders GROUP BY 1 ORDER BY 1
+        """,
+        "events_window": """
+            SELECT event_type, epoch_us(ts) // 3600000000 AS win,
+                   count(*) AS n_events, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "uniqueness_customer": """
+            SELECT col, uniqueness FROM (
+              SELECT 'c_name' AS col,
+                     count(DISTINCT nullif(cast(c_name AS varchar), ''))::double
+                       / count(*) AS uniqueness FROM customer
+              UNION ALL
+              SELECT 'c_mktsegment',
+                     count(DISTINCT nullif(cast(c_mktsegment AS varchar), ''))::double
+                       / count(*) FROM customer
+              UNION ALL
+              SELECT 'c_nationkey',
+                     count(DISTINCT nullif(cast(c_nationkey AS varchar), ''))::double
+                       / count(*) FROM customer
+            ) ORDER BY col
+        """,
+        "group_by_segment": """
+            SELECT * FROM customer
+            WHERE cast(c_mktsegment AS varchar) = 'BUILDING'
+        """,
+        "duplicated_orders": """
+            SELECT * FROM orders
+            QUALIFY count(*) OVER (PARTITION BY o_custkey) > 1
+        """,
+        "match_exact_customer": """
+            SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+                   'R-' || cast(c_custkey AS varchar) AS matched_registry_id,
+                   'MATCHED' AS match_status,
+                   cast(c_custkey AS varchar) AS "row(s)_matched",
+                   '100.0' AS match_score
+            FROM customer
+        """,
+        "supplier_levenshtein": """
+            SELECT s_suppkey, n_nationkey,
+                   round(CASE
+                     WHEN s_name = n_name THEN 100.0
+                     WHEN greatest(length(s_name), length(n_name)) = 0 THEN 100.0
+                     WHEN length(s_name) = 0 OR length(n_name) = 0 THEN 0.0
+                     ELSE 100.0 * (1.0 - levenshtein(s_name, n_name)::double
+                          / greatest(length(s_name), length(n_name)))
+                   END, 6) AS lev_sim
+            FROM supplier, nation
+        """,
+        "dedup_exact_docs": """
+            SELECT text, min(doc_id) AS keeper_id, count(*) AS n_copies
+            FROM documents GROUP BY text
+        """,
+        "ann_topk": """
+            WITH sims AS (
+              -- DOUBLE[] cast: DuckDB would otherwise compute in float32
+              -- while the engine computes in float64
+              SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+                     list_cosine_similarity(q.embedding::DOUBLE[],
+                                            v.embedding::DOUBLE[]) AS sim
+              FROM embeddings q, embeddings v
+              WHERE q.vec_id < 5
+            ), ranked AS (
+              SELECT query_id, vec_id, sim,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, vec_id) AS rnk
+              FROM sims
+            )
+            SELECT query_id, vec_id, round(sim, 4) AS cos_sim
+            FROM ranked WHERE rnk <= 10
+        """,
+        "token_count_docs": f"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\\S+'))::bigint AS n_ws_tokens,
+                   len(regexp_extract_all(text, '{bpe}'))::bigint AS n_bpe_tokens,
+                   length(text)::bigint AS n_chars_obs
+            FROM documents
+        """,
+        "quality_docs": f"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     regexp_extract_all(text, '\\S+') AS toks
+              FROM documents
+            )
+            SELECT doc_id,
+                   len(toks)::bigint AS n_tokens,
+                   round(CASE WHEN len(toks) = 0 THEN 0.0
+                         ELSE list_sum(list_transform(toks, x -> length(x)))::double
+                              / len(toks) END, 6) AS mean_token_len,
+                   round(CASE WHEN len(toks) = 0 THEN 0.0
+                         ELSE len(list_filter(toks, x -> lower(x) IN ({stop})))::double
+                              / len(toks) END, 6) AS stopword_ratio,
+                   round(len(regexp_extract_all(text, '[^\\w\\s]'))::double
+                         / greatest(length(text), 1), 6) AS punct_ratio,
+                   round(len(regexp_extract_all(text, '[A-Z]'))::double
+                         / greatest(length(text), 1), 6) AS upper_ratio
+            FROM t
+        """,
+    }

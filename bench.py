@@ -1,0 +1,248 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N}
+
+``--scaling`` runs the same suite twice in fresh processes (num_cpus=8 and
+32) on identical input and reports both wall times + scaling efficiency —
+the in-sandbox evidence for the north_rule's N→4N criterion.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# corpus size for the flagship doc pipeline (independent of sf_dir; scaled
+# to exercise blocking+scoring+clustering for tens of seconds at 32 cpus)
+CORPUS_ENTITIES = int(os.environ.get("GRAFT_CORPUS_ENTITIES", "3000"))
+
+
+def _corpus_dir() -> str:
+    from record_matcher_ray.sources.corpus import generate_corpus
+
+    d = f"/tmp/rmr_bench_corpus_{CORPUS_ENTITIES}"
+    if not os.path.exists(f"{d}/truth.parquet"):
+        generate_corpus(d, n_entities=CORPUS_ENTITIES, max_docs_per_entity=3, seed=42)
+    return d
+
+
+def bench_docmatch() -> dict:
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.docmatch import match_documents
+
+    d = _corpus_dir()
+    res = match_documents(
+        rd.read_parquet(f"{d}/corpus.parquet"),
+        rd.read_parquet(f"{d}/registry.parquet"),
+    )
+    n = res.assignments.count()
+    return {"rows": n, "pairs_scored": res.counters["pairs_scored"],
+            "matches": res.counters["matches_accepted"]}
+
+
+def bench_match_fuzzy() -> dict:
+    """Blocked fuzzy match: corrupted customer names vs the clean registry,
+    jaro_winkler scorer — the record_matcher-equivalent workload at scale
+    (compare BASELINE.md's reference single-core pairs/s)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from record_matcher_ray.core.config import MatchConfigBuilder
+    from record_matcher_ray.pipelines.match import match_datasets
+
+    cust = rd.read_parquet(f"{SF_DIR}/customer.parquet")
+
+    def corrupt(t: pa.Table) -> pa.Table:
+        # deterministic single-char corruption of each name (seeded by key)
+        names = t["c_name"].to_pylist()
+        keys = t["c_custkey"].to_numpy()
+        out = []
+        for k, nm in zip(keys, names):
+            i = int(k) % max(1, len(nm))
+            out.append(nm[:i] + "#" + nm[i + 1 :])
+        return t.set_column(
+            t.column_names.index("c_name"), "c_name", pa.array(out, pa.string())
+        )
+
+    x = cust.map_batches(corrupt, batch_format="pyarrow")
+
+    def to_y(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "ykey": t["c_custkey"],
+                "name": t["c_name"],
+                "segment": t["c_mktsegment"],
+                "nkey": pc.cast(t["c_nationkey"], pa.string()),
+                "registry_id": pc.binary_join_element_wise(
+                    "R-", pc.cast(t["c_custkey"], pa.string()), ""
+                ),
+            }
+        )
+
+    y = cust.map_batches(to_y, batch_format="pyarrow")
+
+    def x_prep(t: pa.Table) -> pa.Table:
+        return t.append_column("nkey_x", pc.cast(t["c_nationkey"], pa.string()))
+
+    x = x.map_batches(x_prep, batch_format="pyarrow")
+
+    b = MatchConfigBuilder(
+        x_columns={"c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                   "c_mktsegment", "nkey_x"},
+        y_columns={"ykey", "name", "segment", "nkey", "registry_id"},
+    )
+    b.match("c_name", ["name"], scorer="jaro_winkler")
+    b.group("segment", "c_mktsegment")
+    b.group("nkey", "nkey_x")
+    b.get("registry_id", "matched_registry_id")
+    cfg = b.build()
+    res = match_datasets(x, y, cfg, "c_custkey", "ykey")
+    out = res.dataset.map_batches(
+        lambda t: t.select(["c_custkey", "match_status"]), batch_format="pyarrow"
+    )
+    n = out.count()
+    return {"rows": n, "summary": dict(res.summary)}
+
+
+def bench_lineitem_agg() -> dict:
+    from record_matcher_ray.pipelines.relational import lineitem_agg
+
+    return {"rows": len(lineitem_agg(SF_DIR))}
+
+
+def bench_minhash_dedup() -> dict:
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.dedup import minhash_dedup
+
+    ds = rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    res = minhash_dedup(ds, "text", "doc_id", jaccard_threshold=60.0)
+    return {"pairs": res["pairs"].count()}
+
+
+def bench_ann() -> dict:
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.similarity import brute_force_topk
+
+    ds = rd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    head = pq.read_table(
+        f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).slice(0, 64)
+    q = np.stack([np.asarray(v, np.float64) for v in head["embedding"].to_pylist()])
+    out = brute_force_topk(ds, q, k=10, query_ids=head["vec_id"].to_numpy())
+    return {"rows": len(out)}
+
+
+BENCHES = {
+    "docmatch": bench_docmatch,
+    "match_fuzzy": bench_match_fuzzy,
+    "lineitem_agg": bench_lineitem_agg,
+    "minhash_dedup": bench_minhash_dedup,
+    "ann_topk": bench_ann,
+}
+
+
+def run_suite() -> None:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    # warm page cache (untimed) so we measure compute+shuffle, not cold disk
+    import pyarrow.parquet as pq
+
+    for t in ["customer", "lineitem", "documents", "embeddings"]:
+        pq.read_table(f"{SF_DIR}/{t}.parquet")
+    _corpus_dir()
+
+    queries = {}
+    meta = {}
+    total = 0.0
+    for name, fn in BENCHES.items():
+        t0 = time.time()
+        meta[name] = fn()
+        dt = round(time.time() - t0, 3)
+        queries[name] = dt
+        total += dt
+    ray.shutdown()
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": SF_DIR,
+                "num_cpus": NUM_CPUS,
+                "meta": meta,
+            }
+        )
+    )
+
+
+def run_scaling() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "scaling_efficiency",
+                "value": round(eff, 3),
+                "unit": "ratio",
+                "sec_8": t_lo,
+                "sec_32": t_hi,
+                "speedup": round(t_lo / t_hi, 3),
+                "queries_8": r_lo["queries"],
+                "queries_32": r_hi["queries"],
+                "sf": SF_DIR,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        run_suite()

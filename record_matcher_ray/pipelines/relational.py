@@ -1,0 +1,164 @@
+"""Relational pipelines over the TPC-H-ish testdata — the driver-contract
+query surface exercising the engine's aggregate / join / window / top-k
+shapes with DuckDB-checkable semantics.
+
+Scale notes honored here:
+- reads are column-pruned (`columns=[...]`);
+- grouped aggregates pre-aggregate per batch (partial combine) before the
+  shuffle, so the all-to-all moves one row per (key, batch) not per row;
+- dimension joins broadcast the small side (`ray.put`) — no shuffle;
+- window aggregation derives the window key vectorized then groupbys.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from record_matcher_ray.pipelines.joins import broadcast_lookup
+
+
+def lineitem_agg(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1-shaped: per (returnflag, linestatus) sums. Partial
+    aggregation inside map_batches → groupby over partials."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+        t2 = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty": pc.cast(t["l_quantity"], pa.float64()),
+                "rev": rev,
+            }
+        )
+        return (
+            t2.group_by(["l_returnflag", "l_linestatus"])
+            .aggregate([("qty", "sum"), ("rev", "sum"), ("qty", "count")])
+            .rename_columns(["l_returnflag", "l_linestatus", "qty", "rev", "n"])
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("rev", alias_name="revenue"),
+            Sum("n", alias_name="n_rows"),
+        )
+        .to_pandas()
+    )
+    out["sum_qty"] = out["sum_qty"].round(2)
+    out["revenue"] = out["revenue"].round(2)
+    out["n_rows"] = out["n_rows"].astype("int64")
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def customer_nation_topk(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """customer ⋈ nation ⋈ region (broadcast dims) → top-k by acctbal."""
+    nation = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
+    )
+    region = ray.data.read_parquet(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    dim = broadcast_lookup(nation, region, "n_regionkey", "r_regionkey").to_pandas()
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal"],
+    )
+    joined = broadcast_lookup(cust, dim, "c_nationkey", "n_nationkey",
+                              columns=["n_nationkey", "n_name", "r_name"])
+    top = joined.sort("c_acctbal", descending=True).limit(k).to_pandas()
+    top = top[["c_custkey", "c_name", "n_name", "r_name", "c_acctbal"]]
+    top["c_acctbal"] = top["c_acctbal"].round(2)
+    return top
+
+
+def orders_by_status(sf_dir: str) -> pd.DataFrame:
+    """Grouped count + sum over orders (pre-aggregated)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderstatus", "o_totalprice"]
+    )
+    out = (
+        ds.groupby("o_orderstatus")
+        .aggregate(Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total"))
+        .to_pandas()
+    )
+    out["total"] = out["total"].round(2)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.sort_values("o_orderstatus").reset_index(drop=True)
+
+
+def events_tumbling_window(sf_dir: str, window_s: int = 3600) -> pd.DataFrame:
+    """Stream-shaped tumbling window: per (event_type, hour-window) count +
+    value sum. Window key derived vectorized; ordering assumption: none
+    needed for tumbling aggregates (associative)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def keyed(t: pa.Table) -> pa.Table:
+        epoch = pc.cast(t["ts"], pa.int64())  # microseconds since epoch
+        # integer division (exact; matches SQL //) — not float floor
+        win = pc.divide(epoch, window_s * 1_000_000)
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "win": pc.cast(win, pa.int64()),
+                "value": t["value"],
+            }
+        )
+
+    out = (
+        ds.map_batches(keyed, batch_format="pyarrow")
+        .groupby(["event_type", "win"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    out["sum_value"] = out["sum_value"].round(2)
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.sort_values(["event_type", "win"]).reset_index(drop=True)
+
+
+def supplier_nation_levenshtein(sf_dir: str) -> pd.DataFrame:
+    """Cross-score s_name × n_name with the vectorized Levenshtein kernel
+    (scorer-kernel correctness surface for the DuckDB oracle)."""
+    from record_matcher_ray.functions.scorers import levenshtein_matrix
+
+    sup = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    )
+    nat = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    nat_ref = ray.put(nat)
+
+    def cross(t: pa.Table) -> pa.Table:
+        n = ray.get(nat_ref)
+        xs = np.asarray(t["s_name"].to_pylist(), dtype=object)
+        ys = np.asarray(n["n_name"].to_numpy(), dtype=object)
+        m = levenshtein_matrix(xs, ys)
+        nk = n["n_nationkey"].to_numpy()
+        sk = t["s_suppkey"].to_numpy()
+        xi, yi = np.indices(m.shape)
+        return pa.table(
+            {
+                "s_suppkey": pa.array(sk[xi.ravel()]),
+                "n_nationkey": pa.array(nk[yi.ravel()]),
+                "lev_sim": pa.array(np.round(m.ravel(), 6)),
+            }
+        )
+
+    return sup.map_batches(cross, batch_format="pyarrow").to_pandas()

@@ -1,0 +1,236 @@
+"""Similarity search over embedding columns (list<float>).
+
+- ``brute_force_topk``: the exact baseline — query matrix broadcast once
+  via ``ray.put``, per-batch numpy matmul against zero-copy Arrow batches,
+  per-batch partial top-k, tiny final merge on the driver. One data pass,
+  no shuffle.
+- ``ivf_topk``: the scale path — k-means-lite coarse quantizer (trained on
+  a sample), vectors bucketed by nearest centroid (`groupby` shuffle once),
+  queries probe only the closest ``nprobe`` buckets.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _unit(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def _batch_vecs(t: pa.Table, vec_col: str) -> np.ndarray:
+    """(n, dim) float64 matrix from a list<float> / fixed-size-list /
+    Ray tensor-extension column."""
+    col = t[vec_col].combine_chunks()
+    if isinstance(col, (pa.ListArray, pa.FixedSizeListArray, pa.LargeListArray)):
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        return flat.reshape(len(col), -1)
+    # Ray ArrowTensorArray or anything else with a sane to_numpy/to_pylist
+    try:
+        arr = col.to_numpy(zero_copy_only=False)
+        return np.stack([np.asarray(v, dtype=np.float64) for v in arr])
+    except Exception:
+        return np.stack(
+            [np.asarray(v, dtype=np.float64) for v in col.to_pylist()]
+        )
+
+
+def brute_force_topk(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_ids: np.ndarray | None = None,
+) -> pd.DataFrame:
+    """Exact cosine top-k for each query row. → DataFrame(query_id, rank,
+    vec_id, cos_sim rounded to 6dp; ties broken by vec_id)."""
+    q = _unit(np.asarray(queries, dtype=np.float64))
+    if query_ids is None:
+        query_ids = np.arange(len(q))
+    q_ref = ray.put(q)
+
+    def partial(t: pa.Table) -> pa.Table:
+        qm = ray.get(q_ref)
+        vecs = _unit(_batch_vecs(t, vec_col))
+        ids = t[id_col].to_numpy()
+        sims = qm @ vecs.T  # (nq, nb)
+        kk = min(k, sims.shape[1])
+        out_q, out_id, out_s = [], [], []
+        for qi in range(sims.shape[0]):
+            idx = np.argpartition(-sims[qi], kk - 1)[:kk]
+            out_q.extend([qi] * len(idx))
+            out_id.extend(ids[idx])
+            out_s.extend(sims[qi][idx])
+        return pa.table(
+            {
+                "qi": pa.array(np.asarray(out_q, np.int64)),
+                "vec_id": pa.array(np.asarray(out_id, np.int64)),
+                "sim": pa.array(np.asarray(out_s, np.float64)),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    rows = []
+    for qi, grp in parts.groupby("qi"):
+        top = grp.nlargest(k, "sim", keep="all").sort_values(
+            ["sim", "vec_id"], ascending=[False, True]
+        ).head(k)
+        for rank, (_, r) in enumerate(top.iterrows(), start=1):
+            rows.append(
+                {
+                    "query_id": int(query_ids[int(qi)]),
+                    "rank": rank,
+                    "vec_id": int(r["vec_id"]),
+                    "cos_sim": round(float(r["sim"]), 6),
+                }
+            )
+    return pd.DataFrame(rows, columns=["query_id", "rank", "vec_id", "cos_sim"])
+
+
+def train_centroids(
+    ds: ray.data.Dataset,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    sample: int = 2048,
+    iters: int = 10,
+    seed: int = 0,
+) -> np.ndarray:
+    """k-means-lite on a driver-side sample (the IVF coarse quantizer)."""
+    sample_df = ds.limit(sample).to_pandas()
+    x = _unit(np.stack(sample_df[vec_col].to_numpy()).astype(np.float64))
+    rng = np.random.RandomState(seed)
+    cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        assign = (x @ cents.T).argmax(axis=1)
+        for c in range(len(cents)):
+            m = x[assign == c]
+            if len(m):
+                cents[c] = m.mean(axis=0)
+        cents = _unit(cents)
+    return cents
+
+
+def ivf_topk(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_ids: np.ndarray | None = None,
+) -> pd.DataFrame:
+    """Approximate cosine top-k: bucket vectors by nearest centroid, probe
+    only ``nprobe`` buckets per query. Same output schema as brute force."""
+    cents = train_centroids(ds, n_centroids, vec_col)
+    cents_ref = ray.put(cents)
+    q = _unit(np.asarray(queries, dtype=np.float64))
+    if query_ids is None:
+        query_ids = np.arange(len(q))
+    # per-query probed buckets
+    probes = np.argsort(-(q @ cents.T), axis=1)[:, :nprobe]
+    probed_sets = [set(map(int, row)) for row in probes]
+    q_ref = ray.put((q, probed_sets))
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = ray.get(cents_ref)
+        qm, probed = ray.get(q_ref)
+        vecs = _unit(_batch_vecs(t, vec_col))
+        ids = t[id_col].to_numpy()
+        bucket = (vecs @ c.T).argmax(axis=1)
+        out_q, out_id, out_s = [], [], []
+        for qi in range(len(qm)):
+            mask = np.isin(bucket, list(probed[qi]))
+            if not mask.any():
+                continue
+            sims = vecs[mask] @ qm[qi]
+            sel_ids = ids[mask]
+            kk = min(k, len(sims))
+            idx = np.argpartition(-sims, kk - 1)[:kk]
+            out_q.extend([qi] * len(idx))
+            out_id.extend(sel_ids[idx])
+            out_s.extend(sims[idx])
+        return pa.table(
+            {
+                "qi": pa.array(np.asarray(out_q, np.int64)),
+                "vec_id": pa.array(np.asarray(out_id, np.int64)),
+                "sim": pa.array(np.asarray(out_s, np.float64)),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    rows = []
+    for qi, grp in parts.groupby("qi"):
+        top = grp.nlargest(k, "sim", keep="all").sort_values(
+            ["sim", "vec_id"], ascending=[False, True]
+        ).head(k)
+        for rank, (_, r) in enumerate(top.iterrows(), start=1):
+            rows.append(
+                {
+                    "query_id": int(query_ids[int(qi)]),
+                    "rank": rank,
+                    "vec_id": int(r["vec_id"]),
+                    "cos_sim": round(float(r["sim"]), 6),
+                }
+            )
+    return pd.DataFrame(rows, columns=["query_id", "rank", "vec_id", "cos_sim"])
+
+
+def embedding_near_dups(
+    ds: ray.data.Dataset,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 16,
+) -> ray.data.Dataset:
+    """Embedding-cosine near-duplicate pairs: bucket by nearest centroid
+    (one shuffle), all-pairs cosine within buckets, keep sim >= threshold.
+    → Dataset(a, b, cos_sim)."""
+    cents_ref = ray.put(train_centroids(ds, n_centroids, vec_col))
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        c = ray.get(cents_ref)
+        vecs = _unit(_batch_vecs(t, vec_col))
+        b = (vecs @ c.T).argmax(axis=1)
+        return pa.table(
+            {
+                "bucket": pa.array(b.astype(np.int64)),
+                "id": t[id_col].combine_chunks(),
+                vec_col: t[vec_col].combine_chunks(),
+            }
+        )
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64"),
+                                 "cos_sim": pd.Series([], dtype="float64")})
+        vecs = _unit(np.stack(df[vec_col].to_numpy()).astype(np.float64))
+        ids = df["id"].to_numpy(dtype=np.int64)
+        sims = vecs @ vecs.T
+        ai, bi = np.triu_indices(len(ids), k=1)
+        keep = sims[ai, bi] >= threshold
+        return pd.DataFrame(
+            {
+                "a": np.minimum(ids[ai[keep]], ids[bi[keep]]),
+                "b": np.maximum(ids[ai[keep]], ids[bi[keep]]),
+                "cos_sim": np.round(sims[ai, bi][keep], 6),
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(pairs, batch_format="pandas")
+    )

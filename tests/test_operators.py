@@ -1,0 +1,200 @@
+"""Unit tests for the training-data operator families: dedup, similarity,
+text analysis, multimodal plumbing, joins."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def test_exact_dedup(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.dedup import exact_dedup, exact_dup_groups
+
+    df = pd.DataFrame(
+        {"id": [1, 2, 3, 4, 5], "text": ["a", "b", "a", "a", "b"]}
+    )
+    ds = rd.from_pandas(df)
+    kept = exact_dedup(ds, ["text"], "id").to_pandas()
+    assert sorted(kept["id"]) == [1, 2]
+    pairs = exact_dup_groups(ds, ["text"], "id").to_pandas()
+    got = {(a, b) for a, b in zip(pairs["keeper_id"], pairs["dup_id"])}
+    assert got == {(1, 3), (1, 4), (2, 5)}
+
+
+def test_minhash_dedup_finds_near_dups(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.dedup import minhash_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        {"id": 0, "text": base},
+        {"id": 1, "text": base.replace("quick", "quack")},  # near dup of 0
+        {"id": 2, "text": "completely different content about databases"},
+        {"id": 3, "text": base + " extra tail"},  # near dup of 0
+        {"id": 4, "text": "another unrelated string entirely here"},
+    ]
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    res = minhash_dedup(ds, "text", "id", jaccard_threshold=50.0)
+    pairs = res["pairs"].to_pandas()
+    got = {(a, b) for a, b in zip(pairs["a"], pairs["b"])}
+    assert (0, 1) in got and (0, 3) in got
+    assert not any(2 in p or 4 in p for p in got)
+    comps = res["components"].to_pandas()
+    cmap = dict(zip(comps["node"], comps["component"]))
+    assert cmap[0] == cmap[1] == cmap[3]
+
+
+def test_simhash_near_texts_close(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.dedup import simhash64
+
+    rows = [
+        {"id": 0, "text": "the quick brown fox jumps over the lazy dog"},
+        {"id": 1, "text": "the quick brown fox jumps over the lazy dot"},
+        {"id": 2, "text": "zzz completely unrelated material qqq"},
+    ]
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    out = simhash64(ds, "text", "id").to_pandas().set_index("id")
+
+    def hamming(a, b):
+        return bin((int(a) & 0xFFFFFFFFFFFFFFFF) ^ (int(b) & 0xFFFFFFFFFFFFFFFF)).count("1")
+
+    near = hamming(out.loc[0, "simhash"], out.loc[1, "simhash"])
+    far = hamming(out.loc[0, "simhash"], out.loc[2, "simhash"])
+    assert near < far
+    assert near <= 12
+
+
+def test_brute_force_topk_exact(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.similarity import brute_force_topk
+
+    rng = np.random.RandomState(0)
+    vecs = rng.standard_normal((200, 16))
+    df = pd.DataFrame({"vec_id": np.arange(200), "embedding": list(vecs)})
+    ds = rd.from_pandas(df)
+    out = brute_force_topk(ds, vecs[:3], k=5)
+    # exact: each query's top hit is itself at sim 1.0
+    for qid in range(3):
+        top = out[out["query_id"] == qid].iloc[0]
+        assert top["vec_id"] == qid and top["cos_sim"] == pytest.approx(1.0)
+    # verify against numpy ground truth for query 0
+    u = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = u @ u[0]
+    want = set(np.argsort(-sims)[:5])
+    got = set(out[out["query_id"] == 0]["vec_id"])
+    assert got == want
+
+
+def test_ivf_topk_high_recall(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.similarity import brute_force_topk, ivf_topk
+
+    rng = np.random.RandomState(1)
+    vecs = rng.standard_normal((400, 16))
+    df = pd.DataFrame({"vec_id": np.arange(400), "embedding": list(vecs)})
+    ds = rd.from_pandas(df)
+    exact = brute_force_topk(ds, vecs[:5], k=10)
+    approx = ivf_topk(ds, vecs[:5], k=10, n_centroids=8, nprobe=4)
+    recalls = []
+    for qid in range(5):
+        e = set(exact[exact["query_id"] == qid]["vec_id"])
+        a = set(approx[approx["query_id"] == qid]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.6, recalls
+
+
+def test_embedding_near_dups(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.similarity import embedding_near_dups
+
+    rng = np.random.RandomState(2)
+    base = rng.standard_normal((50, 16))
+    dup = base[0] + rng.standard_normal(16) * 0.01  # near-identical to vec 0
+    vecs = np.vstack([base, dup])
+    df = pd.DataFrame({"vec_id": np.arange(51), "embedding": list(vecs)})
+    out = embedding_near_dups(rd.from_pandas(df), threshold=0.98).to_pandas()
+    assert (0, 50) in set(zip(out["a"], out["b"]))
+
+
+def test_text_analysis_ops(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.analysis import (
+        fingerprints,
+        language_id,
+        quality_scores,
+        token_counts,
+    )
+
+    rows = [
+        {"doc_id": 0, "text": "The quick brown fox, and the lazy dog!"},
+        {"doc_id": 1, "text": "el perro y el gato en la casa de los amigos"},
+        {"doc_id": 2, "text": ""},
+    ]
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    tc = token_counts(ds).to_pandas().set_index("doc_id")
+    assert tc.loc[0, "n_ws_tokens"] == 8
+    assert tc.loc[2, "n_ws_tokens"] == 0
+    assert tc.loc[0, "n_bpe_tokens"] == 10  # 8 words + ',' + '!'
+
+    q = quality_scores(ds).to_pandas().set_index("doc_id")
+    assert q.loc[0, "n_tokens"] == 8
+    assert 0 < q.loc[0, "stopword_ratio"] < 1
+    assert q.loc[2, "n_tokens"] == 0
+
+    li = language_id(ds).to_pandas().set_index("doc_id")
+    assert li.loc[0, "pred_lang"] == "en"
+    assert li.loc[1, "pred_lang"] == "es"
+    assert li.loc[2, "pred_lang"] == "und"
+
+    fp = fingerprints(ds).to_pandas()
+    assert len(set(fp["fp64"])) == 3  # distinct texts → distinct fingerprints
+
+
+def test_media_featurizer_plumbing(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.stages.multimodal import (
+        MediaFeaturizer,
+        featurize_media,
+        synth_media_table,
+    )
+
+    tbl = synth_media_table(n=32, seed=1)
+    out = featurize_media(rd.from_arrow(tbl), decoder="fake", concurrency=2).to_pandas()
+    assert len(out) == 32
+    assert set(out.columns) == {"media_id", "kind", "n_bytes", "features"}
+    assert all(len(f) == 16 for f in out["features"])
+    # deterministic: same payload → same features
+    out2 = featurize_media(rd.from_arrow(tbl), decoder="fake", concurrency=2).to_pandas()
+    a = out.sort_values("media_id")["features"].tolist()
+    b = out2.sort_values("media_id")["features"].tolist()
+    assert all(np.allclose(x, y) for x, y in zip(a, b))
+    # real decoder is an explicit stub
+    with pytest.raises(NotImplementedError):
+        MediaFeaturizer(decoder="real")._decode_real(b"x", "image")
+
+
+def test_hash_join(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.joins import broadcast_lookup, hash_join
+
+    left = rd.from_pandas(pd.DataFrame({"k": [1, 2, 3, 2], "lv": ["a", "b", "c", "d"]}))
+    right = rd.from_pandas(pd.DataFrame({"rk": [2, 3, 4], "rv": ["x", "y", "z"]}))
+    out = hash_join(left, right, "k", "rk").to_pandas()
+    got = sorted(zip(out["k"], out["lv"], out["rv"]))
+    assert got == [(2, "b", "x"), (2, "d", "x"), (3, "c", "y")]
+    lout = hash_join(left, right, "k", "rk", how="left").to_pandas()
+    assert len(lout) == 4
+    assert lout[lout["k"] == 1]["rv"].isna().all()
+
+    bout = broadcast_lookup(left, right.to_pandas(), "k", "rk").to_pandas()
+    assert len(bout) == 4
