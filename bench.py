@@ -28,7 +28,10 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 # corpus size for the flagship doc pipeline (independent of sf_dir; scaled
 # to exercise blocking+scoring+clustering for tens of seconds at 32 cpus)
-CORPUS_ENTITIES = int(os.environ.get("GRAFT_CORPUS_ENTITIES", "3000"))
+CORPUS_ENTITIES = int(os.environ.get("GRAFT_CORPUS_ENTITIES", "30000"))
+# x-side amplification for the fuzzy-match workload (replicated with
+# distinct corruptions) — sizes the jaro-winkler stage to dominate overhead
+FUZZY_REPLICAS = int(os.environ.get("GRAFT_FUZZY_REPLICAS", "8"))
 
 
 def _corpus_dir() -> str:
@@ -67,21 +70,54 @@ def bench_match_fuzzy() -> dict:
     from record_matcher_ray.core.config import MatchConfigBuilder
     from record_matcher_ray.pipelines.match import match_datasets
 
-    cust = rd.read_parquet(f"{SF_DIR}/customer.parquet")
+    base = rd.read_parquet(f"{SF_DIR}/customer.parquet")
+    n_cust = base.count()
 
-    def corrupt(t: pa.Table) -> pa.Table:
-        # deterministic single-char corruption of each name (seeded by key)
-        names = t["c_name"].to_pylist()
-        keys = t["c_custkey"].to_numpy()
-        out = []
-        for k, nm in zip(keys, names):
-            i = int(k) % max(1, len(nm))
-            out.append(nm[:i] + "#" + nm[i + 1 :])
-        return t.set_column(
-            t.column_names.index("c_name"), "c_name", pa.array(out, pa.string())
-        )
+    def replicate(rep: int, corrupt_names: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            # each replica is a disjoint universe: keys shifted, segment
+            # suffixed (so blocking keeps replicas apart → 1:1 matching),
+            # x-side names deterministically corrupted
+            keys = t["c_custkey"].to_numpy()
+            t = t.set_column(
+                t.column_names.index("c_custkey"), "c_custkey",
+                pa.array(keys + rep * (n_cust + 1), pa.int64()),
+            )
+            seg = pc.binary_join_element_wise(
+                pc.cast(t["c_mktsegment"], pa.string()), str(rep), "#"
+            )
+            t = t.set_column(t.column_names.index("c_mktsegment"),
+                             "c_mktsegment", seg)
+            if corrupt_names:
+                names = t["c_name"].to_pylist()
+                out = []
+                for k, nm in zip(keys, names):
+                    i = (int(k) + rep * 7) % max(1, len(nm))
+                    out.append(nm[:i] + chr(97 + rep) + nm[i + 1 :])
+                t = t.set_column(t.column_names.index("c_name"), "c_name",
+                                 pa.array(out, pa.string()))
+            return t
 
-    x = cust.map_batches(corrupt, batch_format="pyarrow")
+        return fn
+
+    def amplified(corrupt_names: bool, tag: str):
+        # materialize the amplified side to parquet ONCE (cached across
+        # runs): a 4-branch union lineage re-executes on every consuming
+        # pass and fragments blocks
+        path = f"/tmp/rmr_bench_fuzzy_{tag}_{FUZZY_REPLICAS}_{n_cust}"
+        if not os.path.exists(path):
+            ds = base.map_batches(replicate(0, corrupt_names), batch_format="pyarrow")
+            for rep in range(1, FUZZY_REPLICAS):
+                ds = ds.union(
+                    base.map_batches(replicate(rep, corrupt_names),
+                                     batch_format="pyarrow")
+                )
+            ds.repartition(32).write_parquet(path + ".tmp")
+            os.rename(path + ".tmp", path)
+        return rd.read_parquet(path)
+
+    x = amplified(True, "x")
+    cust = amplified(False, "y")
 
     def to_y(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -128,12 +164,24 @@ def bench_lineitem_agg() -> dict:
 
 
 def bench_minhash_dedup() -> dict:
+    """Near-dup over the corpus bodies (≈2.4 docs/entity → real near-dup
+    structure at bench scale) plus the small documents table."""
+    import pyarrow as pa
+
     import ray.data as rd
 
     from record_matcher_ray.pipelines.dedup import minhash_dedup
+    from record_matcher_ray.stages.flatten import add_int_ids, flatten_spans
 
-    ds = rd.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
-    res = minhash_dedup(ds, "text", "doc_id", jaccard_threshold=60.0)
+    d = _corpus_dir()
+    docs = (
+        rd.read_parquet(f"{d}/corpus.parquet")
+        .map_batches(flatten_spans, batch_format="pyarrow")
+        .map_batches(add_int_ids, batch_format="pyarrow")
+        .map_batches(lambda t: t.select(["rid", "body"]), batch_format="pyarrow")
+        .materialize()
+    )
+    res = minhash_dedup(docs, "body", "rid", jaccard_threshold=50.0)
     return {"pairs": res["pairs"].count()}
 
 

@@ -136,6 +136,66 @@ def score_pairs(
     }
 
 
+def score_pairs_flat(
+    x_cols: dict[str, np.ndarray],
+    y_cols: dict[str, np.ndarray],
+    xi: np.ndarray,
+    yi: np.ndarray,
+    cfg: MatchConfig,
+    uniqueness: dict[str, float],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Flat-pair variant of :func:`score_pairs`: candidate pairs are given
+    as aligned index vectors ``(xi, yi)`` into the x / y column arrays
+    (many blocking groups batched into one call — the bucketed hot path;
+    per-group Python invocation overhead dominates when groups are tiny).
+
+    Returns ``(score, cand, optimal_x)``: per-pair weighted score, per-pair
+    candidate mask (passes any column filter), and the per-X-ROW optimal
+    threshold vector (length = len of x arrays). Scoring semantics are
+    identical to score_block / score_pairs."""
+    mcols = cfg.columns_to_match
+    order = [c for c, _ in mcols]
+    nx = len(next(iter(x_cols.values()))) if x_cols else 0
+    npair = len(xi)
+    blank_x = np.full(nx, "", dtype=object)
+
+    refined = {}
+    rowsum = np.zeros(nx, dtype=np.float64)
+    for c in order:
+        xc = x_cols.get(c, blank_x)
+        refined[c] = np.asarray(xc != "", dtype=bool)
+        rowsum = rowsum + uniqueness.get(c, 0.0) * refined[c]
+    safe = np.where(rowsum > 0, rowsum, 1.0)
+    weights = {
+        c: np.where(rowsum > 0, uniqueness.get(c, 0.0) * refined[c] / safe, 0.0)
+        for c in order
+    }
+
+    score = np.zeros(npair, dtype=np.float64)
+    cand = np.zeros(npair, dtype=bool)
+    for c, ycols in mcols:
+        xs = x_cols.get(c, blank_x)[xi]
+        best = None
+        if ycols:
+            scorer = get_scorer(cfg.scorer_of(c))
+            for ycol in ycols:
+                yv = y_cols.get(ycol)
+                ys = yv[yi] if yv is not None else np.full(npair, "", dtype=object)
+                v = scorer.elementwise(xs, ys)
+                best = v if best is None else np.maximum(best, v)
+        if best is None:
+            best = np.zeros(npair, dtype=np.float64)
+        thr = cfg.threshold_of(c)
+        passing = (best >= thr) if cfg.cutoff_of(c) else (best > 0)
+        cand |= passing
+        score += best * passing * weights[c][xi]
+
+    optimal = np.zeros(nx, dtype=np.float64)
+    for c in order:
+        optimal = optimal + cfg.threshold_of(c) * weights[c]
+    return score, cand, optimal
+
+
 def score_block(
     x_cols: dict[str, np.ndarray],
     y_cols: dict[str, np.ndarray],

@@ -222,11 +222,33 @@ def lift_scalar_matrix(
 # ---------------------------------------------------------------------------
 
 
+def elementwise_from_scalar(
+    fn: Callable[[str, str], float], xs: np.ndarray, ys: np.ndarray
+) -> np.ndarray:
+    """Score aligned pairs (xs[i], ys[i]) with the scalar fn, computing each
+    UNIQUE value pair only once (the hot-path lift for flat pair lists)."""
+    ux, xc = np.unique(xs, return_inverse=True)
+    uy, yc = np.unique(ys, return_inverse=True)
+    pairkey = xc.astype(np.int64) * len(uy) + yc
+    upk, pinv = np.unique(pairkey, return_inverse=True)
+    vals = np.fromiter(
+        (fn(ux[k // len(uy)], uy[k % len(uy)]) for k in upk),
+        dtype=np.float64,
+        count=len(upk),
+    )
+    return vals[pinv]
+
+
+def exact_match_elementwise(xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
+    return np.where(xs == ys, 100.0, 0.0)
+
+
 @dataclass(frozen=True)
 class Scorer:
     name: str
     scalar: Callable[[str, str], float]
     matrix: Callable[[np.ndarray, np.ndarray], np.ndarray] | None = None
+    element: Callable[[np.ndarray, np.ndarray], np.ndarray] | None = None
 
     def pairwise(self, xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
         """Score every (x, y) pair → float64 matrix of shape (len(xs), len(ys))."""
@@ -235,6 +257,14 @@ class Scorer:
         if self.matrix is not None:
             return self.matrix(xs, ys)
         return lift_scalar_matrix(self.scalar, xs, ys)
+
+    def elementwise(self, xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
+        """Score ALIGNED pairs → float64 vector of len(xs) (== len(ys))."""
+        xs = np.asarray(xs, dtype=object)
+        ys = np.asarray(ys, dtype=object)
+        if self.element is not None:
+            return self.element(xs, ys)
+        return elementwise_from_scalar(self.scalar, xs, ys)
 
 
 DEFAULT_SCORER = "exact_match"
@@ -246,10 +276,11 @@ def register_scorer(
     name: str,
     scalar: Callable[[str, str], float],
     matrix: Callable[[np.ndarray, np.ndarray], np.ndarray] | None = None,
+    element: Callable[[np.ndarray, np.ndarray], np.ndarray] | None = None,
 ) -> Scorer:
     """Register (or replace) a scorer by name — the engine's version of the
     reference's mutable ``ScorersByColumn.SCORERS`` extension point."""
-    s = Scorer(name, scalar, matrix)
+    s = Scorer(name, scalar, matrix, element)
     SCORERS[name] = s
     return s
 
@@ -258,8 +289,8 @@ def get_scorer(name: str) -> Scorer:
     return SCORERS[name]
 
 
-register_scorer("exact_match", exact_match, exact_match_matrix)
-register_scorer("exact", exact_match, exact_match_matrix)  # alias
+register_scorer("exact_match", exact_match, exact_match_matrix, exact_match_elementwise)
+register_scorer("exact", exact_match, exact_match_matrix, exact_match_elementwise)
 register_scorer("levenshtein", levenshtein, levenshtein_matrix)
 register_scorer("jaro_winkler", jaro_winkler)
 register_scorer("difflib_ratio", difflib_ratio)

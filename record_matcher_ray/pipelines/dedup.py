@@ -24,7 +24,6 @@ import pyarrow.compute as pc
 
 import ray.data
 
-from record_matcher_ray.functions.scorers import ngram_jaccard
 from record_matcher_ray.pipelines.cluster import connected_components
 from record_matcher_ray.stages.blocking import MinHasher, char_shingles, normalize_text
 
@@ -60,13 +59,16 @@ def exact_dup_groups(
 
 
 class _MinhashKeys:
-    """Stateless band-key emitter with per-process-cached permutation state."""
+    """Stateless band-key emitter with per-process-cached permutation state.
+    Emits (hash bucket of band_key, band_key, id) so downstream grouping
+    runs per BUCKET (≈n_buckets vectorized calls) instead of per band key
+    (hundreds of thousands of tiny Python group invocations)."""
 
-    def __init__(self, text_col, id_col, num_perm, bands, shingle, seed):
-        self.args = (text_col, id_col, num_perm, bands, shingle, seed)
+    def __init__(self, text_col, id_col, num_perm, bands, shingle, seed, n_buckets):
+        self.args = (text_col, id_col, num_perm, bands, shingle, seed, n_buckets)
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        text_col, id_col, num_perm, bands, shingle, seed = self.args
+        text_col, id_col, num_perm, bands, shingle, seed, n_buckets = self.args
         hasher = MinHasher(num_perm=num_perm, seed=seed)
         rows = num_perm // bands
         texts = pc.fill_null(pc.cast(t[text_col], pa.string()), "").to_pylist()
@@ -79,10 +81,40 @@ class _MinhashKeys:
                     f"{b}:{zlib.crc32(sig[b * rows:(b + 1) * rows].tobytes()):08x}"
                 )
                 out_ids.append(ids[i])
+        buckets = np.fromiter(
+            (zlib.crc32(k.encode()) % n_buckets for k in keys),
+            dtype=np.int64, count=len(keys),
+        )
         return pa.table(
-            {"band_key": pa.array(keys, pa.string()),
+            {"bucket": pa.array(buckets),
+             "band_key": pa.array(keys, pa.string()),
              "id": pa.array(np.asarray(out_ids, dtype=np.int64))}
         )
+
+
+def _dedupe_pairs_bucketed(pairs: ray.data.Dataset, n_buckets: int = 256) -> ray.data.Dataset:
+    """Distinct (a, b) via hash-bucketed groupby + local vectorized dedupe
+    (a per-(a,b) groupby would make one Python call per pair)."""
+
+    def add_pb(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy()
+        b = t["b"].to_numpy()
+        pb = ((a * np.int64(1000003)) ^ b) % n_buckets
+        return t.append_column("pb", pa.array(pb.astype(np.int64)))
+
+    def local_dedupe(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy()
+        b = t["b"].to_numpy()
+        order = np.lexsort((b, a))
+        a_s, b_s = a[order], b[order]
+        first = np.concatenate(([True], (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])))
+        return pa.table({"a": pa.array(a_s[first]), "b": pa.array(b_s[first])})
+
+    return (
+        pairs.map_batches(add_pb, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(local_dedupe, batch_format="pyarrow")
+    )
 
 
 def minhash_candidates(
@@ -95,27 +127,44 @@ def minhash_candidates(
     shingle: int = 4,
     seed: int = 1,
     max_bucket: int = 200,
+    n_buckets: int = 256,
 ) -> ray.data.Dataset:
     """→ distinct candidate pairs (a, b), a < b, sharing any LSH band.
-    Buckets larger than ``max_bucket`` are dropped (non-discriminative)."""
+    Band buckets larger than ``max_bucket`` are dropped
+    (non-discriminative)."""
     keys = ds.map_batches(
-        _MinhashKeys(text_col, id_col, num_perm, bands, shingle, seed),
+        _MinhashKeys(text_col, id_col, num_perm, bands, shingle, seed, n_buckets),
         batch_format="pyarrow",
     )
 
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(df["id"].to_numpy())
-        if len(ids) < 2 or len(ids) > max_bucket:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64")})
-        ai, bi = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"a": ids[ai], "b": ids[bi]})
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        n = len(t)
+        empty = pa.schema([("a", pa.int64()), ("b", pa.int64())]).empty_table()
+        if n == 0:
+            return empty
+        keys_np = np.asarray(t["band_key"].to_pylist(), dtype=object)
+        ids_np = t["id"].to_numpy()
+        order = np.argsort(keys_np, kind="stable")
+        k_s = keys_np[order]
+        bounds = np.nonzero(np.concatenate(([True], k_s[1:] != k_s[:-1])))[0]
+        ends = np.concatenate((bounds[1:], [n]))
+        a_parts, b_parts = [], []
+        for s, e in zip(bounds, ends):
+            grp = np.unique(ids_np[order[s:e]])
+            if len(grp) < 2 or len(grp) > max_bucket:
+                continue
+            ai, bi = np.triu_indices(len(grp), k=1)
+            a_parts.append(grp[ai])
+            b_parts.append(grp[bi])
+        if not a_parts:
+            return empty
+        return pa.table(
+            {"a": pa.array(np.concatenate(a_parts)),
+             "b": pa.array(np.concatenate(b_parts))}
+        )
 
-    pairs = keys.groupby("band_key").map_groups(bucket_pairs, batch_format="pandas")
-    # a pair may surface from several bands — dedupe on (a, b)
-    return pairs.groupby(["a", "b"]).map_groups(
-        lambda df: df.head(1), batch_format="pandas"
-    )
+    pairs = keys.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
+    return _dedupe_pairs_bucketed(pairs, n_buckets)
 
 
 def minhash_dedup(
@@ -129,10 +178,32 @@ def minhash_dedup(
     """Full near-dup pipeline: LSH candidates → n-gram-Jaccard verify →
     connected components. Returns {"pairs": verified pairs Dataset,
     "components": (node, component) Dataset}."""
+    shingle = kw.get("shingle", 4)
     cands = minhash_candidates(ds, text_col, id_col, **kw)
 
-    texts_df = ds.select_columns([id_col, text_col]).to_pandas()
-    lookup = dict(zip(texts_df[id_col].astype(np.int64), texts_df[text_col]))
+    # shingle each doc ONCE (distributed pass), broadcast the sorted hash
+    # arrays; pair verification is then a C-speed sorted intersection
+    def shingled(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        texts = pc.fill_null(pc.cast(t[text_col], pa.string()), "").to_pylist()
+        ids = t[id_col].to_numpy()
+        return pa.table(
+            {
+                "id": pa.array(np.asarray(ids, np.int64)),
+                "sh": pa.array(
+                    [char_shingles(normalize_text(x), shingle).tolist() for x in texts],
+                    pa.list_(pa.int64()),
+                ),
+            }
+        )
+
+    sh_df = ds.map_batches(shingled, batch_format="pyarrow").to_pandas()
+    lookup = {
+        int(i): np.asarray(v, dtype=np.int64)
+        for i, v in zip(sh_df["id"], sh_df["sh"])
+    }
     import ray
 
     lookup_ref = ray.put(lookup)
@@ -140,10 +211,14 @@ def minhash_dedup(
     def verify(df: pd.DataFrame) -> pd.DataFrame:
         lk = ray.get(lookup_ref)
         keep_a, keep_b, sims = [], [], []
+        empty = np.empty(0, dtype=np.int64)
         for a, b in zip(df["a"], df["b"]):
-            s = ngram_jaccard(
-                normalize_text(lk.get(int(a), "")), normalize_text(lk.get(int(b), ""))
-            )
+            ha = lk.get(int(a), empty)
+            hb = lk.get(int(b), empty)
+            if len(ha) == 0 or len(hb) == 0:
+                continue
+            inter = len(np.intersect1d(ha, hb, assume_unique=True))
+            s = 100.0 * inter / (len(ha) + len(hb) - inter)
             if s >= jaccard_threshold:
                 keep_a.append(int(a))
                 keep_b.append(int(b))

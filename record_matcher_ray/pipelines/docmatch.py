@@ -33,7 +33,7 @@ import ray.data
 from ray.data.aggregate import Sum
 
 from record_matcher_ray.core.config import MatchConfig, MatchConfigBuilder
-from record_matcher_ray.core.kernel import MATCH_STATUS, score_pairs
+from record_matcher_ray.core.kernel import MATCH_STATUS, score_pairs_flat
 from record_matcher_ray.pipelines import table_ops
 from record_matcher_ray.pipelines.cluster import connected_components
 from record_matcher_ray.pipelines.match import compute_flips
@@ -80,15 +80,24 @@ def _cached_hasher(num_perm: int, seed: int) -> MinHasher:
 class KeyExpander:
     """Key-expansion stage: emits (key, rid, side, normalized match columns)
     — one output row per (doc, key). Used as a stateless map_batches task
-    (deterministic keys ⇒ idempotent retries)."""
+    (deterministic keys ⇒ idempotent retries).
 
-    def __init__(self, side: int, num_perm: int = 64, seed: int = 1):
+    ``carry_cols`` holds ONLY the columns the scorer will read — the long
+    ``body`` text is consumed here for minhash keys but never shipped
+    through the blocking shuffle (it would be replicated once per key)."""
+
+    def __init__(self, side: int, carry_cols: list[str],
+                 num_perm: int = 64, seed: int = 1, n_buckets: int = 64):
         self.side = side
+        self.carry_cols = carry_cols
         self.num_perm = num_perm
         self.seed = seed
+        self.n_buckets = n_buckets
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        self.hasher = _cached_hasher(self.num_perm, self.seed)
+        import zlib
+
+        hasher = _cached_hasher(self.num_perm, self.seed)
         n = len(t)
         titles = t["title"].to_pylist()
         bodies = t["body"].to_pylist()
@@ -98,16 +107,21 @@ class KeyExpander:
         idx: list[int] = []
         for i in range(n):
             ks = default_doc_keys(titles[i] or "", bodies[i] or "",
-                                  medias[i] or "", self.hasher)
+                                  medias[i] or "", hasher)
             out_keys.extend(ks)
             idx.extend([i] * len(ks))
         take = pa.array(np.asarray(idx, dtype=np.int64))
+        buckets = np.fromiter(
+            (zlib.crc32(k.encode()) % self.n_buckets for k in out_keys),
+            dtype=np.int64, count=len(out_keys),
+        )
         cols = {
+            "bucket": pa.array(buckets),
             "key": pa.array(out_keys, pa.string()),
             "rid": pc.take(pa.array(rids), take),
             "side": pa.array(np.full(len(idx), self.side, dtype=np.int8)),
         }
-        for c in FLAT_MATCH_COLUMNS:
+        for c in self.carry_cols:
             cols[c] = pc.take(
                 pc.fill_null(pc.cast(t[c], pa.string()), "").combine_chunks(), take
             )
@@ -137,87 +151,167 @@ def match_documents(
     per-x assignments, accepted-pair edges and entity clusters."""
     cfg = cfg or default_doc_config()
 
-    x_flat = x_docs.map_batches(flatten_spans, batch_format="pyarrow").map_batches(
-        add_int_ids, batch_format="pyarrow"
+    # materialized: each flat table is consumed twice (uniqueness pass +
+    # key expansion) — without this the read+flatten lineage re-executes
+    x_flat = (
+        x_docs.map_batches(flatten_spans, batch_format="pyarrow")
+        .map_batches(add_int_ids, batch_format="pyarrow")
+        .materialize()
     )
-    y_flat = y_docs.map_batches(flatten_spans, batch_format="pyarrow").map_batches(
-        add_int_ids, batch_format="pyarrow"
+    y_flat = (
+        y_docs.map_batches(flatten_spans, batch_format="pyarrow")
+        .map_batches(add_int_ids, batch_format="pyarrow")
+        .materialize()
     )
 
     uniq = table_ops.uniqueness(x_flat, [c for c, _ in cfg.columns_to_match])
 
+    # only the columns the scorers read travel through the shuffle
+    x_match_cols = cfg.x_match_columns()
+    y_need_cols = cfg.y_columns_needed()
+    carry = sorted(set(x_match_cols) | set(y_need_cols))
+    n_buckets = 64
     xk = x_flat.map_batches(
-        KeyExpander(0, num_perm, seed), batch_format="pyarrow"
+        KeyExpander(0, carry, num_perm, seed, n_buckets), batch_format="pyarrow"
     )
     yk = y_flat.map_batches(
-        KeyExpander(1, num_perm, seed), batch_format="pyarrow"
+        KeyExpander(1, carry, num_perm, seed, n_buckets), batch_format="pyarrow"
     )
 
     counters = Counter()
-
-    # ---- stage B: per-key pair scoring (partial) --------------------------
-    def score_key_group(t: pa.Table) -> pa.Table:
-        xmask = pc.equal(t["side"], 0)
-        xt = t.filter(xmask)
-        yt = t.filter(pc.invert(xmask))
-        nx, ny = len(xt), len(yt)
-        empty = pa.schema(
-            [("x_id", pa.int64()), ("y_id", pa.int64()),
-             ("score", pa.float64()), ("optimal", pa.float64())]
-        ).empty_table()
-        if nx == 0 or ny == 0 or nx > max_block_side or ny > max_block_side:
-            return empty
-        x_cols = {c: np.asarray(xt[c].to_pylist(), dtype=object)
-                  for c in FLAT_MATCH_COLUMNS}
-        y_cols = {c: np.asarray(yt[c].to_pylist(), dtype=object)
-                  for c in FLAT_MATCH_COLUMNS}
-        res = score_pairs(x_cols, y_cols, xt["rid"].to_numpy(),
-                          yt["rid"].to_numpy(), cfg, uniq)
-        return pa.table(
-            {"x_id": pa.array(res["x_id"]), "y_id": pa.array(res["y_id"]),
-             "score": pa.array(res["score"]), "optimal": pa.array(res["optimal"])}
-        )
-
-    pairs = xk.union(yk).groupby("key").map_groups(
-        score_key_group, batch_format="pyarrow"
+    pair_schema = pa.schema(
+        [("x_id", pa.int64()), ("y_id", pa.int64()),
+         ("score", pa.float64()), ("optimal", pa.float64())]
     )
 
-    # ---- stage C: per-x reduce (dedupe repeated pairs, argmax, status) ----
-    req = cfg.required_threshold
-
-    def reduce_x(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop_duplicates(subset=["y_id"])
-        xid = int(df["x_id"].iloc[0])
-        optimal = float(df["optimal"].iloc[0])
-        scores = df["score"].to_numpy()
-        mx = scores.max()
-        ties = df["y_id"].to_numpy()[scores == mx]
-        ties.sort()
-        if mx >= req:
-            if len(ties) == 1:
-                status = "review" if mx <= optimal else "matched"
-                winner = int(ties[0])
-            else:
-                status = "ambiguous"
-                winner = -1
-        else:
-            status = "unmatched"
-            winner = -1
-        passed = ties if mx >= req else np.empty(0, dtype=np.int64)
-        return pd.DataFrame(
+    # ---- stage B: bucketed pair scoring -----------------------------------
+    # one map_groups call per HASH BUCKET of keys (not per key): group
+    # boundaries are found with a local argsort, pair index vectors are
+    # emitted per key group, and the whole bucket is scored in ONE
+    # vectorized score_pairs_flat call — per-group Python overhead was the
+    # dominant cost with ~20 keys/doc.
+    def score_bucket(t: pa.Table) -> pa.Table:
+        n = len(t)
+        if n == 0:
+            return pair_schema.empty_table()
+        keys = np.asarray(t["key"].to_pylist(), dtype=object)
+        side = t["side"].to_numpy()
+        rid = t["rid"].to_numpy()
+        order = np.argsort(keys, kind="stable")
+        keys_s = keys[order]
+        side_s = side[order]
+        boundaries = np.nonzero(
+            np.concatenate(([True], keys_s[1:] != keys_s[:-1]))
+        )[0]
+        ends = np.concatenate((boundaries[1:], [n]))
+        xi_parts, yi_parts = [], []
+        for s, e in zip(boundaries, ends):
+            seg = order[s:e]
+            xsel = seg[side_s[s:e] == 0]
+            ysel = seg[side_s[s:e] == 1]
+            nx, ny = len(xsel), len(ysel)
+            if nx == 0 or ny == 0 or nx > max_block_side or ny > max_block_side:
+                continue
+            xi_parts.append(np.repeat(xsel, ny))
+            yi_parts.append(np.tile(ysel, nx))
+        if not xi_parts:
+            return pair_schema.empty_table()
+        xi = np.concatenate(xi_parts)
+        yi = np.concatenate(yi_parts)
+        cols_np = {
+            c: np.asarray(t[c].to_pylist(), dtype=object)
+            for c in set(x_match_cols) | set(y_need_cols)
+        }
+        score, cand, optimal = score_pairs_flat(
+            cols_np, cols_np, xi, yi, cfg, uniq
+        )
+        keep = cand
+        return pa.table(
             {
-                "__x_id__": pd.Series([xid], dtype="int64"),
-                "pre_status": [status],
-                "winner_y_id": pd.Series([winner], dtype="int64"),
-                "winner_score": pd.Series([mx if winner >= 0 else np.nan],
-                                          dtype="float64"),
-                "rows_matched": [", ".join(str(int(y)) for y in passed)],
-                "match_score_str": [", ".join(str(float(mx)) for _ in passed)],
-                "n_candidates": pd.Series([len(df)], dtype="int64"),
+                "x_id": pa.array(rid[xi[keep]]),
+                "y_id": pa.array(rid[yi[keep]]),
+                "score": pa.array(score[keep]),
+                "optimal": pa.array(optimal[xi[keep]]),
             }
         )
 
-    scored = pairs.groupby("x_id").map_groups(reduce_x, batch_format="pandas")
+    pairs = xk.union(yk).groupby("bucket").map_groups(
+        score_bucket, batch_format="pyarrow"
+    )
+
+    # ---- stage C: bucketed per-x reduce ----------------------------------
+    req = cfg.required_threshold
+    scored_schema = pa.schema(
+        [("__x_id__", pa.int64()), ("pre_status", pa.string()),
+         ("winner_y_id", pa.int64()), ("winner_score", pa.float64()),
+         ("rows_matched", pa.string()), ("match_score_str", pa.string()),
+         ("n_candidates", pa.int64())]
+    )
+
+    def add_xbucket(t: pa.Table) -> pa.Table:
+        xb = pc.cast(
+            pc.bit_wise_and(t["x_id"], n_buckets - 1), pa.int64()
+        )
+        return t.append_column("xb", xb)
+
+    def reduce_bucket(t: pa.Table) -> pa.Table:
+        n = len(t)
+        if n == 0:
+            return scored_schema.empty_table()
+        x_id = t["x_id"].to_numpy()
+        y_id = t["y_id"].to_numpy()
+        score = t["score"].to_numpy()
+        optimal = t["optimal"].to_numpy()
+        order = np.lexsort((y_id, x_id))
+        x_s, y_s = x_id[order], y_id[order]
+        # dedupe repeated (x, y) pairs (same pair from several shared keys)
+        first = np.concatenate(
+            ([True], (x_s[1:] != x_s[:-1]) | (y_s[1:] != y_s[:-1]))
+        )
+        sel = order[first]
+        x_s, y_s = x_id[sel], y_id[sel]
+        sc_s, op_s = score[sel], optimal[sel]
+        bounds = np.nonzero(np.concatenate(([True], x_s[1:] != x_s[:-1])))[0]
+        ends = np.concatenate((bounds[1:], [len(x_s)]))
+        out = {k: [] for k in ("xid", "status", "w", "ws", "rm", "ms", "nc")}
+        for s, e in zip(bounds, ends):
+            scores = sc_s[s:e]
+            mx = scores.max()
+            ties = y_s[s:e][scores == mx]  # already y-sorted
+            if mx >= req:
+                if len(ties) == 1:
+                    status = "review" if mx <= op_s[s] else "matched"
+                    winner, wscore = int(ties[0]), mx
+                else:
+                    status, winner, wscore = "ambiguous", -1, np.nan
+                rm = ", ".join(str(int(y)) for y in ties)
+                ms = ", ".join(str(float(mx)) for _ in ties)
+            else:
+                status, winner, wscore, rm, ms = "unmatched", -1, np.nan, "", ""
+            out["xid"].append(int(x_s[s]))
+            out["status"].append(status)
+            out["w"].append(winner)
+            out["ws"].append(wscore)
+            out["rm"].append(rm)
+            out["ms"].append(ms)
+            out["nc"].append(e - s)
+        return pa.table(
+            {
+                "__x_id__": pa.array(out["xid"], pa.int64()),
+                "pre_status": pa.array(out["status"], pa.string()),
+                "winner_y_id": pa.array(out["w"], pa.int64()),
+                "winner_score": pa.array(out["ws"], pa.float64()),
+                "rows_matched": pa.array(out["rm"], pa.string()),
+                "match_score_str": pa.array(out["ms"], pa.string()),
+                "n_candidates": pa.array(out["nc"], pa.int64()),
+            }
+        )
+
+    scored = (
+        pairs.map_batches(add_xbucket, batch_format="pyarrow")
+        .groupby("xb")
+        .map_groups(reduce_bucket, batch_format="pyarrow")
+    )
     scored = scored.materialize()
 
     counters["pairs_scored"] = int(
@@ -277,3 +371,70 @@ def match_documents(
 
     clusters = connected_components(edges) if cluster_edges else None
     return DocMatchResult(assignments, edges, clusters, counters)
+
+
+def edges_from_assignments(assignments: ray.data.Dataset) -> ray.data.Dataset:
+    """Re-derive accepted-pair edges from a (possibly checkpoint-read)
+    assignments dataset."""
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        k = t.filter(pc.not_equal(t["winner_y_id"], -1))
+        return pa.table(
+            {
+                "u": pc.multiply(k["x_id"].combine_chunks(), 2),
+                "v": pc.add(pc.multiply(k["winner_y_id"].combine_chunks(), 2), 1),
+            }
+        )
+
+    return assignments.map_batches(to_edges, batch_format="pyarrow")
+
+
+def match_documents_checkpointed(
+    x_docs: ray.data.Dataset,
+    y_docs: ray.data.Dataset,
+    root: str,
+    *,
+    n_shards: int = 4,
+    fingerprint: str = "",
+    cfg: MatchConfig | None = None,
+    **kw,
+) -> DocMatchResult:
+    """Resumable variant: the x-corpus is hash-sharded on doc_id; each
+    shard's assignment stage is an independently checkpointed partition
+    (parquet + lineage manifest, state/checkpoint.py), so a killed run
+    skips completed shards on restart without rescoring them. Clustering
+    runs as a final checkpointed stage over the union of shard outputs.
+
+    Note: the y side's key expansion recomputes per shard — the trade for
+    embarrassingly-parallel shard independence; at scale prefer
+    checkpointing the y key table once as its own stage.
+    """
+    from record_matcher_ray.state.checkpoint import StageRunner, hash_partition_ids
+
+    runner = StageRunner(root, fingerprint=fingerprint)
+    parts = hash_partition_ids(n_shards)
+
+    def shard_fn(part: str) -> ray.data.Dataset:
+        i = int(part)
+
+        def keep(t: pa.Table) -> pa.Table:
+            rid = pc.cast(pc.utf8_slice_codeunits(t["doc_id"], 1, 99), pa.int64())
+            shard = np.mod(rid.to_numpy(), n_shards)
+            return t.filter(pa.array(shard == i))
+
+        x_shard = x_docs.map_batches(keep, batch_format="pyarrow")
+        return match_documents(
+            x_shard, y_docs, cfg, cluster_edges=False, **kw
+        ).assignments
+
+    assignments = runner.run_partitioned("assignments", parts, shard_fn)
+    edges = edges_from_assignments(assignments).materialize()
+    clusters = runner.run(
+        "clusters", lambda: connected_components(edges)
+    )
+    counters = Counter(
+        {"matches_accepted": edges.count(), "shards": n_shards}
+    )
+    res = DocMatchResult(assignments, edges, clusters, counters)
+    res.runner = runner
+    return res

@@ -100,34 +100,56 @@ class MatchResult:
 
 
 def compute_flips(
-    scored: ray.data.Dataset, duplicate_threshold: float, x_id_col: str = "__x_id__"
+    scored: ray.data.Dataset,
+    duplicate_threshold: float,
+    x_id_col: str = "__x_id__",
+    n_buckets: int = 64,
 ) -> dict[int, str]:
     """Duplicate pass (matcher.py:408-447): project winners to 3 narrow
-    columns, groupby(winner_y_id), resolve with the shared rule, and return
-    the (typically tiny) x_id → verdict flip map for broadcast application.
-    ``scored`` needs columns x_id_col / winner_y_id / winner_score."""
+    columns, hash-bucket by winner_y_id (one vectorized call per bucket,
+    not one Python call per y group), resolve with the shared rule, and
+    return the (typically tiny) x_id → verdict flip map for broadcast
+    application. ``scored`` needs x_id_col / winner_y_id / winner_score."""
 
     def winners(batch: pa.Table) -> pa.Table:
         mask = pc.not_equal(batch["winner_y_id"], NO_WINNER)
         t = batch.filter(mask)
-        return t.select([x_id_col, "winner_y_id", "winner_score"])
+        t = t.select([x_id_col, "winner_y_id", "winner_score"])
+        wb = np.mod(t["winner_y_id"].to_numpy(), n_buckets)
+        return t.append_column("wb", pa.array(wb.astype(np.int64)))
 
-    def resolve(df: pd.DataFrame) -> pd.DataFrame:
-        pairs = list(zip(df[x_id_col].tolist(), df["winner_score"].tolist()))
-        verdict, ids = resolve_duplicates(pairs, duplicate_threshold)
-        if verdict == "none":
-            ids = []
-        return pd.DataFrame(
-            {
-                "x_id": pd.Series(ids, dtype="int64"),
-                "verdict": pd.Series([verdict] * len(ids), dtype=object),
-            }
+    def resolve_bucket(t: pa.Table) -> pa.Table:
+        n = len(t)
+        empty = pa.schema([("x_id", pa.int64()), ("verdict", pa.string())])
+        if n == 0:
+            return empty.empty_table()
+        xid = t[x_id_col].to_numpy()
+        yid = t["winner_y_id"].to_numpy()
+        sc = t["winner_score"].to_numpy()
+        order = np.argsort(yid, kind="stable")
+        y_s = yid[order]
+        bounds = np.nonzero(np.concatenate(([True], y_s[1:] != y_s[:-1])))[0]
+        ends = np.concatenate((bounds[1:], [n]))
+        out_x: list[int] = []
+        out_v: list[str] = []
+        for s, e in zip(bounds, ends):
+            if e - s <= 1:
+                continue
+            seg = order[s:e]
+            verdict, ids = resolve_duplicates(
+                list(zip(xid[seg].tolist(), sc[seg].tolist())), duplicate_threshold
+            )
+            out_x.extend(ids)
+            out_v.extend([verdict] * len(ids))
+        return pa.table(
+            {"x_id": pa.array(out_x, pa.int64()),
+             "verdict": pa.array(out_v, pa.string())}
         )
 
     flips_df = (
         scored.map_batches(winners, batch_format="pyarrow")
-        .groupby("winner_y_id")
-        .map_groups(resolve, batch_format="pandas")
+        .groupby("wb")
+        .map_groups(resolve_bucket, batch_format="pyarrow")
         .to_pandas()
     )
     if len(flips_df) and "x_id" in flips_df.columns:

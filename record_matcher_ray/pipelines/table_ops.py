@@ -64,16 +64,28 @@ def uniqueness(ds: ray.data.Dataset, columns: list[str], total: int | None = Non
 
     out: dict[str, float] = {c: 0.0 for c in columns}
     if present:
-        counts = (
-            ds.map_batches(distinct_pairs, batch_format="pyarrow")
-            .groupby(["c", "v"])
-            .count()
-            .groupby("c")
-            .count()
-            .to_pandas()
-        )
-        for _, row in counts.iterrows():
-            out[row["c"]] = row["count()"] / total
+        if total <= 5_000_000:
+            # low-latency path: per-batch distinct partials merged on the
+            # driver (one pass, no shuffle rounds); partials are bounded by
+            # the true cardinality per batch
+            partials = ds.map_batches(
+                distinct_pairs, batch_format="pyarrow"
+            ).to_pandas()
+            g = partials.groupby("c")["v"].nunique()
+            for c, n in g.items():
+                out[c] = n / total
+        else:
+            # scale path: dedupe pairs with a shuffle, then count per column
+            counts = (
+                ds.map_batches(distinct_pairs, batch_format="pyarrow")
+                .groupby(["c", "v"])
+                .count()
+                .groupby("c")
+                .count()
+                .to_pandas()
+            )
+            for _, row in counts.iterrows():
+                out[row["c"]] = row["count()"] / total
     return out
 
 

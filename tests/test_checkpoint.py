@@ -1,0 +1,113 @@
+"""Checkpoint/lineage layer: atomic partition writes, manifest counters,
+and the kill-and-resume contract (SURVEY.md §5.2 layer 4): after deleting
+some partition manifests, a re-run recomputes ONLY those partitions and the
+final output is identical."""
+
+import json
+import os
+import shutil
+
+import pandas as pd
+import pytest
+
+
+def _toy_stage_fn(calls):
+    import ray.data
+
+    def fn(part):
+        calls.append(part)
+        i = int(part)
+        return ray.data.from_pandas(
+            pd.DataFrame({"part": [i] * 5, "value": list(range(i * 10, i * 10 + 5))})
+        )
+
+    return fn
+
+
+def test_run_partitioned_and_resume(ray_session, tmp_path):
+    from record_matcher_ray.state import checkpoint as cp
+
+    root = str(tmp_path / "out")
+    parts = cp.hash_partition_ids(4)
+
+    calls: list[str] = []
+    r1 = cp.StageRunner(root, fingerprint="v1")
+    ds1 = r1.run_partitioned("toy", parts, _toy_stage_fn(calls))
+    df1 = ds1.to_pandas().sort_values(["part", "value"]).reset_index(drop=True)
+    assert calls == parts
+    assert r1.computed == [f"toy/{p}" for p in parts] and not r1.skipped
+    assert len(df1) == 20
+
+    # manifests carry lineage
+    m = cp.manifest(root, "toy", "0001")
+    assert m["status"] == "done" and m["rows"] == 5 and m["fingerprint"] == "v1"
+
+    # kill-and-resume: delete two manifests (one with its data dir gone too)
+    os.unlink(os.path.join(root, "stage=toy", "part=0001.manifest.json"))
+    os.unlink(os.path.join(root, "stage=toy", "part=0003.manifest.json"))
+    shutil.rmtree(os.path.join(root, "stage=toy", "part=0003"))
+
+    calls2: list[str] = []
+    r2 = cp.StageRunner(root, fingerprint="v1")
+    ds2 = r2.run_partitioned("toy", parts, _toy_stage_fn(calls2))
+    assert calls2 == ["0001", "0003"]  # ONLY the missing partitions
+    assert sorted(r2.skipped) == ["toy/0000", "toy/0002"]
+    df2 = ds2.to_pandas().sort_values(["part", "value"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(df1, df2)
+
+
+def test_fingerprint_mismatch_forces_recompute(ray_session, tmp_path):
+    from record_matcher_ray.state import checkpoint as cp
+
+    root = str(tmp_path / "out")
+    calls: list[str] = []
+    cp.StageRunner(root, fingerprint="v1").run_partitioned(
+        "toy", ["0000"], _toy_stage_fn(calls)
+    )
+    calls2: list[str] = []
+    cp.StageRunner(root, fingerprint="v2").run_partitioned(
+        "toy", ["0000"], _toy_stage_fn(calls2)
+    )
+    assert calls2 == ["0000"]
+
+
+def test_partial_tmp_dir_never_counts_complete(ray_session, tmp_path):
+    from record_matcher_ray.state import checkpoint as cp
+
+    root = str(tmp_path / "out")
+    # simulate a kill mid-write: a _tmp dir exists, no manifest
+    os.makedirs(os.path.join(root, "stage=toy", "_tmp_0000"))
+    assert not cp.is_complete(root, "toy", "0000")
+    calls: list[str] = []
+    cp.StageRunner(root).run_partitioned("toy", ["0000"], _toy_stage_fn(calls))
+    assert calls == ["0000"]
+    assert cp.is_complete(root, "toy", "0000")
+
+
+def test_docmatch_checkpointed_resume(ray_session, tmp_path):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.docmatch import match_documents_checkpointed
+    from record_matcher_ray.sources.corpus import generate_corpus
+
+    d = str(tmp_path / "corpus")
+    generate_corpus(d, n_entities=40, seed=13)
+    x = rd.read_parquet(f"{d}/corpus.parquet")
+    y = rd.read_parquet(f"{d}/registry.parquet")
+    root = str(tmp_path / "ckpt")
+
+    res1 = match_documents_checkpointed(x, y, root, n_shards=3, fingerprint="c13")
+    a1 = res1.assignments.to_pandas().sort_values("x_id").reset_index(drop=True)
+    assert len(res1.runner.computed) == 4  # 3 assignment shards + clusters
+    n_edges_1 = res1.counters["matches_accepted"]
+    assert n_edges_1 > 0
+
+    # kill one shard's manifest; resume must recompute only that shard
+    os.unlink(os.path.join(root, "stage=assignments", "part=0001.manifest.json"))
+    res2 = match_documents_checkpointed(x, y, root, n_shards=3, fingerprint="c13")
+    assert [c for c in res2.runner.computed if c.startswith("assignments")] == [
+        "assignments/0001"
+    ]
+    a2 = res2.assignments.to_pandas().sort_values("x_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a1, a2)
+    assert res2.counters["matches_accepted"] == n_edges_1
