@@ -251,11 +251,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return analysis.quality_scores(ds)
 
     return {
-        # relational / aggregate shapes
+        # relational / aggregate / stream shapes
         "lineitem_agg": relational.lineitem_agg,
         "customer_topk": relational.customer_nation_topk,
         "orders_by_status": relational.orders_by_status,
         "events_window": relational.events_tumbling_window,
+        "topk_per_group": relational.topk_per_group,
+        "sessionize_events": relational.sessionize_events,
+        "last_error_asof": relational.last_error_asof,
         # reference records-utility operators (O2, O4, O5)
         "uniqueness_customer": _q_uniqueness_customer,
         "group_by_segment": _q_group_by_segment,
@@ -311,6 +314,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, epoch_us(ts) // 3600000000 AS win,
                    count(*) AS n_events, round(sum(value), 2) AS sum_value
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "topk_per_group": """
+            SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey)
+                     AS rnk
+            FROM orders
+            QUALIFY rnk <= 2
+        """,
+        "sessionize_events": """
+            WITH e AS (
+              SELECT user_id, event_id, ts, value,
+                     CASE WHEN epoch_us(ts) // 1000000
+                               - lag(epoch_us(ts) // 1000000)
+                                 OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) > 1800
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+            ), s AS (
+              SELECT user_id, event_id, ts, value,
+                     1 + sum(brk) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM e
+            )
+            SELECT user_id, session_id, count(*) AS n_events,
+                   min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
+                   round(sum(value), 2) AS sum_value
+            FROM s GROUP BY 1, 2
+        """,
+        "last_error_asof": """
+            SELECT l.event_id,
+                   r.ts AS last_error_ts
+            FROM events l
+            ASOF LEFT JOIN (SELECT user_id, ts FROM events
+                            WHERE event_type = 'error') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "uniqueness_customer": """
             SELECT col, uniqueness FROM (

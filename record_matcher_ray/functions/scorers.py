@@ -204,6 +204,112 @@ def levenshtein_matrix(xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
     return out[xinv][:, yinv]
 
 
+def _jaro_one_vs_many(x: str, ymat: np.ndarray, ylens: np.ndarray) -> np.ndarray:
+    """Jaro similarity of one probe string against many encoded strings,
+    vectorized across the many axis (same shape of trick as the Levenshtein
+    DP: O(len(x)) Python iterations of (n, L) numpy ops).
+
+    Greedy window matching: for each x position, claim the first unclaimed
+    in-window equal character per y row; transpositions from the aligned
+    matched sequences."""
+    n, lmax = ymat.shape
+    m = len(x)
+    if m == 0:
+        return np.where(ylens == 0, 1.0, 0.0)
+    xa = np.frombuffer(x.encode("utf-32-le"), dtype=np.uint32)
+    match_dist = np.maximum(np.maximum(ylens, m) // 2 - 1, 0)
+    valid = np.arange(lmax)[None, :] < ylens[:, None]
+    yflag = np.zeros((n, lmax), dtype=bool)
+    xflag = np.zeros((n, m), dtype=bool)
+    ymatch_of_x = np.full((n, m), -1, dtype=np.int64)
+    pos = np.arange(lmax)[None, :]
+    for i, xc in enumerate(xa):
+        lo = np.maximum(0, i - match_dist)[:, None]
+        hi = np.minimum(ylens, i + match_dist + 1)[:, None]
+        cand = (ymat == xc) & ~yflag & (pos >= lo) & (pos < hi) & valid
+        has = cand.any(axis=1)
+        first = cand.argmax(axis=1)
+        rows = np.nonzero(has)[0]
+        yflag[rows, first[rows]] = True
+        xflag[rows, i] = True
+        ymatch_of_x[rows, i] = first[rows]
+    matches = xflag.sum(axis=1)
+    out = np.zeros(n, dtype=np.float64)
+    any_m = matches > 0
+    if any_m.any():
+        # transpositions: x-side matched chars in x order vs y-side matched
+        # chars in y order; both as rank-aligned scatter matrices
+        mmax = int(matches.max())
+        xrank = np.where(xflag, xflag.cumsum(axis=1) - 1, 0)
+        xseq = np.zeros((n, mmax), dtype=np.uint32)
+        rows, cols = np.nonzero(xflag)
+        xseq[rows, xrank[rows, cols]] = np.broadcast_to(xa, (n, m))[rows, cols]
+        yrank = np.where(yflag, yflag.cumsum(axis=1) - 1, 0)
+        yseq = np.zeros((n, mmax), dtype=np.uint32)
+        yrows, ycols = np.nonzero(yflag)
+        yseq[yrows, yrank[yrows, ycols]] = ymat[yrows, ycols]
+        seqmask = np.arange(mmax)[None, :] < matches[:, None]
+        t = ((xseq != yseq) & seqmask).sum(axis=1) // 2
+        mm = matches[any_m].astype(np.float64)
+        ylen_f = np.maximum(ylens[any_m], 1).astype(np.float64)
+        out[any_m] = (
+            mm / m + mm / ylen_f + (mm - t[any_m]) / mm
+        ) / 3.0
+    # exact-equality fast path (jaro defines equal strings as 1.0)
+    return out
+
+
+def _jw_one_vs_many(x: str, ymat: np.ndarray, ylens: np.ndarray) -> np.ndarray:
+    """Jaro-Winkler (0-100) of one probe vs many encoded strings."""
+    j = _jaro_one_vs_many(x, ymat, ylens)
+    if x == "":
+        j = np.where(ylens == 0, 1.0, j)
+    boost = j > 0.7
+    if boost.any() and x:
+        px = np.frombuffer(x[:4].encode("utf-32-le"), dtype=np.uint32)
+        plen = np.zeros(len(ylens), dtype=np.int64)
+        live = np.ones(len(ylens), dtype=bool)
+        for k, xc in enumerate(px):
+            if k >= ymat.shape[1]:
+                break
+            live = live & (ylens > k) & (ymat[:, k] == xc)
+            plen += live
+        j = np.where(boost, j + plen * 0.1 * (1.0 - j), j)
+    return j * 100.0
+
+
+def jaro_winkler_matrix(xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
+    """(nx, ny) Jaro-Winkler on 0-100, vectorized one-vs-many per unique x."""
+    ux, xinv = np.unique(xs, return_inverse=True)
+    uy, yinv = np.unique(ys, return_inverse=True)
+    ymat, ylens = _encode_padded(list(uy))
+    out = np.empty((len(ux), len(uy)), dtype=np.float64)
+    for i, x in enumerate(ux):
+        out[i] = _jw_one_vs_many(x, ymat, ylens)
+    return out[xinv][:, yinv]
+
+
+def jaro_winkler_elementwise(xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
+    """Aligned-pair Jaro-Winkler: dense unique-matrix path when the unique
+    cross is small, else a sparse per-unique-x one-vs-many sweep."""
+    ux, xc = np.unique(xs, return_inverse=True)
+    uy, yc = np.unique(ys, return_inverse=True)
+    pairkey = xc.astype(np.int64) * len(uy) + yc
+    upk, pinv = np.unique(pairkey, return_inverse=True)
+    if len(ux) * len(uy) <= 4 * len(upk):
+        return jaro_winkler_matrix(ux, uy)[xc, yc]
+    ymat, ylens = _encode_padded(list(uy))
+    xs_of = (upk // len(uy)).astype(np.int64)
+    ys_of = (upk % len(uy)).astype(np.int64)
+    vals = np.empty(len(upk), dtype=np.float64)
+    bounds = np.nonzero(np.concatenate(([True], xs_of[1:] != xs_of[:-1])))[0]
+    ends = np.concatenate((bounds[1:], [len(upk)]))
+    for s, e in zip(bounds, ends):
+        ysub = ys_of[s:e]
+        vals[s:e] = _jw_one_vs_many(str(ux[xs_of[s]]), ymat[ysub], ylens[ysub])
+    return vals[pinv]
+
+
 def lift_scalar_matrix(
     fn: Callable[[str, str], float], xs: np.ndarray, ys: np.ndarray
 ) -> np.ndarray:
@@ -292,7 +398,7 @@ def get_scorer(name: str) -> Scorer:
 register_scorer("exact_match", exact_match, exact_match_matrix, exact_match_elementwise)
 register_scorer("exact", exact_match, exact_match_matrix, exact_match_elementwise)
 register_scorer("levenshtein", levenshtein, levenshtein_matrix)
-register_scorer("jaro_winkler", jaro_winkler)
+register_scorer("jaro_winkler", jaro_winkler, jaro_winkler_matrix, jaro_winkler_elementwise)
 register_scorer("difflib_ratio", difflib_ratio)
 register_scorer("token_sort_ratio", token_sort_ratio)
 register_scorer("ngram_jaccard", ngram_jaccard)

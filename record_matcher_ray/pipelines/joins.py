@@ -97,6 +97,55 @@ def hash_join(
     return tagged.groupby("__jkey__").map_groups(cross, batch_format="pyarrow")
 
 
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    by: str,
+    left_on: str,
+    right_on: str,
+    direction: str = "backward",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """As-of join (most recent right row at or before each left row's
+    ``left_on``, per ``by`` key): hash-bucket both sides on the key, one
+    ``pd.merge_asof`` per bucket over the sorted bucket (the Ray-portable
+    pattern for range/as-of joins). Non-key column names must be disjoint."""
+    lcols = list(left.schema().names)
+    rcols = [c for c in right.schema().names]
+    overlap = (set(lcols) - {by}) & (set(rcols) - {by})
+    if overlap:
+        raise ValueError(f"asof_join column collision: {overlap}")
+
+    def tag(side):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["__aside__"] = side
+            df["__ab__"] = (df[by].astype("int64") % n_buckets).astype("int64")
+            return df
+
+        return fn
+
+    lt = left.map_batches(tag(0), batch_format="pandas")
+    rt = right.map_batches(tag(1), batch_format="pandas")
+
+    # build the union frame with both sides' columns (missing → NaN)
+    def merge_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["__aside__"] == 0][lcols + ["__ab__"]].drop(columns="__ab__")
+        r = df[df["__aside__"] == 1][rcols]
+        l = l.sort_values(left_on, kind="stable")
+        r = r.sort_values(right_on, kind="stable")
+        if len(l) == 0:
+            return pd.DataFrame(columns=lcols + [c for c in rcols if c != by])
+        out = pd.merge_asof(
+            l, r, by=by, left_on=left_on, right_on=right_on, direction=direction
+        )
+        return out
+
+    return lt.union(rt).groupby("__ab__").map_groups(
+        merge_bucket, batch_format="pandas"
+    )
+
+
 def broadcast_lookup(
     ds: ray.data.Dataset,
     small: ray.data.Dataset | pd.DataFrame,

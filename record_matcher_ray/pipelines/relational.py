@@ -132,6 +132,116 @@ def events_tumbling_window(sf_dir: str, window_s: int = 3600) -> pd.DataFrame:
     return out.sort_values(["event_type", "win"]).reset_index(drop=True)
 
 
+def topk_per_group(
+    sf_dir: str, k: int = 2, n_buckets: int = 64
+) -> pd.DataFrame:
+    """Top-k orders by totalprice per customer — grouped top-k via
+    hash-bucketed groupby + vectorized within-bucket ranking (no per-group
+    Python calls)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+
+    def bucketed(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b__"] = (df["o_custkey"].astype("int64") % n_buckets).astype("int64")
+        return df
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True], kind="stable",
+        )
+        df["rnk"] = df.groupby("o_custkey").cumcount() + 1
+        out = df[df["rnk"] <= k][["o_custkey", "o_orderkey", "o_totalprice", "rnk"]]
+        out = out.copy()
+        out["o_totalprice"] = out["o_totalprice"].round(2)
+        out["rnk"] = out["rnk"].astype("int64")
+        return out
+
+    return (
+        ds.map_batches(bucketed, batch_format="pandas")
+        .groupby("__b__")
+        .map_groups(topk, batch_format="pandas")
+        .to_pandas()
+    )
+
+
+def sessionize_events(
+    sf_dir: str, gap_s: int = 1800, n_buckets: int = 64
+) -> pd.DataFrame:
+    """Session windows per user (new session when the gap to the previous
+    event exceeds ``gap_s``). Ordering assumption: events sorted by
+    (ts, event_id) within each user — done inside the per-bucket transform;
+    tumbling/associative state only, so buckets are independent."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
+    )
+
+    def bucketed(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__b__"] = (df["user_id"].astype("int64") % n_buckets).astype("int64")
+        return df
+
+    def sessions(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable").copy()
+        epoch = df["ts"].astype("int64") // 1_000_000  # seconds
+        new_user = df["user_id"].ne(df["user_id"].shift())
+        brk = new_user | (epoch - epoch.shift() > gap_s)
+        df["session_id"] = brk.groupby(df["user_id"].values).cumsum().astype("int64")
+        g = df.groupby(["user_id", "session_id"])
+        out = g.agg(
+            n_events=("event_id", "size"),
+            start_us=("ts", "min"),
+            end_us=("ts", "max"),
+            sum_value=("value", "sum"),
+        ).reset_index()
+        out["start_us"] = out["start_us"].astype("int64")
+        out["end_us"] = out["end_us"].astype("int64")
+        out["sum_value"] = out["sum_value"].round(2)
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    return (
+        ds.map_batches(bucketed, batch_format="pandas")
+        .groupby("__b__")
+        .map_groups(sessions, batch_format="pandas")
+        .to_pandas()
+    )
+
+
+def last_error_asof(sf_dir: str) -> pd.DataFrame:
+    """As-of join: for every event, the timestamp of that user's most
+    recent prior (or simultaneous) error event."""
+    import pyarrow as pa
+
+    from record_matcher_ray.pipelines.joins import asof_join
+
+    left = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    right = (
+        ray.data.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+        )
+        .map_batches(
+            lambda t: t.filter(pc.equal(t["event_type"], "error"))
+            .select(["user_id", "ts"])
+            .rename_columns(["user_id", "error_ts"]),
+            batch_format="pyarrow",
+        )
+    )
+    out = asof_join(left, right, by="user_id", left_on="ts", right_on="error_ts")
+    df = out.to_pandas()
+    return pd.DataFrame(
+        {
+            "event_id": df["event_id"].astype("int64"),
+            "last_error_ts": df["error_ts"],
+        }
+    )
+
+
 def supplier_nation_levenshtein(sf_dir: str) -> pd.DataFrame:
     """Cross-score s_name × n_name with the vectorized Levenshtein kernel
     (scorer-kernel correctness surface for the DuckDB oracle)."""
