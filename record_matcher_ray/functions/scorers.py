@@ -121,6 +121,14 @@ def token_sort_ratio(x: str, y: str) -> float:
     return levenshtein(xs, ys)
 
 
+def token_set_ratio(x: str, y: str) -> float:
+    """Order-insensitive token-set similarity: levenshtein over the sorted
+    unique-token joins (fuzzywuzzy-family shape, pure stdlib)."""
+    xs = " ".join(sorted(set(x.split())))
+    ys = " ".join(sorted(set(y.split())))
+    return levenshtein(xs, ys)
+
+
 def _ngrams(s: str, n: int) -> set[str]:
     if len(s) < n:
         return {s} if s else set()
@@ -216,6 +224,8 @@ def _jaro_one_vs_many(x: str, ymat: np.ndarray, ylens: np.ndarray) -> np.ndarray
     m = len(x)
     if m == 0:
         return np.where(ylens == 0, 1.0, 0.0)
+    if lmax == 0:  # every y is empty (and x is not)
+        return np.zeros(n, dtype=np.float64)
     xa = np.frombuffer(x.encode("utf-32-le"), dtype=np.uint32)
     match_dist = np.maximum(np.maximum(ylens, m) // 2 - 1, 0)
     valid = np.arange(lmax)[None, :] < ylens[:, None]
@@ -401,4 +411,5 @@ register_scorer("levenshtein", levenshtein, levenshtein_matrix)
 register_scorer("jaro_winkler", jaro_winkler, jaro_winkler_matrix, jaro_winkler_elementwise)
 register_scorer("difflib_ratio", difflib_ratio)
 register_scorer("token_sort_ratio", token_sort_ratio)
+register_scorer("token_set_ratio", token_set_ratio)
 register_scorer("ngram_jaccard", ngram_jaccard)
