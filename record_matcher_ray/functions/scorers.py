@@ -320,6 +320,36 @@ def jaro_winkler_elementwise(xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
     return vals[pinv]
 
 
+def _lev_sim_one_vs_many(x: str, ymat: np.ndarray, ylens: np.ndarray) -> np.ndarray:
+    d = _lev_one_vs_many(x, ymat, ylens)
+    denom = np.maximum(np.maximum(ylens, len(x)), 1).astype(np.float64)
+    sim = 100.0 * (1.0 - d / denom)
+    if len(x) == 0:
+        sim = np.where(ylens == 0, 100.0, 0.0)
+    return sim
+
+
+def levenshtein_elementwise(xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
+    """Aligned-pair normalized Levenshtein: dense unique-matrix path when
+    the unique cross is small, else sparse one-vs-many per unique x."""
+    ux, xc = np.unique(xs, return_inverse=True)
+    uy, yc = np.unique(ys, return_inverse=True)
+    pairkey = xc.astype(np.int64) * len(uy) + yc
+    upk, pinv = np.unique(pairkey, return_inverse=True)
+    if len(ux) * len(uy) <= 4 * len(upk):
+        return levenshtein_matrix(ux, uy)[xc, yc]
+    ymat, ylens = _encode_padded(list(uy))
+    xs_of = (upk // len(uy)).astype(np.int64)
+    ys_of = (upk % len(uy)).astype(np.int64)
+    vals = np.empty(len(upk), dtype=np.float64)
+    bounds = np.nonzero(np.concatenate(([True], xs_of[1:] != xs_of[:-1])))[0]
+    ends = np.concatenate((bounds[1:], [len(upk)]))
+    for s, e in zip(bounds, ends):
+        ysub = ys_of[s:e]
+        vals[s:e] = _lev_sim_one_vs_many(str(ux[xs_of[s]]), ymat[ysub], ylens[ysub])
+    return vals[pinv]
+
+
 def lift_scalar_matrix(
     fn: Callable[[str, str], float], xs: np.ndarray, ys: np.ndarray
 ) -> np.ndarray:
@@ -407,7 +437,7 @@ def get_scorer(name: str) -> Scorer:
 
 register_scorer("exact_match", exact_match, exact_match_matrix, exact_match_elementwise)
 register_scorer("exact", exact_match, exact_match_matrix, exact_match_elementwise)
-register_scorer("levenshtein", levenshtein, levenshtein_matrix)
+register_scorer("levenshtein", levenshtein, levenshtein_matrix, levenshtein_elementwise)
 register_scorer("jaro_winkler", jaro_winkler, jaro_winkler_matrix, jaro_winkler_elementwise)
 register_scorer("difflib_ratio", difflib_ratio)
 register_scorer("token_sort_ratio", token_sort_ratio)

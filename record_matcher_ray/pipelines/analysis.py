@@ -132,7 +132,8 @@ def fingerprints(
 ) -> ray.data.Dataset:
     """→ (doc_id, fp64): winnowed rolling-hash fingerprint — min crc32 over
     sliding character windows (robust to local edits; used for cheap
-    containment checks)."""
+    containment checks; winnowing per Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003)."""
 
     def fp(batch: pa.Table) -> pa.Table:
         texts = pc.fill_null(pc.cast(batch[text_col], pa.string()), "").to_pylist()

@@ -1,5 +1,9 @@
-"""Deduplication family for training-data pipelines: exact, MinHash+LSH,
-SimHash, n-gram-Jaccard verification, embedding-cosine near-dup.
+"""Deduplication family for training-data pipelines: exact, MinHash+LSH
+(Broder, "On the resemblance and containment of documents", 1997; banded
+LSH per Leskovec/Rajaraman/Ullman, Mining of Massive Datasets ch.3),
+SimHash (Charikar, "Similarity estimation techniques from rounding
+algorithms", STOC 2002), n-gram-Jaccard verification, embedding-cosine
+near-dup.
 
 Scale shapes:
 - exact: one hash shuffle on the content hash, keep-first per group;

@@ -49,6 +49,25 @@ def test_jw_elementwise_fuzz(vals):
         assert got[i] == pytest.approx(sc.jaro_winkler(xs[i], ys[i]), abs=1e-9)
 
 
+@settings(max_examples=100, deadline=None)
+@given(st.lists(short_text, min_size=1, max_size=24))
+def test_levenshtein_elementwise_fuzz(vals):
+    xs = np.array(vals, dtype=object)
+    ys = np.array(list(reversed(vals)), dtype=object)
+    got = sc.levenshtein_elementwise(xs, ys)
+    for i in range(len(vals)):
+        assert got[i] == pytest.approx(sc.levenshtein(xs[i], ys[i]), abs=1e-9)
+
+
+def test_levenshtein_elementwise_sparse_branch():
+    # many unique values → sparse one-vs-many path
+    xs = np.array([f"digits{i:06d}" for i in range(1500)], dtype=object)
+    ys = np.array([f"digits{i + 1:06d}" for i in range(1500)], dtype=object)
+    got = sc.levenshtein_elementwise(xs, ys)
+    for i in range(0, 1500, 113):
+        assert got[i] == pytest.approx(sc.levenshtein(xs[i], ys[i]))
+
+
 # ---------------------------------------------------------------------------
 
 
