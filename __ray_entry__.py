@@ -259,6 +259,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_per_group": relational.topk_per_group,
         "sessionize_events": relational.sessionize_events,
         "last_error_asof": relational.last_error_asof,
+        "events_sliding_window": relational.events_sliding_window,
+        "building_orders_semi": relational.building_orders_semi,
         # reference records-utility operators (O2, O4, O5)
         "uniqueness_customer": _q_uniqueness_customer,
         "group_by_segment": _q_group_by_segment,
@@ -351,6 +353,23 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN (SELECT user_id, ts FROM events
                             WHERE event_type = 'error') r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "events_sliding_window": """
+            SELECT event_type, win, count(*) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM (
+              SELECT event_type, value,
+                     unnest(generate_series(
+                       (epoch_us(ts) - 3600000000) // 1800000000 + 1,
+                       epoch_us(ts) // 1800000000)) AS win
+              FROM events
+            ) GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "building_orders_semi": """
+            SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+            FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer
+                                WHERE c_mktsegment = 'BUILDING')
         """,
         "uniqueness_customer": """
             SELECT col, uniqueness FROM (

@@ -1,0 +1,71 @@
+"""Mergeable sketches — the pre-aggregate pattern for all-to-all-free
+approximate aggregation: each batch emits one small sketch, a tiny final
+stage merges them (sketches are designed to be mergeable; ray_guide
+"Aggregation at scale").
+
+HyperLogLog (Flajolet et al. 2007) with 2^p registers, pure numpy.
+Standard error ≈ 1.04 / sqrt(2^p) (≈1.6% at p=12).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+
+
+class HyperLogLog:
+    def __init__(self, p: int = 12):
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def add_hashes(self, hashes: np.ndarray) -> None:
+        """Add pre-hashed 64-bit values (vectorized)."""
+        h = hashes.astype(np.uint64)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = (h << np.uint64(self.p)) | np.uint64((1 << self.p) - 1)
+        # rank = leading zeros of the remaining bits + 1
+        ranks = np.zeros(len(h), dtype=np.uint8)
+        probe = np.uint64(1) << np.uint64(63)
+        live = np.ones(len(h), dtype=bool)
+        for r in range(1, 64 - self.p + 2):
+            hit = live & ((rest & probe) != 0)
+            ranks[hit] = r
+            live &= ~hit
+            if not live.any():
+                break
+            probe >>= np.uint64(1)
+        np.maximum.at(self.registers, idx, ranks)
+
+    def add_strings(self, values) -> None:
+        hs = np.fromiter(
+            (zlib.crc32(str(v).encode()) * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF
+             for v in values),
+            dtype=np.uint64, count=len(values),
+        )
+        self.add_hashes(hs)
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        assert self.p == other.p
+        out = HyperLogLog(self.p)
+        out.registers = np.maximum(self.registers, other.registers)
+        return out
+
+    def cardinality(self) -> float:
+        m = float(self.m)
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / np.sum(2.0 ** -self.registers.astype(np.float64))
+        zeros = int((self.registers == 0).sum())
+        if est <= 2.5 * m and zeros:
+            return m * np.log(m / zeros)  # small-range correction
+        return float(est)
+
+    def to_bytes(self) -> bytes:
+        return self.registers.tobytes()
+
+    @classmethod
+    def from_bytes(cls, b: bytes, p: int = 12) -> "HyperLogLog":
+        h = cls(p)
+        h.registers = np.frombuffer(b, dtype=np.uint8).copy()
+        return h

@@ -146,6 +146,35 @@ def asof_join(
     )
 
 
+def semi_join(
+    ds: ray.data.Dataset,
+    keys: ray.data.Dataset | "pd.Series",
+    on: str,
+    key_col: str | None = None,
+    anti: bool = False,
+) -> ray.data.Dataset:
+    """Semi / anti join: broadcast the key SET once (`ray.put`) and filter
+    inside map_batches — no shuffle (ray_guide "Joins and lookups"). The
+    key side must fit in the object store; use a Bloom filter variant when
+    it doesn't."""
+    if isinstance(keys, ray.data.Dataset):
+        kdf = keys.to_pandas()
+        key_values = sorted(set(kdf[key_col or on].tolist()))
+    else:
+        key_values = sorted(set(keys.tolist()))
+    # an Arrow array in the object store is read zero-copy by every task
+    ref = ray.put(pa.array(key_values))
+
+    def flt(t: pa.Table) -> pa.Table:
+        ks = ray.get(ref)
+        mask = pc.is_in(t[on], value_set=ks)
+        if anti:
+            mask = pc.invert(mask)
+        return t.filter(mask)
+
+    return ds.map_batches(flt, batch_format="pyarrow")
+
+
 def broadcast_lookup(
     ds: ray.data.Dataset,
     small: ray.data.Dataset | pd.DataFrame,

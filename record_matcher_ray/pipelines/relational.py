@@ -242,6 +242,70 @@ def last_error_asof(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def events_sliding_window(
+    sf_dir: str, window_s: int = 3600, slide_s: int = 1800
+) -> pd.DataFrame:
+    """Sliding-window aggregate: each event contributes to every window
+    covering it (window w spans [w*slide, w*slide + window)). Expansion is
+    a vectorized row-replication in map_batches (the Ray flat_map shape),
+    then a grouped count/sum over (event_type, window)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    w_us = window_s * 1_000_000
+    s_us = slide_s * 1_000_000
+
+    def expand(t: pa.Table) -> pa.Table:
+        epoch = pc.cast(t["ts"], pa.int64()).to_numpy()
+        lo = (epoch - w_us) // s_us + 1
+        hi = epoch // s_us
+        counts = (hi - lo + 1).astype(np.int64)
+        idx = np.repeat(np.arange(len(epoch)), counts)
+        offs = np.concatenate([np.arange(c) for c in counts]) if len(counts) else np.empty(0, np.int64)
+        wins = lo[idx] + offs
+        take = pa.array(idx)
+        return pa.table(
+            {
+                "event_type": pc.take(t["event_type"].combine_chunks(), take),
+                "win": pa.array(wins),
+                "value": pc.take(t["value"].combine_chunks(), take),
+            }
+        )
+
+    out = (
+        ds.map_batches(expand, batch_format="pyarrow")
+        .groupby(["event_type", "win"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    out["sum_value"] = out["sum_value"].round(2)
+    out["n_events"] = out["n_events"].astype("int64")
+    return out.sort_values(["event_type", "win"]).reset_index(drop=True)
+
+
+def building_orders_semi(sf_dir: str) -> pd.DataFrame:
+    """Semi-join: orders whose customer is in the BUILDING segment
+    (broadcast key-set filter, no shuffle)."""
+    from record_matcher_ray.pipelines.joins import semi_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    keys = cust.map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")).select(
+            ["c_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    out = semi_join(orders, keys, on="o_custkey", key_col="c_custkey").to_pandas()
+    out["o_totalprice"] = out["o_totalprice"].round(2)
+    return out
+
+
 def supplier_nation_levenshtein(sf_dir: str) -> pd.DataFrame:
     """Cross-score s_name × n_name with the vectorized Levenshtein kernel
     (scorer-kernel correctness surface for the DuckDB oracle)."""

@@ -1,0 +1,75 @@
+"""HyperLogLog sketch + approx uniqueness + semi/anti join + sliding window."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from record_matcher_ray.functions.sketches import HyperLogLog
+
+
+def test_hll_accuracy_and_merge():
+    h = HyperLogLog(p=12)
+    h.add_strings([f"v{i}" for i in range(50_000)])
+    est = h.cardinality()
+    assert abs(est - 50_000) / 50_000 < 0.05  # ~3 sigma at 1.6% stderr
+
+    # mergeability: two halves merged == union
+    a, b = HyperLogLog(12), HyperLogLog(12)
+    a.add_strings([f"v{i}" for i in range(0, 30_000)])
+    b.add_strings([f"v{i}" for i in range(20_000, 50_000)])
+    merged = a.merge(b)
+    assert abs(merged.cardinality() - 50_000) / 50_000 < 0.05
+
+    # serialization roundtrip
+    back = HyperLogLog.from_bytes(merged.to_bytes(), 12)
+    assert back.cardinality() == merged.cardinality()
+
+
+def test_hll_small_range():
+    h = HyperLogLog(12)
+    h.add_strings(["a", "b", "c", "a"])
+    assert abs(h.cardinality() - 3) < 0.5
+
+
+def test_approx_uniqueness_close_to_exact(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines import table_ops
+
+    rng = np.random.RandomState(0)
+    df = pd.DataFrame(
+        {
+            "hi": [f"u{i}" for i in range(20_000)],  # all distinct
+            "lo": rng.choice([f"g{i}" for i in range(50)], size=20_000),
+        }
+    )
+    ds = rd.from_pandas(df)
+    exact = table_ops.uniqueness(ds, ["hi", "lo"])
+    approx = table_ops.approx_uniqueness(ds, ["hi", "lo"])
+    assert approx["hi"] == pytest.approx(exact["hi"], rel=0.05)
+    assert approx["lo"] == pytest.approx(exact["lo"], rel=0.05)
+
+
+def test_semi_and_anti_join(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.joins import semi_join
+
+    ds = rd.from_pandas(pd.DataFrame({"k": [1, 2, 3, 4, 5], "v": list("abcde")}))
+    keys = rd.from_pandas(pd.DataFrame({"kk": [2, 4, 9]}))
+    semi = semi_join(ds, keys, on="k", key_col="kk").to_pandas()
+    assert sorted(semi["k"]) == [2, 4]
+    anti = semi_join(ds, keys, on="k", key_col="kk", anti=True).to_pandas()
+    assert sorted(anti["k"]) == [1, 3, 5]
+
+
+def test_sliding_window_covers_each_event_twice(ray_session):
+    from record_matcher_ray.pipelines.relational import (
+        events_sliding_window,
+        events_tumbling_window,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    sliding = events_sliding_window(sf)  # W=3600, S=1800 → 2 windows/event
+    tumbling = events_tumbling_window(sf)
+    assert sliding["n_events"].sum() == 2 * tumbling["n_events"].sum()
