@@ -25,3 +25,11 @@ the session is owned by the caller (driver, bench.py, or test fixture).
 """
 
 __version__ = "0.1.0"
+
+# convenience re-exports (lazy — keep import light; none touch ray.init)
+from record_matcher_ray.api import RecordMatcher  # noqa: E402,F401
+from record_matcher_ray.core.config import (  # noqa: E402,F401
+    MatchConfig,
+    MatchConfigBuilder,
+)
+from record_matcher_ray.functions.scorers import register_scorer  # noqa: E402,F401

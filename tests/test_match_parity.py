@@ -363,6 +363,46 @@ def test_randomized_parity_grouped_fuzzy(reference, seed):
     both(reference, x, y, setup)
 
 
+def test_reference_readme_tables(reference):
+    """The reference README's own example tables (README.md:28-45):
+    nickname-aware multi-y-column matching with typed values."""
+    x = {
+        0: {"id": 10244, "firstname": "Rube", "lastname": "Miller",
+            "country": "USA", "sex": "M"},
+        1: {"id": 23012, "firstname": "Kim", "lastname": "Thornton",
+            "country": "UK", "sex": "F"},
+        2: {"id": 46882, "firstname": "Jane", "lastname": "van Doe",
+            "country": "NL", "sex": "F"},
+        3: {"id": 51459, "firstname": "Luca", "lastname": "Schmidt",
+            "country": "Germany", "sex": "F"},
+    }
+    y = {
+        0: {"id": "A1X012", "firstname": "Reuben", "nickname": "Rube",
+            "lastname": "Miller", "country": "USA", "sex": "Male"},
+        1: {"id": "B0C105", "firstname": "Kimberly", "nickname": "Kim",
+            "lastname": "Thornton", "country": "UK", "sex": "Female"},
+        2: {"id": "C4L092", "firstname": "Jane", "nickname": "Jane",
+            "lastname": "van Doe", "country": "NL", "sex": "Female"},
+        3: {"id": "D2P451", "firstname": "Jonathan", "nickname": "Jon",
+            "lastname": "Schmidt", "country": "Germany", "sex": "Male"},
+    }
+
+    def setup(c):
+        c.scorers_by_column.default = "difflib_ratio"
+        c.columns_to_match["firstname"] = "firstname", "nickname"
+        c.columns_to_match["lastname"] = "lastname"
+        c.columns_to_group["country"] = "country"
+        c.columns_to_get["id"] = "matched_id"
+
+    got, _ = both(reference, x, y, setup, check_summary=True)
+    recs, _ = got
+    assert recs[0]["matched_id"] == "A1X012"  # Rube ↔ nickname
+    assert recs[1]["matched_id"] == "B0C105"  # Kim ↔ nickname
+    assert recs[2]["matched_id"] == "C4L092"
+    # Luca vs Jonathan/Jon in Germany: similarity below 75 → unmatched
+    assert recs[3]["match_status"] == "UNMATCHED"
+
+
 @pytest.mark.parametrize("seed", [5, 11])
 def test_randomized_parity_ungrouped_exact(reference, seed):
     x, y = _random_tables(seed, nx=40, ny=30, noise=0.0)
