@@ -28,7 +28,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 # corpus size for the flagship doc pipeline (independent of sf_dir; scaled
 # to exercise blocking+scoring+clustering for tens of seconds at 32 cpus)
-CORPUS_ENTITIES = int(os.environ.get("GRAFT_CORPUS_ENTITIES", "30000"))
+CORPUS_ENTITIES = int(os.environ.get("GRAFT_CORPUS_ENTITIES", "50000"))
 # x-side amplification for the fuzzy-match workload (replicated with
 # distinct corruptions) — sizes the jaro-winkler stage to dominate overhead
 FUZZY_REPLICAS = int(os.environ.get("GRAFT_FUZZY_REPLICAS", "8"))

@@ -181,15 +181,20 @@ def match_documents(
     counters = Counter()
     pair_schema = pa.schema(
         [("x_id", pa.int64()), ("y_id", pa.int64()),
-         ("score", pa.float64()), ("optimal", pa.float64())]
+         ("score", pa.float64()), ("optimal", pa.float64()),
+         ("n_scored", pa.int64())]
     )
 
-    # ---- stage B: bucketed pair scoring -----------------------------------
+    # ---- stage B: bucketed pair scoring + local per-x argmax --------------
     # one map_groups call per HASH BUCKET of keys (not per key): group
     # boundaries are found with a local argsort, pair index vectors are
     # emitted per key group, and the whole bucket is scored in ONE
     # vectorized score_pairs_flat call — per-group Python overhead was the
-    # dominant cost with ~20 keys/doc.
+    # dominant cost with ~20 keys/doc. Only each x's bucket-local argmax
+    # TIE rows leave the task (rows below an x's bucket max cannot win the
+    # global argmax; scores are deterministic per pair, so cross-bucket
+    # float equality is exact) — emitting raw candidates would shuffle the
+    # full |pairs| stream into stage C.
     def score_bucket(t: pa.Table) -> pa.Table:
         n = len(t)
         if n == 0:
@@ -225,13 +230,32 @@ def match_documents(
         score, cand, optimal = score_pairs_flat(
             cols_np, cols_np, xi, yi, cfg, uniq
         )
-        keep = cand
+        if not cand.any():
+            return pair_schema.empty_table()
+        # local per-x argmax over this bucket's candidates
+        xi_c, yi_c, sc = xi[cand], yi[cand], score[cand]
+        x_of = rid[xi_c]
+        order2 = np.argsort(x_of, kind="stable")
+        x_s = x_of[order2]
+        sc_s = sc[order2]
+        bounds = np.nonzero(np.concatenate(([True], x_s[1:] != x_s[:-1])))[0]
+        cnts = np.diff(np.concatenate((bounds, [len(x_s)])))
+        maxes = np.maximum.reduceat(sc_s, bounds)
+        keep = sc_s == np.repeat(maxes, cnts)
+        sel = order2[keep]
+        # n_scored: total pairs this x scored in this bucket, attached to
+        # its FIRST SURVIVING row (summed downstream for the counter)
+        x_keep = x_s[keep]
+        firstk = np.concatenate(([True], x_keep[1:] != x_keep[:-1]))
+        grp_sizes = np.repeat(cnts, cnts)[keep]
+        n_scored = np.where(firstk, grp_sizes, 0).astype(np.int64)
         return pa.table(
             {
-                "x_id": pa.array(rid[xi[keep]]),
-                "y_id": pa.array(rid[yi[keep]]),
-                "score": pa.array(score[keep]),
-                "optimal": pa.array(optimal[xi[keep]]),
+                "x_id": pa.array(x_of[order2][keep]),
+                "y_id": pa.array(rid[yi_c[sel]]),
+                "score": pa.array(sc_s[keep]),
+                "optimal": pa.array(optimal[xi_c[sel]]),
+                "n_scored": pa.array(n_scored),
             }
         )
 
@@ -262,8 +286,15 @@ def match_documents(
         y_id = t["y_id"].to_numpy()
         score = t["score"].to_numpy()
         optimal = t["optimal"].to_numpy()
+        nsc = t["n_scored"].to_numpy()
         order = np.lexsort((y_id, x_id))
         x_s, y_s = x_id[order], y_id[order]
+        # per-x scored-pair totals BEFORE dedupe (counter, not semantics)
+        ns_order = np.argsort(x_id, kind="stable")
+        ns_x = x_id[ns_order]
+        ns_bounds = np.nonzero(np.concatenate(([True], ns_x[1:] != ns_x[:-1])))[0]
+        ns_sums = np.add.reduceat(nsc[ns_order], ns_bounds)
+        ns_by_x = dict(zip(ns_x[ns_bounds].tolist(), ns_sums.tolist()))
         # dedupe repeated (x, y) pairs (same pair from several shared keys)
         first = np.concatenate(
             ([True], (x_s[1:] != x_s[:-1]) | (y_s[1:] != y_s[:-1]))
@@ -294,7 +325,7 @@ def match_documents(
             out["ws"].append(wscore)
             out["rm"].append(rm)
             out["ms"].append(ms)
-            out["nc"].append(e - s)
+            out["nc"].append(int(ns_by_x.get(int(x_s[s]), e - s)))
         return pa.table(
             {
                 "__x_id__": pa.array(out["xid"], pa.int64()),
