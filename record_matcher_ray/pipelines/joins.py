@@ -120,7 +120,11 @@ def asof_join(
         def fn(df: pd.DataFrame) -> pd.DataFrame:
             df = df.copy()
             df["__aside__"] = side
-            df["__ab__"] = (df[by].astype("int64") % n_buckets).astype("int64")
+            # deterministic hash (works for string keys too; pandas siphash
+            # uses a fixed default key, stable across processes)
+            df["__ab__"] = (
+                pd.util.hash_pandas_object(df[by], index=False) % n_buckets
+            ).astype("int64")
             return df
 
         return fn

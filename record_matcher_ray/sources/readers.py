@@ -33,6 +33,27 @@ def read_table(path: str, columns: list[str] | None = None, **kwargs) -> ray.dat
     return ray.data.read_parquet(path, columns=columns, **kwargs)
 
 
+def read_csv(paths, **kwargs) -> ray.data.Dataset:
+    """CSV source (thin wrapper for surface completeness; the reference has
+    no I/O at all — SURVEY.md §2.4 M3)."""
+    return ray.data.read_csv(paths, **kwargs)
+
+
+def read_json(paths, **kwargs) -> ray.data.Dataset:
+    return ray.data.read_json(paths, **kwargs)
+
+
+def write_partitioned(
+    ds: ray.data.Dataset, out_dir: str, min_rows_per_file: int = 500_000
+) -> None:
+    """Partitioned parquet sink — a directory of part files (never one
+    giant file; resumable layouts belong to state/checkpoint.py)."""
+    try:
+        ds.write_parquet(out_dir, min_rows_per_file=min_rows_per_file)
+    except TypeError:  # older Ray kwarg name
+        ds.write_parquet(out_dir, num_rows_per_file=min_rows_per_file)
+
+
 def records_to_dataset(records: dict[int, dict], id_column: str = "__rid__") -> ray.data.Dataset:
     """Dict-table (reference format) → Dataset with an explicit id column."""
     import pandas as pd
