@@ -261,6 +261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "last_error_asof": relational.last_error_asof,
         "events_sliding_window": relational.events_sliding_window,
         "building_orders_semi": relational.building_orders_semi,
+        "events_props_extract": relational.events_props_extract,
         # reference records-utility operators (O2, O4, O5)
         "uniqueness_customer": _q_uniqueness_customer,
         "group_by_segment": _q_group_by_segment,
@@ -370,6 +371,11 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             WHERE o_custkey IN (SELECT c_custkey FROM customer
                                 WHERE c_mktsegment = 'BUILDING')
+        """,
+        "events_props_extract": """
+            SELECT event_id,
+                   CAST(json_extract(props, '$.k') AS BIGINT) AS k
+            FROM events
         """,
         "uniqueness_customer": """
             SELECT col, uniqueness FROM (

@@ -306,6 +306,29 @@ def building_orders_semi(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def events_props_extract(sf_dir: str) -> pd.DataFrame:
+    """Semi-structured extraction: pull the integer field ``k`` out of the
+    JSON ``props`` string column — vectorized Arrow regex (no per-row JSON
+    parse in the hot path; swap in a real JSON kernel for nested payloads)."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "props"]
+    )
+
+    def extract(t: pa.Table) -> pa.Table:
+        ex = pc.extract_regex(
+            pc.fill_null(pc.cast(t["props"], pa.string()), ""), r'"k": (?P<k>\d+)'
+        )
+        k = pc.struct_field(ex, "k")
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "k": pc.cast(k, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(extract, batch_format="pyarrow").to_pandas()
+
+
 def supplier_nation_levenshtein(sf_dir: str) -> pd.DataFrame:
     """Cross-score s_name × n_name with the vectorized Levenshtein kernel
     (scorer-kernel correctness surface for the DuckDB oracle)."""

@@ -363,6 +363,24 @@ def test_randomized_parity_grouped_fuzzy(reference, seed):
     both(reference, x, y, setup)
 
 
+def test_copy_over_overwrites_existing_x_column(reference):
+    """allow_overwrite copy-over into an EXISTING x column: matched rows get
+    the y value, non-matched rows get None (original x value destroyed —
+    probe-verified reference behavior)."""
+    x = {0: {"name": "alice", "city": "nyc"}, 1: {"name": "bob", "city": "nyc"}}
+    y = {7: {"name": "alice", "city": "nyc"}, 8: {"name": "zed", "city": "nyc"}}
+
+    def setup(c):
+        c.columns_to_match["name"] = "name"
+        c.columns_to_get.allow_overwrite = True
+        c.columns_to_get["name"] = "name"
+
+    got, _ = both(reference, x, y, setup)
+    recs, _ = got
+    assert recs[0]["name"] == "alice" and recs[0]["match_status"] == "MATCHED"
+    assert recs[1]["name"] is None and recs[1]["match_status"] == "UNMATCHED"
+
+
 def test_reference_readme_tables(reference):
     """The reference README's own example tables (README.md:28-45):
     nickname-aware multi-y-column matching with typed values."""

@@ -160,6 +160,21 @@ def test_ray_exact_with_duplicates(ray_session, reference):
     assert got_df.loc[2, "match_status"] == "MATCHED"
 
 
+def test_ray_copy_over_overwrite(ray_session, reference):
+    x = {0: {"name": "alice", "city": "nyc"}, 1: {"name": "bob", "city": "nyc"}}
+    y = {7: {"name": "alice", "city": "nyc"}, 8: {"name": "zed", "city": "nyc"}}
+
+    def setup(c):
+        c.columns_to_match["name"] = "name"
+        c.columns_to_get.allow_overwrite = True
+        c.columns_to_get["name"] = "name"
+
+    want = _run_reference(reference, x, y, setup)
+    got_df, got_summary = _run_ray(x, y, setup)
+    _assert_ray_parity(got_df, got_summary, want, x)
+    assert got_df.loc[1, "name"] is None or got_df.loc[1, "name"] != got_df.loc[1, "name"]
+
+
 def test_ray_table_ops_uniqueness(ray_session):
     import ray.data
 
