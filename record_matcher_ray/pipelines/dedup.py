@@ -171,26 +171,10 @@ def minhash_candidates(
     return _dedupe_pairs_bucketed(pairs, n_buckets)
 
 
-def minhash_dedup(
-    ds: ray.data.Dataset,
-    text_col: str,
-    id_col: str,
-    *,
-    jaccard_threshold: float = 60.0,
-    **kw,
-) -> dict:
-    """Full near-dup pipeline: LSH candidates → n-gram-Jaccard verify →
-    connected components. Returns {"pairs": verified pairs Dataset,
-    "components": (node, component) Dataset}."""
-    shingle = kw.get("shingle", 4)
-    cands = minhash_candidates(ds, text_col, id_col, **kw)
+def _shingle_table(ds, text_col, id_col, shingle):
+    """One distributed pass: (id, sh: sorted unique shingle hashes)."""
 
-    # shingle each doc ONCE (distributed pass), broadcast the sorted hash
-    # arrays; pair verification is then a C-speed sorted intersection
-    def shingled(t):
-        import pyarrow as pa
-        import pyarrow.compute as pc
-
+    def shingled(t: pa.Table) -> pa.Table:
         texts = pc.fill_null(pc.cast(t[text_col], pa.string()), "").to_pylist()
         ids = t[id_col].to_numpy()
         return pa.table(
@@ -203,37 +187,93 @@ def minhash_dedup(
             }
         )
 
-    sh_df = ds.map_batches(shingled, batch_format="pyarrow").to_pandas()
-    lookup = {
-        int(i): np.asarray(v, dtype=np.int64)
-        for i, v in zip(sh_df["id"], sh_df["sh"])
-    }
+    return ds.map_batches(shingled, batch_format="pyarrow")
+
+
+def _jaccard_rows(sh_a, sh_b, threshold):
+    keep_idx, sims = [], []
+    for i, (ha, hb) in enumerate(zip(sh_a, sh_b)):
+        if ha is None or hb is None or len(ha) == 0 or len(hb) == 0:
+            continue
+        a = np.asarray(ha, dtype=np.int64)
+        b = np.asarray(hb, dtype=np.int64)
+        inter = len(np.intersect1d(a, b, assume_unique=True))
+        s = 100.0 * inter / (len(a) + len(b) - inter)
+        if s >= threshold:
+            keep_idx.append(i)
+            sims.append(round(s, 6))
+    return keep_idx, sims
+
+
+def minhash_dedup(
+    ds: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    *,
+    jaccard_threshold: float = 60.0,
+    broadcast_limit_rows: int = 200_000,
+    **kw,
+) -> dict:
+    """Full near-dup pipeline: LSH candidates → shingle-Jaccard verify →
+    connected components. Returns {"pairs": verified pairs Dataset,
+    "components": (node, component) Dataset}.
+
+    Verification paths: small corpora broadcast the shingle table once
+    (``ray.put``, zero shuffle); above ``broadcast_limit_rows`` the shingle
+    lists are attached to candidate pairs via two partitioned hash joins
+    instead — nothing driver-sized, the 100 TB shape."""
+    shingle = kw.get("shingle", 4)
+    cands = minhash_candidates(ds, text_col, id_col, **kw)
+    sh = _shingle_table(ds, text_col, id_col, shingle)
+    n_docs = ds.count()
     import ray
 
-    lookup_ref = ray.put(lookup)
+    if n_docs <= broadcast_limit_rows:
+        sh_df = sh.to_pandas()
+        lookup = {
+            int(i): np.asarray(v, dtype=np.int64)
+            for i, v in zip(sh_df["id"], sh_df["sh"])
+        }
+        lookup_ref = ray.put(lookup)
 
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        lk = ray.get(lookup_ref)
-        keep_a, keep_b, sims = [], [], []
-        empty = np.empty(0, dtype=np.int64)
-        for a, b in zip(df["a"], df["b"]):
-            ha = lk.get(int(a), empty)
-            hb = lk.get(int(b), empty)
-            if len(ha) == 0 or len(hb) == 0:
-                continue
-            inter = len(np.intersect1d(ha, hb, assume_unique=True))
-            s = 100.0 * inter / (len(ha) + len(hb) - inter)
-            if s >= jaccard_threshold:
-                keep_a.append(int(a))
-                keep_b.append(int(b))
-                sims.append(round(s, 6))
-        return pd.DataFrame(
-            {"a": pd.Series(keep_a, dtype="int64"),
-             "b": pd.Series(keep_b, dtype="int64"),
-             "jaccard": pd.Series(sims, dtype="float64")}
-        )
+        def verify(df: pd.DataFrame) -> pd.DataFrame:
+            lk = ray.get(lookup_ref)
+            sh_a = [lk.get(int(a)) for a in df["a"]]
+            sh_b = [lk.get(int(b)) for b in df["b"]]
+            idx, sims = _jaccard_rows(sh_a, sh_b, jaccard_threshold)
+            return pd.DataFrame(
+                {"a": df["a"].iloc[idx].astype("int64").values,
+                 "b": df["b"].iloc[idx].astype("int64").values,
+                 "jaccard": pd.Series(sims, dtype="float64")}
+            )
 
-    verified = cands.map_batches(verify, batch_format="pandas").materialize()
+        verified = cands.map_batches(verify, batch_format="pandas").materialize()
+    else:
+        from record_matcher_ray.pipelines.joins import hash_join
+
+        sh_a = sh.map_batches(
+            lambda t: t.rename_columns(["ida", "sh_a"]), batch_format="pyarrow"
+        ).materialize()
+        sh_b = sh.map_batches(
+            lambda t: t.rename_columns(["idb", "sh_b"]), batch_format="pyarrow"
+        ).materialize()
+        cands = cands.materialize()
+        j1 = hash_join(cands, sh_a, "a", "ida").materialize()
+        j2 = hash_join(j1, sh_b, "b", "idb")
+
+        def verify_joined(t: pa.Table) -> pa.Table:
+            sa = t["sh_a"].to_pylist()
+            sb = t["sh_b"].to_pylist()
+            idx, sims = _jaccard_rows(sa, sb, jaccard_threshold)
+            take = pa.array(np.asarray(idx, np.int64))
+            return pa.table(
+                {"a": pc.take(t["a"].combine_chunks(), take),
+                 "b": pc.take(t["b"].combine_chunks(), take),
+                 "jaccard": pa.array(np.asarray(sims, np.float64))}
+            )
+
+        verified = j2.map_batches(verify_joined, batch_format="pyarrow").materialize()
+
     comps = connected_components(verified, u="a", v="b")
     return {"pairs": verified, "components": comps}
 
