@@ -28,7 +28,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 # corpus size for the flagship doc pipeline (independent of sf_dir; scaled
 # to exercise blocking+scoring+clustering for tens of seconds at 32 cpus)
-CORPUS_ENTITIES = int(os.environ.get("GRAFT_CORPUS_ENTITIES", "50000"))
+CORPUS_ENTITIES = int(os.environ.get("GRAFT_CORPUS_ENTITIES", "100000"))
 # x-side amplification for the fuzzy-match workload (replicated with
 # distinct corruptions) — sizes the jaro-winkler stage to dominate overhead
 FUZZY_REPLICAS = int(os.environ.get("GRAFT_FUZZY_REPLICAS", "8"))
@@ -211,7 +211,7 @@ BENCHES = {
 }
 
 
-def run_suite() -> None:
+def run_suite(only: str | None = None) -> None:
     import ray
 
     ray.init(
@@ -234,10 +234,11 @@ def run_suite() -> None:
         pq.read_table(f"{SF_DIR}/{t}.parquet")
     _corpus_dir()
 
+    benches = BENCHES if not only else {only: BENCHES[only]}
     queries = {}
     meta = {}
     total = 0.0
-    for name, fn in BENCHES.items():
+    for name, fn in benches.items():
         t0 = time.time()
         meta[name] = fn()
         dt = round(time.time() - t0, 3)
@@ -260,8 +261,15 @@ def run_suite() -> None:
 
 
 def run_scaling() -> None:
+    """N→4N evidence on THE headline pipeline (the interleaved-document ER
+    flagship — blocking + scoring + clustering end-to-end), per the driver
+    instruction: same input, fresh ray.init processes at 8 and 32 cpus.
+    The full mixed suite (including deliberately small/latency-bound
+    queries) runs in the plain bench."""
+
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_ONLY="docmatch")
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             env=env, capture_output=True, text=True, check=True,
@@ -272,17 +280,20 @@ def run_scaling() -> None:
     r_lo, r_hi = run(lo), run(hi)
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
+    docs = r_hi["meta"]["docmatch"]["rows"]
     print(
         json.dumps(
             {
                 "metric": "scaling_efficiency",
                 "value": round(eff, 3),
                 "unit": "ratio",
+                "pipeline": "docmatch (flagship interleaved-doc ER)",
                 "sec_8": t_lo,
                 "sec_32": t_hi,
                 "speedup": round(t_lo / t_hi, 3),
-                "queries_8": r_lo["queries"],
-                "queries_32": r_hi["queries"],
+                "docs_per_sec_8": round(docs / t_lo, 1),
+                "docs_per_sec_32": round(docs / t_hi, 1),
+                "pairs_scored": r_hi["meta"]["docmatch"]["pairs_scored"],
                 "sf": SF_DIR,
             }
         )
@@ -293,4 +304,4 @@ if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
     else:
-        run_suite()
+        run_suite(only=os.environ.get("GRAFT_BENCH_ONLY"))

@@ -301,23 +301,121 @@ def jaro_winkler_matrix(xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
 
 def jaro_winkler_elementwise(xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
     """Aligned-pair Jaro-Winkler: dense unique-matrix path when the unique
-    cross is small, else a sparse per-unique-x one-vs-many sweep."""
+    cross is small, else the pair-axis-vectorized kernel over unique pairs
+    (robust to the all-unique-pairs case where per-x grouping degenerates
+    to one call per pair)."""
     ux, xc = np.unique(xs, return_inverse=True)
     uy, yc = np.unique(ys, return_inverse=True)
     pairkey = xc.astype(np.int64) * len(uy) + yc
     upk, pinv = np.unique(pairkey, return_inverse=True)
     if len(ux) * len(uy) <= 4 * len(upk):
         return jaro_winkler_matrix(ux, uy)[xc, yc]
-    ymat, ylens = _encode_padded(list(uy))
-    xs_of = (upk // len(uy)).astype(np.int64)
-    ys_of = (upk % len(uy)).astype(np.int64)
-    vals = np.empty(len(upk), dtype=np.float64)
-    bounds = np.nonzero(np.concatenate(([True], xs_of[1:] != xs_of[:-1])))[0]
-    ends = np.concatenate((bounds[1:], [len(upk)]))
-    for s, e in zip(bounds, ends):
-        ysub = ys_of[s:e]
-        vals[s:e] = _jw_one_vs_many(str(ux[xs_of[s]]), ymat[ysub], ylens[ysub])
-    return vals[pinv]
+    xs_u = [str(ux[k // len(uy)]) for k in upk]
+    ys_u = [str(uy[k % len(uy)]) for k in upk]
+    return _jw_pairs(xs_u, ys_u)[pinv]
+
+
+def _lev_dist_pairs(
+    xmat: np.ndarray, xlens: np.ndarray, ymat: np.ndarray, ylens: np.ndarray
+) -> np.ndarray:
+    """Edit distance of ALIGNED pairs (xmat[i] vs ymat[i]) vectorized
+    across the pair axis — the right shape when unique pairs don't share x
+    values (per-x one-vs-many collapses to one call per pair there)."""
+    n, lx = xmat.shape
+    ly = ymat.shape[1]
+    prev = np.tile(np.arange(ly + 1, dtype=np.int32), (n, 1))
+    cur = np.empty_like(prev)
+    for i in range(1, lx + 1):
+        active = xlens >= i
+        if not active.any():
+            break
+        xc = xmat[:, i - 1]
+        cur[:, 0] = i
+        sub = (ymat != xc[:, None]).astype(np.int32)
+        for j in range(1, ly + 1):
+            np.minimum(prev[:, j] + 1, prev[:, j - 1] + sub[:, j - 1], out=cur[:, j])
+            np.minimum(cur[:, j], cur[:, j - 1] + 1, out=cur[:, j])
+        prev = np.where(active[:, None], cur, prev)
+    return prev[np.arange(n), ylens]
+
+
+def _lev_sim_pairs(xs: list[str], ys: list[str]) -> np.ndarray:
+    xmat, xlens = _encode_padded(xs)
+    ymat, ylens = _encode_padded(ys)
+    d = _lev_dist_pairs(xmat, xlens, ymat, ylens)
+    denom = np.maximum(np.maximum(xlens, ylens), 1).astype(np.float64)
+    sim = 100.0 * (1.0 - d / denom)
+    both_empty = (xlens == 0) & (ylens == 0)
+    return np.where(both_empty, 100.0, sim)
+
+
+def _jaro_pairs(
+    xmat: np.ndarray, xlens: np.ndarray, ymat: np.ndarray, ylens: np.ndarray
+) -> np.ndarray:
+    """Jaro similarity of aligned pairs, vectorized across the pair axis
+    (same greedy window matching as the one-vs-many kernel)."""
+    n, lx = xmat.shape
+    ly = ymat.shape[1]
+    out = np.zeros(n, dtype=np.float64)
+    if n == 0:
+        return out
+    match_dist = np.maximum(np.maximum(xlens, ylens) // 2 - 1, 0)
+    yvalid = np.arange(ly)[None, :] < ylens[:, None] if ly else np.zeros((n, 0), bool)
+    yflag = np.zeros((n, ly), dtype=bool)
+    xflag = np.zeros((n, lx), dtype=bool)
+    pos = np.arange(ly)[None, :]
+    for i in range(lx):
+        act = xlens > i
+        if not act.any():
+            break
+        xc = xmat[:, i]
+        lo = np.maximum(0, i - match_dist)[:, None]
+        hi = np.minimum(ylens, i + match_dist + 1)[:, None]
+        cand = (
+            (ymat == xc[:, None]) & ~yflag & (pos >= lo) & (pos < hi)
+            & yvalid & act[:, None]
+        )
+        has = cand.any(axis=1)
+        first = cand.argmax(axis=1)
+        rows = np.nonzero(has)[0]
+        yflag[rows, first[rows]] = True
+        xflag[rows, i] = True
+    matches = xflag.sum(axis=1)
+    any_m = matches > 0
+    if any_m.any():
+        mmax = int(matches.max())
+        xrank = np.where(xflag, xflag.cumsum(axis=1) - 1, 0)
+        xseq = np.zeros((n, mmax), dtype=np.uint32)
+        rows, cols = np.nonzero(xflag)
+        xseq[rows, xrank[rows, cols]] = xmat[rows, cols]
+        yrank = np.where(yflag, yflag.cumsum(axis=1) - 1, 0)
+        yseq = np.zeros((n, mmax), dtype=np.uint32)
+        yrows, ycols = np.nonzero(yflag)
+        yseq[yrows, yrank[yrows, ycols]] = ymat[yrows, ycols]
+        seqmask = np.arange(mmax)[None, :] < matches[:, None]
+        t = ((xseq != yseq) & seqmask).sum(axis=1) // 2
+        mm = matches[any_m].astype(np.float64)
+        xl = np.maximum(xlens[any_m], 1).astype(np.float64)
+        yl = np.maximum(ylens[any_m], 1).astype(np.float64)
+        out[any_m] = (mm / xl + mm / yl + (mm - t[any_m]) / mm) / 3.0
+    out = np.where((xlens == 0) & (ylens == 0), 1.0, out)
+    return out
+
+
+def _jw_pairs(xs: list[str], ys: list[str]) -> np.ndarray:
+    xmat, xlens = _encode_padded(xs)
+    ymat, ylens = _encode_padded(ys)
+    j = _jaro_pairs(xmat, xlens, ymat, ylens)
+    boost = j > 0.7
+    if boost.any():
+        kmax = min(4, xmat.shape[1], ymat.shape[1])
+        plen = np.zeros(len(xs), dtype=np.int64)
+        live = np.ones(len(xs), dtype=bool)
+        for k in range(kmax):
+            live = live & (xlens > k) & (ylens > k) & (xmat[:, k] == ymat[:, k])
+            plen += live
+        j = np.where(boost, j + plen * 0.1 * (1.0 - j), j)
+    return j * 100.0
 
 
 def _lev_sim_one_vs_many(x: str, ymat: np.ndarray, ylens: np.ndarray) -> np.ndarray:
@@ -331,23 +429,17 @@ def _lev_sim_one_vs_many(x: str, ymat: np.ndarray, ylens: np.ndarray) -> np.ndar
 
 def levenshtein_elementwise(xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
     """Aligned-pair normalized Levenshtein: dense unique-matrix path when
-    the unique cross is small, else sparse one-vs-many per unique x."""
+    the unique cross is small, else the pair-axis-vectorized DP over unique
+    pairs."""
     ux, xc = np.unique(xs, return_inverse=True)
     uy, yc = np.unique(ys, return_inverse=True)
     pairkey = xc.astype(np.int64) * len(uy) + yc
     upk, pinv = np.unique(pairkey, return_inverse=True)
     if len(ux) * len(uy) <= 4 * len(upk):
         return levenshtein_matrix(ux, uy)[xc, yc]
-    ymat, ylens = _encode_padded(list(uy))
-    xs_of = (upk // len(uy)).astype(np.int64)
-    ys_of = (upk % len(uy)).astype(np.int64)
-    vals = np.empty(len(upk), dtype=np.float64)
-    bounds = np.nonzero(np.concatenate(([True], xs_of[1:] != xs_of[:-1])))[0]
-    ends = np.concatenate((bounds[1:], [len(upk)]))
-    for s, e in zip(bounds, ends):
-        ysub = ys_of[s:e]
-        vals[s:e] = _lev_sim_one_vs_many(str(ux[xs_of[s]]), ymat[ysub], ylens[ysub])
-    return vals[pinv]
+    xs_u = [str(ux[k // len(uy)]) for k in upk]
+    ys_u = [str(uy[k % len(uy)]) for k in upk]
+    return _lev_sim_pairs(xs_u, ys_u)[pinv]
 
 
 def lift_scalar_matrix(

@@ -142,29 +142,41 @@ def minhash_candidates(
     )
 
     def bucket_pairs(t: pa.Table) -> pa.Table:
+        """All (a<b) pairs per band-key group, fully vectorized across the
+        groups of a hash bucket (cumsum arithmetic — a Python loop over
+        ~millions of tiny band groups dominated the stage). A doc emits
+        each band key once, so ids are unique within a group."""
         n = len(t)
         empty = pa.schema([("a", pa.int64()), ("b", pa.int64())]).empty_table()
         if n == 0:
             return empty
         keys_np = np.asarray(t["band_key"].to_pylist(), dtype=object)
         ids_np = t["id"].to_numpy()
-        order = np.argsort(keys_np, kind="stable")
+        order = np.lexsort((ids_np, keys_np))
         k_s = keys_np[order]
+        id_s = ids_np[order]
         bounds = np.nonzero(np.concatenate(([True], k_s[1:] != k_s[:-1])))[0]
-        ends = np.concatenate((bounds[1:], [n]))
-        a_parts, b_parts = [], []
-        for s, e in zip(bounds, ends):
-            grp = np.unique(ids_np[order[s:e]])
-            if len(grp) < 2 or len(grp) > max_bucket:
-                continue
-            ai, bi = np.triu_indices(len(grp), k=1)
-            a_parts.append(grp[ai])
-            b_parts.append(grp[bi])
-        if not a_parts:
+        sizes = np.diff(np.concatenate((bounds, [n])))
+        valid = (sizes >= 2) & (sizes <= max_bucket)
+        if not valid.any():
             return empty
+        g = sizes[valid].astype(np.int64)
+        starts = bounds[valid].astype(np.int64)
+        E = int(g.sum())
+        within_e = np.arange(E) - np.repeat(
+            np.concatenate(([0], np.cumsum(g)[:-1])), g
+        )
+        counts_per_elem = np.repeat(g, g) - 1 - within_e
+        P = int(counts_per_elem.sum())
+        if P == 0:
+            return empty
+        pair_start = np.concatenate(([0], np.cumsum(counts_per_elem)[:-1]))
+        within_p = np.arange(P) - np.repeat(pair_start, counts_per_elem)
+        elem_pos = np.repeat(starts, g) + within_e
+        a_pos = np.repeat(elem_pos, counts_per_elem)
+        b_pos = a_pos + 1 + within_p
         return pa.table(
-            {"a": pa.array(np.concatenate(a_parts)),
-             "b": pa.array(np.concatenate(b_parts))}
+            {"a": pa.array(id_s[a_pos]), "b": pa.array(id_s[b_pos])}
         )
 
     pairs = keys.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
@@ -211,17 +223,21 @@ def minhash_dedup(
     id_col: str,
     *,
     jaccard_threshold: float = 60.0,
-    broadcast_limit_rows: int = 200_000,
+    broadcast_limit_rows: int = 1_000_000,
     **kw,
 ) -> dict:
     """Full near-dup pipeline: LSH candidates → shingle-Jaccard verify →
     connected components. Returns {"pairs": verified pairs Dataset,
     "components": (node, component) Dataset}.
 
-    Verification paths: small corpora broadcast the shingle table once
-    (``ray.put``, zero shuffle); above ``broadcast_limit_rows`` the shingle
-    lists are attached to candidate pairs via two partitioned hash joins
-    instead — nothing driver-sized, the 100 TB shape."""
+    Verification paths: below ``broadcast_limit_rows`` the shingle table is
+    broadcast once as contiguous numpy arrays (``ray.put`` is zero-copy for
+    numpy; ~2.5 KB/doc ⇒ 1 M docs ≈ 2.5 GB in the object store, read not
+    copied per worker). Above the limit the shingle lists are attached to
+    candidate pairs via two partitioned hash joins — driver-free, but the
+    intermediate carries one shingle list PER CANDIDATE PAIR, so it is only
+    the right shape when pairs ≈ O(docs); with fat LSH buckets prefer
+    raising the broadcast limit or tightening ``max_bucket``."""
     shingle = kw.get("shingle", 4)
     cands = minhash_candidates(ds, text_col, id_col, **kw)
     sh = _shingle_table(ds, text_col, id_col, shingle)
@@ -229,21 +245,53 @@ def minhash_dedup(
     import ray
 
     if n_docs <= broadcast_limit_rows:
-        sh_df = sh.to_pandas()
-        lookup = {
-            int(i): np.asarray(v, dtype=np.int64)
-            for i, v in zip(sh_df["id"], sh_df["sh"])
-        }
-        lookup_ref = ray.put(lookup)
+        # broadcast as CONTIGUOUS numpy arrays (ids / offsets / flat
+        # shingles): ray.put of numpy is zero-copy on worker reads — a
+        # dict of per-doc arrays would be re-unpickled (hundreds of MB)
+        # by every worker process
+        ids_parts, off_parts, flat_parts = [], [], []
+        for b in sh.iter_batches(batch_size=65536, batch_format="pyarrow"):
+            col = b["sh"].combine_chunks()
+            ids_parts.append(b["id"].to_numpy())
+            off_parts.append(np.diff(col.offsets.to_numpy()))
+            flat_parts.append(col.flatten().to_numpy(zero_copy_only=False))
+        sh_ids = np.concatenate(ids_parts)
+        lengths = np.concatenate(off_parts)
+        sh_flat = np.concatenate(flat_parts).astype(np.int64)
+        sort = np.argsort(sh_ids, kind="stable")
+        sh_ids = sh_ids[sort]
+        # reorder the flat array by doc
+        starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+        order_starts = starts[sort]
+        order_lens = lengths[sort]
+        gather = np.concatenate(
+            [np.arange(s, s + l) for s, l in zip(order_starts, order_lens)]
+        ) if len(order_lens) else np.empty(0, np.int64)
+        sh_flat = sh_flat[gather]
+        sh_offs = np.concatenate(([0], np.cumsum(order_lens)))
+        lookup_ref = ray.put((sh_ids, sh_offs, sh_flat))
 
         def verify(df: pd.DataFrame) -> pd.DataFrame:
-            lk = ray.get(lookup_ref)
-            sh_a = [lk.get(int(a)) for a in df["a"]]
-            sh_b = [lk.get(int(b)) for b in df["b"]]
-            idx, sims = _jaccard_rows(sh_a, sh_b, jaccard_threshold)
+            ids_s, offs, flat = ray.get(lookup_ref)
+            a = df["a"].to_numpy(dtype=np.int64)
+            b = df["b"].to_numpy(dtype=np.int64)
+            ia = np.searchsorted(ids_s, a)
+            ib = np.searchsorted(ids_s, b)
+            keep_a, keep_b, sims = [], [], []
+            for k in range(len(a)):
+                sa = flat[offs[ia[k]]:offs[ia[k] + 1]]
+                sb = flat[offs[ib[k]]:offs[ib[k] + 1]]
+                if len(sa) == 0 or len(sb) == 0:
+                    continue
+                inter = len(np.intersect1d(sa, sb, assume_unique=True))
+                s = 100.0 * inter / (len(sa) + len(sb) - inter)
+                if s >= jaccard_threshold:
+                    keep_a.append(int(a[k]))
+                    keep_b.append(int(b[k]))
+                    sims.append(round(s, 6))
             return pd.DataFrame(
-                {"a": df["a"].iloc[idx].astype("int64").values,
-                 "b": df["b"].iloc[idx].astype("int64").values,
+                {"a": pd.Series(keep_a, dtype="int64"),
+                 "b": pd.Series(keep_b, dtype="int64"),
                  "jaccard": pd.Series(sims, dtype="float64")}
             )
 

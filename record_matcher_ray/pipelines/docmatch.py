@@ -202,27 +202,37 @@ def match_documents(
         keys = np.asarray(t["key"].to_pylist(), dtype=object)
         side = t["side"].to_numpy()
         rid = t["rid"].to_numpy()
-        order = np.argsort(keys, kind="stable")
+        # sort by (key, side): within each key group x rows precede y rows,
+        # both contiguous — pair emission is then pure cumsum arithmetic
+        # over group size vectors (NO per-key Python loop; with ~30k key
+        # groups per bucket the loop dominated the whole pipeline)
+        order = np.lexsort((side, keys))
         keys_s = keys[order]
         side_s = side[order]
-        boundaries = np.nonzero(
-            np.concatenate(([True], keys_s[1:] != keys_s[:-1]))
-        )[0]
-        ends = np.concatenate((boundaries[1:], [n]))
-        xi_parts, yi_parts = [], []
-        for s, e in zip(boundaries, ends):
-            seg = order[s:e]
-            xsel = seg[side_s[s:e] == 0]
-            ysel = seg[side_s[s:e] == 1]
-            nx, ny = len(xsel), len(ysel)
-            if nx == 0 or ny == 0 or nx > max_block_side or ny > max_block_side:
-                continue
-            xi_parts.append(np.repeat(xsel, ny))
-            yi_parts.append(np.tile(ysel, nx))
-        if not xi_parts:
+        bounds = np.nonzero(np.concatenate(([True], keys_s[1:] != keys_s[:-1])))[0]
+        sizes = np.diff(np.concatenate((bounds, [n])))
+        nx_g = np.add.reduceat((side_s == 0).astype(np.int64), bounds)
+        ny_g = sizes - nx_g
+        valid = (
+            (nx_g > 0) & (ny_g > 0)
+            & (nx_g <= max_block_side) & (ny_g <= max_block_side)
+        )
+        if not valid.any():
             return pair_schema.empty_table()
-        xi = np.concatenate(xi_parts)
-        yi = np.concatenate(yi_parts)
+        nx_v = nx_g[valid]
+        ny_v = ny_g[valid]
+        # x rows of valid groups, in sorted order
+        valid_per_row = np.repeat(valid, sizes)
+        x_rows_sorted = np.nonzero(valid_per_row & (side_s == 0))[0]
+        orig_x = order[x_rows_sorted]
+        ny_per_x = np.repeat(ny_v, nx_v)
+        P = int(ny_per_x.sum())
+        pair_starts = np.concatenate(([0], np.cumsum(ny_per_x)[:-1]))
+        within = np.arange(P) - np.repeat(pair_starts, ny_per_x)
+        y_start_per_x = np.repeat((bounds + nx_g)[valid], nx_v)
+        yi_sorted = np.repeat(y_start_per_x, ny_per_x) + within
+        xi = np.repeat(orig_x, ny_per_x)
+        yi = order[yi_sorted]
         cols_np = {
             c: np.asarray(t[c].to_pylist(), dtype=object)
             for c in set(x_match_cols) | set(y_need_cols)

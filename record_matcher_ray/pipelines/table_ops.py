@@ -172,19 +172,6 @@ def duplicated_by_column(ds: ray.data.Dataset, column: str) -> ray.data.Dataset:
     return ds.groupby(column).map_groups(keep_dups, batch_format="pandas")
 
 
-def exact_duplicates(
-    ds: ray.data.Dataset, columns: list[str], keep: str = "first"
-) -> ray.data.Dataset:
-    """Exact dedup: hash-partition on the key tuple, keep one row per group
-    (hash-partition + per-group first — the scale path for exact dedup)."""
-
-    def pick(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(columns[0] if len(columns) == 1 else columns, kind="stable")
-        return df.head(1) if keep == "first" else df.tail(1)
-
-    return ds.groupby(columns).map_groups(pick, batch_format="pandas")
-
-
 def adjusted_uniqueness(
     selected_columns: list[str], uniqueness_vector: dict[str, float]
 ) -> dict[str, float]:
