@@ -337,9 +337,10 @@ def oracle_sql() -> dict[str, str]:
               FROM events
             ), s AS (
               SELECT user_id, event_id, ts, value,
-                     1 + sum(brk) OVER (PARTITION BY user_id
-                                        ORDER BY ts, event_id
-                                        ROWS UNBOUNDED PRECEDING) AS session_id
+                     CAST(1 + sum(brk) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id
+                                             ROWS UNBOUNDED PRECEDING)
+                          AS BIGINT) AS session_id
               FROM e
             )
             SELECT user_id, session_id, count(*) AS n_events,

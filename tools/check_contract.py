@@ -48,15 +48,29 @@ def compare(name, ours: pd.DataFrame, theirs: pd.DataFrame) -> list[str]:
     a, b = canon(ours), canon(theirs)
     if len(a) == len(b):
         for c in a.columns:
-            if np.issubdtype(a[c].dtype, np.floating) or np.issubdtype(
-                b[c].dtype, np.floating
-            ):
-                if not np.allclose(a[c].astype(float), b[c].astype(float),
-                                   rtol=0, atol=1e-9, equal_nan=True):
-                    bad = np.abs(a[c].astype(float) - b[c].astype(float)) > 1e-9
-                    problems.append(f"col {c}: {int(bad.sum())} value diffs "
-                                    f"(first: {a[c][bad].head(2).tolist()} vs "
-                                    f"{b[c][bad].head(2).tolist()})")
+            ka = a[c].dtype.kind if hasattr(a[c].dtype, "kind") else "O"
+            kb = b[c].dtype.kind if hasattr(b[c].dtype, "kind") else "O"
+            # The driver hashes raw values: int64 5 vs float64 5.0 mismatch.
+            if {ka, kb} == {"i", "f"} or {ka, kb} == {"u", "f"}:
+                problems.append(
+                    f"col {c}: numeric dtype kind mismatch "
+                    f"({a[c].dtype} vs {b[c].dtype}) — driver hash will fail"
+                )
+                continue
+            if ka == "f" or kb == "f":
+                av = a[c].astype(float).to_numpy()
+                bv = b[c].astype(float).to_numpy()
+                both_nan = np.isnan(av) & np.isnan(bv)
+                bad = (av != bv) & ~both_nan
+                if bad.any():
+                    close = np.isclose(av, bv, rtol=0, atol=1e-9,
+                                       equal_nan=True) | both_nan
+                    note = (" (all within 1e-9 — float summation order; "
+                            "driver hash will still fail)"
+                            if close.all() else "")
+                    problems.append(f"col {c}: {int(bad.sum())} exact diffs"
+                                    f"{note} (first: {av[bad][:2].tolist()} vs "
+                                    f"{bv[bad][:2].tolist()})")
             else:
                 neq = a[c].astype(str) != b[c].astype(str)
                 if neq.any():
