@@ -1,8 +1,9 @@
 """Configuration error types.
 
 Parity with the reference's exception surface (``errors.py:1-36`` in
-/root/reference): same five names, same trigger conditions (SURVEY.md §2.3
-C2-C8), so user code catching these by name ports over unchanged.
+/root/reference): same five NAMES and trigger conditions (SURVEY.md §2.3
+C2-C8) so user code catching these by name ports over unchanged; the
+message text is this engine's own (no reference test pins it).
 """
 
 
@@ -11,8 +12,8 @@ class TBConfigColumnNotFound(Exception):
 
     def __init__(self, column, columns):
         super().__init__(
-            f"Column '{column}' cannot be found. Only these "
-            f"columns can be used: {', '.join(sorted(columns))}"
+            f"unknown column '{column}'; valid columns are: "
+            f"{', '.join(sorted(columns))}"
         )
 
 
@@ -20,7 +21,10 @@ class TBConfigXUniqueConstraint(Exception):
     """A copy-over target x-column was already claimed by another mapping."""
 
     def __init__(self, column, config_dict):
-        super().__init__(f"Column '{column}' already exists in {config_dict} values.")
+        super().__init__(
+            f"target column '{column}' is already mapped in {config_dict}; "
+            f"each x target may be claimed once"
+        )
 
 
 class TBConfigOverwriteError(Exception):
@@ -28,7 +32,8 @@ class TBConfigOverwriteError(Exception):
 
     def __init__(self, column):
         super().__init__(
-            f"'{column}' already exist. Set allow_overwrite==True to allow for overwriting."
+            f"copy-over target '{column}' is an existing x column; pass "
+            f"allow_overwrite=True to overwrite it"
         )
 
 
@@ -37,8 +42,8 @@ class TBConfigScorerNotFound(Exception):
 
     def __init__(self, scorer, scorers):
         super().__init__(
-            f"Scorer name: '{scorer}' is not found in scorers. "
-            f"Only select from the following scorers: {', '.join(sorted(scorers))}"
+            f"no scorer registered under '{scorer}'; registered scorers: "
+            f"{', '.join(sorted(scorers))}"
         )
 
 
@@ -47,6 +52,6 @@ class TBConfigColumnToMatchLock(Exception):
 
     def __init__(self, column):
         super().__init__(
-            f"x_column:{column} is a column to be matched. Please remove it "
-            f"from ColumnsToMatch first."
+            f"x column '{column}' is still configured for matching; delete "
+            f"its ColumnsToMatch entry before removing its per-column config"
         )

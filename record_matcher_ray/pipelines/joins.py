@@ -20,16 +20,31 @@ import ray.data
 _J_SIDE = "__jside__"
 
 
+def _bucket_of(arr: pa.ChunkedArray, n_buckets: int) -> pa.Array:
+    """Deterministic hash bucket per value (vectorized; pandas siphash with
+    its fixed default key — stable across processes and Ray workers)."""
+    h = pd.util.hash_pandas_object(arr.to_pandas(), index=False).to_numpy()
+    return pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+
+
 def hash_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
     left_on: str,
     right_on: str,
     how: str = "inner",
+    n_buckets: int = 256,
 ) -> ray.data.Dataset:
     """Equi-join; output columns = left columns + right columns (right key
     dropped; non-key right columns must not collide with left names).
-    ``how``: "inner" or "left"."""
+    ``how``: "inner" or "left".
+
+    Scale shape: the shuffle key is a ≤``n_buckets`` hash bucket — never the
+    raw join key — so the per-group Python overhead is bounded by the bucket
+    count (CLAUDE.md rule), and each bucket is joined in one vectorized
+    Acero ``pa.Table.join`` call. Null join keys follow SQL semantics: they
+    match nothing (inner drops them; left keeps the row null-padded).
+    """
     from record_matcher_ray.pipelines.match import _arrow_schema
 
     lschema = _arrow_schema(left)
@@ -41,14 +56,16 @@ def hash_join(
         raise ValueError(f"hash_join column collision: {overlap}")
 
     key_type = lschema.field(left_on).type
-    fields = [(_J_SIDE, pa.int8()), ("__jkey__", key_type)]
+    fields = [(_J_SIDE, pa.int8()), ("__jb__", pa.int64()),
+              ("__jkey__", key_type)]
     fields += [(c, lschema.field(c).type) for c in lcols]
     fields += [(c, rschema.field(c).type) for c in rcols]
     wire = pa.schema(fields)
 
     def prep_l(t: pa.Table) -> pa.Table:
+        key = pc.cast(t[left_on], key_type).combine_chunks()
         cols = {_J_SIDE: pa.array(np.zeros(len(t), np.int8)),
-                "__jkey__": pc.cast(t[left_on], key_type).combine_chunks()}
+                "__jb__": _bucket_of(key, n_buckets), "__jkey__": key}
         for c in lcols:
             cols[c] = t[c].combine_chunks()
         for c in rcols:
@@ -56,8 +73,9 @@ def hash_join(
         return pa.table({f.name: cols[f.name] for f in wire})
 
     def prep_r(t: pa.Table) -> pa.Table:
+        key = pc.cast(t[right_on], key_type).combine_chunks()
         cols = {_J_SIDE: pa.array(np.ones(len(t), np.int8)),
-                "__jkey__": pc.cast(t[right_on], key_type).combine_chunks()}
+                "__jb__": _bucket_of(key, n_buckets), "__jkey__": key}
         for c in lcols:
             cols[c] = pa.nulls(len(t), wire.field(c).type)
         for c in rcols:
@@ -72,29 +90,21 @@ def hash_join(
         [(c, lschema.field(c).type) for c in lcols]
         + [(c, rschema.field(c).type) for c in rcols]
     )
+    out_names = [f.name for f in out_schema]
+    join_type = "inner" if how == "inner" else "left outer"
 
-    def cross(t: pa.Table) -> pa.Table:
+    def bucket_join(t: pa.Table) -> pa.Table:
         lmask = pc.equal(t[_J_SIDE], 0)
-        lt = t.filter(lmask)
-        rt = t.filter(pc.invert(lmask))
-        nl, nr = len(lt), len(rt)
-        if nl == 0:
+        lt = t.filter(lmask).select(["__jkey__"] + lcols)
+        rt = t.filter(pc.invert(lmask)).select(["__jkey__"] + rcols)
+        if len(lt) == 0:
             return out_schema.empty_table()
-        if nr == 0:
-            if how == "left":
-                cols = {c: lt[c].combine_chunks() for c in lcols}
-                for c in rcols:
-                    cols[c] = pa.nulls(nl, out_schema.field(c).type)
-                return pa.table({f.name: cols[f.name] for f in out_schema})
-            return out_schema.empty_table()
-        li = np.repeat(np.arange(nl), nr)
-        ri = np.tile(np.arange(nr), nl)
-        cols = {c: pc.take(lt[c].combine_chunks(), pa.array(li)) for c in lcols}
-        for c in rcols:
-            cols[c] = pc.take(rt[c].combine_chunks(), pa.array(ri))
-        return pa.table({f.name: cols[f.name] for f in out_schema})
+        out = lt.join(rt, keys="__jkey__", join_type=join_type)
+        return out.select(out_names).cast(out_schema)
 
-    return tagged.groupby("__jkey__").map_groups(cross, batch_format="pyarrow")
+    return tagged.groupby("__jb__").map_groups(
+        bucket_join, batch_format="pyarrow"
+    )
 
 
 def asof_join(
@@ -156,13 +166,24 @@ def semi_join(
     on: str,
     key_col: str | None = None,
     anti: bool = False,
+    max_broadcast_rows: int = 20_000_000,
 ) -> ray.data.Dataset:
     """Semi / anti join: broadcast the key SET once (`ray.put`) and filter
     inside map_batches — no shuffle (ray_guide "Joins and lookups"). The
-    key side must fit in the object store; use a Bloom filter variant when
-    it doesn't."""
+    key side must fit in the object store: collecting more than
+    ``max_broadcast_rows`` raises with guidance instead of OOMing the
+    driver — route big key sides through :func:`hash_join` (semi via
+    inner-join + distinct) or a Bloom filter."""
     if isinstance(keys, ray.data.Dataset):
-        kdf = keys.to_pandas()
+        try:
+            kdf = keys.to_pandas(limit=max_broadcast_rows)
+        except ValueError as ex:
+            raise ValueError(
+                f"semi_join key side exceeds max_broadcast_rows="
+                f"{max_broadcast_rows}; it cannot be broadcast safely. "
+                f"Use hash_join on the key (then distinct) or raise the cap "
+                f"explicitly if the driver has headroom."
+            ) from ex
         key_values = sorted(set(kdf[key_col or on].tolist()))
     else:
         key_values = sorted(set(keys.tolist()))
@@ -186,11 +207,25 @@ def broadcast_lookup(
     right_on: str,
     columns: list[str] | None = None,
     how: str = "left",
+    max_broadcast_rows: int = 5_000_000,
 ) -> ray.data.Dataset:
     """Broadcast join: collect the small side ONCE into the object store
     (``ray.put``) and merge per batch — the no-shuffle path for dimension
-    tables (ray_guide "Joins and lookups")."""
-    sdf = small.to_pandas() if isinstance(small, ray.data.Dataset) else small
+    tables (ray_guide "Joins and lookups"). A small side larger than
+    ``max_broadcast_rows`` raises with guidance (use :func:`hash_join`)
+    instead of OOMing the driver."""
+    if isinstance(small, ray.data.Dataset):
+        try:
+            sdf = small.to_pandas(limit=max_broadcast_rows)
+        except ValueError as ex:
+            raise ValueError(
+                f"broadcast_lookup small side exceeds max_broadcast_rows="
+                f"{max_broadcast_rows}; broadcast would OOM the driver. "
+                f"Use hash_join for a large right side, or raise the cap "
+                f"explicitly if the driver has headroom."
+            ) from ex
+    else:
+        sdf = small
     if columns is not None:
         sdf = sdf[[right_on] + [c for c in columns if c != right_on]]
     ref = ray.put(sdf)

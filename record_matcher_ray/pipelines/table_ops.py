@@ -157,19 +157,37 @@ def group_by(ds: ray.data.Dataset, column_map: dict[str, str]) -> ray.data.Datas
     return ds.map_batches(flt, batch_format="pyarrow")
 
 
-def duplicated_by_column(ds: ray.data.Dataset, column: str) -> ray.data.Dataset:
+def duplicated_by_column(
+    ds: ray.data.Dataset, column: str, n_buckets: int = 256
+) -> ray.data.Dataset:
     """O5 — rows whose non-blank value in ``column`` occurs more than once
-    (records.py:135-153). One hash shuffle on the column; groups with a
-    single row are dropped."""
+    (records.py:135-153).
+
+    Scale shape: the shuffle key is a ≤``n_buckets`` hash bucket of the
+    value — never the raw (potentially billion-cardinality) column — and
+    each bucket resolves duplicate groups in one vectorized pass
+    (value_counts), per the CLAUDE.md per-group-overhead rule."""
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__db__"] = (
+            pd.util.hash_pandas_object(df[column], index=False)
+            % np.uint64(n_buckets)
+        ).astype("int64")
+        return df
 
     def keep_dups(df: pd.DataFrame) -> pd.DataFrame:
         vals = df[column]
         blank = vals.isna() | (vals.astype(str) == "")
-        if len(df) > 1 and not blank.any():
-            return df
-        return df.iloc[0:0]
+        counts = vals.map(vals.value_counts())
+        keep = (~blank) & (counts > 1)
+        return df.loc[keep].drop(columns="__db__")
 
-    return ds.groupby(column).map_groups(keep_dups, batch_format="pandas")
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__db__")
+        .map_groups(keep_dups, batch_format="pandas")
+    )
 
 
 def adjusted_uniqueness(

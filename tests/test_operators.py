@@ -198,3 +198,102 @@ def test_hash_join(ray_session):
 
     bout = broadcast_lookup(left, right.to_pandas(), "k", "rk").to_pandas()
     assert len(bout) == 4
+
+
+def test_pairwise_jaccard_kernel():
+    from record_matcher_ray.pipelines.dedup import _pairwise_jaccard, _seg_gather
+
+    rng = np.random.default_rng(7)
+    sets_a, sets_b = [], []
+    for _ in range(200):
+        sets_a.append(np.unique(rng.integers(0, 40, rng.integers(0, 15))))
+        sets_b.append(np.unique(rng.integers(0, 40, rng.integers(0, 15))))
+    a_lens = np.array([len(s) for s in sets_a], np.int64)
+    b_lens = np.array([len(s) for s in sets_b], np.int64)
+    a_flat = np.concatenate(sets_a) if a_lens.sum() else np.empty(0, np.int64)
+    b_flat = np.concatenate(sets_b) if b_lens.sum() else np.empty(0, np.int64)
+    got = _pairwise_jaccard(a_flat, a_lens, b_flat, b_lens)
+    for i, (a, b) in enumerate(zip(sets_a, sets_b)):
+        inter = len(np.intersect1d(a, b, assume_unique=True))
+        union = len(a) + len(b) - inter
+        want = round(100.0 * inter / union, 6) if union else 0.0
+        assert got[i] == pytest.approx(want, abs=1e-9)
+    # _seg_gather round-trips variable segments
+    starts = np.array([0, 5, 5, 9], np.int64)
+    lens = np.array([2, 0, 4, 1], np.int64)
+    assert _seg_gather(starts, lens).tolist() == [0, 1, 5, 6, 7, 8, 9]
+
+
+def test_fingerprints_vs_naive(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.analysis import _FP_BASE, fingerprints
+
+    def naive_fp(t, window=16, stride=4):
+        B, M = int(_FP_BASE), 1 << 64
+        b = t.encode()
+        if not b:
+            return 0
+        w = min(len(b), window)
+        ss = [0] if len(b) <= window else range(0, len(b) - window + 1, stride)
+        best = None
+        for s in ss:
+            h = 0
+            for k in range(s, s + w):
+                h = (h * B + b[k]) % M
+            best = h if best is None else min(best, h)
+        return best if best < (1 << 63) else best - (1 << 64)
+
+    texts = ["", "short", "the quick brown fox jumps over the lazy dog " * 4,
+             "abcdefghijklmnop", "unicode éèê accents here too"]
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+    out = fingerprints(ds).to_pandas().set_index("doc_id")["fp64"]
+    for i, t in enumerate(texts):
+        assert out[i] == naive_fp(t), f"doc {i}"
+
+
+def test_duplicated_by_column_bucketed(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.table_ops import duplicated_by_column
+
+    df = pd.DataFrame(
+        {"k": ["a", "b", "a", "", None, "b", "c"], "v": range(7)}
+    )
+    out = duplicated_by_column(rd.from_pandas(df), "k").to_pandas()
+    assert sorted(out["v"]) == [0, 1, 2, 5]
+    assert set(out.columns) == {"k", "v"}
+
+
+def test_join_broadcast_guards(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.joins import broadcast_lookup, semi_join
+
+    big = rd.range(200).map_batches(
+        lambda d: d.rename(columns={"id": "right_id"}), batch_format="pandas"
+    )
+    with pytest.raises(ValueError, match="max_broadcast_rows"):
+        broadcast_lookup(rd.range(5), big, "id", "right_id",
+                         max_broadcast_rows=100)
+    with pytest.raises(ValueError, match="max_broadcast_rows"):
+        semi_join(rd.range(5), rd.range(200), on="id", key_col="id",
+                  max_broadcast_rows=100)
+
+
+def test_hash_join_null_keys_sql_semantics(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.joins import hash_join
+
+    left = rd.from_pandas(
+        pd.DataFrame({"k": ["a", None, "b"], "lv": [1, 2, 3]})
+    )
+    right = rd.from_pandas(
+        pd.DataFrame({"rk": ["a", None], "rv": [10, 20]})
+    )
+    inner = hash_join(left, right, "k", "rk").to_pandas()
+    assert sorted(inner["lv"]) == [1]  # null matches nothing
+    louter = hash_join(left, right, "k", "rk", how="left").to_pandas()
+    assert len(louter) == 3
+    assert louter[louter["lv"] == 2]["rv"].isna().all()
