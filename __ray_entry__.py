@@ -213,13 +213,77 @@ def _q_fingerprints(sf_dir: str):
     return fingerprints(ds)
 
 
-def _q_embedding_near_dups(sf_dir: str):
+def _q_minhash_recall(sf_dir: str):
+    """LSH pair recall vs brute-force shingle-Jaccard ground truth on a
+    150-doc slice (rows-only: LSH is seed-dependent, not SQL). One row:
+    (n_true_pairs, n_verified_pairs, verified_recall, false_positives) at
+    jaccard >= 60. The slice is capped because the TRUTH side is O(n²)
+    pairs × shingle-set size on the driver — it validates recall, it is
+    not the scale path."""
+    import pandas as pd
     import ray.data
 
-    from record_matcher_ray.pipelines.similarity import embedding_near_dups
+    from record_matcher_ray.pipelines.dedup import (
+        _pairwise_jaccard,
+        minhash_dedup,
+    )
+    from record_matcher_ray.stages.blocking import char_shingles, normalize_text
+
+    docs = (
+        ray.data.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        )
+        .sort("doc_id")
+        .limit(150)
+        .materialize()
+    )
+    df = docs.to_pandas()
+    sets = [
+        char_shingles(normalize_text(t or ""), 4) for t in df["text"].tolist()
+    ]
+    ids = df["doc_id"].to_numpy()
+    n = len(ids)
+    ai, bi = np.triu_indices(n, k=1)
+    a_lens = np.array([len(sets[i]) for i in ai], np.int64)
+    b_lens = np.array([len(sets[i]) for i in bi], np.int64)
+    a_flat = (np.concatenate([sets[i] for i in ai])
+              if a_lens.sum() else np.empty(0, np.int64))
+    b_flat = (np.concatenate([sets[i] for i in bi])
+              if b_lens.sum() else np.empty(0, np.int64))
+    sims = _pairwise_jaccard(a_flat, a_lens, b_flat, b_lens)
+    tmask = (sims >= 60.0) & (a_lens > 0) & (b_lens > 0)
+    truth = {
+        (int(min(ids[x], ids[y])), int(max(ids[x], ids[y])))
+        for x, y in zip(ai[tmask], bi[tmask])
+    }
+    res = minhash_dedup(docs, "text", "doc_id", jaccard_threshold=60.0)
+    ver = res["pairs"].to_pandas()
+    verified = {(int(a), int(b)) for a, b in zip(ver["a"], ver["b"])}
+    return pd.DataFrame(
+        [
+            {
+                "n_true_pairs": len(truth),
+                "n_verified_pairs": len(verified),
+                "verified_recall": round(
+                    len(verified & truth) / max(1, len(truth)), 6
+                ),
+                "false_positives": len(verified - truth),
+            }
+        ]
+    )
+
+
+def _q_embedding_near_dups(sf_dir: str):
+    """Exact broadcast variant (full recall ⇒ SQL-hash comparable); the
+    IVF multi-probe variant is the >1 M-row scale path, recall-tested in
+    tests/test_operators.py. Threshold 0.35 because the synthetic
+    embeddings have no true near-dups (max pairwise cos ≈ 0.51)."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.similarity import embedding_near_dups_exact
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding_near_dups(ds, threshold=0.9)
+    return embedding_near_dups_exact(ds, threshold=0.35)
 
 
 def _q_media_features(sf_dir: str):
@@ -272,6 +336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup family
         "dedup_exact_docs": _q_dedup_exact_docs,
         "minhash_dedup_docs": _q_minhash_dedup,
+        "minhash_recall_docs": _q_minhash_recall,
         "simhash_docs": _q_simhash,
         # similarity search
         "ann_topk": _q_ann_topk,
@@ -423,6 +488,46 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact_docs": """
             SELECT text, min(doc_id) AS keeper_id, count(*) AS n_copies
             FROM documents GROUP BY text
+        """,
+        "lang_id_docs": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_distinct(list_filter(
+                       string_split_regex(lower(coalesce(text, '')), '\\s+'),
+                       x -> x <> '')) AS toks
+              FROM documents
+            ), h AS (
+              SELECT doc_id, toks,
+                len(list_intersect(toks,
+                  ['the','and','of','to','in','is','for','with'])) AS en,
+                len(list_intersect(toks,
+                  ['el','la','de','que','y','en','los','del'])) AS es,
+                len(list_intersect(toks,
+                  ['le','la','de','et','les','des','un','une'])) AS fr,
+                len(list_intersect(toks,
+                  ['der','die','und','das','von','mit','den','ein'])) AS de
+              FROM t
+            )
+            SELECT doc_id,
+              -- >= comparisons implement the engine's first-wins tie rule
+              -- over profile order (en, es, fr, de); all-zero => 'und'
+              CASE WHEN en=0 AND es=0 AND fr=0 AND de=0 THEN 'und'
+                   WHEN en >= es AND en >= fr AND en >= de THEN 'en'
+                   WHEN es >= fr AND es >= de THEN 'es'
+                   WHEN fr >= de THEN 'fr' ELSE 'de' END AS pred_lang,
+              round(greatest(en,es,fr,de)::DOUBLE / greatest(len(toks), 1), 6)
+                AS lang_score
+            FROM h
+        """,
+        "embedding_near_dups": """
+            SELECT e1.vec_id AS a, e2.vec_id AS b,
+                   round(list_cosine_similarity(e1.embedding::DOUBLE[],
+                                                e2.embedding::DOUBLE[]), 6)
+                     AS cos_sim
+            FROM embeddings e1
+            JOIN embeddings e2 ON e1.vec_id < e2.vec_id
+            WHERE list_cosine_similarity(e1.embedding::DOUBLE[],
+                                         e2.embedding::DOUBLE[]) >= 0.35
         """,
         "ann_topk": """
             WITH sims AS (

@@ -406,16 +406,28 @@ def simhash64(
 
     def fp(t: pa.Table) -> pa.Table:
         texts = pc.fill_null(pc.cast(t[text_col], pa.string()), "").to_pylist()
-        out = np.zeros(len(texts), np.uint64)
-        for i, txt in enumerate(texts):
-            hs = char_shingles(txt, shingle).astype(np.uint64)
-            if len(hs) == 0:
-                continue
-            # spread crc32 into 64 bits deterministically
-            hs = hs * np.uint64(0x9E3779B97F4A7C15)
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1)
-            votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-            out[i] = np.packbits(votes > 0, bitorder="little").view(np.uint64)[0]
+        n = len(texts)
+        sets = [char_shingles(txt, shingle) for txt in texts]
+        lens = np.fromiter((len(s) for s in sets), np.int64, count=n)
+        out = np.zeros(n, np.uint64)
+        nz = lens > 0
+        if nz.any():
+            # one bit matrix + segmented reduce for the WHOLE batch (the
+            # round-1 form looped per doc); crc32 spread into 64 bits by a
+            # fixed odd multiplier
+            flat = np.concatenate([s for s in sets if len(s)]).astype(
+                np.uint64
+            ) * np.uint64(0x9E3779B97F4A7C15)
+            bits = (
+                (flat[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                & np.uint64(1)
+            ).astype(np.int64)
+            nz_lens = lens[nz]
+            starts = np.cumsum(nz_lens) - nz_lens
+            votes = 2 * np.add.reduceat(bits, starts, axis=0) - nz_lens[:, None]
+            out[nz] = np.ascontiguousarray(
+                np.packbits(votes > 0, axis=1, bitorder="little")
+            ).view(np.uint64).ravel()
         return pa.table(
             {"id": t[id_col].combine_chunks(),
              "simhash": pa.array(out.astype(np.int64))}

@@ -11,14 +11,33 @@
 
 from __future__ import annotations
 
-import heapq
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
+
+
+def _merge_topk(
+    parts: pd.DataFrame, k: int, query_ids: np.ndarray
+) -> pd.DataFrame:
+    """Driver-side merge of per-batch partial top-k rows: one vectorized
+    sort + head(k) per query (ties by vec_id), no iterrows."""
+    parts = parts.sort_values(
+        ["qi", "sim", "vec_id"], ascending=[True, False, True], kind="stable"
+    )
+    top = parts.groupby("qi", sort=True).head(k)
+    return pd.DataFrame(
+        {
+            "query_id": query_ids[top["qi"].to_numpy()].astype(np.int64),
+            "rank": (top.groupby("qi").cumcount() + 1).to_numpy(np.int64),
+            "vec_id": top["vec_id"].to_numpy(np.int64),
+            "cos_sim": np.round(top["sim"].to_numpy(np.float64), 6),
+        },
+        columns=["query_id", "rank", "vec_id", "cos_sim"],
+    )
 
 
 def _unit(m: np.ndarray) -> np.ndarray:
@@ -80,21 +99,7 @@ def brute_force_topk(
         )
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    rows = []
-    for qi, grp in parts.groupby("qi"):
-        top = grp.nlargest(k, "sim", keep="all").sort_values(
-            ["sim", "vec_id"], ascending=[False, True]
-        ).head(k)
-        for rank, (_, r) in enumerate(top.iterrows(), start=1):
-            rows.append(
-                {
-                    "query_id": int(query_ids[int(qi)]),
-                    "rank": rank,
-                    "vec_id": int(r["vec_id"]),
-                    "cos_sim": round(float(r["sim"]), 6),
-                }
-            )
-    return pd.DataFrame(rows, columns=["query_id", "rank", "vec_id", "cos_sim"])
+    return _merge_topk(parts, k, np.asarray(query_ids))
 
 
 def train_centroids(
@@ -170,21 +175,55 @@ def ivf_topk(
         )
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    rows = []
-    for qi, grp in parts.groupby("qi"):
-        top = grp.nlargest(k, "sim", keep="all").sort_values(
-            ["sim", "vec_id"], ascending=[False, True]
-        ).head(k)
-        for rank, (_, r) in enumerate(top.iterrows(), start=1):
-            rows.append(
-                {
-                    "query_id": int(query_ids[int(qi)]),
-                    "rank": rank,
-                    "vec_id": int(r["vec_id"]),
-                    "cos_sim": round(float(r["sim"]), 6),
-                }
-            )
-    return pd.DataFrame(rows, columns=["query_id", "rank", "vec_id", "cos_sim"])
+    return _merge_topk(parts, k, np.asarray(query_ids))
+
+
+def embedding_near_dups_exact(
+    ds: ray.data.Dataset,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_broadcast_rows: int = 1_000_000,
+) -> ray.data.Dataset:
+    """EXACT embedding-cosine near-duplicate pairs (a < b, cos_sim >=
+    threshold): the normalized matrix of ALL vectors is broadcast once
+    (``ray.put``, zero-copy numpy) and every batch matmuls against it,
+    emitting each pair exactly once (only other-id > batch-id survives).
+    One data pass, no shuffle, full recall — the ≤``max_broadcast_rows``
+    baseline; above the guard use the IVF :func:`embedding_near_dups`
+    (approximate) and raise its ``nprobe``."""
+    try:
+        all_df = ds.to_pandas(limit=max_broadcast_rows)
+    except ValueError as ex:
+        raise ValueError(
+            f"embedding_near_dups_exact needs the full vector set on the "
+            f"driver and it exceeds max_broadcast_rows={max_broadcast_rows}; "
+            f"use embedding_near_dups (IVF multi-probe) at this scale."
+        ) from ex
+    all_ids = all_df[id_col].to_numpy(dtype=np.int64)
+    order = np.argsort(all_ids, kind="stable")
+    all_ids = all_ids[order]
+    all_vecs = _unit(np.stack(all_df[vec_col].to_numpy()).astype(np.float64))[
+        order
+    ]
+    ref = ray.put((all_ids, all_vecs))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        ids_all, vecs_all = ray.get(ref)
+        vecs = _unit(_batch_vecs(t, vec_col))
+        ids = t[id_col].to_numpy().astype(np.int64)
+        sims = vecs @ vecs_all.T  # (nb, N)
+        hit = sims >= threshold
+        # emit once per unordered pair: batch id strictly below the other id
+        hit &= ids[:, None] < ids_all[None, :]
+        bi, oi = np.nonzero(hit)
+        return pa.table(
+            {"a": pa.array(ids[bi]),
+             "b": pa.array(ids_all[oi]),
+             "cos_sim": pa.array(np.round(sims[bi, oi], 6))}
+        )
+
+    return ds.map_batches(pairs, batch_format="pyarrow")
 
 
 def embedding_near_dups(
@@ -193,34 +232,47 @@ def embedding_near_dups(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     n_centroids: int = 16,
+    nprobe: int = 2,
+    n_pair_buckets: int = 256,
 ) -> ray.data.Dataset:
-    """Embedding-cosine near-duplicate pairs: bucket by nearest centroid
-    (one shuffle), all-pairs cosine within buckets, keep sim >= threshold.
-    → Dataset(a, b, cos_sim)."""
+    """Approximate embedding-cosine near-duplicate pairs: every vector is
+    assigned to its ``nprobe`` NEAREST centroids (multi-probe — closes the
+    round-1 recall hole where boundary pairs straddling a single-probe
+    bucket split were never compared), all-pairs cosine within each bucket,
+    keep sim >= threshold, then a bounded-bucket distinct pass drops the
+    pairs found in more than one probed bucket. → Dataset(a, b, cos_sim).
+
+    Recall rises with ``nprobe`` (2 catches same-plus-next-centroid
+    boundary pairs); exactness at small scale is available from
+    :func:`embedding_near_dups_exact`."""
     cents_ref = ray.put(train_centroids(ds, n_centroids, vec_col))
 
     def bucketize(t: pa.Table) -> pa.Table:
         c = ray.get(cents_ref)
         vecs = _unit(_batch_vecs(t, vec_col))
-        b = (vecs @ c.T).argmax(axis=1)
+        n = len(vecs)
+        npb = min(nprobe, len(c))
+        near = np.argpartition(-(vecs @ c.T), npb - 1, axis=1)[:, :npb]
+        rep = np.repeat(np.arange(n), npb)
         return pa.table(
             {
-                "bucket": pa.array(b.astype(np.int64)),
-                "id": t[id_col].combine_chunks(),
-                vec_col: t[vec_col].combine_chunks(),
+                "bucket": pa.array(near.reshape(-1).astype(np.int64)),
+                "id": pc.take(t[id_col].combine_chunks(), pa.array(rep)),
+                vec_col: pc.take(t[vec_col].combine_chunks(), pa.array(rep)),
             }
         )
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                              "b": pd.Series([], dtype="int64"),
+                              "cos_sim": pd.Series([], dtype="float64")})
         if len(df) < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64"),
-                                 "cos_sim": pd.Series([], dtype="float64")})
+            return empty
         vecs = _unit(np.stack(df[vec_col].to_numpy()).astype(np.float64))
         ids = df["id"].to_numpy(dtype=np.int64)
         sims = vecs @ vecs.T
         ai, bi = np.triu_indices(len(ids), k=1)
-        keep = sims[ai, bi] >= threshold
+        keep = (sims[ai, bi] >= threshold) & (ids[ai] != ids[bi])
         return pd.DataFrame(
             {
                 "a": np.minimum(ids[ai[keep]], ids[bi[keep]]),
@@ -229,8 +281,27 @@ def embedding_near_dups(
             }
         )
 
-    return (
+    raw = (
         ds.map_batches(bucketize, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(pairs, batch_format="pandas")
+    )
+
+    # distinct (a, b) — multi-probe emits a pair once per shared bucket;
+    # bounded-bucket shuffle + vectorized first-per-pair (CLAUDE.md rule)
+    def add_pb(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__pb__"] = (
+            ((df["a"].to_numpy() * np.int64(1000003)) ^ df["b"].to_numpy())
+            % n_pair_buckets
+        ).astype(np.int64)
+        return df
+
+    def local_distinct(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(subset=["a", "b"]).drop(columns="__pb__")
+
+    return (
+        raw.map_batches(add_pb, batch_format="pandas")
+        .groupby("__pb__")
+        .map_groups(local_distinct, batch_format="pandas")
     )

@@ -110,17 +110,66 @@ def test_ivf_topk_high_recall(ray_session):
 
 
 def test_embedding_near_dups(ray_session):
+    """Planted near-dups: the IVF multi-probe path must recover (nearly)
+    all of them despite centroid-boundary splits; the exact path must
+    recover every one and agree with brute force."""
     import ray.data as rd
 
-    from record_matcher_ray.pipelines.similarity import embedding_near_dups
+    from record_matcher_ray.pipelines.similarity import (
+        embedding_near_dups,
+        embedding_near_dups_exact,
+    )
 
     rng = np.random.RandomState(2)
-    base = rng.standard_normal((50, 16))
-    dup = base[0] + rng.standard_normal(16) * 0.01  # near-identical to vec 0
-    vecs = np.vstack([base, dup])
-    df = pd.DataFrame({"vec_id": np.arange(51), "embedding": list(vecs)})
-    out = embedding_near_dups(rd.from_pandas(df), threshold=0.98).to_pandas()
-    assert (0, 50) in set(zip(out["a"], out["b"]))
+    base = rng.standard_normal((120, 16))
+    # plant 30 near-dup partners (ids 120..149 dup ids 0..29)
+    dups = base[:30] + rng.standard_normal((30, 16)) * 0.01
+    vecs = np.vstack([base, dups])
+    df = pd.DataFrame(
+        {"vec_id": np.arange(len(vecs)), "embedding": list(vecs)}
+    )
+    un = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = un @ un.T
+    ai, bi = np.triu_indices(len(vecs), k=1)
+    truth = {
+        (int(a), int(b))
+        for a, b in zip(ai[sims[ai, bi] >= 0.98], bi[sims[ai, bi] >= 0.98])
+    }
+    assert len(truth) >= 30
+
+    ds = rd.from_pandas(df)
+    exact = embedding_near_dups_exact(ds, threshold=0.98).to_pandas()
+    got_exact = set(zip(exact["a"], exact["b"]))
+    assert got_exact == truth
+
+    approx = embedding_near_dups(
+        ds, threshold=0.98, n_centroids=8, nprobe=2
+    ).to_pandas()
+    got = set(zip(approx["a"], approx["b"]))
+    assert len(got) == len(approx), "distinct pass left duplicates"
+    assert got <= truth  # no false positives
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, f"multi-probe recall {recall}"
+    # single-probe is the round-1 recall hole; multi-probe must not be worse
+    single = embedding_near_dups(
+        ds, threshold=0.98, n_centroids=8, nprobe=1
+    ).to_pandas()
+    assert len(got) >= len(set(zip(single["a"], single["b"])))
+
+
+def test_embedding_near_dups_exact_guard(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.similarity import embedding_near_dups_exact
+
+    df = pd.DataFrame(
+        {"vec_id": np.arange(50),
+         "embedding": list(np.random.RandomState(0).standard_normal((50, 4)))}
+    )
+    with pytest.raises(ValueError, match="max_broadcast_rows"):
+        embedding_near_dups_exact(
+            rd.from_pandas(df), threshold=0.9, max_broadcast_rows=10
+        )
 
 
 def test_text_analysis_ops(ray_session):
@@ -297,3 +346,45 @@ def test_hash_join_null_keys_sql_semantics(ray_session):
     louter = hash_join(left, right, "k", "rk", how="left").to_pandas()
     assert len(louter) == 3
     assert louter[louter["lv"] == 2]["rv"].isna().all()
+
+
+def test_simhash_vs_naive(ray_session):
+    """Pin simhash64 against an independent pure-Python reimplementation
+    (big-int arithmetic, no numpy) of the same definition."""
+    import zlib
+
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.dedup import simhash64
+
+    def naive_simhash(text, shingle=4):
+        if len(text) < shingle:
+            grams = [text] if text else []
+        else:
+            grams = [text[i:i + shingle] for i in range(len(text) - shingle + 1)]
+        hs = sorted({zlib.crc32(g.encode()) for g in grams})
+        if not hs:
+            return 0
+        votes = [0] * 64
+        for h in hs:
+            h = (h * 0x9E3779B97F4A7C15) % (1 << 64)
+            for j in range(64):
+                votes[j] += 1 if (h >> j) & 1 else -1
+        fp = sum(1 << j for j in range(64) if votes[j] > 0)
+        return fp if fp < (1 << 63) else fp - (1 << 64)
+
+    texts = ["", "tiny", "the quick brown fox jumps over the lazy dog",
+             "the quick brown fox jumps over the lazy dot",
+             "zzz completely unrelated material qqq " * 3]
+    ds = rd.from_pandas(pd.DataFrame({"id": range(len(texts)), "text": texts}))
+    out = simhash64(ds, "text", "id").to_pandas().set_index("id")["simhash"]
+    from record_matcher_ray.stages.blocking import char_shingles
+    for i, t in enumerate(texts):
+        # only compare when the engine's shingler matches the naive gram
+        # definition (unique crc32 of char 4-grams)
+        expect_set = sorted({zlib.crc32(t[j:j+4].encode())
+                             for j in range(max(0, len(t) - 3))} | (
+                            {zlib.crc32(t.encode())} if 0 < len(t) < 4 else set()))
+        got_set = sorted(char_shingles(t, 4).tolist())
+        if got_set == expect_set:
+            assert out[i] == naive_simhash(t), f"doc {i}"
