@@ -19,7 +19,7 @@ Scale shapes:
 
 from __future__ import annotations
 
-import zlib
+
 
 import numpy as np
 import pandas as pd
@@ -29,7 +29,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from record_matcher_ray.pipelines.cluster import connected_components
-from record_matcher_ray.stages.blocking import MinHasher, char_shingles, normalize_text
+from record_matcher_ray.stages.blocking import MinHasher
 
 
 def _with_tuple_bucket(
@@ -98,35 +98,46 @@ def exact_dup_groups(
 
 class _MinhashKeys:
     """Stateless band-key emitter with per-process-cached permutation state.
-    Emits (hash bucket of band_key, band_key, id) so downstream grouping
-    runs per BUCKET (≈n_buckets vectorized calls) instead of per band key
-    (hundreds of thousands of tiny Python group invocations)."""
+    Emits (hash bucket of band_key, int64 band_key, id) so downstream
+    grouping runs per BUCKET (≈n_buckets vectorized calls) instead of per
+    band key. Whole-batch vectorized: shingles, signatures and band keys
+    all come from the flat-buffer kernels in core.hashkernels — the
+    round-1 per-doc/per-band Python loop is gone. Docs with no shingles
+    (empty after normalization) emit no keys (the round-1 form emitted
+    identical all-zero-signature keys, making every empty doc a candidate
+    of every other)."""
 
     def __init__(self, text_col, id_col, num_perm, bands, shingle, seed, n_buckets):
         self.args = (text_col, id_col, num_perm, bands, shingle, seed, n_buckets)
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        from record_matcher_ray.core.hashkernels import (
+            batch_signatures,
+            normalize_utf8,
+        )
+        from record_matcher_ray.stages.blocking import (
+            batch_band_keys,
+            batch_char_shingles,
+        )
+
         text_col, id_col, num_perm, bands, shingle, seed, n_buckets = self.args
         hasher = MinHasher(num_perm=num_perm, seed=seed)
-        rows = num_perm // bands
-        texts = pc.fill_null(pc.cast(t[text_col], pa.string()), "").to_pylist()
         ids = t[id_col].to_numpy()
-        keys, out_ids = [], []
-        for i, txt in enumerate(texts):
-            sig = hasher.signature(char_shingles(txt, shingle))
-            for b in range(bands):
-                keys.append(
-                    f"{b}:{zlib.crc32(sig[b * rows:(b + 1) * rows].tobytes()):08x}"
-                )
-                out_ids.append(ids[i])
-        buckets = np.fromiter(
-            (zlib.crc32(k.encode()) % n_buckets for k in keys),
-            dtype=np.int64, count=len(keys),
-        )
+        norm = normalize_utf8(t[text_col])
+        sh_flat, sh_lens = batch_char_shingles(norm, shingle)
+        sig = batch_signatures(sh_flat, sh_lens, hasher.a, hasher.b)
+        band_k = batch_band_keys(sig, bands)
+        has = sh_lens > 0
+        keys = band_k[has].reshape(-1)
+        out_ids = np.repeat(ids[has], bands)
+        buckets = (
+            keys.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            >> np.uint64(33)
+        ) % np.uint64(n_buckets)
         return pa.table(
-            {"bucket": pa.array(buckets),
-             "band_key": pa.array(keys, pa.string()),
-             "id": pa.array(np.asarray(out_ids, dtype=np.int64))}
+            {"bucket": pa.array(buckets.astype(np.int64)),
+             "band_key": pa.array(keys),
+             "id": pa.array(out_ids.astype(np.int64))}
         )
 
 
@@ -184,7 +195,7 @@ def minhash_candidates(
         empty = pa.schema([("a", pa.int64()), ("b", pa.int64())]).empty_table()
         if n == 0:
             return empty
-        keys_np = np.asarray(t["band_key"].to_pylist(), dtype=object)
+        keys_np = t["band_key"].to_numpy()
         ids_np = t["id"].to_numpy()
         order = np.lexsort((ids_np, keys_np))
         k_s = keys_np[order]
@@ -221,14 +232,18 @@ def _shingle_table(ds, text_col, id_col, shingle):
     """One distributed pass: (id, sh: sorted unique shingle hashes)."""
 
     def shingled(t: pa.Table) -> pa.Table:
-        texts = pc.fill_null(pc.cast(t[text_col], pa.string()), "").to_pylist()
+        from record_matcher_ray.core.hashkernels import normalize_utf8
+        from record_matcher_ray.stages.blocking import batch_char_shingles
+
         ids = t[id_col].to_numpy()
+        flat, lens = batch_char_shingles(normalize_utf8(t[text_col]), shingle)
+        offsets = np.zeros(len(lens) + 1, np.int32)
+        offsets[1:] = np.cumsum(lens)
         return pa.table(
             {
                 "id": pa.array(np.asarray(ids, np.int64)),
-                "sh": pa.array(
-                    [char_shingles(normalize_text(x), shingle).tolist() for x in texts],
-                    pa.list_(pa.int64()),
+                "sh": pa.ListArray.from_arrays(
+                    pa.array(offsets, pa.int32()), pa.array(flat, pa.int64())
                 ),
             }
         )
@@ -405,19 +420,20 @@ def simhash64(
     fingerprints (or banded 16-bit quarters) bucket near-duplicates."""
 
     def fp(t: pa.Table) -> pa.Table:
-        texts = pc.fill_null(pc.cast(t[text_col], pa.string()), "").to_pylist()
-        n = len(texts)
-        sets = [char_shingles(txt, shingle) for txt in texts]
-        lens = np.fromiter((len(s) for s in sets), np.int64, count=n)
+        from record_matcher_ray.core.hashkernels import normalize_utf8
+        from record_matcher_ray.stages.blocking import batch_char_shingles
+
+        flat_all, lens = batch_char_shingles(
+            normalize_utf8(t[text_col]), shingle
+        )
+        n = len(lens)
         out = np.zeros(n, np.uint64)
         nz = lens > 0
         if nz.any():
             # one bit matrix + segmented reduce for the WHOLE batch (the
-            # round-1 form looped per doc); crc32 spread into 64 bits by a
-            # fixed odd multiplier
-            flat = np.concatenate([s for s in sets if len(s)]).astype(
-                np.uint64
-            ) * np.uint64(0x9E3779B97F4A7C15)
+            # round-1 form looped per doc); shingle hash spread into 64
+            # bits by a fixed odd multiplier
+            flat = flat_all.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
             bits = (
                 (flat[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
                 & np.uint64(1)

@@ -37,7 +37,7 @@ from record_matcher_ray.core.kernel import MATCH_STATUS, score_pairs_flat
 from record_matcher_ray.pipelines import table_ops
 from record_matcher_ray.pipelines.cluster import connected_components
 from record_matcher_ray.pipelines.match import compute_flips
-from record_matcher_ray.stages.blocking import MinHasher, default_doc_keys
+from record_matcher_ray.stages.blocking import MinHasher, batch_doc_keys
 from record_matcher_ray.stages.flatten import add_int_ids, flatten_spans
 
 FLAT_MATCH_COLUMNS = ["title", "digits", "media_sig", "body"]
@@ -95,29 +95,20 @@ class KeyExpander:
         self.n_buckets = n_buckets
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        import zlib
-
         hasher = _cached_hasher(self.num_perm, self.seed)
-        n = len(t)
-        titles = t["title"].to_pylist()
-        bodies = t["body"].to_pylist()
-        medias = t["media_sig"].to_pylist()
         rids = t["rid"].to_numpy()
-        out_keys: list[str] = []
-        idx: list[int] = []
-        for i in range(n):
-            ks = default_doc_keys(titles[i] or "", bodies[i] or "",
-                                  medias[i] or "", hasher)
-            out_keys.extend(ks)
-            idx.extend([i] * len(ks))
-        take = pa.array(np.asarray(idx, dtype=np.int64))
-        buckets = np.fromiter(
-            (zlib.crc32(k.encode()) % self.n_buckets for k in out_keys),
-            dtype=np.int64, count=len(out_keys),
+        # whole-batch vectorized key derivation (int64 keys; the round-1
+        # per-row default_doc_keys loop + string keys was the flagship's
+        # only per-row stage)
+        keys, idx = batch_doc_keys(
+            t["title"], t["body"], t["media_sig"], hasher
         )
+        take = pa.array(idx)
+        buckets = (keys.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                   >> np.uint64(33)) % np.uint64(self.n_buckets)
         cols = {
-            "bucket": pa.array(buckets),
-            "key": pa.array(out_keys, pa.string()),
+            "bucket": pa.array(buckets.astype(np.int64)),
+            "key": pa.array(keys),
             "rid": pc.take(pa.array(rids), take),
             "side": pa.array(np.full(len(idx), self.side, dtype=np.int8)),
         }
@@ -199,7 +190,7 @@ def match_documents(
         n = len(t)
         if n == 0:
             return pair_schema.empty_table()
-        keys = np.asarray(t["key"].to_pylist(), dtype=object)
+        keys = t["key"].to_numpy()
         side = t["side"].to_numpy()
         rid = t["rid"].to_numpy()
         # sort by (key, side): within each key group x rows precede y rows,

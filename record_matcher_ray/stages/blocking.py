@@ -20,10 +20,28 @@ import re
 import zlib
 
 import numpy as np
+import pyarrow as pa
+
+from record_matcher_ray.core.hashkernels import (
+    batch_signatures,
+    normalize_utf8,
+    unique_per_doc,
+    utf8_view,
+    whole_hashes,
+    window_hashes,
+)
+from record_matcher_ray.core.hashkernels import BASE as _HASH_BASE
 
 _NORM_RE = re.compile(r"[^a-z0-9]+")
 
 _MERSENNE = (1 << 61) - 1
+
+# int64 blocking-key namespace tags (top bits) — keys of different types
+# can never collide
+KEY_TAG_EXACT = 1
+KEY_TAG_NGRAM = 2
+KEY_TAG_MINHASH = 3
+KEY_TAG_MEDIA = 4
 
 
 def normalize_text(s: str) -> str:
@@ -32,6 +50,25 @@ def normalize_text(s: str) -> str:
 
 def _crc(s: str) -> int:
     return zlib.crc32(s.encode())
+
+
+def tag_keys(h: np.ndarray, tag: int) -> np.ndarray:
+    """uint64 hashes → positive int64 keys namespaced by ``tag``."""
+    return (
+        (h >> np.uint64(6)) | (np.uint64(tag) << np.uint64(58))
+    ).astype(np.int64)
+
+
+def batch_char_shingles(
+    norm_arr: pa.Array, n: int = 4
+) -> tuple[np.ndarray, np.ndarray]:
+    """Unique character-``n``-gram hashes for EVERY (already normalized)
+    string in one vectorized pass: → (flat int64 hashes sorted per doc,
+    count per doc). 61-bit rolling polynomial hashes — the batch engine of
+    :func:`char_shingles`."""
+    flat, starts, lens = utf8_view(norm_arr)
+    h, n_win = window_hashes(flat, starts, lens, n, 1)
+    return unique_per_doc((h >> np.uint64(3)).astype(np.int64), n_win)
 
 
 class MinHasher:
@@ -56,13 +93,14 @@ class MinHasher:
 
 
 def char_shingles(text: str, n: int = 4) -> np.ndarray:
+    """Single-doc wrapper over :func:`batch_char_shingles` (same hash
+    domain everywhere — LSH candidates, verification and simhash agree by
+    construction)."""
     t = normalize_text(text)
-    if len(t) < n:
-        return np.array([_crc(t)], dtype=np.int64) if t else np.empty(0, np.int64)
-    return np.unique(
-        np.fromiter((_crc(t[i : i + n]) for i in range(len(t) - n + 1)),
-                    dtype=np.int64, count=len(t) - n + 1)
-    )
+    if not t:
+        return np.empty(0, np.int64)
+    flat, _ = batch_char_shingles(pa.array([t], pa.string()), n)
+    return flat
 
 
 def minhash_band_keys(
@@ -102,13 +140,97 @@ def exact_key(value: str, prefix: str = "eq") -> list[str]:
     return [f"{prefix}:{_crc(v):08x}"] if v else []
 
 
+def batch_band_keys(sig: np.ndarray, bands: int) -> np.ndarray:
+    """(ndocs, num_perm) minhash signatures → (ndocs, bands) int64 LSH band
+    keys: polynomial fold of each band's rows mixed with the band index,
+    namespaced with KEY_TAG_MINHASH."""
+    n, num_perm = sig.shape
+    rows = num_perm // bands
+    sig3 = sig.astype(np.uint64).reshape(n, bands, rows)
+    acc = np.zeros((n, bands), np.uint64)
+    for k in range(rows):
+        acc = acc * _HASH_BASE + sig3[:, :, k]
+    acc = acc * _HASH_BASE + np.arange(bands, dtype=np.uint64)[None, :]
+    return tag_keys(acc.reshape(-1), KEY_TAG_MINHASH).reshape(n, bands)
+
+
 def default_doc_keys(
     title: str, body: str, media_sig: str, hasher: MinHasher
 ) -> list[str]:
     """The flagship document blocking-key set: exact title key + title
-    n-grams + body minhash bands + media hashes."""
+    n-grams + body minhash bands + media hashes. (Per-row string form for
+    small/diagnostic use; the pipeline path is :func:`batch_doc_keys`.)"""
     keys = exact_key(title, "tt")
     keys += ngram_keys(title, n=5, stride=3, prefix="tn")
     keys += minhash_band_keys(body, hasher, prefix="mh")
     keys += media_keys(media_sig, "md")
     return keys
+
+
+def batch_doc_keys(
+    title_col: pa.ChunkedArray | pa.Array,
+    body_col: pa.ChunkedArray | pa.Array,
+    media_col: pa.ChunkedArray | pa.Array,
+    hasher: MinHasher,
+    *,
+    bands: int = 16,
+    ngram_n: int = 5,
+    ngram_stride: int = 3,
+    shingle: int = 4,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized flagship blocking keys for a whole batch: → (int64 keys,
+    int64 row index per key). Same FAMILIES as :func:`default_doc_keys`
+    (exact title, strided title n-grams, body minhash bands, media-part
+    hashes) but computed entirely from the batch's flat UTF-8 buffers —
+    no per-row Python, no string key materialization. Deviation from the
+    per-row form: docs with an EMPTY body emit no minhash keys (the
+    per-row form emitted the all-zero-signature band keys, needlessly
+    funnelling every empty doc into one hot block)."""
+    import pyarrow.compute as pc
+
+    keys_out: list[np.ndarray] = []
+    rows_out: list[np.ndarray] = []
+
+    norm_title = normalize_utf8(title_col)
+    ft, st, lt = utf8_view(norm_title)
+    n = len(lt)
+
+    # exact title keys (skip empty titles)
+    tt = whole_hashes(ft, st, lt)
+    has_t = lt > 0
+    keys_out.append(tag_keys(tt[has_t], KEY_TAG_EXACT))
+    rows_out.append(np.nonzero(has_t)[0].astype(np.int64))
+
+    # strided title n-grams
+    tn_h, tn_n = window_hashes(ft, st, lt, ngram_n, ngram_stride)
+    keys_out.append(tag_keys(tn_h, KEY_TAG_NGRAM))
+    rows_out.append(np.repeat(np.arange(n, dtype=np.int64), tn_n))
+
+    # body minhash band keys
+    norm_body = normalize_utf8(body_col)
+    sh_flat, sh_lens = batch_char_shingles(norm_body, shingle)
+    sig = batch_signatures(sh_flat, sh_lens, hasher.a, hasher.b)
+    band_k = batch_band_keys(sig, bands)
+    has_b = sh_lens > 0
+    keys_out.append(band_k[has_b].reshape(-1))
+    rows_out.append(
+        np.repeat(np.nonzero(has_b)[0].astype(np.int64), bands)
+    )
+
+    # media keys: one per non-empty '|'-separated part
+    media = pc.fill_null(pc.cast(media_col, pa.string()), "")
+    if isinstance(media, pa.ChunkedArray):
+        media = media.combine_chunks()
+    parts = pc.split_pattern(media, "|")
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    part_counts = np.diff(parts.offsets.to_numpy().astype(np.int64))
+    fp_, sp_, lp_ = utf8_view(parts.values)
+    ph = whole_hashes(fp_, sp_, lp_)
+    keep = lp_ > 0
+    keys_out.append(tag_keys(ph[keep], KEY_TAG_MEDIA))
+    rows_out.append(
+        np.repeat(np.arange(n, dtype=np.int64), part_counts)[keep]
+    )
+
+    return np.concatenate(keys_out), np.concatenate(rows_out)

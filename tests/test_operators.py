@@ -348,21 +348,43 @@ def test_hash_join_null_keys_sql_semantics(ray_session):
     assert louter[louter["lv"] == 2]["rv"].isna().all()
 
 
+def naive_shingle_hashes(text, n=4):
+    """Independent pure-Python (big-int) reimplementation of the engine's
+    shingle hashing: normalize, char n-grams (whole string if shorter),
+    mod-2**64 polynomial hash >> 3, sorted unique."""
+    import re
+
+    t = re.sub(r"[^a-z0-9]+", " ", text.lower()).strip()
+    if not t:
+        return []
+
+    def poly(s):
+        h = 0
+        for byte in s.encode():
+            h = (h * 1000003 + byte) % (1 << 64)
+        return h >> 3
+
+    grams = [t] if len(t) < n else [t[i:i + n] for i in range(len(t) - n + 1)]
+    return sorted({poly(g) for g in grams})
+
+
+def test_char_shingles_vs_naive():
+    from record_matcher_ray.stages.blocking import char_shingles
+
+    for t in ["", "a", "Tiny!", "The quick brown fox... jumps; over 42 dogs",
+              "ünïcode Straße mixed"]:
+        assert char_shingles(t, 4).tolist() == naive_shingle_hashes(t, 4), t
+
+
 def test_simhash_vs_naive(ray_session):
     """Pin simhash64 against an independent pure-Python reimplementation
     (big-int arithmetic, no numpy) of the same definition."""
-    import zlib
-
     import ray.data as rd
 
     from record_matcher_ray.pipelines.dedup import simhash64
 
     def naive_simhash(text, shingle=4):
-        if len(text) < shingle:
-            grams = [text] if text else []
-        else:
-            grams = [text[i:i + shingle] for i in range(len(text) - shingle + 1)]
-        hs = sorted({zlib.crc32(g.encode()) for g in grams})
+        hs = naive_shingle_hashes(text, shingle)
         if not hs:
             return 0
         votes = [0] * 64
@@ -378,13 +400,5 @@ def test_simhash_vs_naive(ray_session):
              "zzz completely unrelated material qqq " * 3]
     ds = rd.from_pandas(pd.DataFrame({"id": range(len(texts)), "text": texts}))
     out = simhash64(ds, "text", "id").to_pandas().set_index("id")["simhash"]
-    from record_matcher_ray.stages.blocking import char_shingles
     for i, t in enumerate(texts):
-        # only compare when the engine's shingler matches the naive gram
-        # definition (unique crc32 of char 4-grams)
-        expect_set = sorted({zlib.crc32(t[j:j+4].encode())
-                             for j in range(max(0, len(t) - 3))} | (
-                            {zlib.crc32(t.encode())} if 0 < len(t) < 4 else set()))
-        got_set = sorted(char_shingles(t, 4).tolist())
-        if got_set == expect_set:
-            assert out[i] == naive_simhash(t), f"doc {i}"
+        assert out[i] == naive_simhash(t), f"doc {i}"
