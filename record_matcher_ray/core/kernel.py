@@ -51,16 +51,22 @@ NO_WINNER = -1
 
 
 def as_string_array(values, n: int | None = None) -> np.ndarray:
-    """Normalize a column to an object array of strings; null/missing → ""."""
+    """Normalize a column to an object array of strings; null/missing → "".
+
+    Falsy NON-STRING scalars (0, False, 0.0) also map to "" — the
+    reference's blank test is a raw truthiness check (``if value``,
+    matcher.py:173-175 / records.py:66), so such rows carry no weight in
+    matching, uniqueness or grouping. Truthy non-strings stringify
+    (42 → "42")."""
     if values is None:
         return np.full(n, "", dtype=object)
     arr = np.asarray(values, dtype=object)
     out = np.empty(len(arr), dtype=object)
     for i, v in enumerate(arr):
-        if v is None or v is np.nan or (isinstance(v, float) and np.isnan(v)):
-            out[i] = ""
-        elif isinstance(v, str):
+        if isinstance(v, str):
             out[i] = v
+        elif v is None or not v or (isinstance(v, float) and np.isnan(v)):
+            out[i] = ""
         else:
             out[i] = str(v)
     return out
@@ -224,6 +230,15 @@ def score_block(
         ``winner_score``.
         copied: target x_column → object array (None where not copied) for
         ``columns_to_get``.
+
+    Documented deviation (whole distributed path): ambiguous-tie strings
+    (``rows_matched`` / ``match_score``) are ordered by (first passing
+    column, position of the y row within the block AS RECEIVED). In the
+    local API the block order is y-insertion order, matching the
+    reference's candidate-insertion order exactly; after Ray's sort
+    shuffle the within-group row order is an execution artifact, so tie
+    ORDER (not membership, scores or status) may differ from the reference
+    there — same caveat as the salted hot-key path.
     """
     nx = len(x_ids)
     ny = len(y_ids)

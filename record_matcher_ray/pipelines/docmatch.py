@@ -22,6 +22,7 @@ never silently (no-silent-caps rule).
 from __future__ import annotations
 
 from collections import Counter
+from collections.abc import Callable
 
 import numpy as np
 import pandas as pd
@@ -137,10 +138,20 @@ def match_documents(
     max_block_side: int = 256,
     concurrency: int | None = None,
     cluster_edges: bool = True,
+    progress: "Callable[[str, dict], None] | None" = None,
 ) -> DocMatchResult:
     """x_docs / y_docs: (doc_id, spans) tables (corpus schema). Returns
-    per-x assignments, accepted-pair edges and entity clusters."""
+    per-x assignments, accepted-pair edges and entity clusters.
+
+    ``progress``: optional per-stage driver callback ``(stage, info)`` —
+    fired after flatten, pair scoring, per-x reduce, assignments,
+    unmatched backfill, edges and clustering (the Ray-path analogue of the
+    reference's ``update_func``, matcher.py:320-332)."""
     cfg = cfg or default_doc_config()
+
+    def _tick(stage: str, info: dict) -> None:
+        if callable(progress):
+            progress(stage, info)
 
     # materialized: each flat table is consumed twice (uniqueness pass +
     # key expansion) — without this the read+flatten lineage re-executes
@@ -155,7 +166,9 @@ def match_documents(
         .materialize()
     )
 
+    _tick("flatten", {"x_rows": x_flat.count(), "y_rows": y_flat.count()})
     uniq = table_ops.uniqueness(x_flat, [c for c, _ in cfg.columns_to_match])
+    _tick("uniqueness", dict(uniq))
 
     # only the columns the scorers read travel through the shuffle
     x_match_cols = cfg.x_match_columns()
@@ -173,8 +186,29 @@ def match_documents(
     pair_schema = pa.schema(
         [("x_id", pa.int64()), ("y_id", pa.int64()),
          ("score", pa.float64()), ("optimal", pa.float64()),
-         ("n_scored", pa.int64())]
+         ("n_scored", pa.int64()), ("dropped_groups", pa.int64())]
     )
+
+    def _pair_table(cols: dict, n_dropped: int) -> pa.Table:
+        """Attach the bucket's dropped-group count to the first row (or a
+        sentinel x_id=-1 row when the bucket emitted nothing) so the count
+        survives to the counters without a second pass over stage B."""
+        nrows = len(cols["x_id"]) if cols else 0
+        if nrows == 0:
+            if n_dropped == 0:
+                return pair_schema.empty_table()
+            return pa.table(
+                {"x_id": pa.array([-1], pa.int64()),
+                 "y_id": pa.array([-1], pa.int64()),
+                 "score": pa.array([float("nan")], pa.float64()),
+                 "optimal": pa.array([float("nan")], pa.float64()),
+                 "n_scored": pa.array([0], pa.int64()),
+                 "dropped_groups": pa.array([n_dropped], pa.int64())}
+            )
+        dg = np.zeros(nrows, np.int64)
+        dg[0] = n_dropped
+        cols["dropped_groups"] = pa.array(dg)
+        return pa.table({f.name: cols[f.name] for f in pair_schema})
 
     # ---- stage B: bucketed pair scoring + local per-x argmax --------------
     # one map_groups call per HASH BUCKET of keys (not per key): group
@@ -208,8 +242,13 @@ def match_documents(
             (nx_g > 0) & (ny_g > 0)
             & (nx_g <= max_block_side) & (ny_g <= max_block_side)
         )
+        # groups with both sides present but over the cap are DROPPED —
+        # counted, never silent (docstring contract)
+        n_dropped = int(
+            ((nx_g > 0) & (ny_g > 0) & ~valid).sum()
+        )
         if not valid.any():
-            return pair_schema.empty_table()
+            return _pair_table({}, n_dropped)
         nx_v = nx_g[valid]
         ny_v = ny_g[valid]
         # x rows of valid groups, in sorted order
@@ -232,7 +271,7 @@ def match_documents(
             cols_np, cols_np, xi, yi, cfg, uniq
         )
         if not cand.any():
-            return pair_schema.empty_table()
+            return _pair_table({}, n_dropped)
         # local per-x argmax over this bucket's candidates
         xi_c, yi_c, sc = xi[cand], yi[cand], score[cand]
         x_of = rid[xi_c]
@@ -250,18 +289,33 @@ def match_documents(
         firstk = np.concatenate(([True], x_keep[1:] != x_keep[:-1]))
         grp_sizes = np.repeat(cnts, cnts)[keep]
         n_scored = np.where(firstk, grp_sizes, 0).astype(np.int64)
-        return pa.table(
+        return _pair_table(
             {
                 "x_id": pa.array(x_of[order2][keep]),
                 "y_id": pa.array(rid[yi_c[sel]]),
                 "score": pa.array(sc_s[keep]),
                 "optimal": pa.array(optimal[xi_c[sel]]),
                 "n_scored": pa.array(n_scored),
-            }
+            },
+            n_dropped,
         )
 
+    # stage B output is tiny (tie rows only) — materialize once so the
+    # dropped-group counter and stage C both read it without re-executing
+    # the scoring pass
     pairs = xk.union(yk).groupby("bucket").map_groups(
         score_bucket, batch_format="pyarrow"
+    ).materialize()
+    counters["blocks_dropped"] = int(
+        pairs.aggregate(Sum("dropped_groups"))["sum(dropped_groups)"] or 0
+    )
+    _tick("pair_scoring", {"tie_rows": pairs.count(),
+                           "blocks_dropped": counters["blocks_dropped"]})
+    pairs = pairs.map_batches(
+        lambda t: t.filter(pc.not_equal(t["x_id"], -1)).drop_columns(
+            ["dropped_groups"]
+        ),
+        batch_format="pyarrow",
     )
 
     # ---- stage C: bucketed per-x reduce ----------------------------------
@@ -349,6 +403,8 @@ def match_documents(
     counters["pairs_scored"] = int(
         scored.aggregate(Sum("n_candidates"))["sum(n_candidates)"] or 0
     )
+    _tick("reduce", {"x_with_candidates": scored.count(),
+                     "pairs_scored": counters["pairs_scored"]})
 
     # ---- stage D: duplicate pass + finalize ------------------------------
     flips = compute_flips(scored, cfg.duplicate_threshold)
@@ -382,6 +438,50 @@ def match_documents(
 
     assignments = scored.map_batches(finalize, batch_format="pyarrow").materialize()
 
+    # ---- stage D2: UNMATCHED backfill ------------------------------------
+    # x docs whose every candidate pair was filtered (or that never shared
+    # a block) are ABSENT from `scored`; surface them as UNMATCHED rows so
+    # status accounting over assignments never silently loses rows. One
+    # bounded-bucket hash join over skinny (rid) rows — scale-safe.
+    from record_matcher_ray.pipelines.joins import hash_join
+
+    x_ids_only = x_flat.map_batches(
+        lambda t: pa.table({"x_id": pc.cast(t["rid"], pa.int64())}),
+        batch_format="pyarrow",
+    )
+    marker = assignments.map_batches(
+        lambda t: pa.table(
+            {"x_id_m": t["x_id"].combine_chunks(),
+             "present": pa.array(np.ones(len(t), np.int8))}
+        ),
+        batch_format="pyarrow",
+    )
+    backfill = (
+        hash_join(x_ids_only, marker, "x_id", "x_id_m", how="left")
+        .map_batches(
+            lambda t: (lambda k: pa.table(
+                {
+                    "x_id": k["x_id"].combine_chunks(),
+                    "match_status": pa.array(
+                        [MATCH_STATUS["unmatched"]] * len(k), pa.string()
+                    ),
+                    "winner_y_id": pa.array(np.full(len(k), -1, np.int64)),
+                    "winner_score": pa.nulls(len(k), pa.float64()),
+                    "rows_matched": pa.array([""] * len(k), pa.string()),
+                    "match_score": pa.array([""] * len(k), pa.string()),
+                    "demoted": pa.array(np.zeros(len(k), bool)),
+                }
+            ))(t.filter(pc.is_null(t["present"]))),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    counters["x_without_candidates"] = backfill.count()
+    if counters["x_without_candidates"]:
+        assignments = assignments.union(backfill).materialize()
+    _tick("assignments", {"rows": assignments.count(),
+                          "backfilled": counters["x_without_candidates"]})
+
     # accepted edges for CLUSTERING: every pre-duplicate-pass winner pair
     # (score >= required_threshold, unambiguous). The duplicate pass resolves
     # the 1:1 assignment (multiple mentions of one entity matching the same
@@ -400,8 +500,10 @@ def match_documents(
 
     edges = assignments.map_batches(to_edges, batch_format="pyarrow").materialize()
     counters["matches_accepted"] = edges.count()
+    _tick("edges", {"accepted": counters["matches_accepted"]})
 
     clusters = connected_components(edges) if cluster_edges else None
+    _tick("clustering", {"enabled": cluster_edges})
     return DocMatchResult(assignments, edges, clusters, counters)
 
 

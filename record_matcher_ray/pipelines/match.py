@@ -33,6 +33,7 @@ parquet with lineage manifests.
 from __future__ import annotations
 
 from collections import Counter
+from collections.abc import Callable
 
 import numpy as np
 import pandas as pd
@@ -167,6 +168,7 @@ def match_datasets(
     uniqueness: dict[str, float] | None = None,
     batch_size: int = 4096,
     hot_key_cap: int | None = None,
+    progress: "Callable[[str, dict], None] | None" = None,
 ) -> MatchResult:
     """Match every row of ``x_ds`` against candidates in ``y_ds``.
 
@@ -178,7 +180,15 @@ def match_datasets(
     are split into sub-blocks (skew salting) with a per-x merge, instead of
     landing one giant group on one task. Semantics identical; ambiguous tie
     strings for hot keys order by y_id (documented deviation).
+
+    ``progress``: optional per-stage callback ``(stage_name, info_dict)``
+    — the Ray-path analogue of the reference's ``update_func``
+    (matcher.py:320-332); fired on the driver at stage boundaries
+    (uniqueness → scored → duplicate_pass → summary → finalize_scheduled).
     """
+    def _tick(stage: str, info: dict) -> None:
+        if callable(progress):
+            progress(stage, info)
     x_match_cols = cfg.x_match_columns()
     group_y = [y for y, _ in cfg.columns_to_group]
     group_x = [x for _, x in cfg.columns_to_group]
@@ -188,6 +198,7 @@ def match_datasets(
 
     if uniqueness is None:
         uniqueness = table_ops.uniqueness(x_ds, x_match_cols)
+    _tick("uniqueness", dict(uniqueness))
 
     if cfg.columns_to_group:
         scored = _match_shuffled(
@@ -202,8 +213,10 @@ def match_datasets(
         )
 
     scored = scored.materialize()
+    _tick("scored", {"rows": scored.count()})
     flips = compute_flips(scored, cfg.duplicate_threshold)
     flips_ref = ray.put(flips)
+    _tick("duplicate_pass", {"flips": len(flips)})
 
     # ---- summary (reference over-count quirk, SURVEY.md §2.5.3) ----------
     summary = Counter()
@@ -262,7 +275,9 @@ def match_datasets(
         out[score_col] = score_s
         return out
 
+    _tick("summary", dict(summary))
     final_ds = scored.map_batches(finalize, batch_format="pandas", batch_size=batch_size)
+    _tick("finalize_scheduled", {})
     return MatchResult(final_ds, summary)
 
 
@@ -325,6 +340,13 @@ def _match_shuffled(
 
     hot: dict[str, int] = {}
     if hot_key_cap:
+        # skew detection consumes yp once for counts and again in the
+        # union below — materialize both prepared sides first or the
+        # prepare lineage executes twice (CLAUDE.md multi-consumer rule);
+        # when hot keys exist, xp/yp are additionally consumed by the
+        # cold/hot filter branches
+        xp = xp.materialize()
+        yp = yp.materialize()
         # skew detection: y-side per-key counts; only keys above the cap
         # matter (small result), each mapped to its sub-block fan-out S
         counts = yp.groupby(_KEY).count().to_pandas()

@@ -94,6 +94,11 @@ class StageRunner:
         """Run ``fn(part)`` for every incomplete partition, write each
         atomically with its manifest, and return the union of ALL partition
         outputs (completed partitions are read back, never recomputed)."""
+        if not parts:
+            raise ValueError(
+                f"run_partitioned('{stage}'): empty partition list — pass at "
+                f"least one partition id (use run() for unpartitioned stages)"
+            )
         stage_dir = os.path.join(self.root, f"stage={stage}")
         os.makedirs(stage_dir, exist_ok=True)
         datasets = []

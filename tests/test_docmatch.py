@@ -110,6 +110,39 @@ def test_docmatch_end_to_end_f1(ray_session, corpus_dir):
 
     assert res.counters["pairs_scored"] > 0
     assert res.counters["matches_accepted"] == len(accepted)
+    # status accounting covers the FULL x universe: no silently-absent docs
+    n_x_docs = pq.read_table(f"{corpus_dir}/corpus.parquet").num_rows
+    assert len(adf) == n_x_docs, (len(adf), n_x_docs)
+    assert "blocks_dropped" in res.counters
+    assert "x_without_candidates" in res.counters
+
+
+def test_docmatch_unmatched_backfill(ray_session, corpus_dir):
+    """A doc sharing no blocking key with any registry doc must surface as
+    UNMATCHED (round-1 advice: it was silently absent from assignments)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.docmatch import match_documents
+
+    corpus_schema = pq.read_table(f"{corpus_dir}/corpus.parquet").schema
+    loner = pa.Table.from_pylist(
+        [{"doc_id": "x99999999",
+          "spans": [{"kind": "text", "text": "qqqq zzzz 99999 wwww vvvv",
+                     "media_ref": "", "offset": 0}]}],
+        schema=corpus_schema,
+    )
+    x = rd.read_parquet(f"{corpus_dir}/corpus.parquet").union(
+        rd.from_arrow(loner)
+    )
+    y = rd.read_parquet(f"{corpus_dir}/registry.parquet")
+    res = match_documents(x, y, cluster_edges=False)
+    adf = res.assignments.to_pandas()
+    assert res.counters["x_without_candidates"] >= 1
+    # the loner doc is present and unmatched (its rid is the one whose
+    # status came from the backfill; every doc_id appears exactly once)
+    assert len(adf) == x.count()
+    assert len(set(adf["x_id"])) == len(adf)
 
 
 def test_connected_components_local():
@@ -139,3 +172,19 @@ def test_connected_components_bsp_matches_local(ray_session):
     assert set(got) == set(local)
     for n in local:
         assert got[n] == local[n], n
+
+
+def test_docmatch_progress_hook(ray_session, corpus_dir):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.docmatch import match_documents
+
+    events = []
+    match_documents(
+        rd.read_parquet(f"{corpus_dir}/corpus.parquet"),
+        rd.read_parquet(f"{corpus_dir}/registry.parquet"),
+        cluster_edges=False,
+        progress=lambda s, i: events.append(s),
+    )
+    assert events == ["flatten", "uniqueness", "pair_scoring", "reduce",
+                      "assignments", "edges", "clustering"]

@@ -431,3 +431,29 @@ def test_randomized_parity_ungrouped_exact(reference, seed):
         c.columns_to_get["yid"] = "gotten"
 
     both(reference, x, y, setup)
+
+
+def test_falsy_values_blank_parity(reference):
+    """Raw falsy non-string values (0, False, 0.0) are BLANK in the
+    reference's truthiness test (matcher.py:173-175, records.py:66) —
+    they carry no uniqueness weight, match nothing, and group as blank
+    (round-1 advice item)."""
+    x = {
+        0: {"a": 0, "b": "alpha", "g": 0},
+        1: {"a": False, "b": "beta", "g": 0},
+        2: {"a": "0", "b": "gamma", "g": 0},
+        3: {"a": 7, "b": "delta", "g": 0},
+    }
+    y = {
+        10: {"a": "0", "b": "alpha", "g": 0, "yid": "Y0"},
+        11: {"a": 7, "b": "delta", "g": 0, "yid": "Y1"},
+        12: {"a": "", "b": "beta", "g": 0, "yid": "Y2"},
+    }
+
+    def setup(c):
+        c.columns_to_match["a"] = "a"
+        c.columns_to_match["b"] = "b"
+        c.columns_to_group["g"] = "g"
+        c.columns_to_get["yid"] = "got"
+
+    both(reference, x, y, setup)

@@ -205,3 +205,36 @@ def test_ray_table_ops_group_by_and_dups(ray_session):
     assert table_ops.group_by(ds, {}).count() == 5
     dups = table_ops.duplicated_by_column(ds, "v").to_pandas()
     assert sorted(dups["v"]) == ["3", "3"]
+
+
+def test_progress_hook_fires(ray_session):
+    """Ray-path analogue of the reference's update_func (M2): the stage
+    callback fires in order with driver-side info dicts."""
+    import pandas as pd
+    import ray.data as rd
+
+    from record_matcher_ray.core.config import MatchConfigBuilder
+    from record_matcher_ray.pipelines.match import match_datasets
+
+    x = rd.from_pandas(pd.DataFrame(
+        {"xid": [1, 2], "name": ["ann", "bob"], "seg": ["a", "a"]}
+    ))
+    y = rd.from_pandas(pd.DataFrame(
+        {"yid": [7, 8], "yname": ["ann", "zed"], "yseg": ["a", "a"]}
+    ))
+    b = MatchConfigBuilder(x_columns={"xid", "name", "seg"},
+                           y_columns={"yid", "yname", "yseg"})
+    b.match("name", ["yname"], scorer="exact_match")
+    b.group("yseg", "seg")
+    cfg = b.build()
+
+    events = []
+    res = match_datasets(
+        x, y, cfg, "xid", "yid",
+        progress=lambda stage, info: events.append((stage, info)),
+    )
+    res.dataset.to_pandas()
+    stages = [s for s, _ in events]
+    assert stages == ["uniqueness", "scored", "duplicate_pass", "summary",
+                      "finalize_scheduled"]
+    assert events[1][1]["rows"] == 2
