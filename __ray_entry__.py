@@ -273,6 +273,24 @@ def _q_minhash_recall(sf_dir: str):
     )
 
 
+def _q_ngram_jaccard(sf_dir: str):
+    """EXACT n-gram-Jaccard near-dup pairs (no LSH) — SQL-expressible via
+    an inverted-index self-join, so this one carries a full hash oracle
+    (unlike seed-dependent minhash_dedup_docs)."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.dedup import ngram_jaccard_dedup
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = ngram_jaccard_dedup(
+        ds, "text", "doc_id", jaccard_threshold=60.0
+    ).to_pandas()
+    out["jaccard"] = out["jaccard"].round(6)
+    return out
+
+
 def _q_embedding_near_dups(sf_dir: str):
     """Exact broadcast variant (full recall ⇒ SQL-hash comparable); the
     IVF multi-probe variant is the >1 M-row scale path, recall-tested in
@@ -337,6 +355,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_docs": _q_dedup_exact_docs,
         "minhash_dedup_docs": _q_minhash_dedup,
         "minhash_recall_docs": _q_minhash_recall,
+        "ngram_jaccard_docs": _q_ngram_jaccard,
         "simhash_docs": _q_simhash,
         # similarity search
         "ann_topk": _q_ann_topk,
@@ -518,6 +537,37 @@ def oracle_sql() -> dict[str, str]:
               round(greatest(en,es,fr,de)::DOUBLE / greatest(len(toks), 1), 6)
                 AS lang_score
             FROM h
+        """,
+        "ngram_jaccard_docs": """
+            WITH t AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(coalesce(text, '')),
+                                         '[^a-z0-9]+', ' ', 'g')) AS nt
+              FROM documents
+            ), g AS (
+              SELECT doc_id, unnest(list_distinct(
+                CASE WHEN length(nt) = 0 THEN CAST([] AS VARCHAR[])
+                     WHEN length(nt) < 4 THEN [nt]
+                     ELSE list_transform(generate_series(1, length(nt) - 3),
+                                         i -> substr(nt, i, 4))
+                END)) AS gram
+              FROM t
+            ), sizes AS (
+              SELECT doc_id, count(*) AS n FROM g GROUP BY 1
+            ), pairs AS (
+              SELECT g1.doc_id AS id_a, g2.doc_id AS id_b,
+                     count(*) AS n_common
+              FROM g g1 JOIN g g2
+                ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT p.id_a, p.id_b, p.n_common,
+                   round(100.0 * p.n_common / (sa.n + sb.n - p.n_common), 6)
+                     AS jaccard
+            FROM pairs p
+            JOIN sizes sa ON p.id_a = sa.doc_id
+            JOIN sizes sb ON p.id_b = sb.doc_id
+            WHERE 100.0 * p.n_common / (sa.n + sb.n - p.n_common) >= 60.0
         """,
         "embedding_near_dups": """
             SELECT e1.vec_id AS a, e2.vec_id AS b,

@@ -141,6 +141,50 @@ class _MinhashKeys:
         )
 
 
+def _group_pairs(
+    keys_np: np.ndarray,
+    ids_np: np.ndarray,
+    *,
+    min_size: int = 2,
+    max_size: int | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """All within-group (a < b by sort order) id pairs for every key group
+    in one vectorized pass (cumsum pair-emission idiom — a Python loop over
+    ~millions of tiny groups dominated the round-1 stage). Groups outside
+    [min_size, max_size] emit nothing; ids are assumed unique within a
+    group (callers emit each (key, id) once)."""
+    n = len(keys_np)
+    out_empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+    if n == 0:
+        return out_empty
+    order = np.lexsort((ids_np, keys_np))
+    k_s = keys_np[order]
+    id_s = ids_np[order]
+    bounds = np.nonzero(np.concatenate(([True], k_s[1:] != k_s[:-1])))[0]
+    sizes = np.diff(np.concatenate((bounds, [n])))
+    valid = sizes >= min_size
+    if max_size is not None:
+        valid &= sizes <= max_size
+    if not valid.any():
+        return out_empty
+    g = sizes[valid].astype(np.int64)
+    starts = bounds[valid].astype(np.int64)
+    E = int(g.sum())
+    within_e = np.arange(E) - np.repeat(
+        np.concatenate(([0], np.cumsum(g)[:-1])), g
+    )
+    counts_per_elem = np.repeat(g, g) - 1 - within_e
+    P = int(counts_per_elem.sum())
+    if P == 0:
+        return out_empty
+    pair_start = np.concatenate(([0], np.cumsum(counts_per_elem)[:-1]))
+    within_p = np.arange(P) - np.repeat(pair_start, counts_per_elem)
+    elem_pos = np.repeat(starts, g) + within_e
+    a_pos = np.repeat(elem_pos, counts_per_elem)
+    b_pos = a_pos + 1 + within_p
+    return id_s[a_pos], id_s[b_pos]
+
+
 def _dedupe_pairs_bucketed(pairs: ray.data.Dataset, n_buckets: int = 256) -> ray.data.Dataset:
     """Distinct (a, b) via hash-bucketed groupby + local vectorized dedupe
     (a per-(a,b) groupby would make one Python call per pair)."""
@@ -191,38 +235,15 @@ def minhash_candidates(
         groups of a hash bucket (cumsum arithmetic — a Python loop over
         ~millions of tiny band groups dominated the stage). A doc emits
         each band key once, so ids are unique within a group."""
-        n = len(t)
         empty = pa.schema([("a", pa.int64()), ("b", pa.int64())]).empty_table()
-        if n == 0:
+        if len(t) == 0:
             return empty
-        keys_np = t["band_key"].to_numpy()
-        ids_np = t["id"].to_numpy()
-        order = np.lexsort((ids_np, keys_np))
-        k_s = keys_np[order]
-        id_s = ids_np[order]
-        bounds = np.nonzero(np.concatenate(([True], k_s[1:] != k_s[:-1])))[0]
-        sizes = np.diff(np.concatenate((bounds, [n])))
-        valid = (sizes >= 2) & (sizes <= max_bucket)
-        if not valid.any():
-            return empty
-        g = sizes[valid].astype(np.int64)
-        starts = bounds[valid].astype(np.int64)
-        E = int(g.sum())
-        within_e = np.arange(E) - np.repeat(
-            np.concatenate(([0], np.cumsum(g)[:-1])), g
+        a, b = _group_pairs(
+            t["band_key"].to_numpy(), t["id"].to_numpy(), max_size=max_bucket
         )
-        counts_per_elem = np.repeat(g, g) - 1 - within_e
-        P = int(counts_per_elem.sum())
-        if P == 0:
+        if len(a) == 0:
             return empty
-        pair_start = np.concatenate(([0], np.cumsum(counts_per_elem)[:-1]))
-        within_p = np.arange(P) - np.repeat(pair_start, counts_per_elem)
-        elem_pos = np.repeat(starts, g) + within_e
-        a_pos = np.repeat(elem_pos, counts_per_elem)
-        b_pos = a_pos + 1 + within_p
-        return pa.table(
-            {"a": pa.array(id_s[a_pos]), "b": pa.array(id_s[b_pos])}
-        )
+        return pa.table({"a": pa.array(a), "b": pa.array(b)})
 
     pairs = keys.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
     return _dedupe_pairs_bucketed(pairs, n_buckets)
@@ -450,3 +471,139 @@ def simhash64(
         )
 
     return ds.map_batches(fp, batch_format="pyarrow")
+
+
+def ngram_jaccard_dedup(
+    ds: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle: int = 4,
+    jaccard_threshold: float = 60.0,
+    n_buckets: int = 256,
+    max_doc_freq: int | None = None,
+    max_broadcast_docs: int = 50_000_000,
+) -> ray.data.Dataset:
+    """EXACT n-gram-Jaccard near-dup pairs — no LSH approximation.
+
+    The non-approximate sibling of :func:`minhash_dedup` (same normalized
+    character-``shingle`` domain): inverted index on shingle hashes →
+    per-shingle co-occurrence pairs (bucketed, vectorized) → partial
+    pair-count combine inside each bucket task → one small groupby-sum →
+    jaccard = |A∩B| / (|A|+|B|-|A∩B|) against broadcast per-doc set sizes.
+    Output: (id_a, id_b, n_common, jaccard) for pairs ≥ threshold.
+
+    Scale notes: cost is Σ_g df(g)² over shingles g — exact-mode is for
+    corpora where no shingle is near-universal. ``max_doc_freq`` drops
+    shingles seen in more docs than the cap (standard stop-shingle
+    pruning; results then under-count by those grams — documented
+    approximation, off by default so the oracle comparison stays exact).
+    Per-doc set sizes (two int64s/doc) are broadcast once via ``ray.put``
+    with a ``max_broadcast_docs`` guard; beyond that, attach sizes with
+    ``joins.hash_join`` instead.
+    """
+    sh = _shingle_table(ds, text_col, id_col, shingle).materialize()
+
+    # ---- per-doc distinct-shingle counts, broadcast once ----------------
+    import ray as _ray
+
+    n_docs = sh.count()
+    if n_docs > max_broadcast_docs:
+        raise ValueError(
+            f"{n_docs:,} docs exceeds max_broadcast_docs="
+            f"{max_broadcast_docs:,}; attach sizes via joins.hash_join "
+            "instead of the broadcast path."
+        )
+    size_ids, size_ns = [], []
+    for b in sh.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        col = b["sh"].combine_chunks()
+        size_ids.append(b["id"].to_numpy())
+        size_ns.append(np.diff(col.offsets.to_numpy()).astype(np.int64))
+    ids_cat = np.concatenate(size_ids) if size_ids else np.empty(0, np.int64)
+    ns_cat = np.concatenate(size_ns) if size_ns else np.empty(0, np.int64)
+    order = np.argsort(ids_cat)
+    sizes_ref = _ray.put((ids_cat[order], ns_cat[order]))
+
+    # ---- explode to (bucket, gram, id) ----------------------------------
+    def explode(t: pa.Table) -> pa.Table:
+        col = t["sh"].combine_chunks()
+        lens = np.diff(col.offsets.to_numpy()).astype(np.int64)
+        grams = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = np.repeat(t["id"].to_numpy(), lens)
+        buckets = (
+            grams.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            >> np.uint64(33)
+        ) % np.uint64(n_buckets)
+        return pa.table(
+            {"bucket": pa.array(buckets.astype(np.int64)),
+             "gram": pa.array(grams),
+             "id": pa.array(ids)}
+        )
+
+    # ---- per-bucket pair emission + LOCAL partial count combine ---------
+    def bucket_pair_counts(t: pa.Table) -> pa.Table:
+        empty = pa.schema(
+            [("pb", pa.int64()), ("a", pa.int64()), ("b", pa.int64()),
+             ("cnt", pa.int64())]
+        ).empty_table()
+        if len(t) == 0:
+            return empty
+        a, b = _group_pairs(
+            t["gram"].to_numpy(), t["id"].to_numpy(), max_size=max_doc_freq
+        )
+        if len(a) == 0:
+            return empty
+        # partial combine: many grams in this bucket hit the same (a, b)
+        key = a * np.int64(1_000_003) ^ b
+        order = np.lexsort((b, a))
+        a_s, b_s, k_s = a[order], b[order], key[order]
+        first = np.concatenate(
+            ([True], (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1]))
+        )
+        starts = np.nonzero(first)[0]
+        cnt = np.diff(np.concatenate((starts, [len(a_s)])))
+        pb = (k_s[starts].view(np.uint64) >> np.uint64(17)) % np.uint64(n_buckets)
+        return pa.table(
+            {"pb": pa.array(pb.astype(np.int64)),
+             "a": pa.array(a_s[starts]), "b": pa.array(b_s[starts]),
+             "cnt": pa.array(cnt.astype(np.int64))}
+        )
+
+    # ---- global pair-count sum + jaccard --------------------------------
+    def sum_and_score(t: pa.Table) -> pa.Table:
+        empty = pa.schema(
+            [("id_a", pa.int64()), ("id_b", pa.int64()),
+             ("n_common", pa.int64()), ("jaccard", pa.float64())]
+        ).empty_table()
+        if len(t) == 0:
+            return empty
+        a = t["a"].to_numpy()
+        b = t["b"].to_numpy()
+        cnt = t["cnt"].to_numpy()
+        order = np.lexsort((b, a))
+        a_s, b_s, c_s = a[order], b[order], cnt[order]
+        first = np.concatenate(
+            ([True], (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1]))
+        )
+        starts = np.nonzero(first)[0]
+        n_common = np.add.reduceat(c_s, starts)
+        ua, ub = a_s[starts], b_s[starts]
+        sid, sn = _ray.get(sizes_ref)
+        na = sn[np.searchsorted(sid, ua)]
+        nb = sn[np.searchsorted(sid, ub)]
+        denom = (na + nb - n_common).astype(np.float64)
+        jac = 100.0 * n_common / denom
+        keep = jac >= jaccard_threshold
+        return pa.table(
+            {"id_a": pa.array(ua[keep]), "id_b": pa.array(ub[keep]),
+             "n_common": pa.array(n_common[keep].astype(np.int64)),
+             "jaccard": pa.array(jac[keep])}
+        )
+
+    return (
+        sh.map_batches(explode, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_pair_counts, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(sum_and_score, batch_format="pyarrow")
+    )

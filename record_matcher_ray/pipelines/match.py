@@ -168,6 +168,7 @@ def match_datasets(
     uniqueness: dict[str, float] | None = None,
     batch_size: int = 4096,
     hot_key_cap: int | None = None,
+    max_broadcast_rows: int = 5_000_000,
     progress: "Callable[[str, dict], None] | None" = None,
 ) -> MatchResult:
     """Match every row of ``x_ds`` against candidates in ``y_ds``.
@@ -180,6 +181,12 @@ def match_datasets(
     are split into sub-blocks (skew salting) with a per-x merge, instead of
     landing one giant group on one task. Semantics identical; ambiguous tie
     strings for hot keys order by y_id (documented deviation).
+
+    ``max_broadcast_rows``: guard for the ungrouped path (no blocking
+    columns), which broadcasts ALL of Y into the object store. A Y larger
+    than this raises with guidance instead of OOMing the driver — give Y
+    blocking columns (``columns_to_group``) so the shuffled path runs, as
+    the reference itself requires for tractability at scale.
 
     ``progress``: optional per-stage callback ``(stage_name, info_dict)``
     — the Ray-path analogue of the reference's ``update_func``
@@ -210,6 +217,7 @@ def match_datasets(
         scored = _match_broadcast(
             x_ds, y_ds, cfg, x_id, y_id, uniqueness,
             x_match_cols, y_needed, batch_size,
+            max_broadcast_rows=max_broadcast_rows,
         )
 
     scored = scored.materialize()
@@ -655,14 +663,26 @@ def _score_tables(xt, yt, cfg, uniq, x_passthrough, x_match_cols) -> pa.Table:
 
 
 def _match_broadcast(
-    x_ds, y_ds, cfg, x_id, y_id, uniq, x_match_cols, y_needed, batch_size
+    x_ds, y_ds, cfg, x_id, y_id, uniq, x_match_cols, y_needed, batch_size,
+    *, max_broadcast_rows: int = 5_000_000,
 ):
     """No blocking columns: every x scores against ALL of Y (reference
     ungrouped semantics, matcher.py:179-182 with an empty group map). Y is
     collected once, put in the object store ONCE, and read zero-copy by
     every scoring task — never re-shipped per batch. This is the
-    broadcast-small-side pattern; a Y too large to broadcast should be given
-    blocking columns (as the reference itself requires for tractability)."""
+    broadcast-small-side pattern; a Y larger than ``max_broadcast_rows``
+    raises with guidance instead of OOMing the driver — give Y blocking
+    columns (as the reference itself requires for tractability)."""
+    y_ds = y_ds.materialize()  # blocks stay in the (spillable) object store
+    n_y = y_ds.count()  # metadata-only after materialize
+    if n_y > max_broadcast_rows:
+        raise ValueError(
+            f"ungrouped match would broadcast {n_y:,} y-rows to the driver, "
+            f"over max_broadcast_rows={max_broadcast_rows:,}. The O(|X|*|Y|) "
+            "ungrouped path is broadcast-only by design; set columns_to_group "
+            "on the config so the blocked shuffled path runs, or raise "
+            "max_broadcast_rows if the driver really has the memory."
+        )
     y_tables = ray.get(y_ds.to_arrow_refs())
     y_tbl = pa.concat_tables([t for t in y_tables if len(t)]) if y_tables else None
 

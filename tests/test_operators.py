@@ -351,18 +351,29 @@ def test_hash_join_null_keys_sql_semantics(ray_session):
 def naive_shingle_hashes(text, n=4):
     """Independent pure-Python (big-int) reimplementation of the engine's
     shingle hashing: normalize, char n-grams (whole string if shorter),
-    mod-2**64 polynomial hash >> 3, sorted unique."""
+    mod-2**64 polynomial hash, splitmix64 finalizer, >> 3, sorted
+    unique."""
     import re
 
     t = re.sub(r"[^a-z0-9]+", " ", text.lower()).strip()
     if not t:
         return []
 
+    M = (1 << 64) - 1
+
+    def mix(h):
+        h ^= h >> 30
+        h = (h * 0xBF58476D1CE4E5B9) & M
+        h ^= h >> 27
+        h = (h * 0x94D049BB133111EB) & M
+        h ^= h >> 31
+        return h
+
     def poly(s):
         h = 0
         for byte in s.encode():
             h = (h * 1000003 + byte) % (1 << 64)
-        return h >> 3
+        return mix(h) >> 3
 
     grams = [t] if len(t) < n else [t[i:i + n] for i in range(len(t) - n + 1)]
     return sorted({poly(g) for g in grams})
@@ -402,3 +413,81 @@ def test_simhash_vs_naive(ray_session):
     out = simhash64(ds, "text", "id").to_pandas().set_index("id")["simhash"]
     for i, t in enumerate(texts):
         assert out[i] == naive_simhash(t), f"doc {i}"
+
+
+def test_group_pairs_vs_naive():
+    """_group_pairs (vectorized within-group pair emission) against an
+    itertools reference on random key groups, incl. size bounds."""
+    from itertools import combinations
+
+    from record_matcher_ray.pipelines.dedup import _group_pairs
+
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        n = int(rng.integers(0, 200))
+        keys = rng.integers(0, 12, n)
+        ids = rng.permutation(10_000)[:n].astype(np.int64)
+        min_s = int(rng.integers(2, 4))
+        max_s = int(rng.integers(min_s, 40)) if trial % 2 else None
+        a, b = _group_pairs(keys, ids, min_size=min_s, max_size=max_s)
+        got = set(zip(a.tolist(), b.tolist()))
+        want = set()
+        for k in np.unique(keys):
+            grp = sorted(ids[keys == k].tolist())
+            if len(grp) < min_s or (max_s is not None and len(grp) > max_s):
+                continue
+            want |= set(combinations(grp, 2))
+        assert got == want, f"trial {trial}"
+
+
+def test_ngram_jaccard_dedup_vs_brute(ray_session):
+    """Exact n-gram Jaccard pairs against a brute-force shingle-set
+    computation over all pairs (same hash domain)."""
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.dedup import ngram_jaccard_dedup
+    from record_matcher_ray.stages.blocking import char_shingles, normalize_text
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    texts = [base, base.replace("quick", "quack"), base + " extra tail",
+             "completely different content about databases",
+             "another unrelated string entirely here", "", "ab", base]
+    ids = list(range(len(texts)))
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": ids, "text": texts}))
+    out = ngram_jaccard_dedup(
+        ds, "text", "doc_id", jaccard_threshold=50.0
+    ).to_pandas()
+    got = {(a, b): (c, round(j, 9)) for a, b, c, j in zip(
+        out["id_a"], out["id_b"], out["n_common"], out["jaccard"])}
+
+    sets = [set(char_shingles(normalize_text(t), 4).tolist()) for t in texts]
+    want = {}
+    for i in ids:
+        for j in ids[i + 1:]:
+            inter = len(sets[i] & sets[j])
+            union = len(sets[i] | sets[j])
+            if union and 100.0 * inter / union >= 50.0:
+                want[(i, j)] = (inter, round(100.0 * inter / union, 9))
+    assert got == want
+    # identical docs 0 and 7 must appear at exactly 100
+    assert got[(0, 7)][1] == 100.0
+
+
+def test_ngram_jaccard_max_doc_freq_prunes(ray_session):
+    """Stop-shingle pruning drops near-universal grams (documented
+    under-count) without affecting rare-gram pairs."""
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.dedup import ngram_jaccard_dedup
+
+    texts = ["aaaa bbbb cccc", "aaaa bbbb dddd", "aaaa eeee ffff",
+             "aaaa gggg hhhh"]
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": range(4), "text": texts}))
+    full = ngram_jaccard_dedup(ds, "text", "doc_id",
+                               jaccard_threshold=1.0).to_pandas()
+    pruned = ngram_jaccard_dedup(ds, "text", "doc_id", jaccard_threshold=1.0,
+                                 max_doc_freq=2).to_pandas()
+    # every doc shares "aaaa"-derived grams → full has all 6 pairs
+    assert len(full) == 6
+    # pruning df>2 grams removes pairs that ONLY shared universal grams
+    assert len(pruned) < len(full)

@@ -238,3 +238,23 @@ def test_progress_hook_fires(ray_session):
     assert stages == ["uniqueness", "scored", "duplicate_pass", "summary",
                       "finalize_scheduled"]
     assert events[1][1]["rows"] == 2
+
+
+def test_match_broadcast_guard_trips(ray_session):
+    """Ungrouped (broadcast) path must refuse an oversized Y with guidance
+    instead of collecting it to the driver (VERDICT r1 missing-item #2)."""
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.match import match_datasets
+
+    x = rd.from_pandas(pd.DataFrame({"xid": [1], "name": ["ann"]}))
+    y = rd.from_pandas(pd.DataFrame(
+        {"yid": range(50), "yname": ["ann"] * 50}
+    ))
+    b = MatchConfigBuilder(x_columns={"xid", "name"},
+                           y_columns={"yid", "yname"})
+    b.match("name", ["yname"], scorer="exact_match")
+    cfg = b.build()
+
+    with pytest.raises(ValueError, match="max_broadcast_rows"):
+        match_datasets(x, y, cfg, "xid", "yid", max_broadcast_rows=10)
