@@ -273,6 +273,20 @@ def _q_minhash_recall(sf_dir: str):
     )
 
 
+def _q_simhash_near_dups(sf_dir: str):
+    """Banded Hamming LSH over simhash64 fingerprints (rows-only: simhash
+    is not SQL-expressible; semantics pinned vs brute-force Hamming in
+    tests/test_operators.py::test_simhash_near_dups_vs_brute)."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.dedup import simhash_near_dups
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return simhash_near_dups(ds, "text", "doc_id", max_hamming=3)
+
+
 def _q_ngram_jaccard(sf_dir: str):
     """EXACT n-gram-Jaccard near-dup pairs (no LSH) — SQL-expressible via
     an inverted-index self-join, so this one carries a full hash oracle
@@ -357,6 +371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_recall_docs": _q_minhash_recall,
         "ngram_jaccard_docs": _q_ngram_jaccard,
         "simhash_docs": _q_simhash,
+        "simhash_near_dups_docs": _q_simhash_near_dups,
         # similarity search
         "ann_topk": _q_ann_topk,
         "embedding_near_dups": _q_embedding_near_dups,

@@ -147,12 +147,16 @@ def _group_pairs(
     *,
     min_size: int = 2,
     max_size: int | None = None,
+    positions: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
     """All within-group (a < b by sort order) id pairs for every key group
     in one vectorized pass (cumsum pair-emission idiom — a Python loop over
     ~millions of tiny groups dominated the round-1 stage). Groups outside
     [min_size, max_size] emit nothing; ids are assumed unique within a
-    group (callers emit each (key, id) once)."""
+    group (callers emit each (key, id) once). ``positions=True`` returns
+    indices into the ORIGINAL input arrays instead of id values, so callers
+    can gather side-along columns (e.g. fingerprints) for each pair
+    member."""
     n = len(keys_np)
     out_empty = (np.empty(0, np.int64), np.empty(0, np.int64))
     if n == 0:
@@ -182,6 +186,8 @@ def _group_pairs(
     elem_pos = np.repeat(starts, g) + within_e
     a_pos = np.repeat(elem_pos, counts_per_elem)
     b_pos = a_pos + 1 + within_p
+    if positions:
+        return order[a_pos], order[b_pos]
     return id_s[a_pos], id_s[b_pos]
 
 
@@ -473,6 +479,139 @@ def simhash64(
     return ds.map_batches(fp, batch_format="pyarrow")
 
 
+_POPCOUNT8 = np.array([bin(i).count("1") for i in range(256)], np.uint8)
+
+
+def _hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Per-element popcount(a ^ b) for uint64 arrays (byte-LUT — portable
+    across numpy versions without ``bitwise_count``)."""
+    x = (a ^ b).view(np.uint8).reshape(-1, 8)
+    return _POPCOUNT8[x].sum(axis=1).astype(np.int64)
+
+
+def simhash_near_dups(
+    ds: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle: int = 4,
+    max_hamming: int = 3,
+    n_buckets: int = 256,
+    max_bucket: int = 20_000,
+) -> ray.data.Dataset:
+    """Near-dup pairs by SimHash Hamming distance: → (id_a, id_b, hamming)
+    for every pair with ``popcount(fp_a ^ fp_b) <= max_hamming``.
+
+    Banded pigeonhole LSH (Manku/Jain/Sarma, "Detecting near-duplicates
+    for web crawling", WWW 2007): split the 64-bit fingerprint into
+    ``max_hamming + 1`` bands — any pair within the Hamming budget agrees
+    EXACTLY on at least one band, so banding has 100% recall (the verify
+    step only removes false positives). Scale shape: each doc emits
+    ``max_hamming + 1`` (band_key, id, fp) rows; band-key groups are
+    hash-bucketed (≤``n_buckets`` Python group calls) with vectorized pair
+    emission, and the fingerprint rides the exchange (8 bytes/doc/band) so
+    verification is local — no second lookup join. Band groups larger
+    than ``max_bucket`` (degenerate fingerprints, e.g. boilerplate) are
+    skipped, like minhash_candidates' hot-bucket cap. Docs whose
+    normalized text is empty (fingerprint 0) are excluded — every empty
+    doc would otherwise pair with every other.
+    """
+    n_bands = max_hamming + 1
+    base_w, extra = divmod(64, n_bands)
+    bands: list[tuple[int, int]] = []
+    off = 0
+    for bi in range(n_bands):
+        w = base_w + (1 if bi < extra else 0)
+        bands.append((off, w))
+        off += w
+
+    fp_ds = simhash64(ds, text_col, id_col, shingle)
+
+    def expand(t: pa.Table) -> pa.Table:
+        from record_matcher_ray.core.hashkernels import mix64
+
+        ids = t["id"].to_numpy()
+        fps = t["simhash"].to_numpy().view(np.uint64)
+        keep = fps != 0
+        ids, fps = ids[keep], fps[keep]
+        n = len(ids)
+        keys = np.empty(n * n_bands, np.uint64)
+        for bi, (o, w) in enumerate(bands):
+            bits = (fps >> np.uint64(o)) & np.uint64((1 << w) - 1)
+            # fold the band index in so identical bit patterns in
+            # different bands never share a key
+            keys[bi * n:(bi + 1) * n] = mix64(
+                bits ^ (np.uint64(bi + 1) * np.uint64(0xD6E8FEB86659FD93))
+            )
+        bucket = (keys % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table(
+            {"bucket": pa.array(bucket),
+             "band_key": pa.array(keys.view(np.int64)),
+             "id": pa.array(np.tile(ids, n_bands)),
+             "fp": pa.array(np.tile(fps.view(np.int64), n_bands))}
+        )
+
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        empty = pa.schema(
+            [("a", pa.int64()), ("b", pa.int64()), ("hamming", pa.int64())]
+        ).empty_table()
+        if len(t) == 0:
+            return empty
+        ids = t["id"].to_numpy()
+        pa_, pb_ = _group_pairs(
+            t["band_key"].to_numpy(), ids,
+            max_size=max_bucket, positions=True,
+        )
+        if len(pa_) == 0:
+            return empty
+        fps = t["fp"].to_numpy().view(np.uint64)
+        ham = _hamming64(fps[pa_], fps[pb_])
+        keep = ham <= max_hamming
+        a, b = ids[pa_][keep], ids[pb_][keep]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pa.table(
+            {"a": pa.array(lo), "b": pa.array(hi),
+             "hamming": pa.array(ham[keep])}
+        )
+
+    cand = fp_ds.map_batches(expand, batch_format="pyarrow").groupby(
+        "bucket"
+    ).map_groups(bucket_pairs, batch_format="pyarrow")
+
+    # a pair can surface from several bands — dedupe on (a, b), keeping the
+    # (identical) hamming of the first occurrence
+    def dedupe(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.schema(
+                [("id_a", pa.int64()), ("id_b", pa.int64()),
+                 ("hamming", pa.int64())]
+            ).empty_table()
+        a = t["a"].to_numpy()
+        b = t["b"].to_numpy()
+        h = t["hamming"].to_numpy()
+        order = np.lexsort((b, a))
+        a_s, b_s, h_s = a[order], b[order], h[order]
+        first = np.concatenate(
+            ([True], (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1]))
+        )
+        return pa.table(
+            {"id_a": pa.array(a_s[first]), "id_b": pa.array(b_s[first]),
+             "hamming": pa.array(h_s[first])}
+        )
+
+    def add_pb(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy()
+        b = t["b"].to_numpy()
+        pb = ((a * np.int64(1000003)) ^ b) % n_buckets
+        return t.append_column("pb", pa.array(pb.astype(np.int64)))
+
+    return (
+        cand.map_batches(add_pb, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(dedupe, batch_format="pyarrow")
+    )
+
+
 def ngram_jaccard_dedup(
     ds: ray.data.Dataset,
     text_col: str,
@@ -514,13 +653,26 @@ def ngram_jaccard_dedup(
             f"{max_broadcast_docs:,}; attach sizes via joins.hash_join "
             "instead of the broadcast path."
         )
-    size_ids, size_ns = [], []
-    for b in sh.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        col = b["sh"].combine_chunks()
-        size_ids.append(b["id"].to_numpy())
-        size_ns.append(np.diff(col.offsets.to_numpy()).astype(np.int64))
-    ids_cat = np.concatenate(size_ids) if size_ids else np.empty(0, np.int64)
-    ns_cat = np.concatenate(size_ns) if size_ns else np.empty(0, np.int64)
+    def _sizes(t: pa.Table) -> pa.Table:
+        col = t["sh"].combine_chunks()
+        return pa.table(
+            {"id": t["id"],
+             "n": pa.array(np.diff(col.offsets.to_numpy()).astype(np.int64))}
+        )
+
+    # project to (id, n) REMOTELY first — only two int64s per doc reach the
+    # driver, never the shingle lists themselves
+    size_tbls = _ray.get(
+        sh.map_batches(_sizes, batch_format="pyarrow").to_arrow_refs()
+    )
+    size_tbls = [t for t in size_tbls if len(t)]
+    if size_tbls:
+        cat = pa.concat_tables(size_tbls)
+        ids_cat = cat["id"].to_numpy()
+        ns_cat = cat["n"].to_numpy()
+    else:
+        ids_cat = np.empty(0, np.int64)
+        ns_cat = np.empty(0, np.int64)
     order = np.argsort(ids_cat)
     sizes_ref = _ray.put((ids_cat[order], ns_cat[order]))
 

@@ -491,3 +491,44 @@ def test_ngram_jaccard_max_doc_freq_prunes(ray_session):
     assert len(full) == 6
     # pruning df>2 grams removes pairs that ONLY shared universal grams
     assert len(pruned) < len(full)
+
+
+def test_simhash_near_dups_vs_brute(ray_session):
+    """Banded simhash near-dup pairs against brute-force Hamming over all
+    fingerprint pairs — banding must have 100% recall within the budget
+    (pigeonhole) and the verify step removes everything outside it."""
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.dedup import (
+        _hamming64,
+        simhash64,
+        simhash_near_dups,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    texts = [base, base.replace("quick", "quack"), base + " extra tail",
+             "completely different content about databases here",
+             "another unrelated string entirely for this test", "",
+             base.replace("dog", "cat")]
+    ids = list(range(len(texts)))
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": ids, "text": texts}))
+
+    out = simhash_near_dups(ds, "text", "doc_id", max_hamming=8).to_pandas()
+    got = {(a, b): h for a, b, h in zip(out["id_a"], out["id_b"],
+                                        out["hamming"])}
+
+    fps = (simhash64(ds, "text", "doc_id").to_pandas()
+           .set_index("id")["simhash"])
+    want = {}
+    for i in ids:
+        for j in ids[i + 1:]:
+            fa, fb = np.uint64(fps[i]), np.uint64(fps[j])
+            if fa == 0 or fb == 0:
+                continue  # empty docs are excluded by design
+            h = int(_hamming64(np.array([fa]), np.array([fb]))[0])
+            if h <= 8:
+                want[(i, j)] = h
+    assert got == want
+    # the one-character variant is near the base by construction
+    assert (0, 1) in got
+    assert not any(5 in p for p in got)  # empty doc never pairs
