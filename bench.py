@@ -217,12 +217,39 @@ def bench_ann() -> dict:
     return {"rows": len(out)}
 
 
+def bench_join_dup() -> dict:
+    """High-cardinality shuffle ops (VERDICT r1 #3): bucketed hash_join of
+    lineitem⋈orders on o_orderkey (~600k × 150k at sf0.1) plus
+    duplicated_by_column over lineitem l_partkey — both were per-distinct-key
+    map_groups in round 1; this entry keeps them honest."""
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.joins import hash_join
+    from record_matcher_ray.pipelines.table_ops import duplicated_by_column
+
+    li = rd.read_parquet(
+        f"{SF_DIR}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_quantity"],
+    )
+    orders = rd.read_parquet(
+        f"{SF_DIR}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    joined = hash_join(li, orders, "l_orderkey", "o_orderkey").count()
+    dups = duplicated_by_column(
+        rd.read_parquet(f"{SF_DIR}/lineitem.parquet",
+                        columns=["l_orderkey", "l_partkey"]),
+        "l_partkey",
+    ).count()
+    return {"joined_rows": joined, "dup_rows": dups}
+
+
 BENCHES = {
     "docmatch": bench_docmatch,
     "match_fuzzy": bench_match_fuzzy,
     "lineitem_agg": bench_lineitem_agg,
     "minhash_dedup": bench_minhash_dedup,
     "ann_topk": bench_ann,
+    "join_dup": bench_join_dup,
 }
 
 

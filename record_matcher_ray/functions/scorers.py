@@ -247,19 +247,13 @@ def _jaro_one_vs_many(x: str, ymat: np.ndarray, ylens: np.ndarray) -> np.ndarray
     out = np.zeros(n, dtype=np.float64)
     any_m = matches > 0
     if any_m.any():
-        # transpositions: x-side matched chars in x order vs y-side matched
-        # chars in y order; both as rank-aligned scatter matrices
-        mmax = int(matches.max())
-        xrank = np.where(xflag, xflag.cumsum(axis=1) - 1, 0)
-        xseq = np.zeros((n, mmax), dtype=np.uint32)
+        # transpositions by direct row-major alignment: the k-th matched x
+        # char of a row pairs with its k-th matched y char (equal counts,
+        # nonzero() is row-major) — no rank/scatter matrices needed
         rows, cols = np.nonzero(xflag)
-        xseq[rows, xrank[rows, cols]] = np.broadcast_to(xa, (n, m))[rows, cols]
-        yrank = np.where(yflag, yflag.cumsum(axis=1) - 1, 0)
-        yseq = np.zeros((n, mmax), dtype=np.uint32)
         yrows, ycols = np.nonzero(yflag)
-        yseq[yrows, yrank[yrows, ycols]] = ymat[yrows, ycols]
-        seqmask = np.arange(mmax)[None, :] < matches[:, None]
-        t = ((xseq != yseq) & seqmask).sum(axis=1) // 2
+        diff = xa[cols] != ymat[yrows, ycols]
+        t = np.bincount(rows[diff], minlength=n) // 2
         mm = matches[any_m].astype(np.float64)
         ylen_f = np.maximum(ylens[any_m], 1).astype(np.float64)
         out[any_m] = (
@@ -303,16 +297,45 @@ def jaro_winkler_elementwise(xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
     """Aligned-pair Jaro-Winkler: dense unique-matrix path when the unique
     cross is small, else the pair-axis-vectorized kernel over unique pairs
     (robust to the all-unique-pairs case where per-x grouping degenerates
-    to one call per pair)."""
-    ux, xc = np.unique(xs, return_inverse=True)
-    uy, yc = np.unique(ys, return_inverse=True)
-    pairkey = xc.astype(np.int64) * len(uy) + yc
+    to one call per pair). Dedup/encode via :func:`_elementwise_dedup`
+    (hash factorize + encode-unique-then-gather)."""
+    return _elementwise_dedup(xs, ys, _jw_pairs_mat, jaro_winkler_matrix)
+
+
+def _factorize(arr: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Hash-based (uniques, codes) for an object string array — pandas
+    factorize is O(n) on Python strings where np.unique pays an O(n log n)
+    string-comparison sort (measured ~10× slower on 400k gathered pair
+    values in the docmatch hot path)."""
+    import pandas as pd
+
+    codes, uniques = pd.factorize(arr, sort=False)
+    return np.asarray(uniques, dtype=object), codes.astype(np.int64)
+
+
+def _elementwise_dedup(
+    xs: np.ndarray,
+    ys: np.ndarray,
+    pairs_mat_kernel,
+    matrix_kernel,
+) -> np.ndarray:
+    """Shared aligned-pair dedup driver: factorize both sides, dedupe int
+    pair keys, ENCODE ONLY UNIQUE VALUES and gather encoded rows per unique
+    pair (never re-encoding per pair), then run the pair-axis kernel once.
+    Falls back to the dense unique-cross matrix when that is smaller."""
+    ux, xc = _factorize(xs)
+    uy, yc = _factorize(ys)
+    pairkey = xc * len(uy) + yc
     upk, pinv = np.unique(pairkey, return_inverse=True)
     if len(ux) * len(uy) <= 4 * len(upk):
-        return jaro_winkler_matrix(ux, uy)[xc, yc]
-    xs_u = [str(ux[k // len(uy)]) for k in upk]
-    ys_u = [str(uy[k % len(uy)]) for k in upk]
-    return _jw_pairs(xs_u, ys_u)[pinv]
+        return matrix_kernel(ux, uy)[xc, yc]
+    xmat_u, xlens_u = _encode_padded(list(ux))
+    ymat_u, ylens_u = _encode_padded(list(uy))
+    xi = upk // len(uy)
+    yi = upk % len(uy)
+    return pairs_mat_kernel(
+        xmat_u[xi], xlens_u[xi], ymat_u[yi], ylens_u[yi]
+    )[pinv]
 
 
 def _lev_dist_pairs(
@@ -339,14 +362,70 @@ def _lev_dist_pairs(
     return prev[np.arange(n), ylens]
 
 
-def _lev_sim_pairs(xs: list[str], ys: list[str]) -> np.ndarray:
-    xmat, xlens = _encode_padded(xs)
-    ymat, ylens = _encode_padded(ys)
-    d = _lev_dist_pairs(xmat, xlens, ymat, ylens)
+def _lev_dist_pairs_myers(
+    xmat: np.ndarray, xlens: np.ndarray, ymat: np.ndarray, ylens: np.ndarray
+) -> np.ndarray:
+    """Myers/Hyyrö bit-parallel edit distance of aligned pairs, vectorized
+    across the pair axis (Myers, "A fast bit-vector algorithm for
+    approximate string matching based on dynamic programming", JACM 1999;
+    Hyyrö's distance formulation). One uint64 bit-vector per pair encodes a
+    whole DP column, so the Python loop is O(ly) single-word vector steps
+    instead of the O(lx*ly) classic DP — patterns are capped at 64 chars
+    (callers fall back to :func:`_lev_dist_pairs` above that)."""
+    n, lx = xmat.shape
+    ly = ymat.shape[1]
+    one = np.uint64(1)
+    # per-pair Peq[y_char] built positionally: bit p set iff x[p] == y[j]
+    peq = np.zeros((n, ly), dtype=np.uint64)
+    for p in range(lx):
+        peq |= (ymat == xmat[:, p][:, None]) * np.uint64(1 << p)
+    # pad positions p >= xlens never contribute: xmat pads are 0 and real
+    # chars are nonzero, but y pads are also 0 — mask y pads via `active`
+    vp = np.full(n, ~np.uint64(0))
+    vn = np.zeros(n, dtype=np.uint64)
+    score = xlens.astype(np.int64).copy()
+    safe_shift = np.where(xlens > 0, (xlens - 1) & 63, 0).astype(np.uint64)
+    hib = np.where(xlens > 0, np.left_shift(one, safe_shift), np.uint64(0))
+    for j in range(ly):
+        active = ylens > j
+        if not active.any():
+            break
+        eq = peq[:, j]
+        xv = eq | vn
+        xh = (((eq & vp) + vp) ^ vp) | eq
+        ph = vn | ~(xh | vp)
+        mh = vp & xh
+        delta = ((ph & hib) != 0).astype(np.int64) - ((mh & hib) != 0).astype(
+            np.int64
+        )
+        score += np.where(active, delta, 0)
+        ph = (ph << one) | one
+        mh = mh << one
+        nvp = mh | ~(xv | ph)
+        nvn = ph & xv
+        vp = np.where(active, nvp, vp)
+        vn = np.where(active, nvn, vn)
+    # xlens == 0: distance is ylens (score init 0 and no hib updates)
+    return np.where(xlens > 0, score, ylens.astype(np.int64))
+
+
+def _lev_sim_pairs_mat(
+    xmat: np.ndarray, xlens: np.ndarray, ymat: np.ndarray, ylens: np.ndarray
+) -> np.ndarray:
+    if xmat.shape[1] <= 64:
+        d = _lev_dist_pairs_myers(xmat, xlens, ymat, ylens)
+    else:
+        d = _lev_dist_pairs(xmat, xlens, ymat, ylens)
     denom = np.maximum(np.maximum(xlens, ylens), 1).astype(np.float64)
     sim = 100.0 * (1.0 - d / denom)
     both_empty = (xlens == 0) & (ylens == 0)
     return np.where(both_empty, 100.0, sim)
+
+
+def _lev_sim_pairs(xs: list[str], ys: list[str]) -> np.ndarray:
+    xmat, xlens = _encode_padded(xs)
+    ymat, ylens = _encode_padded(ys)
+    return _lev_sim_pairs_mat(xmat, xlens, ymat, ylens)
 
 
 def _jaro_pairs(
@@ -359,7 +438,7 @@ def _jaro_pairs(
     out = np.zeros(n, dtype=np.float64)
     if n == 0:
         return out
-    match_dist = np.maximum(np.maximum(xlens, ylens) // 2 - 1, 0)
+    match_dist = np.maximum(np.maximum(xlens, ylens) // 2 - 1, 0)[:, None]
     yvalid = np.arange(ly)[None, :] < ylens[:, None] if ly else np.zeros((n, 0), bool)
     yflag = np.zeros((n, ly), dtype=bool)
     xflag = np.zeros((n, lx), dtype=bool)
@@ -369,11 +448,10 @@ def _jaro_pairs(
         if not act.any():
             break
         xc = xmat[:, i]
-        lo = np.maximum(0, i - match_dist)[:, None]
-        hi = np.minimum(ylens, i + match_dist + 1)[:, None]
+        # window |pos - i| <= match_dist replaces the two lo/hi compares
         cand = (
-            (ymat == xc[:, None]) & ~yflag & (pos >= lo) & (pos < hi)
-            & yvalid & act[:, None]
+            (ymat == xc[:, None]) & ~yflag
+            & (np.abs(pos - i) <= match_dist) & yvalid & act[:, None]
         )
         has = cand.any(axis=1)
         first = cand.argmax(axis=1)
@@ -383,17 +461,15 @@ def _jaro_pairs(
     matches = xflag.sum(axis=1)
     any_m = matches > 0
     if any_m.any():
-        mmax = int(matches.max())
-        xrank = np.where(xflag, xflag.cumsum(axis=1) - 1, 0)
-        xseq = np.zeros((n, mmax), dtype=np.uint32)
+        # transpositions WITHOUT rank/scatter matrices: np.nonzero is
+        # row-major, and each row has equally many matched x and y chars,
+        # so the k-th matched x char already aligns with the k-th matched
+        # y char of the same row — compare the two gathers elementwise
+        # (the rank/seq construction was ~5× the cost of the match loop)
         rows, cols = np.nonzero(xflag)
-        xseq[rows, xrank[rows, cols]] = xmat[rows, cols]
-        yrank = np.where(yflag, yflag.cumsum(axis=1) - 1, 0)
-        yseq = np.zeros((n, mmax), dtype=np.uint32)
         yrows, ycols = np.nonzero(yflag)
-        yseq[yrows, yrank[yrows, ycols]] = ymat[yrows, ycols]
-        seqmask = np.arange(mmax)[None, :] < matches[:, None]
-        t = ((xseq != yseq) & seqmask).sum(axis=1) // 2
+        diff = xmat[rows, cols] != ymat[yrows, ycols]
+        t = np.bincount(rows[diff], minlength=n) // 2
         mm = matches[any_m].astype(np.float64)
         xl = np.maximum(xlens[any_m], 1).astype(np.float64)
         yl = np.maximum(ylens[any_m], 1).astype(np.float64)
@@ -402,20 +478,27 @@ def _jaro_pairs(
     return out
 
 
-def _jw_pairs(xs: list[str], ys: list[str]) -> np.ndarray:
-    xmat, xlens = _encode_padded(xs)
-    ymat, ylens = _encode_padded(ys)
+def _jw_pairs_mat(
+    xmat: np.ndarray, xlens: np.ndarray, ymat: np.ndarray, ylens: np.ndarray
+) -> np.ndarray:
     j = _jaro_pairs(xmat, xlens, ymat, ylens)
     boost = j > 0.7
     if boost.any():
+        n = len(xlens)
         kmax = min(4, xmat.shape[1], ymat.shape[1])
-        plen = np.zeros(len(xs), dtype=np.int64)
-        live = np.ones(len(xs), dtype=bool)
+        plen = np.zeros(n, dtype=np.int64)
+        live = np.ones(n, dtype=bool)
         for k in range(kmax):
             live = live & (xlens > k) & (ylens > k) & (xmat[:, k] == ymat[:, k])
             plen += live
         j = np.where(boost, j + plen * 0.1 * (1.0 - j), j)
     return j * 100.0
+
+
+def _jw_pairs(xs: list[str], ys: list[str]) -> np.ndarray:
+    xmat, xlens = _encode_padded(xs)
+    ymat, ylens = _encode_padded(ys)
+    return _jw_pairs_mat(xmat, xlens, ymat, ylens)
 
 
 def _lev_sim_one_vs_many(x: str, ymat: np.ndarray, ylens: np.ndarray) -> np.ndarray:
@@ -430,16 +513,8 @@ def _lev_sim_one_vs_many(x: str, ymat: np.ndarray, ylens: np.ndarray) -> np.ndar
 def levenshtein_elementwise(xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
     """Aligned-pair normalized Levenshtein: dense unique-matrix path when
     the unique cross is small, else the pair-axis-vectorized DP over unique
-    pairs."""
-    ux, xc = np.unique(xs, return_inverse=True)
-    uy, yc = np.unique(ys, return_inverse=True)
-    pairkey = xc.astype(np.int64) * len(uy) + yc
-    upk, pinv = np.unique(pairkey, return_inverse=True)
-    if len(ux) * len(uy) <= 4 * len(upk):
-        return levenshtein_matrix(ux, uy)[xc, yc]
-    xs_u = [str(ux[k // len(uy)]) for k in upk]
-    ys_u = [str(uy[k % len(uy)]) for k in upk]
-    return _lev_sim_pairs(xs_u, ys_u)[pinv]
+    pairs. Dedup/encode via :func:`_elementwise_dedup`."""
+    return _elementwise_dedup(xs, ys, _lev_sim_pairs_mat, levenshtein_matrix)
 
 
 def lift_scalar_matrix(

@@ -441,41 +441,60 @@ def match_documents(
     # ---- stage D2: UNMATCHED backfill ------------------------------------
     # x docs whose every candidate pair was filtered (or that never shared
     # a block) are ABSENT from `scored`; surface them as UNMATCHED rows so
-    # status accounting over assignments never silently loses rows. One
-    # bounded-bucket hash join over skinny (rid) rows — scale-safe.
-    from record_matcher_ray.pipelines.joins import hash_join
+    # status accounting over assignments never silently loses rows.
+    # Fast path: the assigned-id SET is skinny int64s — broadcast it once
+    # and anti-filter x ids with zero shuffle (semi_join); above the
+    # broadcast cap fall back to the bounded-bucket hash join.
+    from record_matcher_ray.pipelines.joins import hash_join, semi_join
 
     x_ids_only = x_flat.map_batches(
         lambda t: pa.table({"x_id": pc.cast(t["rid"], pa.int64())}),
         batch_format="pyarrow",
     )
-    marker = assignments.map_batches(
-        lambda t: pa.table(
-            {"x_id_m": t["x_id"].combine_chunks(),
-             "present": pa.array(np.ones(len(t), np.int8))}
-        ),
-        batch_format="pyarrow",
-    )
-    backfill = (
-        hash_join(x_ids_only, marker, "x_id", "x_id_m", how="left")
-        .map_batches(
-            lambda t: (lambda k: pa.table(
-                {
-                    "x_id": k["x_id"].combine_chunks(),
-                    "match_status": pa.array(
-                        [MATCH_STATUS["unmatched"]] * len(k), pa.string()
-                    ),
-                    "winner_y_id": pa.array(np.full(len(k), -1, np.int64)),
-                    "winner_score": pa.nulls(len(k), pa.float64()),
-                    "rows_matched": pa.array([""] * len(k), pa.string()),
-                    "match_score": pa.array([""] * len(k), pa.string()),
-                    "demoted": pa.array(np.zeros(len(k), bool)),
-                }
-            ))(t.filter(pc.is_null(t["present"]))),
+
+    def _unmatched_rows(k: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "x_id": k["x_id"].combine_chunks(),
+                "match_status": pa.array(
+                    [MATCH_STATUS["unmatched"]] * len(k), pa.string()
+                ),
+                "winner_y_id": pa.array(np.full(len(k), -1, np.int64)),
+                "winner_score": pa.nulls(len(k), pa.float64()),
+                "rows_matched": pa.array([""] * len(k), pa.string()),
+                "match_score": pa.array([""] * len(k), pa.string()),
+                "demoted": pa.array(np.zeros(len(k), bool)),
+            }
+        )
+
+    n_assigned = assignments.count()  # metadata (materialized above)
+    if n_assigned <= 20_000_000:
+        missing = semi_join(
+            x_ids_only,
+            assignments.map_batches(
+                lambda t: pa.table({"x_id": t["x_id"].combine_chunks()}),
+                batch_format="pyarrow",
+            ),
+            on="x_id",
+            anti=True,
+        )
+    else:  # broadcast would be GBs — bounded-bucket hash join instead
+        marker = assignments.map_batches(
+            lambda t: pa.table(
+                {"x_id_m": t["x_id"].combine_chunks(),
+                 "present": pa.array(np.ones(len(t), np.int8))}
+            ),
             batch_format="pyarrow",
         )
-        .materialize()
-    )
+        missing = hash_join(
+            x_ids_only, marker, "x_id", "x_id_m", how="left"
+        ).map_batches(
+            lambda t: t.filter(pc.is_null(t["present"])).select(["x_id"]),
+            batch_format="pyarrow",
+        )
+    backfill = missing.map_batches(
+        _unmatched_rows, batch_format="pyarrow"
+    ).materialize()
     counters["x_without_candidates"] = backfill.count()
     if counters["x_without_candidates"]:
         assignments = assignments.union(backfill).materialize()
