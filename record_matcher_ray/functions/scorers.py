@@ -325,17 +325,36 @@ def _elementwise_dedup(
     Falls back to the dense unique-cross matrix when that is smaller."""
     ux, xc = _factorize(xs)
     uy, yc = _factorize(ys)
+    if len(ux) == 0 or len(uy) == 0:
+        return np.zeros(len(xs), dtype=np.float64)
     pairkey = xc * len(uy) + yc
     upk, pinv = np.unique(pairkey, return_inverse=True)
     if len(ux) * len(uy) <= 4 * len(upk):
         return matrix_kernel(ux, uy)[xc, yc]
     xmat_u, xlens_u = _encode_padded(list(ux))
     ymat_u, ylens_u = _encode_padded(list(uy))
+    # ASCII-range corpora fit uint8 — 4× less memory traffic through every
+    # kernel temporary (32 parallel scoring tasks are DRAM-bandwidth
+    # bound, not FLOP bound)
+    if (
+        (xmat_u.size == 0 or xmat_u.max() < 256)
+        and (ymat_u.size == 0 or ymat_u.max() < 256)
+    ):
+        xmat_u = xmat_u.astype(np.uint8)
+        ymat_u = ymat_u.astype(np.uint8)
     xi = upk // len(uy)
     yi = upk % len(uy)
-    return pairs_mat_kernel(
-        xmat_u[xi], xlens_u[xi], ymat_u[yi], ylens_u[yi]
-    )[pinv]
+    # chunk the pair axis so each kernel invocation's temporaries stay
+    # cache-sized instead of streaming hundreds of MB through DRAM
+    out = np.empty(len(upk), dtype=np.float64)
+    step = 1 << 16
+    for s in range(0, len(upk), step):
+        e = min(s + step, len(upk))
+        xs_i, ys_i = xi[s:e], yi[s:e]
+        out[s:e] = pairs_mat_kernel(
+            xmat_u[xs_i], xlens_u[xs_i], ymat_u[ys_i], ylens_u[ys_i]
+        )
+    return out[pinv]
 
 
 def _lev_dist_pairs(
@@ -374,18 +393,29 @@ def _lev_dist_pairs_myers(
     (callers fall back to :func:`_lev_dist_pairs` above that)."""
     n, lx = xmat.shape
     ly = ymat.shape[1]
-    one = np.uint64(1)
+    # word width sized to the pattern length — the whole inner loop is
+    # elementwise ops over n-vectors of this dtype, so uint16 instead of
+    # uint64 quarters the memory traffic for short-string workloads
+    if lx <= 8:
+        dt = np.uint8
+    elif lx <= 16:
+        dt = np.uint16
+    elif lx <= 32:
+        dt = np.uint32
+    else:
+        dt = np.uint64
+    one = dt(1)
     # per-pair Peq[y_char] built positionally: bit p set iff x[p] == y[j]
-    peq = np.zeros((n, ly), dtype=np.uint64)
+    peq = np.zeros((n, ly), dtype=dt)
     for p in range(lx):
-        peq |= (ymat == xmat[:, p][:, None]) * np.uint64(1 << p)
+        peq |= (ymat == xmat[:, p][:, None]) * dt(1 << p)
     # pad positions p >= xlens never contribute: xmat pads are 0 and real
     # chars are nonzero, but y pads are also 0 — mask y pads via `active`
-    vp = np.full(n, ~np.uint64(0))
-    vn = np.zeros(n, dtype=np.uint64)
+    vp = np.full(n, ~dt(0), dtype=dt)
+    vn = np.zeros(n, dtype=dt)
     score = xlens.astype(np.int64).copy()
-    safe_shift = np.where(xlens > 0, (xlens - 1) & 63, 0).astype(np.uint64)
-    hib = np.where(xlens > 0, np.left_shift(one, safe_shift), np.uint64(0))
+    safe_shift = np.where(xlens > 0, (xlens - 1) & 63, 0).astype(dt)
+    hib = np.where(xlens > 0, np.left_shift(one, safe_shift), dt(0))
     for j in range(ly):
         active = ylens > j
         if not active.any():
