@@ -227,10 +227,14 @@ def minhash_candidates(
     seed: int = 1,
     max_bucket: int = 200,
     n_buckets: int = 256,
+    distinct: bool = True,
 ) -> ray.data.Dataset:
-    """→ distinct candidate pairs (a, b), a < b, sharing any LSH band.
-    Band buckets larger than ``max_bucket`` are dropped
-    (non-discriminative)."""
+    """→ candidate pairs (a, b), a < b, sharing any LSH band. Band
+    buckets larger than ``max_bucket`` are dropped (non-discriminative).
+    ``distinct=False`` skips the cross-band distinct pass (one full
+    shuffle of the pair stream) — callers that filter the pairs anyway
+    (minhash_dedup's estimate prefilter) dedupe the much smaller
+    SURVIVOR set instead."""
     keys = ds.map_batches(
         _MinhashKeys(text_col, id_col, num_perm, bands, shingle, seed, n_buckets),
         batch_format="pyarrow",
@@ -252,6 +256,8 @@ def minhash_candidates(
         return pa.table({"a": pa.array(a), "b": pa.array(b)})
 
     pairs = keys.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
+    if not distinct:
+        return pairs
     return _dedupe_pairs_bucketed(pairs, n_buckets)
 
 
@@ -318,6 +324,135 @@ def _pairwise_jaccard(
     return np.round(sims, 6)
 
 
+def _signature_u8_lookup(
+    ds: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    shingle: int,
+    num_perm: int,
+    seed: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """→ (ids sorted asc, (n, num_perm) uint8 signature matrix aligned to
+    them). Signatures are the SAME MinHash permutations as candidate
+    generation, folded to one byte per permutation (equality testing only
+    — a 1/256 accidental byte collision inflates the similarity estimate
+    by ~0.4 points on average, absorbed by the filter margin). 64 bytes
+    per doc ⇒ 1 M docs is 64 MB broadcast."""
+
+    def sigs(t: pa.Table) -> pa.Table:
+        from record_matcher_ray.core.hashkernels import (
+            batch_signatures,
+            normalize_utf8,
+        )
+        from record_matcher_ray.stages.blocking import (
+            MinHasher,
+            batch_char_shingles,
+        )
+
+        hasher = MinHasher(num_perm=num_perm, seed=seed)
+        ids = t[id_col].to_numpy()
+        sh_flat, sh_lens = batch_char_shingles(
+            normalize_utf8(t[text_col]), shingle
+        )
+        sig = batch_signatures(sh_flat, sh_lens, hasher.a, hasher.b)
+        u8 = (
+            (sig.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+            >> np.uint64(56)
+        ).astype(np.uint8)
+        return pa.table(
+            {
+                "id": pa.array(np.asarray(ids, np.int64)),
+                "sig": pa.FixedSizeListArray.from_arrays(
+                    pa.array(u8.reshape(-1)), num_perm
+                ),
+            }
+        )
+
+    tbls = [
+        t
+        for t in ray.get(
+            ds.map_batches(sigs, batch_format="pyarrow").to_arrow_refs()
+        )
+        if len(t)
+    ]
+    if not tbls:
+        return np.empty(0, np.int64), np.empty((0, num_perm), np.uint8)
+    cat = pa.concat_tables(tbls)
+    ids = cat["id"].to_numpy()
+    mat = (
+        cat["sig"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        .reshape(len(ids), num_perm)
+    )
+    order = np.argsort(ids, kind="stable")
+    return ids[order], np.ascontiguousarray(mat[order])
+
+
+_MASK45 = np.int64((1 << 45) - 1)
+
+
+def _shingle45_broadcast(
+    sh: ray.data.Dataset,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Collect the (id, sh) shingle table into contiguous driver arrays:
+    → (ids sorted asc, per-doc starts, per-doc lens, flat shingles) with
+    each doc's shingles MASKED to 45 bits, deduped and sorted ascending —
+    the layout the searchsorted verify kernel requires (pair_rank<<45 |
+    value must fit int64). The 45-bit fold merges two distinct grams
+    within one doc pair with probability ~|A∪B|²/2^46 (~1e-9 at 10³
+    grams) — far below the 6-decimal rounding of the reported jaccard.
+
+    Two measured sandbox pathologies shape this function (690 k docs /
+    67.5 M shingles): per-batch ``iter_batches`` collection took 258 s vs
+    ~3 s for ``to_arrow_refs`` + one concat; and FIRST-TOUCH page faults
+    on fresh allocations run ~20 MB/s in the microVM (one-time per
+    process), so the flat array is NEVER reordered — only the tiny
+    per-doc (id, start, len) index is permuted, and the single large
+    array is materialized exactly once (the arrow concat)."""
+
+    def to45(t: pa.Table) -> pa.Table:
+        col = t["sh"].combine_chunks()
+        lens = np.diff(col.offsets.to_numpy()).astype(np.int64)
+        flat = col.flatten().to_numpy(zero_copy_only=False) & _MASK45
+        doc = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        comp = (doc << np.int64(45)) | flat
+        comp.sort()
+        if len(comp):
+            keep = np.concatenate(([True], comp[1:] != comp[:-1]))
+            comp = comp[keep]
+        new_lens = np.bincount(comp >> np.int64(45), minlength=len(lens))
+        offs = np.zeros(len(lens) + 1, np.int32)
+        offs[1:] = np.cumsum(new_lens)
+        return pa.table(
+            {
+                "id": t["id"].combine_chunks(),
+                "sh": pa.ListArray.from_arrays(
+                    pa.array(offs, pa.int32()), pa.array(comp & _MASK45)
+                ),
+            }
+        )
+
+    import ray as _ray
+
+    tbls = [
+        t
+        for t in _ray.get(
+            sh.map_batches(to45, batch_format="pyarrow").to_arrow_refs()
+        )
+        if len(t)
+    ]
+    if not tbls:
+        z = np.empty(0, np.int64)
+        return z, z, z, z
+    cat = pa.concat_tables(tbls)
+    ids = cat["id"].to_numpy()
+    col = cat["sh"].combine_chunks()
+    lens = np.diff(col.offsets.to_numpy()).astype(np.int64)
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    starts = np.cumsum(lens) - lens
+    order = np.argsort(ids, kind="stable")
+    return ids[order], starts[order], lens[order], flat
+
+
 def minhash_dedup(
     ds: ray.data.Dataset,
     text_col: str,
@@ -325,6 +460,7 @@ def minhash_dedup(
     *,
     jaccard_threshold: float = 60.0,
     broadcast_limit_rows: int = 1_000_000,
+    estimate_margin: float | None = 12.0,
     **kw,
 ) -> dict:
     """Full near-dup pipeline: LSH candidates → shingle-Jaccard verify →
@@ -338,60 +474,125 @@ def minhash_dedup(
     candidate pairs via two partitioned hash joins — driver-free, but the
     intermediate carries one shingle list PER CANDIDATE PAIR, so it is only
     the right shape when pairs ≈ O(docs); with fat LSH buckets prefer
-    raising the broadcast limit or tightening ``max_bucket``."""
+    raising the broadcast limit or tightening ``max_bucket``.
+
+    ``estimate_margin``: template-heavy corpora produce a huge mass of
+    candidate pairs just BELOW the threshold (every LSH band collides at
+    similarity ≈ the S-curve midpoint), and exact set-intersection on all
+    of them dominated the round-2 bench (73.7 M candidates at 690 k docs).
+    The broadcast path therefore prefilters candidates by the 64-perm
+    MinHash similarity ESTIMATE (one byte per permutation, ~10× cheaper
+    per pair than exact intersection) at ``jaccard_threshold -
+    estimate_margin``; survivors get the exact verify. With 64
+    permutations the estimate's std is ≤ 6.3 points, so the default
+    margin of 12 (~2σ) keeps borderline-true pairs with probability
+    ~0.97 (LSH banding itself misses ~11% of exactly-at-threshold
+    pairs, so the prefilter is not the recall bottleneck). Set
+    ``estimate_margin=None`` for exact-verify-everything."""
     shingle = kw.get("shingle", 4)
-    cands = minhash_candidates(ds, text_col, id_col, **kw)
     sh = _shingle_table(ds, text_col, id_col, shingle)
     n_docs = ds.count()
     import ray
 
     if n_docs <= broadcast_limit_rows:
+        cands = minhash_candidates(
+            ds, text_col, id_col,
+            distinct=(estimate_margin is None), **kw,
+        )
         # broadcast as CONTIGUOUS numpy arrays (ids / offsets / flat
         # shingles): ray.put of numpy is zero-copy on worker reads — a
         # dict of per-doc arrays would be re-unpickled (hundreds of MB)
         # by every worker process
-        ids_parts, off_parts, flat_parts = [], [], []
-        for b in sh.iter_batches(batch_size=65536, batch_format="pyarrow"):
-            col = b["sh"].combine_chunks()
-            ids_parts.append(b["id"].to_numpy())
-            off_parts.append(np.diff(col.offsets.to_numpy()))
-            flat_parts.append(col.flatten().to_numpy(zero_copy_only=False))
-        sh_ids = np.concatenate(ids_parts)
-        lengths = np.concatenate(off_parts)
-        sh_flat = np.concatenate(flat_parts).astype(np.int64)
-        sort = np.argsort(sh_ids, kind="stable")
-        sh_ids = sh_ids[sort]
-        # reorder the flat array by doc
-        starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
-        order_starts = starts[sort]
-        order_lens = lengths[sort]
-        gather = np.concatenate(
-            [np.arange(s, s + l) for s, l in zip(order_starts, order_lens)]
-        ) if len(order_lens) else np.empty(0, np.int64)
-        sh_flat = sh_flat[gather]
-        sh_offs = np.concatenate(([0], np.cumsum(order_lens)))
-        lookup_ref = ray.put((sh_ids, sh_offs, sh_flat))
-
-        def verify(df: pd.DataFrame) -> pd.DataFrame:
-            ids_s, offs, flat = ray.get(lookup_ref)
-            a = df["a"].to_numpy(dtype=np.int64)
-            b = df["b"].to_numpy(dtype=np.int64)
-            ia = np.searchsorted(ids_s, a)
-            ib = np.searchsorted(ids_s, b)
-            a_lens = offs[ia + 1] - offs[ia]
-            b_lens = offs[ib + 1] - offs[ib]
-            a_flat = flat[_seg_gather(offs[ia], a_lens)]
-            b_flat = flat[_seg_gather(offs[ib], b_lens)]
-            sims = _pairwise_jaccard(a_flat, a_lens, b_flat, b_lens)
-            keep = (a_lens > 0) & (b_lens > 0) & (sims >= jaccard_threshold)
-            return pd.DataFrame(
-                {"a": pd.Series(a[keep], dtype="int64"),
-                 "b": pd.Series(b[keep], dtype="int64"),
-                 "jaccard": pd.Series(sims[keep], dtype="float64")}
+        sh_ids, sh_starts, sh_lens, sh_flat = _shingle45_broadcast(sh)
+        lookup_ref = ray.put((sh_ids, sh_starts, sh_lens, sh_flat))
+        n_bk = kw.get("n_buckets", 256)
+        if estimate_margin is not None:
+            sig_ids, sig_mat = _signature_u8_lookup(
+                ds, text_col, id_col, shingle,
+                kw.get("num_perm", 64), kw.get("seed", 1),
             )
+            sig_ref = ray.put((sig_ids, sig_mat))
+            est_cut = float(jaccard_threshold - estimate_margin)
 
-        verified = cands.map_batches(verify, batch_format="pandas").materialize()
+            def est_filter(t: pa.Table) -> pa.Table:
+                """Drop candidates whose MinHash-signature similarity
+                estimate sits below threshold-margin — ~10x cheaper per
+                pair than exact intersection, runs BEFORE the distinct
+                shuffle so the sub-threshold candidate mass (the bulk, on
+                template-heavy corpora) never rides any exchange."""
+                if len(t) == 0:
+                    return t
+                s_ids, s_mat = ray.get(sig_ref)
+                a = t["a"].to_numpy()
+                b = t["b"].to_numpy()
+                sa = s_mat[np.searchsorted(s_ids, a)]
+                sb = s_mat[np.searchsorted(s_ids, b)]
+                est = (sa == sb).mean(axis=1) * 100.0
+                return t.filter(pa.array(est >= est_cut))
+
+            cands = cands.map_batches(
+                est_filter, batch_format="pyarrow", batch_size=262144
+            )
+            # dedupe the (band-multiplied) SURVIVORS — a high-similarity
+            # pair collides in many bands, so exact-verifying before the
+            # distinct pass would re-score each ~3-6x
+            cands = _dedupe_pairs_bucketed(cands, n_bk)
+
+        empty_v = pa.schema(
+            [("a", pa.int64()), ("b", pa.int64()), ("jaccard", pa.float64())]
+        ).empty_table()
+
+        def verify(t: pa.Table) -> pa.Table:
+            """Exact per-pair Jaccard with NO sort: per-doc shingles are
+            pre-sorted 45-bit values, so tagging each element with its
+            pair rank (rank<<45 | value, fits int64 for ranks < 2^18)
+            yields globally sorted streams and |A∩B| is one searchsorted
+            probe of A's stream into B's."""
+            ids_s, d_starts, d_lens, flat = ray.get(lookup_ref)
+            aa = t["a"].to_numpy()
+            bb = t["b"].to_numpy()
+            outs = []
+            for s in range(0, len(aa), 1 << 18):
+                a = aa[s:s + (1 << 18)]
+                b = bb[s:s + (1 << 18)]
+                n = len(a)
+                ia = np.searchsorted(ids_s, a)
+                ib = np.searchsorted(ids_s, b)
+                a_lens = d_lens[ia]
+                b_lens = d_lens[ib]
+                pr_a = np.repeat(np.arange(n, dtype=np.int64), a_lens)
+                pr_b = np.repeat(np.arange(n, dtype=np.int64), b_lens)
+                a_comp = (pr_a << np.int64(45)) | flat[_seg_gather(d_starts[ia], a_lens)]
+                b_comp = (pr_b << np.int64(45)) | flat[_seg_gather(d_starts[ib], b_lens)]
+                idx = np.searchsorted(b_comp, a_comp)
+                hit = np.zeros(len(a_comp), np.float64)
+                valid = idx < len(b_comp)
+                hit[valid] = (b_comp[idx[valid]] == a_comp[valid]).astype(
+                    np.float64
+                )
+                inter = np.bincount(pr_a, weights=hit, minlength=n)
+                union = a_lens.astype(np.float64) + b_lens.astype(np.float64) - inter
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sims = np.where(union > 0, 100.0 * inter / union, 0.0)
+                sims = np.round(sims, 6)
+                keep = (a_lens > 0) & (b_lens > 0) & (sims >= jaccard_threshold)
+                kidx = np.nonzero(keep)[0]
+                outs.append(
+                    pa.table(
+                        {"a": pa.array(a[kidx]), "b": pa.array(b[kidx]),
+                         "jaccard": pa.array(sims[kidx])}
+                    )
+                )
+            return pa.concat_tables(outs) if outs else empty_v
+
+        # 65536 pairs × ~100 grams × 8 B ≈ 50 MB of temporaries per call —
+        # small enough that a worker's first-touch fault cost amortizes
+        # over many batches (the microVM faults fresh pages at ~20 MB/s)
+        verified = cands.map_batches(
+            verify, batch_format="pyarrow", batch_size=65536
+        ).materialize()
     else:
+        cands = minhash_candidates(ds, text_col, id_col, **kw)
         from record_matcher_ray.pipelines.joins import hash_join
 
         sh_a = sh.map_batches(
@@ -434,7 +635,9 @@ def minhash_dedup(
                  "jaccard": pa.array(sims[keep])}
             )
 
-        verified = j2.map_batches(verify_joined, batch_format="pyarrow").materialize()
+        verified = j2.map_batches(
+            verify_joined, batch_format="pyarrow", batch_size=65536
+        ).materialize()
 
     comps = connected_components(verified, u="a", v="b")
     return {"pairs": verified, "components": comps}
