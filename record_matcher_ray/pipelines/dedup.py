@@ -239,12 +239,29 @@ def minhash_candidates(
         _MinhashKeys(text_col, id_col, num_perm, bands, shingle, seed, n_buckets),
         batch_format="pyarrow",
     )
+    pairs = keys.groupby("bucket").map_groups(
+        _bucket_pairs_fn(max_bucket), batch_format="pyarrow"
+    )
+    if not distinct:
+        return pairs
+    return _dedupe_pairs_bucketed(pairs, n_buckets)
+
+
+def _bucket_pairs_fn(max_bucket: int, est=None):
+    """All (a<b) pairs per band-key group, fully vectorized across the
+    groups of a hash bucket (cumsum arithmetic — a Python loop over
+    ~millions of tiny band groups dominated the stage). A doc emits
+    each band key once, so ids are unique within a group.
+
+    ``est=(sig_ref, est_cut)`` fuses the MinHash-estimate prefilter INTO
+    pair emission: pairs whose one-byte-per-perm signature similarity
+    falls below ``est_cut`` are dropped before the table is built, so the
+    sub-threshold candidate mass (74 M of 74+9 M pairs on the 690 k-doc
+    bench corpus) is never written to the object store at all — at the
+    microVM's ~20 MB/s first-touch fault rate the avoided ~1.2 GB of
+    block writes is the difference between a cold and a warm run."""
 
     def bucket_pairs(t: pa.Table) -> pa.Table:
-        """All (a<b) pairs per band-key group, fully vectorized across the
-        groups of a hash bucket (cumsum arithmetic — a Python loop over
-        ~millions of tiny band groups dominated the stage). A doc emits
-        each band key once, so ids are unique within a group."""
         empty = pa.schema([("a", pa.int64()), ("b", pa.int64())]).empty_table()
         if len(t) == 0:
             return empty
@@ -253,12 +270,29 @@ def minhash_candidates(
         )
         if len(a) == 0:
             return empty
+        if est is not None:
+            sig_ref, est_cut = est
+            s_ids, s_mat = ray.get(sig_ref)
+            keep_parts = []
+            # chunk the pair axis: a hot bucket can emit millions of
+            # pairs and the two (chunk, num_perm) u8 gathers must stay
+            # well under glibc's 32 MB mmap threshold for heap reuse —
+            # and small enough that 32 concurrent workers' heaps don't
+            # sum to GBs of cold-start page faults
+            for s in range(0, len(a), 1 << 16):
+                ac, bc = a[s:s + (1 << 16)], b[s:s + (1 << 16)]
+                sa = s_mat[np.searchsorted(s_ids, ac)]
+                sb = s_mat[np.searchsorted(s_ids, bc)]
+                keep_parts.append(
+                    (sa == sb).mean(axis=1) * 100.0 >= est_cut
+                )
+            keep = np.concatenate(keep_parts)
+            a, b = a[keep], b[keep]
+            if len(a) == 0:
+                return empty
         return pa.table({"a": pa.array(a), "b": pa.array(b)})
 
-    pairs = keys.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
-    if not distinct:
-        return pairs
-    return _dedupe_pairs_bucketed(pairs, n_buckets)
+    return bucket_pairs
 
 
 def _shingle_table(ds, text_col, id_col, shingle):
@@ -324,22 +358,32 @@ def _pairwise_jaccard(
     return np.round(sims, 6)
 
 
-def _signature_u8_lookup(
+_MASK45 = np.int64((1 << 45) - 1)
+
+
+def _shingle_sig_table(
     ds: ray.data.Dataset,
     text_col: str,
     id_col: str,
     shingle: int,
     num_perm: int,
     seed: int,
-) -> tuple[np.ndarray, np.ndarray]:
-    """→ (ids sorted asc, (n, num_perm) uint8 signature matrix aligned to
-    them). Signatures are the SAME MinHash permutations as candidate
-    generation, folded to one byte per permutation (equality testing only
-    — a 1/256 accidental byte collision inflates the similarity estimate
-    by ~0.4 points on average, absorbed by the filter margin). 64 bytes
-    per doc ⇒ 1 M docs is 64 MB broadcast."""
+) -> ray.data.Dataset:
+    """ONE heavy pass over the corpus → (id, sh, sig): normalize + char
+    shingles + 64-perm MinHash, computed once and consumed by all three
+    downstream users (band-key candidates, the u8 similarity-estimate
+    matrix, and the exact-verify shingle broadcast). The earlier shape ran
+    normalize+shingle three times — 2/3 of it redundant (~25 s of the
+    55 s minhash wall at 690 k docs).
 
-    def sigs(t: pa.Table) -> pa.Table:
+    ``sh`` is each doc's shingle hashes MASKED to 45 bits, deduped and
+    sorted ascending — the layout the searchsorted verify kernel needs
+    (pair_rank<<45 | value must fit int64). The 45-bit fold merges two
+    distinct grams within one doc pair with probability ~|A∪B|²/2^46
+    (~1e-9 at 10³ grams), far below the 6-decimal jaccard rounding.
+    ``sig`` is the full int64 signature (band keys need all bits)."""
+
+    def fn(t: pa.Table) -> pa.Table:
         from record_matcher_ray.core.hashkernels import (
             batch_signatures,
             normalize_utf8,
@@ -355,102 +399,120 @@ def _signature_u8_lookup(
             normalize_utf8(t[text_col]), shingle
         )
         sig = batch_signatures(sh_flat, sh_lens, hasher.a, hasher.b)
-        u8 = (
-            (sig.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
-            >> np.uint64(56)
-        ).astype(np.uint8)
+        # mask to 45 bits, then re-dedupe+sort per doc (order is not
+        # preserved under bit-dropping): doc-tag compose + one sort
+        n = len(sh_lens)
+        doc = np.repeat(np.arange(n, dtype=np.int64), sh_lens)
+        comp = (doc << np.int64(45)) | (sh_flat & _MASK45)
+        comp.sort()
+        if len(comp):
+            keep = np.concatenate(([True], comp[1:] != comp[:-1]))
+            comp = comp[keep]
+        new_lens = np.bincount(comp >> np.int64(45), minlength=n)
+        offs = np.zeros(n + 1, np.int32)
+        offs[1:] = np.cumsum(new_lens)
         return pa.table(
             {
                 "id": pa.array(np.asarray(ids, np.int64)),
+                "sh": pa.ListArray.from_arrays(
+                    pa.array(offs, pa.int32()), pa.array(comp & _MASK45)
+                ),
                 "sig": pa.FixedSizeListArray.from_arrays(
-                    pa.array(u8.reshape(-1)), num_perm
+                    pa.array(sig.reshape(-1)), num_perm
                 ),
             }
         )
 
-    tbls = [
-        t
-        for t in ray.get(
-            ds.map_batches(sigs, batch_format="pyarrow").to_arrow_refs()
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _candidates_from_comb(
+    comb: ray.data.Dataset,
+    *,
+    bands: int,
+    max_bucket: int,
+    n_buckets: int,
+    distinct: bool,
+    est=None,
+) -> ray.data.Dataset:
+    """LSH candidate pairs derived from a materialized (id, sh, sig)
+    table — band keys are a cheap fold over the stored signatures, no
+    text re-processing."""
+
+    def keys_fn(t: pa.Table) -> pa.Table:
+        from record_matcher_ray.stages.blocking import batch_band_keys
+
+        sigcol = t["sig"].combine_chunks()
+        num_perm = sigcol.type.list_size
+        sig = (
+            sigcol.flatten().to_numpy(zero_copy_only=False)
+            .reshape(len(t), num_perm)
         )
-        if len(t)
-    ]
-    if not tbls:
-        return np.empty(0, np.int64), np.empty((0, num_perm), np.uint8)
-    cat = pa.concat_tables(tbls)
-    ids = cat["id"].to_numpy()
-    mat = (
-        cat["sig"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
-        .reshape(len(ids), num_perm)
+        shcol = t["sh"].combine_chunks()
+        has = np.diff(shcol.offsets.to_numpy()) > 0
+        ids = t["id"].to_numpy()
+        band_k = batch_band_keys(sig, bands)
+        keys = band_k[has].reshape(-1)
+        out_ids = np.repeat(ids[has], bands)
+        buckets = (
+            keys.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+            >> np.uint64(33)
+        ) % np.uint64(n_buckets)
+        return pa.table(
+            {"bucket": pa.array(buckets.astype(np.int64)),
+             "band_key": pa.array(keys),
+             "id": pa.array(out_ids.astype(np.int64))}
+        )
+
+    pairs = (
+        comb.map_batches(keys_fn, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_bucket_pairs_fn(max_bucket, est), batch_format="pyarrow")
     )
-    order = np.argsort(ids, kind="stable")
-    return ids[order], np.ascontiguousarray(mat[order])
+    return _dedupe_pairs_bucketed(pairs, n_buckets) if distinct else pairs
 
 
-_MASK45 = np.int64((1 << 45) - 1)
-
-
-def _shingle45_broadcast(
-    sh: ray.data.Dataset,
-) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Collect the (id, sh) shingle table into contiguous driver arrays:
-    → (ids sorted asc, per-doc starts, per-doc lens, flat shingles) with
-    each doc's shingles MASKED to 45 bits, deduped and sorted ascending —
-    the layout the searchsorted verify kernel requires (pair_rank<<45 |
-    value must fit int64). The 45-bit fold merges two distinct grams
-    within one doc pair with probability ~|A∪B|²/2^46 (~1e-9 at 10³
-    grams) — far below the 6-decimal rounding of the reported jaccard.
+def _collect_comb(
+    comb: ray.data.Dataset,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Collect the (id, sh, sig) table into contiguous driver arrays:
+    → (ids sorted asc, per-doc starts, per-doc lens, flat shingles,
+    (n, num_perm) uint8 folded signatures aligned to ids).
 
     Two measured sandbox pathologies shape this function (690 k docs /
     67.5 M shingles): per-batch ``iter_batches`` collection took 258 s vs
     ~3 s for ``to_arrow_refs`` + one concat; and FIRST-TOUCH page faults
     on fresh allocations run ~20 MB/s in the microVM (one-time per
-    process), so the flat array is NEVER reordered — only the tiny
-    per-doc (id, start, len) index is permuted, and the single large
-    array is materialized exactly once (the arrow concat)."""
-
-    def to45(t: pa.Table) -> pa.Table:
-        col = t["sh"].combine_chunks()
-        lens = np.diff(col.offsets.to_numpy()).astype(np.int64)
-        flat = col.flatten().to_numpy(zero_copy_only=False) & _MASK45
-        doc = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
-        comp = (doc << np.int64(45)) | flat
-        comp.sort()
-        if len(comp):
-            keep = np.concatenate(([True], comp[1:] != comp[:-1]))
-            comp = comp[keep]
-        new_lens = np.bincount(comp >> np.int64(45), minlength=len(lens))
-        offs = np.zeros(len(lens) + 1, np.int32)
-        offs[1:] = np.cumsum(new_lens)
-        return pa.table(
-            {
-                "id": t["id"].combine_chunks(),
-                "sh": pa.ListArray.from_arrays(
-                    pa.array(offs, pa.int32()), pa.array(comp & _MASK45)
-                ),
-            }
-        )
-
-    import ray as _ray
-
-    tbls = [
-        t
-        for t in _ray.get(
-            sh.map_batches(to45, batch_format="pyarrow").to_arrow_refs()
-        )
-        if len(t)
-    ]
+    process), so the big flat shingle array is NEVER reordered — only the
+    tiny per-doc (id, start, len) index is permuted. Signatures fold to
+    one byte per permutation on the driver (44 MB at 690 k docs; a 1/256
+    accidental byte collision inflates the similarity estimate by ~0.4
+    points on average, absorbed by the filter margin)."""
+    tbls = [t for t in ray.get(comb.to_arrow_refs()) if len(t)]
     if not tbls:
         z = np.empty(0, np.int64)
-        return z, z, z, z
+        return z, z, z, z, np.empty((0, 0), np.uint8)
     cat = pa.concat_tables(tbls)
     ids = cat["id"].to_numpy()
     col = cat["sh"].combine_chunks()
     lens = np.diff(col.offsets.to_numpy()).astype(np.int64)
     flat = col.flatten().to_numpy(zero_copy_only=False)
     starts = np.cumsum(lens) - lens
+    sigcol = cat["sig"].combine_chunks()
+    num_perm = sigcol.type.list_size
+    sig = (
+        sigcol.flatten().to_numpy(zero_copy_only=False)
+        .reshape(len(ids), num_perm)
+    )
+    u8 = (
+        (sig.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+        >> np.uint64(56)
+    ).astype(np.uint8)
     order = np.argsort(ids, kind="stable")
-    return ids[order], starts[order], lens[order], flat
+    return (
+        ids[order], starts[order], lens[order], flat,
+        np.ascontiguousarray(u8[order]),
+    )
 
 
 def minhash_dedup(
@@ -490,53 +552,42 @@ def minhash_dedup(
     pairs, so the prefilter is not the recall bottleneck). Set
     ``estimate_margin=None`` for exact-verify-everything."""
     shingle = kw.get("shingle", 4)
-    sh = _shingle_table(ds, text_col, id_col, shingle)
     n_docs = ds.count()
     import ray
 
     if n_docs <= broadcast_limit_rows:
-        cands = minhash_candidates(
-            ds, text_col, id_col,
-            distinct=(estimate_margin is None), **kw,
-        )
+        # ONE heavy text pass (normalize+shingle+minhash), materialized
+        # and consumed by candidates, the estimate matrix and the verify
+        # broadcast — see _shingle_sig_table
+        comb = _shingle_sig_table(
+            ds, text_col, id_col, shingle,
+            kw.get("num_perm", 64), kw.get("seed", 1),
+        ).materialize()
         # broadcast as CONTIGUOUS numpy arrays (ids / offsets / flat
         # shingles): ray.put of numpy is zero-copy on worker reads — a
         # dict of per-doc arrays would be re-unpickled (hundreds of MB)
         # by every worker process
-        sh_ids, sh_starts, sh_lens, sh_flat = _shingle45_broadcast(sh)
+        sh_ids, sh_starts, sh_lens, sh_flat, sig_u8 = _collect_comb(comb)
         lookup_ref = ray.put((sh_ids, sh_starts, sh_lens, sh_flat))
         n_bk = kw.get("n_buckets", 256)
+        est = None
         if estimate_margin is not None:
-            sig_ids, sig_mat = _signature_u8_lookup(
-                ds, text_col, id_col, shingle,
-                kw.get("num_perm", 64), kw.get("seed", 1),
+            # the estimate prefilter is FUSED into pair emission (see
+            # _bucket_pairs_fn): sub-threshold candidates are dropped
+            # before any pair block is written; only the survivors (the
+            # band-multiplied near-dup mass) ride the distinct shuffle
+            est = (
+                ray.put((sh_ids, sig_u8)),
+                float(jaccard_threshold - estimate_margin),
             )
-            sig_ref = ray.put((sig_ids, sig_mat))
-            est_cut = float(jaccard_threshold - estimate_margin)
-
-            def est_filter(t: pa.Table) -> pa.Table:
-                """Drop candidates whose MinHash-signature similarity
-                estimate sits below threshold-margin — ~10x cheaper per
-                pair than exact intersection, runs BEFORE the distinct
-                shuffle so the sub-threshold candidate mass (the bulk, on
-                template-heavy corpora) never rides any exchange."""
-                if len(t) == 0:
-                    return t
-                s_ids, s_mat = ray.get(sig_ref)
-                a = t["a"].to_numpy()
-                b = t["b"].to_numpy()
-                sa = s_mat[np.searchsorted(s_ids, a)]
-                sb = s_mat[np.searchsorted(s_ids, b)]
-                est = (sa == sb).mean(axis=1) * 100.0
-                return t.filter(pa.array(est >= est_cut))
-
-            cands = cands.map_batches(
-                est_filter, batch_format="pyarrow", batch_size=262144
-            )
-            # dedupe the (band-multiplied) SURVIVORS — a high-similarity
-            # pair collides in many bands, so exact-verifying before the
-            # distinct pass would re-score each ~3-6x
-            cands = _dedupe_pairs_bucketed(cands, n_bk)
+        cands = _candidates_from_comb(
+            comb,
+            bands=kw.get("bands", 16),
+            max_bucket=kw.get("max_bucket", 200),
+            n_buckets=n_bk,
+            distinct=True,
+            est=est,
+        )
 
         empty_v = pa.schema(
             [("a", pa.int64()), ("b", pa.int64()), ("jaccard", pa.float64())]
@@ -585,14 +636,19 @@ def minhash_dedup(
                 )
             return pa.concat_tables(outs) if outs else empty_v
 
-        # 65536 pairs × ~100 grams × 8 B ≈ 50 MB of temporaries per call —
-        # small enough that a worker's first-touch fault cost amortizes
-        # over many batches (the microVM faults fresh pages at ~20 MB/s)
+        # 8192 pairs × ~100 grams × 8 B ≈ 6.5 MB per temporary array:
+        # below glibc's dynamic mmap threshold (32 MB), so freed batch
+        # temporaries return to the heap and are REUSED — at 65536 pairs
+        # each ~50-100 MB temporary was mmap'd, munmap'd on free, and
+        # re-FAULTED next batch at the microVM's ~20 MB/s, making the
+        # stage 14× slower than its solo-core compute rate (measured:
+        # 68 s → ~7 s on 9 M pairs at 690 k docs)
         verified = cands.map_batches(
-            verify, batch_format="pyarrow", batch_size=65536
+            verify, batch_format="pyarrow", batch_size=8192
         ).materialize()
     else:
         cands = minhash_candidates(ds, text_col, id_col, **kw)
+        sh = _shingle_table(ds, text_col, id_col, shingle)
         from record_matcher_ray.pipelines.joins import hash_join
 
         sh_a = sh.map_batches(
