@@ -318,6 +318,31 @@ def _q_embedding_near_dups(sf_dir: str):
     return embedding_near_dups_exact(ds, threshold=0.35)
 
 
+def _q_decontam(sf_dir: str):
+    """Train/eval overlap check: every 20th doc plays the 'eval set'; each
+    corpus doc reports the fraction of its 16-char normalized windows that
+    appear anywhere in the eval set. Exact mode (sorted-hash broadcast) so
+    the DuckDB string-window oracle matches hash-exactly; bloom mode is
+    the fixed-memory 100-TB path (FP-bound tested in tests)."""
+    import ray.data
+    import pyarrow as pa
+
+    from record_matcher_ray.pipelines.decontam import contamination
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def every20(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        return t.filter(pa.array(ids % 20 == 0))
+
+    ref = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(every20, batch_format="pyarrow")
+    return contamination(ds, ref, "text", "doc_id", window=16, mode="exact")
+
+
 def _q_media_features(sf_dir: str):
     import ray.data
 
@@ -372,6 +397,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_docs": _q_ngram_jaccard,
         "simhash_docs": _q_simhash,
         "simhash_near_dups_docs": _q_simhash_near_dups,
+        # decontamination
+        "decontam_docs": _q_decontam,
         # similarity search
         "ann_topk": _q_ann_topk,
         "embedding_near_dups": _q_embedding_near_dups,
@@ -552,6 +579,29 @@ def oracle_sql() -> dict[str, str]:
               round(greatest(en,es,fr,de)::DOUBLE / greatest(len(toks), 1), 6)
                 AS lang_score
             FROM h
+        """,
+        "decontam_docs": """
+            WITH t AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(coalesce(text, '')),
+                                         '[^a-z0-9]+', ' ', 'g')) AS nt
+              FROM documents
+            ), win AS (
+              SELECT doc_id, unnest(
+                CASE WHEN length(nt) = 0 THEN CAST([] AS VARCHAR[])
+                     WHEN length(nt) < 16 THEN [nt]
+                     ELSE list_transform(generate_series(1, length(nt) - 15),
+                                         i -> substr(nt, i, 16))
+                END) AS g
+              FROM t
+            ), ref AS (
+              SELECT DISTINCT g FROM win WHERE doc_id % 20 = 0
+            )
+            SELECT w.doc_id, count(*) AS n_windows,
+                   round(sum(CASE WHEN r.g IS NOT NULL THEN 1 ELSE 0
+                             END)::DOUBLE / count(*), 6) AS contained_frac
+            FROM win w LEFT JOIN ref r ON w.g = r.g
+            GROUP BY w.doc_id
         """,
         "ngram_jaccard_docs": """
             WITH t AS (
