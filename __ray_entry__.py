@@ -343,6 +343,49 @@ def _q_decontam(sf_dir: str):
     return contamination(ds, ref, "text", "doc_id", window=16, mode="exact")
 
 
+def _q_sample_docs(sf_dir: str):
+    """Deterministic 10% uniform sample by splitmix64(doc_id ^ seed) —
+    the oracle reproduces the hash bit-exactly in SQL (32-bit-split
+    modular multiplication), so this is a full hash-checked query."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.sampling import hash_sample
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+    return hash_sample(ds, "doc_id", 0.1, seed=42)
+
+
+def _q_stratified_docs(sf_dir: str):
+    """At most 20 docs per language, chosen by deterministic hash order
+    (row_number over sample_hash in the SQL oracle)."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.sampling import stratified_cap
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return stratified_cap(ds, "lang", 20, "doc_id", seed=7)
+
+
+def _q_mix_docs(sf_dir: str):
+    """Weighted source mixing: per-source deterministic keep-rates (the
+    training-mixture primitive); unlisted sources get the default rate."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.sampling import weighted_mix
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    return weighted_mix(
+        ds, "source", {"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        "doc_id", seed=3, default_rate=0.1,
+    )
+
+
 def _q_media_features(sf_dir: str):
     import ray.data
 
@@ -397,8 +440,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_docs": _q_ngram_jaccard,
         "simhash_docs": _q_simhash,
         "simhash_near_dups_docs": _q_simhash_near_dups,
-        # decontamination
+        # decontamination + deterministic sampling / mixing
         "decontam_docs": _q_decontam,
+        "sample_docs": _q_sample_docs,
+        "stratified_docs": _q_stratified_docs,
+        "mix_docs": _q_mix_docs,
         # similarity search
         "ann_topk": _q_ann_topk,
         "embedding_near_dups": _q_embedding_near_dups,
@@ -410,6 +456,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # north-star document pipeline + multimodal plumbing
         "docmatch_corpus": _q_docmatch,
         "media_features": _q_media_features,
+    }
+
+
+def _sampling_oracles() -> dict[str, str]:
+    """Hash-exact SQL mirrors of the sampling family: the engine's
+    splitmix64 sampling hash is replayed in DuckDB (32-bit-split modular
+    multiplication), and the keep-thresholds are computed by the SAME
+    Python expression the engine uses, so predicates agree bit-exactly."""
+    from record_matcher_ray.pipelines.sampling import sql_sample_hash_cte
+
+    two64 = 1 << 64
+
+    def thr(rate: float) -> int:
+        return min(int(rate * two64), two64 - 1)
+
+    cte42, _ = sql_sample_hash_cte("doc_id", seed=42)
+    cte7, _ = sql_sample_hash_cte("doc_id", seed=7)
+    cte3, _ = sql_sample_hash_cte("doc_id", seed=3)
+    return {
+        "sample_docs": f"""
+            WITH t0 AS (SELECT doc_id, source, n_chars FROM documents),{cte42}
+            SELECT doc_id, source, n_chars FROM s5
+            WHERE e < CAST({thr(0.1)} AS UBIGINT)
+        """,
+        "stratified_docs": f"""
+            WITH t0 AS (SELECT doc_id, lang FROM documents),{cte7}
+            SELECT doc_id, lang FROM s5
+            QUALIFY row_number() OVER (PARTITION BY lang ORDER BY e, doc_id)
+                    <= 20
+        """,
+        "mix_docs": f"""
+            WITH t0 AS (SELECT doc_id, source FROM documents),{cte3}
+            SELECT doc_id, source FROM s5
+            WHERE e < CAST(CASE source
+                           WHEN 'src0' THEN {thr(1.0)}
+                           WHEN 'src1' THEN {thr(0.5)}
+                           WHEN 'src2' THEN {thr(0.25)}
+                           ELSE {thr(0.1)} END AS UBIGINT)
+        """,
     }
 
 
@@ -580,6 +665,7 @@ def oracle_sql() -> dict[str, str]:
                 AS lang_score
             FROM h
         """,
+        **_sampling_oracles(),
         "decontam_docs": """
             WITH t AS (
               SELECT doc_id,

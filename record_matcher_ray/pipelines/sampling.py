@@ -1,0 +1,165 @@
+"""Deterministic sampling for training-data pipelines: uniform hash
+sampling, per-group stratified caps, and weighted source mixing.
+
+All three are pure per-row predicates on splitmix64(id ^ seed) — no
+randomness, no state, no shuffle (the stratified cap is the one exception:
+it needs a per-group rank, one bounded-bucket exchange). Determinism is
+the point at 100 TB: the same row set is selected on every run, across
+any partitioning, on any cluster size, so a resumed or re-sharded job
+reproduces its sample exactly; and because the hash is uniform, rate=0.1
+keeps 10% ± binomial noise of every slice.
+
+The hash (core.hashkernels.mix64, splitmix64 finalizer) is exactly
+reproducible in ANSI SQL via 32-bit-split modular multiplication —
+``sql_sample_hash_cte`` emits the DuckDB-checkable form, which the
+driver's oracle gate runs side-by-side with the engine.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data
+
+from record_matcher_ray.core.hashkernels import mix64
+
+_TWO64 = 1 << 64
+
+
+def _seed64(seed: int) -> np.uint64:
+    return mix64(np.array([seed], np.uint64))[0]
+
+
+def sample_hash(ids: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Uniform uint64 per id: splitmix64(id ^ splitmix64(seed)). Ids must
+    be non-negative (the SQL mirror casts BIGINT→UBIGINT, which rejects
+    negatives)."""
+    return mix64(ids.astype(np.uint64) ^ _seed64(seed))
+
+
+def hash_sample(
+    ds: ray.data.Dataset, id_col: str, rate: float, seed: int = 0
+) -> ray.data.Dataset:
+    """Keep each row iff sample_hash(id) < rate·2^64 — a deterministic
+    ~``rate`` uniform sample, all columns preserved, zero shuffle."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    thr = np.uint64(min(int(rate * _TWO64), _TWO64 - 1))
+    take_all = rate >= 1.0
+    s = seed
+
+    def fn(t: pa.Table) -> pa.Table:
+        if take_all:
+            return t
+        h = sample_hash(t[id_col].to_numpy(), s)
+        return t.filter(pa.array(h < thr))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def weighted_mix(
+    ds: ray.data.Dataset,
+    source_col: str,
+    rates: dict[str, float],
+    id_col: str,
+    seed: int = 0,
+    default_rate: float = 0.0,
+) -> ray.data.Dataset:
+    """Per-source deterministic sampling — the data-mixing primitive:
+    ``rates`` maps source values to keep-rates (unlisted sources get
+    ``default_rate``). Because every source's sample is an independent
+    deterministic hash predicate, re-running with adjusted rates keeps
+    maximal overlap with the previous mix (rate 0.2 ⊃ rate 0.1 exactly)."""
+    for k, v in rates.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"rate for {k!r} must be in [0, 1], got {v}")
+    thr_map = {
+        k: np.uint64(min(int(v * _TWO64), _TWO64 - 1)) for k, v in rates.items()
+    }
+    dthr = np.uint64(min(int(default_rate * _TWO64), _TWO64 - 1))
+    s = seed
+
+    def fn(t: pa.Table) -> pa.Table:
+        src = t[source_col].to_pandas()
+        codes, uniq = pd.factorize(src)
+        lut = np.array(
+            [thr_map.get(u, dthr) for u in uniq] or [dthr], np.uint64
+        )
+        thr = lut[codes]
+        h = sample_hash(t[id_col].to_numpy(), s)
+        return t.filter(pa.array(h < thr))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def stratified_cap(
+    ds: ray.data.Dataset,
+    group_col: str,
+    cap: int,
+    id_col: str,
+    seed: int = 0,
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Keep at most ``cap`` rows per ``group_col`` value, chosen by
+    sample-hash order (ties by id) — deterministic per-group downsampling
+    for balancing skewed categories.
+
+    One bounded exchange: rows bucket by a hash of the group value (≤
+    ``n_buckets`` groups ride the shuffle, never one per distinct value —
+    the CLAUDE.md per-group rule), then each bucket ranks its rows with a
+    vectorized pandas groupby-cumcount. Equivalent SQL:
+    ``row_number() OVER (PARTITION BY g ORDER BY sample_hash(id), id)
+    <= cap``."""
+    if cap < 0:
+        raise ValueError(f"cap must be >= 0, got {cap}")
+    s = seed
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__sb__"] = (
+            pd.util.hash_pandas_object(df[group_col], index=False)
+            % np.uint64(n_buckets)
+        ).astype("int64")
+        return df
+
+    def rank_keep(df: pd.DataFrame) -> pd.DataFrame:
+        h = sample_hash(df[id_col].to_numpy(), s)
+        df = df.assign(__sh__=h).sort_values(
+            ["__sh__", id_col], kind="stable"
+        )
+        rank = df.groupby(group_col, sort=False, dropna=False).cumcount()
+        return df[rank.to_numpy() < cap].drop(columns=["__sb__", "__sh__"])
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__sb__")
+        .map_groups(rank_keep, batch_format="pandas")
+    )
+
+
+def sql_sample_hash_cte(
+    id_expr: str, seed: int = 0, table: str = "t0"
+) -> tuple[str, str]:
+    """→ (CTE SQL chain, final hash column name): the EXACT splitmix64
+    sampling hash in portable SQL (DuckDB-validated), using 32-bit-split
+    modular multiplication so no intermediate exceeds INT128. The chain
+    expects a preceding CTE named ``table`` exposing ``id_expr``; the
+    returned stages end in CTE ``s5`` whose column ``e`` is the hash."""
+    seed_const = int(_seed64(seed))
+
+    def modmul(col: str, c: int) -> str:
+        return (
+            f"CAST((((CAST({col} >> 32 AS HUGEINT) * {c}) % 4294967296)"
+            f" * 4294967296 + (CAST({col} & 4294967295 AS HUGEINT) * {c}))"
+            f" % 18446744073709551616 AS UBIGINT)"
+        )
+
+    cte = f"""
+s0 AS (SELECT *, xor(CAST({id_expr} AS UBIGINT), CAST({seed_const} AS UBIGINT)) AS h0 FROM {table}),
+s1 AS (SELECT *, xor(h0, h0 >> 30) AS h1 FROM s0),
+s2 AS (SELECT *, {modmul('h1', 0xBF58476D1CE4E5B9)} AS h2 FROM s1),
+s3 AS (SELECT *, xor(h2, h2 >> 27) AS h3 FROM s2),
+s4 AS (SELECT *, {modmul('h3', 0x94D049BB133111EB)} AS h4 FROM s3),
+s5 AS (SELECT *, xor(h4, h4 >> 31) AS e FROM s4)"""
+    return cte, "e"

@@ -1,0 +1,134 @@
+"""Deterministic sampling family: uniform hash sample, stratified caps,
+weighted source mixing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from record_matcher_ray.pipelines.sampling import (
+    hash_sample,
+    sample_hash,
+    stratified_cap,
+    weighted_mix,
+)
+
+
+def _table(n=20_000, seed=5):
+    rng = np.random.default_rng(seed)
+    return pa.table(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "grp": rng.choice(["a", "b", "c", "d"], n, p=[0.6, 0.25, 0.1, 0.05]),
+            "src": rng.choice(["s0", "s1", "s2"], n),
+        }
+    )
+
+
+class TestHashSample:
+    def test_rate_and_determinism(self, ray_session):
+        ds = ray.data.from_arrow(_table())
+        out1 = hash_sample(ds, "id", 0.1, seed=1).to_pandas()
+        out2 = hash_sample(ds, "id", 0.1, seed=1).to_pandas()
+        assert out1["id"].tolist() == out2["id"].tolist()
+        # binomial(20000, .1): expect 2000 ± ~5 sigma(=42)
+        assert 1780 <= len(out1) <= 2220
+        assert list(out1.columns) == ["id", "grp", "src"]
+
+    def test_monotone_rates(self, ray_session):
+        """rate 0.2 sample is a SUPERSET of rate 0.1 (same seed) — the
+        property that makes mixture re-weighting incremental."""
+        ds = ray.data.from_arrow(_table())
+        s1 = set(hash_sample(ds, "id", 0.1, seed=2).to_pandas()["id"])
+        s2 = set(hash_sample(ds, "id", 0.2, seed=2).to_pandas()["id"])
+        assert s1 <= s2
+
+    def test_extreme_rates(self, ray_session):
+        ds = ray.data.from_arrow(_table(500))
+        assert hash_sample(ds, "id", 0.0).count() == 0
+        assert hash_sample(ds, "id", 1.0).count() == 500
+        with pytest.raises(ValueError):
+            hash_sample(ds, "id", 1.5)
+
+    def test_seed_changes_sample(self, ray_session):
+        ds = ray.data.from_arrow(_table())
+        a = set(hash_sample(ds, "id", 0.1, seed=1).to_pandas()["id"])
+        b = set(hash_sample(ds, "id", 0.1, seed=2).to_pandas()["id"])
+        # overlap of two independent 10% samples ≈ 1% of rows, not 10%
+        assert len(a & b) < len(a) // 2
+
+
+class TestStratifiedCap:
+    def test_cap_respected_and_deterministic(self, ray_session):
+        ds = ray.data.from_arrow(_table())
+        out = stratified_cap(ds, "grp", 50, "id", seed=3).to_pandas()
+        counts = out.groupby("grp")["id"].count()
+        assert (counts <= 50).all()
+        assert counts["a"] == 50  # majority group hits the cap
+        out2 = stratified_cap(ds, "grp", 50, "id", seed=3).to_pandas()
+        assert sorted(out["id"]) == sorted(out2["id"])
+
+    def test_small_groups_kept_whole(self, ray_session):
+        t = pa.table({"id": [1, 2, 3, 4], "grp": ["x", "x", "y", "z"]})
+        out = stratified_cap(ray.data.from_arrow(t), "grp", 10, "id").to_pandas()
+        assert len(out) == 4
+
+    def test_hash_order_selection(self, ray_session):
+        """Selection = cap smallest by (sample_hash, id), per group."""
+        t = _table(2_000)
+        out = stratified_cap(
+            ray.data.from_arrow(t), "grp", 5, "id", seed=9
+        ).to_pandas()
+        ids = t["id"].to_numpy()
+        grp = np.asarray(t["grp"])
+        h = sample_hash(ids, 9)
+        for g in "abcd":
+            m = grp == g
+            order = np.lexsort((ids[m], h[m]))
+            expect = set(ids[m][order][:5])
+            assert set(out[out["grp"] == g]["id"]) == expect
+
+    def test_cap_zero(self, ray_session):
+        ds = ray.data.from_arrow(_table(100))
+        assert stratified_cap(ds, "grp", 0, "id").count() == 0
+
+
+class TestWeightedMix:
+    def test_per_source_rates(self, ray_session):
+        ds = ray.data.from_arrow(_table(30_000))
+        out = weighted_mix(
+            ds, "src", {"s0": 1.0, "s1": 0.5}, "id", seed=4, default_rate=0.0
+        ).to_pandas()
+        n_by = out.groupby("src")["id"].count()
+        total = (
+            ray.data.from_arrow(_table(30_000)).to_pandas()
+            .groupby("src")["id"].count()
+        )
+        assert n_by.get("s2", 0) == 0  # default 0.0 drops unlisted
+        assert n_by["s0"] == total["s0"]  # rate 1.0 keeps all
+        frac = n_by["s1"] / total["s1"]
+        assert 0.45 < frac < 0.55
+
+    def test_mix_is_hash_sample_per_source(self, ray_session):
+        """weighted_mix ≡ hash_sample applied per source slice."""
+        ds = ray.data.from_arrow(_table(5_000))
+        mixed = weighted_mix(
+            ds, "src", {"s0": 0.3}, "id", seed=6, default_rate=0.1
+        ).to_pandas()
+        df = _table(5_000).to_pandas()
+        h = sample_hash(df["id"].to_numpy(), 6)
+        two64 = 1 << 64
+        thr = np.where(
+            df["src"] == "s0",
+            np.uint64(int(0.3 * two64)),
+            np.uint64(int(0.1 * two64)),
+        )
+        expect = set(df["id"][h < thr])
+        assert set(mixed["id"]) == expect
+
+    def test_rate_validation(self, ray_session):
+        ds = ray.data.from_arrow(_table(10))
+        with pytest.raises(ValueError):
+            weighted_mix(ds, "src", {"s0": -0.1}, "id")
