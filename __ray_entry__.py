@@ -343,6 +343,20 @@ def _q_decontam(sf_dir: str):
     return contamination(ds, ref, "text", "doc_id", window=16, mode="exact")
 
 
+def _q_repetition(sf_dir: str):
+    """Gopher-style repetition quality signals (dup-token fraction, top
+    2/3-gram fractions) — count-based variants so the DuckDB string-gram
+    oracle checks them exactly."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.analysis import repetition_metrics
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return repetition_metrics(ds)
+
+
 def _q_sample_docs(sf_dir: str):
     """Deterministic 10% uniform sample by splitmix64(doc_id ^ seed) —
     the oracle reproduces the hash bit-exactly in SQL (32-bit-split
@@ -453,6 +467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_docs": quality,
         "lang_id_docs": _q_lang_id,
         "fingerprint_docs": _q_fingerprints,
+        "repetition_docs": _q_repetition,
         # north-star document pipeline + multimodal plumbing
         "docmatch_corpus": _q_docmatch,
         "media_features": _q_media_features,
@@ -666,6 +681,51 @@ def oracle_sql() -> dict[str, str]:
             FROM h
         """,
         **_sampling_oracles(),
+        "repetition_docs": """
+            WITH t AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(coalesce(text, '')),
+                                         '[^a-z0-9]+', ' ', 'g')) AS nt
+              FROM documents
+            ), base AS (
+              SELECT doc_id,
+                     CASE WHEN len(nt) = 0 THEN CAST([] AS VARCHAR[])
+                          ELSE string_split(nt, ' ') END AS toks
+              FROM t
+            ), b AS (
+              SELECT doc_id, toks, len(toks) AS n_tokens,
+                     len(list_distinct(toks)) AS n_distinct
+              FROM base
+            ), g2 AS (
+              SELECT doc_id, unnest(list_transform(
+                generate_series(1, len(toks) - 1),
+                i -> toks[i] || chr(31) || toks[i+1])) AS g
+              FROM b WHERE n_tokens >= 2
+            ), m2 AS (
+              SELECT doc_id, max(c) AS mx
+              FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2)
+              GROUP BY 1
+            ), g3 AS (
+              SELECT doc_id, unnest(list_transform(
+                generate_series(1, len(toks) - 2),
+                i -> toks[i] || chr(31) || toks[i+1] || chr(31) || toks[i+2]))
+                AS g
+              FROM b WHERE n_tokens >= 3
+            ), m3 AS (
+              SELECT doc_id, max(c) AS mx
+              FROM (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2)
+              GROUP BY 1
+            )
+            SELECT b.doc_id, b.n_tokens,
+                   round(CASE WHEN b.n_tokens > 0 THEN
+                         (b.n_tokens - b.n_distinct)::DOUBLE / b.n_tokens
+                         ELSE 0 END, 6) AS dup_token_frac,
+                   round(coalesce(m2.mx, 0)::DOUBLE /
+                         greatest(b.n_tokens - 1, 1), 6) AS top2gram_frac,
+                   round(coalesce(m3.mx, 0)::DOUBLE /
+                         greatest(b.n_tokens - 2, 1), 6) AS top3gram_frac
+            FROM b LEFT JOIN m2 USING (doc_id) LEFT JOIN m3 USING (doc_id)
+        """,
         "decontam_docs": """
             WITH t AS (
               SELECT doc_id,

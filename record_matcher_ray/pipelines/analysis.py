@@ -208,3 +208,121 @@ def fingerprints(
         )
 
     return ds.map_batches(fp, batch_format="pyarrow")
+
+
+_GRAM_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _round_half_away6(x: np.ndarray) -> np.ndarray:
+    """Round non-negative values to 6 decimals HALF-AWAY from zero —
+    np.round is half-even, but the DuckDB oracle's round() goes away from
+    zero on exact binary ties (k/2^m denominators hit them for real)."""
+    return np.floor(x * 1e6 + 0.5) / 1e6
+
+
+def repetition_metrics(
+    ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Gopher-style repetition signals per document (Rae et al.,
+    "Scaling Language Models: ... Gopher", 2021, §A1.1 quality filters —
+    repetition-heavy docs are boilerplate/spam):
+
+    - ``n_tokens``: whitespace tokens of the NORMALIZED text (lowercase,
+      [^a-z0-9]+ collapsed — same normalization as blocking/dedup);
+    - ``dup_token_frac``: (n_tokens - distinct_tokens) / n_tokens;
+    - ``top2gram_frac``: occurrences of the most frequent token 2-gram /
+      total 2-grams (0 when fewer than 2 tokens);
+    - ``top3gram_frac``: same for 3-grams.
+
+    Deviation from Gopher: fractions are over token/gram COUNTS, not
+    characters (simpler, SQL-checkable exactly; rank order of offenders is
+    preserved). One vectorized zero-shuffle pass: tokens hash via the flat
+    whole-string kernel, grams fold consecutive token hashes, per-doc
+    distinct/max-run counts come from one lexsort over (doc, value).
+    Empty-after-normalization docs report all-zero metrics."""
+
+    def _per_doc_top_run(doc: np.ndarray, val: np.ndarray, n: int) -> np.ndarray:
+        """max run length of equal (doc, val) pairs per doc (sorted input
+        NOT required) → (n,) int64; docs absent from ``doc`` get 0."""
+        out = np.zeros(n, np.int64)
+        if len(doc) == 0:
+            return out
+        order = np.lexsort((val, doc))
+        d_s, v_s = doc[order], val[order]
+        new_run = np.concatenate(
+            ([True], (d_s[1:] != d_s[:-1]) | (v_s[1:] != v_s[:-1]))
+        )
+        run_id = np.cumsum(new_run) - 1
+        run_len = np.bincount(run_id)
+        run_doc = d_s[new_run]
+        np.maximum.at(out, run_doc, run_len)
+        return out
+
+    def fn(t: pa.Table) -> pa.Table:
+        from record_matcher_ray.core.hashkernels import (
+            mix64,
+            normalize_utf8,
+            utf8_view,
+            whole_hashes,
+        )
+
+        norm = normalize_utf8(t[text_col])
+        toks = pc.split_pattern(norm, " ")
+        n = len(t)
+        tok_lens = np.diff(toks.offsets.to_numpy()).astype(np.int64)
+        # normalized-empty docs split to [""] — zero their token count
+        empty = np.asarray(pc.equal(norm, "").to_numpy(zero_copy_only=False))
+        tok_lens = np.where(empty, 0, tok_lens)
+        flat_toks = toks.flatten()
+        th_all = whole_hashes(*utf8_view(flat_toks))
+        # drop the phantom "" token rows of empty docs
+        doc_all = np.repeat(
+            np.arange(n, dtype=np.int64),
+            np.diff(toks.offsets.to_numpy()).astype(np.int64),
+        )
+        keep = ~empty[doc_all]
+        th = th_all[keep]
+        doc = doc_all[keep]
+
+        # distinct tokens per doc: count first-occurrences in (doc, th) sort
+        distinct = np.zeros(n, np.int64)
+        if len(th):
+            order = np.lexsort((th, doc))
+            d_s, h_s = doc[order], th[order]
+            first = np.concatenate(
+                ([True], (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1]))
+            )
+            distinct = np.bincount(d_s[first], minlength=n)
+
+        # consecutive-token grams (within doc): fold hashes, order-sensitive
+        same2 = doc[1:] == doc[:-1] if len(doc) else np.zeros(0, bool)
+        g2 = mix64(th[:-1] * _GRAM_MIX ^ th[1:])[same2] if len(th) else th
+        d2 = doc[:-1][same2] if len(doc) else doc
+        top2 = _per_doc_top_run(d2, g2, n)
+
+        same3 = same2[1:] & same2[:-1] if len(doc) > 1 else np.zeros(0, bool)
+        if len(th) > 2:
+            g3 = mix64(mix64(th[:-2] * _GRAM_MIX ^ th[1:-1]) * _GRAM_MIX ^ th[2:])[same3]
+            d3 = doc[:-2][same3]
+        else:
+            g3 = np.empty(0, np.uint64)
+            d3 = np.empty(0, np.int64)
+        top3 = _per_doc_top_run(d3, g3, n)
+
+        with np.errstate(divide="ignore", invalid="ignore"):
+            dup = np.where(
+                tok_lens > 0, (tok_lens - distinct) / tok_lens, 0.0
+            )
+            f2 = np.where(tok_lens >= 2, top2 / np.maximum(tok_lens - 1, 1), 0.0)
+            f3 = np.where(tok_lens >= 3, top3 / np.maximum(tok_lens - 2, 1), 0.0)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_tokens": pa.array(tok_lens),
+                "dup_token_frac": pa.array(_round_half_away6(dup)),
+                "top2gram_frac": pa.array(_round_half_away6(f2)),
+                "top3gram_frac": pa.array(_round_half_away6(f3)),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
