@@ -357,6 +357,27 @@ def _q_repetition(sf_dir: str):
     return repetition_metrics(ds)
 
 
+def _q_pack_docs(sf_dir: str):
+    """Sequence packing into 512-token bins, next-fit over doc_id order.
+    The query pins a canonical packing (one block, one batch, sorted
+    ids) so the DuckDB recursive-CTE replay of the next-fit recurrence
+    checks it exactly; at scale packing is partition-local by design."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.analysis import token_counts
+    from record_matcher_ray.pipelines.packing import pack_sequences
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        override_num_blocks=1,
+    )
+    tc = token_counts(ds).select_columns(["doc_id", "n_ws_tokens"])
+    return pack_sequences(
+        tc.sort("doc_id").repartition(1), 512,
+        token_col="n_ws_tokens", batch_size=1 << 22,
+    ).drop_columns(["doc_ids"])
+
+
 def _q_sample_docs(sf_dir: str):
     """Deterministic 10% uniform sample by splitmix64(doc_id ^ seed) —
     the oracle reproduces the hash bit-exactly in SQL (32-bit-split
@@ -459,6 +480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_docs": _q_sample_docs,
         "stratified_docs": _q_stratified_docs,
         "mix_docs": _q_mix_docs,
+        "pack_docs": _q_pack_docs,
         # similarity search
         "ann_topk": _q_ann_topk,
         "embedding_near_dups": _q_embedding_near_dups,
@@ -814,6 +836,32 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '{bpe}'))::bigint AS n_bpe_tokens,
                    length(text)::bigint AS n_chars_obs
             FROM documents
+        """,
+        "pack_docs": """
+            -- replay the next-fit recurrence: walk docs in doc_id order,
+            -- start a new bin when the running token sum would exceed 512
+            -- (an oversize doc occupies a bin alone). bin_id = first doc id.
+            WITH RECURSIVE d AS (
+              SELECT row_number() OVER (ORDER BY doc_id) AS rn, doc_id,
+                     len(regexp_extract_all(text, '\\S+'))::BIGINT AS tok
+              FROM documents
+            ), nf AS (
+              SELECT rn, doc_id, tok, doc_id AS bin_id, tok AS run
+              FROM d WHERE rn = 1
+              UNION ALL
+              SELECT d.rn, d.doc_id, d.tok,
+                     CASE WHEN nf.run + d.tok > 512
+                          THEN d.doc_id ELSE nf.bin_id END,
+                     CASE WHEN nf.run + d.tok > 512
+                          THEN d.tok ELSE nf.run + d.tok END
+              FROM nf JOIN d ON d.rn = nf.rn + 1
+            )
+            SELECT bin_id, count(*) AS n_docs,
+                   CAST(sum(tok) AS BIGINT) AS total_tokens,
+                   -- /512 is a power-of-two division: bit-exact vs numpy
+                   least(CAST(sum(tok) AS DOUBLE) / 512, 1.0) AS fill_frac,
+                   CAST(sum(tok) AS BIGINT) > 512 AS oversize
+            FROM nf GROUP BY 1
         """,
         "quality_docs": f"""
             WITH t AS (
