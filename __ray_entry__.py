@@ -223,10 +223,7 @@ def _q_minhash_recall(sf_dir: str):
     import pandas as pd
     import ray.data
 
-    from record_matcher_ray.pipelines.dedup import (
-        _pairwise_jaccard,
-        minhash_dedup,
-    )
+    from record_matcher_ray.pipelines.dedup import minhash_dedup
     from record_matcher_ray.stages.blocking import char_shingles, normalize_text
 
     docs = (
@@ -243,15 +240,20 @@ def _q_minhash_recall(sf_dir: str):
     ]
     ids = df["doc_id"].to_numpy()
     n = len(ids)
+    # all-pairs exact Jaccard via ONE doc×shingle 0/1 matmul (no per-pair
+    # set expansion): inter = M @ M.T, union = |a|+|b|-inter.
+    lens = np.array([len(s) for s in sets], np.int64)
+    flat = (np.concatenate(sets) if lens.sum() else np.empty(0, np.int64))
+    cols = pd.factorize(flat)[0]
+    m = np.zeros((n, int(cols.max()) + 1 if len(cols) else 1), np.float32)
+    m[np.repeat(np.arange(n), lens), cols] = 1.0
+    inter = m @ m.T
+    union = lens[:, None] + lens[None, :] - inter
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sims = np.where(union > 0, 100.0 * inter / union, 0.0)
+    sims = np.round(sims, 6)
     ai, bi = np.triu_indices(n, k=1)
-    a_lens = np.array([len(sets[i]) for i in ai], np.int64)
-    b_lens = np.array([len(sets[i]) for i in bi], np.int64)
-    a_flat = (np.concatenate([sets[i] for i in ai])
-              if a_lens.sum() else np.empty(0, np.int64))
-    b_flat = (np.concatenate([sets[i] for i in bi])
-              if b_lens.sum() else np.empty(0, np.int64))
-    sims = _pairwise_jaccard(a_flat, a_lens, b_flat, b_lens)
-    tmask = (sims >= 60.0) & (a_lens > 0) & (b_lens > 0)
+    tmask = (sims[ai, bi] >= 60.0) & (lens[ai] > 0) & (lens[bi] > 0)
     truth = {
         (int(min(ids[x], ids[y])), int(max(ids[x], ids[y])))
         for x, y in zip(ai[tmask], bi[tmask])
