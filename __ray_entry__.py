@@ -345,6 +345,59 @@ def _q_decontam(sf_dir: str):
     return contamination(ds, ref, "text", "doc_id", window=16, mode="exact")
 
 
+def _q_pii(sf_dir: str):
+    """Per-doc PII detector counts (email/phone/ipv4/ssn) — RE2 kernels,
+    zero shuffle; DuckDB runs the identical RE2 patterns."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.pii import pii_counts
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return pii_counts(ds)
+
+
+def _q_redact(sf_dir: str):
+    """PII redaction pass — text rewritten with ordered pattern masking;
+    oracle is the same nested regexp_replace chain."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.pii import redact_pii
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return redact_pii(ds)
+
+
+def _q_chunks(sf_dir: str):
+    """Overlapping token-window chunking (size 64, overlap 16) — the
+    retrieval-prep transform; deterministic window starts so the DuckDB
+    generate_series mirror matches hash-exactly."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.chunking import chunk_documents
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return chunk_documents(ds, size=64, overlap=16)
+
+
+def _q_top_terms(sf_dir: str):
+    """Global top-100 terms with occurrence + document frequency —
+    partial factorize+bincount per block, one vocab-sized groupby."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.terms import top_terms
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return top_terms(ds, k=100)
+
+
 def _q_repetition(sf_dir: str):
     """Gopher-style repetition quality signals (dup-token fraction, top
     2/3-gram fractions) — count-based variants so the DuckDB string-gram
@@ -492,6 +545,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id_docs": _q_lang_id,
         "fingerprint_docs": _q_fingerprints,
         "repetition_docs": _q_repetition,
+        "pii_docs": _q_pii,
+        "redact_docs": _q_redact,
+        "chunk_docs": _q_chunks,
+        "top_terms_docs": _q_top_terms,
         # north-star document pipeline + multimodal plumbing
         "docmatch_corpus": _q_docmatch,
         "media_features": _q_media_features,
@@ -533,6 +590,34 @@ def _sampling_oracles() -> dict[str, str]:
                            WHEN 'src1' THEN {thr(0.5)}
                            WHEN 'src2' THEN {thr(0.25)}
                            ELSE {thr(0.1)} END AS UBIGINT)
+        """,
+    }
+
+
+def _pii_oracles() -> dict[str, str]:
+    """PII oracles built from the ENGINE's pattern dict so the SQL mirror
+    can never drift from the code (both sides are RE2)."""
+    from record_matcher_ray.pipelines.pii import PII_PATTERNS
+
+    counts = ",\n                   ".join(
+        f"len(regexp_extract_all(coalesce(text, ''), '{p}'))::BIGINT AS n_{k}"
+        for k, p in PII_PATTERNS.items()
+    )
+    total = " + ".join(
+        f"len(regexp_extract_all(coalesce(text, ''), '{p}'))"
+        for p in PII_PATTERNS.values()
+    )
+    redacted = "coalesce(text, '')"
+    for p in PII_PATTERNS.values():
+        redacted = f"regexp_replace({redacted}, '{p}', '[PII]', 'g')"
+    return {
+        "pii_docs": f"""
+            SELECT doc_id, {counts},
+                   ({total})::BIGINT AS n_pii_total
+            FROM documents
+        """,
+        "redact_docs": f"""
+            SELECT doc_id, {redacted} AS text FROM documents
         """,
     }
 
@@ -838,6 +923,25 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(text, '{bpe}'))::bigint AS n_bpe_tokens,
                    length(text)::bigint AS n_chars_obs
             FROM documents
+        """,
+        **_pii_oracles(),
+        "chunk_docs": __import__(
+            "record_matcher_ray.pipelines.chunking", fromlist=["x"]
+        ).sql_chunk_documents(size=64, overlap=16),
+        "top_terms_docs": """
+            WITH t AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(coalesce(text, '')),
+                                         '[^a-z0-9]+', ' ', 'g')) AS nt
+              FROM documents
+            ), tok AS (
+              SELECT doc_id, unnest(string_split(nt, ' ')) AS term
+              FROM t WHERE len(nt) > 0
+            )
+            SELECT term, count(*)::BIGINT AS n_occ,
+                   count(DISTINCT doc_id)::BIGINT AS n_docs
+            FROM tok GROUP BY term
+            ORDER BY n_occ DESC, term LIMIT 100
         """,
         "pack_docs": """
             -- replay the next-fit recurrence: walk docs in doc_id order,

@@ -114,6 +114,9 @@ class KeyExpander:
             "side": pa.array(np.full(len(idx), self.side, dtype=np.int8)),
         }
         for c in self.carry_cols:
+            # NOTE: plain strings, not dictionary-encoded — probed
+            # 2026-08-17: dict columns through Ray's sort shuffle re-unify
+            # dictionaries at every block concat and cost +50% on stage B
             cols[c] = pc.take(
                 pc.fill_null(pc.cast(t[c], pa.string()), "").combine_chunks(), take
             )
@@ -263,10 +266,16 @@ def match_documents(
         yi_sorted = np.repeat(y_start_per_x, ny_per_x) + within
         xi = np.repeat(orig_x, ny_per_x)
         yi = order[yi_sorted]
-        cols_np = {
-            c: np.asarray(t[c].to_pylist(), dtype=object)
-            for c in set(x_match_cols) | set(y_need_cols)
-        }
+        cols_np = {}
+        for c in set(x_match_cols) | set(y_need_cols):
+            arr = t[c].combine_chunks() if isinstance(
+                t[c], pa.ChunkedArray) else t[c]
+            if not pa.types.is_dictionary(arr.type):
+                # local encode: values are ~20x replicated (one row per
+                # key) — materialize each DISTINCT Python str once
+                arr = arr.dictionary_encode()
+            dvals = np.asarray(arr.dictionary.to_pylist(), dtype=object)
+            cols_np[c] = dvals[arr.indices.to_numpy()]
         score, cand, optimal = score_pairs_flat(
             cols_np, cols_np, xi, yi, cfg, uniq
         )

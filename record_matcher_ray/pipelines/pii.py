@@ -1,0 +1,75 @@
+"""PII detection and redaction over a text column — the scrub step a
+training-data pipeline runs before anything leaves the raw zone.
+
+Scale shape: both operators are ONE zero-shuffle ``map_batches`` pass of
+Arrow RE2 kernels (`count_substring_regex` / `replace_substring_regex`)
+— no Python in the row path, no state, embarrassingly parallel at any
+corpus size. Patterns are RE2 (no backrefs/lookarounds) so the same
+regexes run verbatim in DuckDB's RE2 for the oracle.
+
+Pattern notes: these are the standard high-precision regex detectors
+(emails, E.164-ish phones, IPv4, US-SSN shape); a model-based NER pass
+would slot in as an actor-pool stage exactly like
+``stages/multimodal.MediaFeaturizer``.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+# Ordered: redaction applies in this order, so e.g. the digits of a phone
+# number inside an email never get re-matched after the email is masked.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?\d[\d\-\s().]{7,14}\d",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+
+
+def pii_counts(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    patterns: dict[str, str] | None = None,
+) -> ray.data.Dataset:
+    """→ one row per doc: (id, n_<category>..., n_pii_total). Counts
+    non-overlapping matches per category (RE2 leftmost-longest-free
+    semantics, same as DuckDB ``regexp_extract_all``)."""
+    pats = patterns or PII_PATTERNS
+
+    def count(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(pc.cast(batch[text_col], pa.string()), "")
+        cols: dict[str, pa.Array] = {id_col: batch[id_col]}
+        total = None
+        for name, pat in pats.items():
+            c = pc.cast(pc.count_substring_regex(text, pat), pa.int64())
+            cols[f"n_{name}"] = c
+            total = c if total is None else pc.add(total, c)
+        cols["n_pii_total"] = total
+        return pa.table(cols)
+
+    return ds.map_batches(count, batch_format="pyarrow")
+
+
+def redact_pii(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    patterns: dict[str, str] | None = None,
+    replacement: str = "[PII]",
+) -> ray.data.Dataset:
+    """Rewrite ``text_col`` with every PII match replaced. Applies the
+    patterns in dict order (documented contract: categories earlier in
+    ``PII_PATTERNS`` win on overlapping spans)."""
+    pats = patterns or PII_PATTERNS
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(pc.cast(batch[text_col], pa.string()), "")
+        for pat in pats.values():
+            text = pc.replace_substring_regex(text, pat, replacement)
+        i = batch.schema.get_field_index(text_col)
+        return batch.set_column(i, text_col, text)
+
+    return ds.map_batches(scrub, batch_format="pyarrow")

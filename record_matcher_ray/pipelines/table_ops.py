@@ -197,3 +197,67 @@ def adjusted_uniqueness(
     sel = {c: u for c, u in uniqueness_vector.items() if c in set(selected_columns)}
     total = sum(sel.values())
     return {c: u / total for c, u in sel.items() if total > 0}
+
+
+def grouped_quantiles(
+    ds: ray.data.Dataset,
+    group_cols: list[str],
+    value_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Exact per-group quantiles (numpy/DuckDB ``quantile_cont`` linear
+    interpolation) → one row per group: (group_cols..., q_<pct>...).
+
+    Scale shape: the shuffle key is a hash BUCKET of the group key (≤
+    ``n_buckets``), never the raw group column; inside a bucket all of its
+    groups are resolved in one vectorized pass (lexsort + boundary scan +
+    interpolated gather — no per-group Python). Exactness requires each
+    bucket's rows to fit one worker; for unbounded value streams use a
+    mergeable histogram sketch instead (functions/sketches.py pattern).
+    """
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    qs = tuple(float(q) for q in qs)
+    if any(not 0.0 <= q <= 1.0 for q in qs):
+        raise ValueError(f"quantiles must be in [0, 1], got {qs}")
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["__qb__"] = (
+            pd.util.hash_pandas_object(
+                df[group_cols].astype(str).agg("\x1f".join, axis=1), index=False
+            )
+            % np.uint64(n_buckets)
+        ).astype("int64")
+        return df
+
+    def bucket_quantiles(df: pd.DataFrame) -> pd.DataFrame:
+        vals = df[value_col].to_numpy(dtype=np.float64)
+        codes, _ = pd.factorize(
+            df[group_cols].astype(str).agg("\x1f".join, axis=1).to_numpy()
+        )
+        order = np.lexsort((vals, codes))
+        c_s, v_s = codes[order], vals[order]
+        bounds = np.concatenate(
+            [[0], np.nonzero(c_s[1:] != c_s[:-1])[0] + 1, [len(c_s)]]
+        )
+        starts, ends = bounds[:-1], bounds[1:]
+        n = (ends - starts).astype(np.float64)
+        first_row = df.iloc[order[starts]][group_cols].reset_index(drop=True)
+        out = {c: first_row[c] for c in group_cols}
+        for q in qs:
+            pos = starts + q * (n - 1)
+            lo = np.floor(pos).astype(np.int64)
+            hi = np.minimum(lo + 1, ends - 1)
+            frac = pos - lo
+            out[f"q_{int(round(q * 100))}"] = np.round(
+                v_s[lo] * (1 - frac) + v_s[hi] * frac, 6
+            )
+        return pd.DataFrame(out)
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pandas")
+        .groupby("__qb__")
+        .map_groups(bucket_quantiles, batch_format="pandas")
+    )

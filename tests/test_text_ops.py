@@ -1,0 +1,127 @@
+"""PII detection/redaction, document chunking, corpus top-terms."""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from record_matcher_ray.pipelines.chunking import chunk_documents
+from record_matcher_ray.pipelines.pii import PII_PATTERNS, pii_counts, redact_pii
+from record_matcher_ray.pipelines.terms import top_terms
+
+DOCS = [
+    "contact alice.smith+x@example.co.uk or call +1 (415) 555-0199 today",
+    "server at 10.0.255.3 leaked ssn 123-45-6789 twice: 987-65-4321",
+    "no pii here, just words and numbers 42",
+    "",
+    "two mails: a@b.io c@d.org and ip 1.2.3.4",
+]
+
+
+def _ds():
+    return ray.data.from_arrow(
+        pa.table({"doc_id": np.arange(len(DOCS), dtype=np.int64),
+                  "text": DOCS})
+    )
+
+
+class TestPII:
+    def test_counts_match_re(self, ray_session):
+        out = pii_counts(_ds()).to_pandas().sort_values("doc_id")
+        for name, pat in PII_PATTERNS.items():
+            expect = [len(re.findall(pat, t)) for t in DOCS]
+            assert out[f"n_{name}"].tolist() == expect, name
+        assert (
+            out["n_pii_total"]
+            == sum(out[f"n_{n}"] for n in PII_PATTERNS)
+        ).all()
+        assert out["n_email"].tolist() == [1, 0, 0, 0, 2]
+        assert out["n_ssn"].tolist() == [0, 2, 0, 0, 0]
+
+    def test_redact_removes_all(self, ray_session):
+        out = redact_pii(_ds()).to_pandas().sort_values("doc_id")
+        joined = " ".join(out["text"])
+        for pat in PII_PATTERNS.values():
+            # emails/ssns must be gone; the mask itself contains no digits
+            assert not re.findall(pat, joined.replace("[PII]", "#"))
+        assert out["text"].iloc[2] == DOCS[2]  # untouched doc
+        assert "[PII]" in out["text"].iloc[0]
+
+
+class TestChunking:
+    def test_windows(self, ray_session):
+        toks = [f"t{i}" for i in range(10)]
+        ds = ray.data.from_arrow(
+            pa.table({"doc_id": [1], "text": [" ".join(toks)]})
+        )
+        out = (
+            chunk_documents(ds, size=4, overlap=2)
+            .to_pandas()
+            .sort_values("chunk_id")
+        )
+        # stride 2, starts while s < max(10-2,1)=8 → 0,2,4,6
+        assert out["chunk_id"].tolist() == [0, 1, 2, 3]
+        assert out["chunk_text"].tolist() == [
+            "t0 t1 t2 t3", "t2 t3 t4 t5", "t4 t5 t6 t7", "t6 t7 t8 t9",
+        ]
+        assert out["n_tokens"].tolist() == [4, 4, 4, 4]
+
+    def test_short_and_empty_docs(self, ray_session):
+        ds = ray.data.from_arrow(
+            pa.table({"doc_id": [1, 2, 3], "text": ["one two", "", "   "]})
+        )
+        out = chunk_documents(ds, size=4, overlap=2).to_pandas()
+        assert out["doc_id"].tolist() == [1]
+        assert out["chunk_text"].tolist() == ["one two"]
+
+    def test_every_token_covered(self, ray_session):
+        rng = np.random.default_rng(2)
+        texts = [
+            " ".join(f"w{rng.integers(50)}" for _ in range(int(n)))
+            for n in rng.integers(1, 200, 50)
+        ]
+        ds = ray.data.from_arrow(
+            pa.table({"doc_id": np.arange(50, dtype=np.int64), "text": texts})
+        )
+        out = chunk_documents(ds, size=16, overlap=4).to_pandas()
+        for did, text in enumerate(texts):
+            toks = text.split()
+            rows = out[out["doc_id"] == did].sort_values("chunk_id")
+            for _, r in rows.iterrows():
+                s = r["chunk_id"] * 12
+                assert r["chunk_text"].split() == toks[s:s + 16]
+            # coverage: last chunk must reach the final token
+            last = rows.iloc[-1]
+            assert last["chunk_id"] * 12 + last["n_tokens"] == len(toks)
+
+    def test_validation(self, ray_session):
+        with pytest.raises(ValueError):
+            chunk_documents(_ds(), size=4, overlap=4)
+
+
+class TestTopTerms:
+    def test_counts(self, ray_session):
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": [1, 2, 3],
+                    "text": ["Apple apple BANANA!", "apple pear", "pear pear"],
+                }
+            )
+        ).repartition(3)
+        out = top_terms(ds, k=10).to_pandas()
+        got = {r["term"]: (r["n_occ"], r["n_docs"]) for _, r in out.iterrows()}
+        assert got == {"apple": (3, 2), "pear": (3, 2), "banana": (1, 1)}
+        # ordering: n_occ desc then term asc
+        assert out["term"].tolist() == ["apple", "pear", "banana"]
+
+    def test_k_cut(self, ray_session):
+        ds = ray.data.from_arrow(
+            pa.table({"doc_id": [1], "text": ["a b c d e f g"]})
+        )
+        out = top_terms(ds, k=3).to_pandas()
+        assert out["term"].tolist() == ["a", "b", "c"]
