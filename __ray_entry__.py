@@ -398,6 +398,20 @@ def _q_top_terms(sf_dir: str):
     return top_terms(ds, k=100)
 
 
+def _q_quantiles(sf_dir: str):
+    """Exact per-group quantiles of o_totalprice by order status — hash
+    BUCKET of the group key is the shuffle key (never the raw column),
+    all of a bucket's groups resolved in one vectorized lexsort pass."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.table_ops import grouped_quantiles
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderstatus", "o_totalprice"]
+    )
+    return grouped_quantiles(ds, ["o_orderstatus"], "o_totalprice")
+
+
 def _q_repetition(sf_dir: str):
     """Gopher-style repetition quality signals (dup-token fraction, top
     2/3-gram fractions) — count-based variants so the DuckDB string-gram
@@ -546,6 +560,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_docs": _q_fingerprints,
         "repetition_docs": _q_repetition,
         "pii_docs": _q_pii,
+        "quantiles_orders": _q_quantiles,
         "redact_docs": _q_redact,
         "chunk_docs": _q_chunks,
         "top_terms_docs": _q_top_terms,
@@ -925,6 +940,13 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         **_pii_oracles(),
+        "quantiles_orders": """
+            SELECT o_orderstatus,
+                   round(quantile_cont(o_totalprice, 0.25), 6) AS q_25,
+                   round(quantile_cont(o_totalprice, 0.50), 6) AS q_50,
+                   round(quantile_cont(o_totalprice, 0.75), 6) AS q_75
+            FROM orders GROUP BY 1
+        """,
         "chunk_docs": __import__(
             "record_matcher_ray.pipelines.chunking", fromlist=["x"]
         ).sql_chunk_documents(size=64, overlap=16),

@@ -34,10 +34,27 @@ and lives in :func:`record_matcher_ray.pipelines.match.duplicate_pass`.
 
 from __future__ import annotations
 
+import os
+import time
+
 import numpy as np
 
 from record_matcher_ray.core.config import MatchConfig
 from record_matcher_ray.functions.scorers import get_scorer
+
+# optional hot-path profiling: RMR_PROF=<dir> makes every score_pairs_flat
+# call append per-column (scorer, npairs, sec) lines to <dir>/<pid>.tsv —
+# how stage-B wall time splits across scorers under real parallelism
+_PROF_PATH = os.environ.get("RMR_PROF", "")
+
+
+def _prof_write(col: str, scorer: str, npair: int, sec: float) -> None:
+    try:
+        os.makedirs(_PROF_PATH, exist_ok=True)
+        with open(f"{_PROF_PATH}/{os.getpid()}.tsv", "a") as f:
+            f.write(f"{col}\t{scorer}\t{npair}\t{sec:.4f}\n")
+    except OSError:
+        pass
 
 MATCH_STATUS = {
     "unmatched": "UNMATCHED",
@@ -177,9 +194,11 @@ def score_pairs_flat(
         for c in order
     }
 
+    prof = _PROF_PATH and npair > 0
     score = np.zeros(npair, dtype=np.float64)
     cand = np.zeros(npair, dtype=bool)
     for c, ycols in mcols:
+        t0 = time.perf_counter() if prof else 0.0
         xs = x_cols.get(c, blank_x)[xi]
         best = None
         if ycols:
@@ -195,6 +214,8 @@ def score_pairs_flat(
         passing = (best >= thr) if cfg.cutoff_of(c) else (best > 0)
         cand |= passing
         score += best * passing * weights[c][xi]
+        if prof:
+            _prof_write(c, cfg.scorer_of(c), npair, time.perf_counter() - t0)
 
     optimal = np.zeros(nx, dtype=np.float64)
     for c in order:

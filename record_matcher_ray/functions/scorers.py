@@ -163,15 +163,29 @@ def exact_match_matrix(xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
     return np.where(cx[:, None] == cy[None, :], 100.0, 0.0)
 
 
-def _encode_padded(strs: list[str]) -> tuple[np.ndarray, np.ndarray]:
-    """Encode a list of strings into a zero-padded uint32 codepoint matrix."""
+def _encode_padded(
+    strs: list[str], pad: int = 0
+) -> tuple[np.ndarray, np.ndarray]:
+    """Encode a list of strings into a ``pad``-padded uint32 codepoint
+    matrix. Pass a pad beyond the Unicode range (see ``_PAD_X``/``_PAD_Y``)
+    to make padding cells unmatchable — kernels can then drop their
+    validity masks entirely."""
     lens = np.fromiter((len(s) for s in strs), dtype=np.int64, count=len(strs))
     lmax = int(lens.max()) if len(lens) else 0
-    mat = np.zeros((len(strs), lmax), dtype=np.uint32)
+    mat = np.full((len(strs), lmax), pad, dtype=np.uint32)
     for i, s in enumerate(strs):
         if s:
             mat[i, : len(s)] = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
     return mat, lens
+
+
+# padding code points outside the Unicode range (max 0x10FFFF): an x pad
+# never equals any y char, a y pad never equals any x char, and the two
+# pads never equal each other — (ymat == xc) is False on every padding
+# cell with NO mask. uint8 twins for the ASCII fast path (requires
+# real chars < 254).
+_PAD_X, _PAD_Y = 0x110000, 0x110001
+_PAD_X8, _PAD_Y8 = 254, 255
 
 
 def _lev_one_vs_many(x: str, ymat: np.ndarray, ylens: np.ndarray) -> np.ndarray:
@@ -331,28 +345,37 @@ def _elementwise_dedup(
     upk, pinv = np.unique(pairkey, return_inverse=True)
     if len(ux) * len(uy) <= 4 * len(upk):
         return matrix_kernel(ux, uy)[xc, yc]
-    xmat_u, xlens_u = _encode_padded(list(ux))
-    ymat_u, ylens_u = _encode_padded(list(uy))
+    xmat_u, xlens_u = _encode_padded(list(ux), pad=_PAD_X)
+    ymat_u, ylens_u = _encode_padded(list(uy), pad=_PAD_Y)
     # ASCII-range corpora fit uint8 — 4× less memory traffic through every
     # kernel temporary (32 parallel scoring tasks are DRAM-bandwidth
-    # bound, not FLOP bound)
+    # bound, not FLOP bound). Real chars must stay below the uint8 pads.
+    real_x = xmat_u[xmat_u != _PAD_X]
+    real_y = ymat_u[ymat_u != _PAD_Y]
     if (
-        (xmat_u.size == 0 or xmat_u.max() < 256)
-        and (ymat_u.size == 0 or ymat_u.max() < 256)
+        (real_x.size == 0 or real_x.max() < _PAD_X8)
+        and (real_y.size == 0 or real_y.max() < _PAD_X8)
     ):
-        xmat_u = xmat_u.astype(np.uint8)
-        ymat_u = ymat_u.astype(np.uint8)
+        xmat_u = np.where(xmat_u == _PAD_X, _PAD_X8, xmat_u).astype(np.uint8)
+        ymat_u = np.where(ymat_u == _PAD_Y, _PAD_Y8, ymat_u).astype(np.uint8)
     xi = upk // len(uy)
     yi = upk % len(uy)
     # chunk the pair axis so each kernel invocation's temporaries stay
-    # cache-sized instead of streaming hundreds of MB through DRAM
+    # cache-sized instead of streaming hundreds of MB through DRAM, and
+    # process pairs in max-length order so a chunk of short strings runs
+    # a NARROW matrix (padding every pair to the global max made 10-char
+    # titles pay one 60-char outlier's loop trips and traffic)
     out = np.empty(len(upk), dtype=np.float64)
+    pairmax = np.maximum(xlens_u[xi], ylens_u[yi])
+    ordp = np.argsort(pairmax, kind="stable")
     step = 1 << 16
     for s in range(0, len(upk), step):
-        e = min(s + step, len(upk))
-        xs_i, ys_i = xi[s:e], yi[s:e]
-        out[s:e] = pairs_mat_kernel(
-            xmat_u[xs_i], xlens_u[xs_i], ymat_u[ys_i], ylens_u[ys_i]
+        sel = ordp[s:s + step]
+        xs_i, ys_i = xi[sel], yi[sel]
+        w = max(int(pairmax[sel[-1]]), 1)
+        out[sel] = pairs_mat_kernel(
+            xmat_u[xs_i, :w], xlens_u[xs_i],
+            ymat_u[ys_i, :w], ylens_u[ys_i],
         )
     return out[pinv]
 
@@ -462,31 +485,41 @@ def _jaro_pairs(
     xmat: np.ndarray, xlens: np.ndarray, ymat: np.ndarray, ylens: np.ndarray
 ) -> np.ndarray:
     """Jaro similarity of aligned pairs, vectorized across the pair axis
-    (same greedy window matching as the one-vs-many kernel)."""
+    (same greedy window matching as the one-vs-many kernel).
+
+    REQUIRES callers to encode with the unmatchable pads (_PAD_X/_PAD_Y or
+    their uint8 twins): padding cells then fail the char-equality compare
+    by construction, so the inner loop needs NO x-activity or y-validity
+    masks — 3 (n, ly) temporaries per char step instead of 5 (the kernel
+    is DRAM-bound under full parallelism; see CLAUDE.md)."""
     n, lx = xmat.shape
     ly = ymat.shape[1]
     out = np.zeros(n, dtype=np.float64)
     if n == 0:
         return out
     match_dist = np.maximum(np.maximum(xlens, ylens) // 2 - 1, 0)[:, None]
-    yvalid = np.arange(ly)[None, :] < ylens[:, None] if ly else np.zeros((n, 0), bool)
+    # y cells still open for matching: starts as "any real char" and is
+    # cleared in place as chars get claimed (replaces ~yflag & yvalid)
+    avail = (
+        np.arange(ly)[None, :] < ylens[:, None]
+        if ly
+        else np.zeros((n, 0), bool)
+    )
     yflag = np.zeros((n, ly), dtype=bool)
     xflag = np.zeros((n, lx), dtype=bool)
     pos = np.arange(ly)[None, :]
     for i in range(lx):
-        act = xlens > i
-        if not act.any():
+        if not (xlens > i).any():
             break
         xc = xmat[:, i]
-        # window |pos - i| <= match_dist replaces the two lo/hi compares
-        cand = (
-            (ymat == xc[:, None]) & ~yflag
-            & (np.abs(pos - i) <= match_dist) & yvalid & act[:, None]
-        )
+        # window |pos - i| <= match_dist replaces the two lo/hi compares;
+        # pad cells can never satisfy the equality (unmatchable pads)
+        cand = (ymat == xc[:, None]) & avail & (np.abs(pos - i) <= match_dist)
         has = cand.any(axis=1)
         first = cand.argmax(axis=1)
         rows = np.nonzero(has)[0]
         yflag[rows, first[rows]] = True
+        avail[rows, first[rows]] = False
         xflag[rows, i] = True
     matches = xflag.sum(axis=1)
     any_m = matches > 0
@@ -526,8 +559,8 @@ def _jw_pairs_mat(
 
 
 def _jw_pairs(xs: list[str], ys: list[str]) -> np.ndarray:
-    xmat, xlens = _encode_padded(xs)
-    ymat, ylens = _encode_padded(ys)
+    xmat, xlens = _encode_padded(xs, pad=_PAD_X)
+    ymat, ylens = _encode_padded(ys, pad=_PAD_Y)
     return _jw_pairs_mat(xmat, xlens, ymat, ylens)
 
 

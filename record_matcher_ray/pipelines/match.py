@@ -120,6 +120,10 @@ def compute_flips(
         return t.append_column("wb", pa.array(wb.astype(np.int64)))
 
     def resolve_bucket(t: pa.Table) -> pa.Table:
+        """Vectorized twin of core.dup.resolve_duplicates across ALL of a
+        bucket's y-groups at once (the per-group Python call was ~0.04 ms
+        × |groups| — at a corpus where most entities have several mentions
+        nearly every winner group is multi, so the loop dominated)."""
         n = len(t)
         empty = pa.schema([("x_id", pa.int64()), ("verdict", pa.string())])
         if n == 0:
@@ -129,22 +133,27 @@ def compute_flips(
         sc = t["winner_score"].to_numpy()
         order = np.argsort(yid, kind="stable")
         y_s = yid[order]
+        x_s, sc_s = xid[order], sc[order]
         bounds = np.nonzero(np.concatenate(([True], y_s[1:] != y_s[:-1])))[0]
-        ends = np.concatenate((bounds[1:], [n]))
-        out_x: list[int] = []
-        out_v: list[str] = []
-        for s, e in zip(bounds, ends):
-            if e - s <= 1:
-                continue
-            seg = order[s:e]
-            verdict, ids = resolve_duplicates(
-                list(zip(xid[seg].tolist(), sc[seg].tolist())), duplicate_threshold
-            )
-            out_x.extend(ids)
-            out_v.extend([verdict] * len(ids))
+        sizes = np.diff(np.concatenate((bounds, [n])))
+        mx = np.maximum.reduceat(sc_s, bounds)
+        mn = np.minimum.reduceat(sc_s, bounds)
+        is_max = sc_s == np.repeat(mx, sizes)
+        n_max = np.add.reduceat(is_max.astype(np.int64), bounds)
+        multi = sizes > 1
+        dup_g = multi & ((n_max > 1)
+                         | (np.abs(mx - mn) < duplicate_threshold))
+        dem_g = multi & ~dup_g
+        grp = np.repeat(np.arange(len(bounds)), sizes)
+        dup_rows = dup_g[grp]
+        dem_rows = dem_g[grp] & ~is_max
+        verdict = np.empty(int(dup_rows.sum()) + int(dem_rows.sum()), object)
+        verdict[: dup_rows.sum()] = "duplicate"
+        verdict[dup_rows.sum():] = "demote"
         return pa.table(
-            {"x_id": pa.array(out_x, pa.int64()),
-             "verdict": pa.array(out_v, pa.string())}
+            {"x_id": pa.array(
+                np.concatenate([x_s[dup_rows], x_s[dem_rows]]), pa.int64()),
+             "verdict": pa.array(verdict, pa.string())}
         )
 
     flips_df = (

@@ -125,3 +125,39 @@ class TestTopTerms:
         )
         out = top_terms(ds, k=3).to_pandas()
         assert out["term"].tolist() == ["a", "b", "c"]
+
+
+class TestGroupedQuantiles:
+    def test_matches_numpy(self, ray_session):
+        from record_matcher_ray.pipelines.table_ops import grouped_quantiles
+
+        rng = np.random.default_rng(11)
+        grp = rng.choice(["a", "b", "c"], 10_000)
+        val = np.round(rng.uniform(0, 1000, 10_000), 2)
+        ds = ray.data.from_arrow(pa.table({"g": grp, "v": val})).repartition(7)
+        out = (
+            grouped_quantiles(ds, ["g"], "v")
+            .to_pandas()
+            .set_index("g")
+            .sort_index()
+        )
+        for g in "abc":
+            v = val[grp == g]
+            for q, col in [(0.25, "q_25"), (0.5, "q_50"), (0.75, "q_75")]:
+                assert out.loc[g, col] == pytest.approx(
+                    round(float(np.quantile(v, q)), 6), abs=1e-6
+                )
+
+    def test_multi_group_cols_and_validation(self, ray_session):
+        from record_matcher_ray.pipelines.table_ops import grouped_quantiles
+
+        ds = ray.data.from_arrow(
+            pa.table({"a": ["x", "x", "y"], "b": [1, 1, 2], "v": [1.0, 3.0, 5.0]})
+        )
+        out = grouped_quantiles(ds, ["a", "b"], "v", qs=(0.5,)).to_pandas()
+        got = {(r["a"], r["b"]): r["q_50"] for _, r in out.iterrows()}
+        assert got == {("x", 1): 2.0, ("y", 2): 5.0}
+        with pytest.raises(ValueError):
+            grouped_quantiles(ds, [], "v")
+        with pytest.raises(ValueError):
+            grouped_quantiles(ds, ["a"], "v", qs=(1.5,))
