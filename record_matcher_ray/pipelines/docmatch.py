@@ -445,6 +445,7 @@ def match_documents(
 
     # ---- stage D: duplicate pass + finalize ------------------------------
     flips = compute_flips(scored, cfg.duplicate_threshold)
+    _tick("flips", {"n_flips": len(flips)})
     # broadcast as two SORTED id arrays, not the dict — at multi-mention
     # corpora the flip set is ~|x|/2, and per-batch dict iteration in every
     # finalize task was Python over the whole set
@@ -491,6 +492,7 @@ def match_documents(
         )
 
     assignments = scored.map_batches(finalize, batch_format="pyarrow").materialize()
+    _tick("finalize", {"rows": assignments.count()})
 
     # ---- stage D2: UNMATCHED backfill ------------------------------------
     # x docs whose every candidate pair was filtered (or that never shared

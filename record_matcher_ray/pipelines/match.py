@@ -105,17 +105,24 @@ def compute_flips(
     duplicate_threshold: float,
     x_id_col: str = "__x_id__",
     n_buckets: int = 64,
+    driver_cap: int = 5_000_000,
 ) -> dict[int, str]:
     """Duplicate pass (matcher.py:408-447): project winners to 3 narrow
-    columns, hash-bucket by winner_y_id (one vectorized call per bucket,
-    not one Python call per y group), resolve with the shared rule, and
-    return the (typically tiny) x_id → verdict flip map for broadcast
-    application. ``scored`` needs x_id_col / winner_y_id / winner_score."""
+    columns and resolve each winner_y_id group with the shared rule;
+    returns the x_id → verdict flip map (which is driver-resident by
+    contract — callers broadcast it). Under ``driver_cap`` winner rows the
+    narrow (24 B/row) projection is pulled to the driver and resolved in
+    ONE vectorized pass — no shuffle round. Above the cap, winners are
+    hash-bucketed by winner_y_id (one vectorized call per bucket, not one
+    Python call per y group) through the sort shuffle.
+    ``scored`` needs x_id_col / winner_y_id / winner_score."""
 
     def winners(batch: pa.Table) -> pa.Table:
         mask = pc.not_equal(batch["winner_y_id"], NO_WINNER)
         t = batch.filter(mask)
-        t = t.select([x_id_col, "winner_y_id", "winner_score"])
+        return t.select([x_id_col, "winner_y_id", "winner_score"])
+
+    def add_wb(t: pa.Table) -> pa.Table:
         wb = np.mod(t["winner_y_id"].to_numpy(), n_buckets)
         return t.append_column("wb", pa.array(wb.astype(np.int64)))
 
@@ -156,8 +163,30 @@ def compute_flips(
              "verdict": pa.array(verdict, pa.string())}
         )
 
+    w = scored.map_batches(winners, batch_format="pyarrow").materialize()
+    if w.count() <= driver_cap:
+        # narrow int64/float64 triples — concat refs, never iter_batches
+        # on the driver (CLAUDE.md: driver batch loops fault-bound)
+        parts = [p for p in ray.get(w.to_arrow_refs()) if len(p)]
+        tbl = (
+            pa.concat_tables(parts).combine_chunks()
+            if parts
+            else pa.schema(
+                [(x_id_col, pa.int64()), ("winner_y_id", pa.int64()),
+                 ("winner_score", pa.float64())]
+            ).empty_table()
+        )
+        flips_tbl = resolve_bucket(tbl)
+        if len(flips_tbl):
+            return dict(
+                zip(
+                    flips_tbl["x_id"].to_numpy().tolist(),
+                    flips_tbl["verdict"].to_pylist(),
+                )
+            )
+        return {}
     flips_df = (
-        scored.map_batches(winners, batch_format="pyarrow")
+        w.map_batches(add_wb, batch_format="pyarrow")
         .groupby("wb")
         .map_groups(resolve_bucket, batch_format="pyarrow")
         .to_pandas()

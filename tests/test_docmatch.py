@@ -187,4 +187,5 @@ def test_docmatch_progress_hook(ray_session, corpus_dir):
         progress=lambda s, i: events.append(s),
     )
     assert events == ["flatten", "uniqueness", "pair_scoring", "reduce",
-                      "assignments", "edges", "clustering"]
+                      "flips", "finalize", "assignments", "edges",
+                      "clustering"]
