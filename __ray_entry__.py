@@ -398,6 +398,76 @@ def _q_top_terms(sf_dir: str):
     return top_terms(ds, k=100)
 
 
+def _q_events_in_window(sf_dir: str):
+    """Equi+range self join: non-signup events inside the 10 minutes after
+    a signup by the SAME user, then a tiny aggregate. Shuffle key is a
+    hash bucket of the equi key; each bucket joins in one Acero call +
+    vectorized range filter; the per-pair aggregate is pre-reduced per
+    block (integer cents so the sum is order-independent and hash-exact
+    vs DuckDB)."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from record_matcher_ray.pipelines.joins import range_join
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["ts", "user_id", "event_type", "value"],
+    )
+
+    def points(t: pa.Table) -> pa.Table:
+        return t.filter(pc.not_equal(t["event_type"], "signup"))
+
+    def windows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "signup"))
+        ten_min = pa.scalar(10 * 60 * 1_000_000, pa.duration("us"))
+        return pa.table(
+            {
+                "s_user": t["user_id"].combine_chunks(),
+                "w_start": t["ts"].combine_chunks(),
+                "w_end": pc.add(t["ts"], ten_min),
+            }
+        )
+
+    joined = range_join(
+        events.map_batches(points, batch_format="pyarrow"),
+        events.map_batches(windows, batch_format="pyarrow"),
+        left_point="ts",
+        right_lo="w_start",
+        right_hi="w_end",
+        left_on="user_id",
+        right_on="s_user",
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(cents=(df["value"] * 100).round().astype("int64"))
+        return (
+            df.groupby("event_type", as_index=False)
+            .agg(n=("cents", "size"), cents=("cents", "sum"))
+        )
+
+    agg = (
+        joined.map_batches(partial, batch_format="pandas")
+        .groupby("event_type")
+        .aggregate(Sum("n"), Sum("cents"))
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": df["event_type"],
+                "n_events": df["sum(n)"].astype("int64"),
+                "sum_cents": df["sum(cents)"].astype("int64"),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
 def _q_quantiles(sf_dir: str):
     """Exact per-group quantiles of o_totalprice by order status — hash
     BUCKET of the group key is the shuffle key (never the raw column),
@@ -561,6 +631,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_docs": _q_repetition,
         "pii_docs": _q_pii,
         "quantiles_orders": _q_quantiles,
+        "events_in_order_window": _q_events_in_window,
         "redact_docs": _q_redact,
         "chunk_docs": _q_chunks,
         "top_terms_docs": _q_top_terms,
@@ -940,6 +1011,19 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         **_pii_oracles(),
+        "events_in_order_window": """
+            SELECT p.event_type,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(round(p.value * 100) AS BIGINT))
+                        AS BIGINT) AS sum_cents
+            FROM events p JOIN events s
+              ON p.user_id = s.user_id
+             AND s.event_type = 'signup'
+             AND p.ts >= s.ts
+             AND p.ts < s.ts + INTERVAL 10 MINUTE
+            WHERE p.event_type <> 'signup'
+            GROUP BY 1
+        """,
         "quantiles_orders": """
             SELECT o_orderstatus,
                    round(quantile_cont(o_totalprice, 0.25), 6) AS q_25,

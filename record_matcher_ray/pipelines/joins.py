@@ -107,6 +107,207 @@ def hash_join(
     )
 
 
+def range_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_point: str,
+    right_lo: str,
+    right_hi: str,
+    left_on: str | None = None,
+    right_on: str | None = None,
+    closed: str = "left",
+    n_buckets: int = 256,
+    bucket_width: float | None = None,
+    max_bucket_pairs: int = 50_000_000,
+) -> ray.data.Dataset:
+    """Interval join: left rows whose ``left_point`` falls inside a right
+    row's ``[right_lo, right_hi)`` interval (``closed``: "left" | "both").
+    Output = left columns + right columns (right equi key dropped).
+
+    Two scale shapes, picked by whether an equi key is given:
+
+    - **equi + range** (``left_on``/``right_on`` set — the common shape,
+      e.g. events within an order window OF THE SAME CUSTOMER): both sides
+      shuffle once on a ≤``n_buckets`` HASH BUCKET of the equi key (never
+      the raw key — CLAUDE.md rule), each bucket equi-joins in one
+      vectorized Acero call and the range predicate filters the joined
+      block. Fan-out is bounded by per-key row counts, as in any equi
+      join.
+    - **pure range** (no equi key): the POINT DOMAIN is cut into
+      fixed-width buckets (``bucket_width``, required; pick ≈ the typical
+      interval length), each interval is replicated into every bucket it
+      overlaps and each point lives in exactly ONE bucket — so no output
+      dedup is needed. Within a bucket the candidate cross product is
+      masked vectorized; a bucket whose cross product would exceed
+      ``max_bucket_pairs`` raises with guidance (shrink ``bucket_width``)
+      instead of OOMing the worker.
+
+    The reference has no joins at all (SURVEY.md §2.4 M4); this is an
+    engine-mandate operator (brief: as-of / range join family).
+    """
+    if closed not in ("left", "both"):
+        raise ValueError("closed must be 'left' or 'both'")
+    if (left_on is None) != (right_on is None):
+        raise ValueError("left_on and right_on must be given together")
+    from record_matcher_ray.pipelines.match import _arrow_schema
+
+    lschema = _arrow_schema(left)
+    rschema = _arrow_schema(right)
+    lcols = list(lschema.names)
+    rcols = [c for c in rschema.names if c != right_on]
+    overlap = set(lcols) & set(rcols)
+    if overlap:
+        raise ValueError(f"range_join column collision: {overlap}")
+    out_schema = pa.schema(
+        [(c, lschema.field(c).type) for c in lcols]
+        + [(c, rschema.field(c).type) for c in rcols]
+    )
+    out_names = [f.name for f in out_schema]
+    cmp_hi = pc.less_equal if closed == "both" else pc.less
+
+    if left_on is not None:
+        key_type = lschema.field(left_on).type
+        wire = pa.schema(
+            [(_J_SIDE, pa.int8()), ("__jb__", pa.int64()),
+             ("__jkey__", key_type)]
+            + [(c, lschema.field(c).type) for c in lcols]
+            + [(c, rschema.field(c).type) for c in rcols]
+        )
+
+        def prep(side: int, key_col: str, own: list[str], other: list[str]):
+            def fn(t: pa.Table) -> pa.Table:
+                key = pc.cast(t[key_col], key_type).combine_chunks()
+                cols = {
+                    _J_SIDE: pa.array(np.full(len(t), side, np.int8)),
+                    "__jb__": _bucket_of(key, n_buckets),
+                    "__jkey__": key,
+                }
+                for c in own:
+                    cols[c] = t[c].combine_chunks()
+                for c in other:
+                    cols[c] = pa.nulls(len(t), wire.field(c).type)
+                return pa.table({f.name: cols[f.name] for f in wire})
+
+            return fn
+
+        tagged = left.map_batches(
+            prep(0, left_on, lcols, rcols), batch_format="pyarrow"
+        ).union(
+            right.map_batches(prep(1, right_on, rcols, lcols),
+                              batch_format="pyarrow")
+        )
+
+        def bucket_join(t: pa.Table) -> pa.Table:
+            lmask = pc.equal(t[_J_SIDE], 0)
+            lt = t.filter(lmask).select(["__jkey__"] + lcols)
+            rt = t.filter(pc.invert(lmask)).select(["__jkey__"] + rcols)
+            if len(lt) == 0 or len(rt) == 0:
+                return out_schema.empty_table()
+            j = lt.join(rt, keys="__jkey__", join_type="inner")
+            mask = pc.and_kleene(
+                pc.less_equal(j[right_lo], j[left_point]),
+                cmp_hi(j[left_point], j[right_hi]),
+            )
+            out = j.filter(pc.fill_null(mask, False))
+            return out.select(out_names).cast(out_schema)
+
+        return tagged.groupby("__jb__").map_groups(
+            bucket_join, batch_format="pyarrow"
+        )
+
+    # ---- pure range: domain bucketing with interval replication ---------
+    if bucket_width is None:
+        raise ValueError(
+            "range_join without an equi key needs bucket_width (domain "
+            "bucket size; pick roughly the typical interval length)"
+        )
+    width = float(bucket_width)
+    if width <= 0:
+        raise ValueError("bucket_width must be positive")
+
+    def _dom(vals: pa.ChunkedArray) -> np.ndarray:
+        v = pc.cast(vals, pa.float64()).to_numpy(zero_copy_only=False)
+        return np.floor(v / width).astype(np.int64)
+
+    wire = pa.schema(
+        [(_J_SIDE, pa.int8()), ("__jb__", pa.int64())]
+        + [(c, lschema.field(c).type) for c in lcols]
+        + [(c, rschema.field(c).type) for c in rcols]
+    )
+
+    def prep_pt(t: pa.Table) -> pa.Table:
+        cols = {
+            _J_SIDE: pa.array(np.zeros(len(t), np.int8)),
+            "__jb__": pa.array(_dom(t[left_point])),
+        }
+        for c in lcols:
+            cols[c] = t[c].combine_chunks()
+        for c in rcols:
+            cols[c] = pa.nulls(len(t), wire.field(c).type)
+        return pa.table({f.name: cols[f.name] for f in wire})
+
+    def prep_iv(t: pa.Table) -> pa.Table:
+        lo_b = _dom(t[right_lo])
+        hi_v = pc.cast(t[right_hi], pa.float64()).to_numpy(zero_copy_only=False)
+        # last bucket the interval can touch (half-open: hi exactly on a
+        # boundary does not reach the next bucket unless closed="both")
+        hi_b = np.floor(hi_v / width).astype(np.int64)
+        on_edge = hi_v == hi_b * width
+        if closed == "left":
+            hi_b = np.where(on_edge, hi_b - 1, hi_b)
+        reps = np.maximum(hi_b - lo_b + 1, 0)
+        idx = np.repeat(np.arange(len(t)), reps)
+        within = np.arange(int(reps.sum())) - np.repeat(
+            np.cumsum(reps) - reps, reps
+        )
+        rt = t.take(pa.array(idx))
+        cols = {
+            _J_SIDE: pa.array(np.ones(len(rt), np.int8)),
+            "__jb__": pa.array(lo_b[idx] + within),
+        }
+        for c in lcols:
+            cols[c] = pa.nulls(len(rt), wire.field(c).type)
+        for c in rcols:
+            cols[c] = rt[c].combine_chunks()
+        return pa.table({f.name: cols[f.name] for f in wire})
+
+    tagged = left.map_batches(prep_pt, batch_format="pyarrow").union(
+        right.map_batches(prep_iv, batch_format="pyarrow")
+    )
+
+    def bucket_cross(t: pa.Table) -> pa.Table:
+        lmask = pc.equal(t[_J_SIDE], 0)
+        lt = t.filter(lmask).select(lcols)
+        rt = t.filter(pc.invert(lmask)).select(rcols)
+        nl, nr = len(lt), len(rt)
+        if nl == 0 or nr == 0:
+            return out_schema.empty_table()
+        if nl * nr > max_bucket_pairs:
+            raise ValueError(
+                f"range_join domain bucket would form {nl * nr} candidate "
+                f"pairs (> max_bucket_pairs={max_bucket_pairs}); shrink "
+                f"bucket_width so fewer intervals/points co-bucket"
+            )
+        li = np.repeat(np.arange(nl), nr)
+        ri = np.tile(np.arange(nr), nl)
+        lv = pc.cast(lt[left_point], pa.float64()).to_numpy(
+            zero_copy_only=False)[li]
+        lo = pc.cast(rt[right_lo], pa.float64()).to_numpy(
+            zero_copy_only=False)[ri]
+        hi = pc.cast(rt[right_hi], pa.float64()).to_numpy(
+            zero_copy_only=False)[ri]
+        ok = (lo <= lv) & ((lv <= hi) if closed == "both" else (lv < hi))
+        lt_k = lt.take(pa.array(li[ok]))
+        rt_k = rt.take(pa.array(ri[ok]))
+        cols = {c: lt_k[c] for c in lcols}
+        cols.update({c: rt_k[c] for c in rcols})
+        return pa.table({n: cols[n] for n in out_names}).cast(out_schema)
+
+    return tagged.groupby("__jb__").map_groups(
+        bucket_cross, batch_format="pyarrow"
+    )
+
+
 def asof_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,

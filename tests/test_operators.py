@@ -532,3 +532,78 @@ def test_simhash_near_dups_vs_brute(ray_session):
     # the one-character variant is near the base by construction
     assert (0, 1) in got
     assert not any(5 in p for p in got)  # empty doc never pairs
+
+
+def test_range_join_equi(ray_session):
+    """Equi+range path vs a brute-force pandas double loop."""
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.joins import range_join
+
+    rng = np.random.default_rng(5)
+    n_l, n_r = 400, 120
+    left = pd.DataFrame(
+        {"k": rng.integers(0, 20, n_l), "pt": rng.uniform(0, 100, n_l),
+         "lid": np.arange(n_l)}
+    )
+    right = pd.DataFrame(
+        {"rk": rng.integers(0, 20, n_r),
+         "lo": rng.uniform(0, 90, n_r)}
+    )
+    right["hi"] = right["lo"] + rng.uniform(0, 15, n_r)
+    right["rid"] = np.arange(n_r)
+    out = range_join(
+        rd.from_pandas(left).repartition(5),
+        rd.from_pandas(right).repartition(3),
+        left_point="pt", right_lo="lo", right_hi="hi",
+        left_on="k", right_on="rk",
+    ).to_pandas()
+    want = left.merge(right, left_on="k", right_on="rk")
+    want = want[(want["lo"] <= want["pt"]) & (want["pt"] < want["hi"])]
+    assert sorted(zip(out["lid"], out["rid"])) == sorted(
+        zip(want["lid"], want["rid"])
+    )
+    # closed="both" includes the hi endpoint
+    r2 = pd.DataFrame({"rk": [0], "lo": [1.0], "hi": [2.0], "rid": [0]})
+    l2 = pd.DataFrame({"k": [0, 0, 0], "pt": [1.0, 2.0, 2.5],
+                       "lid": [0, 1, 2]})
+    ob = range_join(
+        rd.from_pandas(l2), rd.from_pandas(r2),
+        left_point="pt", right_lo="lo", right_hi="hi",
+        left_on="k", right_on="rk", closed="both",
+    ).to_pandas()
+    assert sorted(ob["lid"]) == [0, 1]
+
+
+def test_range_join_domain_buckets(ray_session):
+    """Pure-range path (no equi key): interval replication across domain
+    buckets, every (point, interval) containment found exactly once."""
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.joins import range_join
+
+    rng = np.random.default_rng(6)
+    left = pd.DataFrame(
+        {"pt": rng.uniform(0, 50, 300), "lid": np.arange(300)}
+    )
+    right = pd.DataFrame({"lo": rng.uniform(0, 48, 40)})
+    right["hi"] = right["lo"] + rng.uniform(0, 6, 40)
+    right["rid"] = np.arange(40)
+    out = range_join(
+        rd.from_pandas(left).repartition(4),
+        rd.from_pandas(right).repartition(2),
+        left_point="pt", right_lo="lo", right_hi="hi",
+        bucket_width=4.0,
+    ).to_pandas()
+    want = []
+    for _, lrow in left.iterrows():
+        for _, rrow in right.iterrows():
+            if rrow["lo"] <= lrow["pt"] < rrow["hi"]:
+                want.append((int(lrow["lid"]), int(rrow["rid"])))
+    assert sorted(zip(out["lid"], out["rid"])) == sorted(want)
+
+    with pytest.raises(ValueError):
+        range_join(
+            rd.from_pandas(left), rd.from_pandas(right),
+            left_point="pt", right_lo="lo", right_hi="hi",
+        )  # no equi key and no bucket_width
