@@ -361,6 +361,12 @@ def _pairwise_jaccard(
 _MASK45 = np.int64((1 << 45) - 1)
 
 
+# per-worker-process cache for the broadcast-verify block views (see
+# minhash_dedup.verify): {"key": route_ref of the owning run, "blocks":
+# {block_idx: (starts, lens, flat)}}
+_VERIFY_CACHE: dict = {}
+
+
 def _shingle_sig_table(
     ds: ray.data.Dataset,
     text_col: str,
@@ -472,47 +478,69 @@ def _candidates_from_comb(
     return _dedupe_pairs_bucketed(pairs, n_buckets) if distinct else pairs
 
 
-def _collect_comb(
-    comb: ray.data.Dataset,
-) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
-    """Collect the (id, sh, sig) table into contiguous driver arrays:
-    → (ids sorted asc, per-doc starts, per-doc lens, flat shingles,
-    (n, num_perm) uint8 folded signatures aligned to ids).
+def _routing_index(
+    block_refs: list,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Build the doc-id routing index over the MATERIALIZED (id, sh, sig)
+    blocks: → (ids sorted asc, block-of-id int32, row-within-block int32,
+    (n, num_perm) uint8 folded signatures aligned to sorted ids).
 
-    Two measured sandbox pathologies shape this function (690 k docs /
-    67.5 M shingles): per-batch ``iter_batches`` collection took 258 s vs
-    ~3 s for ``to_arrow_refs`` + one concat; and FIRST-TOUCH page faults
-    on fresh allocations run ~20 MB/s in the microVM (one-time per
-    process), so the big flat shingle array is NEVER reordered — only the
-    tiny per-doc (id, start, len) index is permuted. Signatures fold to
-    one byte per permutation on the driver (44 MB at 690 k docs; a 1/256
-    accidental byte collision inflates the similarity estimate by ~0.4
-    points on average, absorbed by the filter margin)."""
-    tbls = [t for t in ray.get(comb.to_arrow_refs()) if len(t)]
-    if not tbls:
+    The shingle payload is NEVER collected, copied or re-put: verify tasks
+    read the original plasma blocks zero-copy and the index routes each
+    doc id to (block, row). The predecessor of this function concatenated
+    + re-broadcast ~0.9 GB through the driver — at the microVM's
+    ~20 MB/s first-touch fault rate that alone was 103 s of a 186 s
+    pipeline (measured at 690 k docs / 67.5 M shingles). Only the small
+    per-doc index (8+4+4 B/doc) and the 1 B/perm signature fold pass
+    through driver memory. Per-block temporaries stay a few MB so heap
+    reuse absorbs the fault cost."""
+    blocks = ray.get(list(block_refs))
+    ids_p, blk_p, pos_p, u8_p = [], [], [], []
+    num_perm = 0
+    for bi, t in enumerate(blocks):
+        if len(t) == 0:
+            continue
+        ids_b = t["id"].to_numpy()
+        ids_p.append(np.asarray(ids_b, np.int64))
+        blk_p.append(np.full(len(t), bi, np.int32))
+        pos_p.append(np.arange(len(t), dtype=np.int32))
+        sigcol = t["sig"].combine_chunks()
+        num_perm = sigcol.type.list_size
+        sig = (
+            sigcol.values.to_numpy(zero_copy_only=False)
+            .reshape(len(t), num_perm)
+        )
+        u8_p.append(
+            (
+                (sig.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                >> np.uint64(56)
+            ).astype(np.uint8)
+        )
+    if not ids_p:
         z = np.empty(0, np.int64)
-        return z, z, z, z, np.empty((0, 0), np.uint8)
-    cat = pa.concat_tables(tbls)
-    ids = cat["id"].to_numpy()
-    col = cat["sh"].combine_chunks()
-    lens = np.diff(col.offsets.to_numpy()).astype(np.int64)
-    flat = col.flatten().to_numpy(zero_copy_only=False)
-    starts = np.cumsum(lens) - lens
-    sigcol = cat["sig"].combine_chunks()
-    num_perm = sigcol.type.list_size
-    sig = (
-        sigcol.flatten().to_numpy(zero_copy_only=False)
-        .reshape(len(ids), num_perm)
-    )
-    u8 = (
-        (sig.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
-        >> np.uint64(56)
-    ).astype(np.uint8)
+        zi = np.empty(0, np.int32)
+        return z, zi, zi, np.empty((0, 0), np.uint8)
+    ids = np.concatenate(ids_p)
+    blk = np.concatenate(blk_p)
+    pos = np.concatenate(pos_p)
+    u8 = np.concatenate(u8_p)
     order = np.argsort(ids, kind="stable")
     return (
-        ids[order], starts[order], lens[order], flat,
+        ids[order], blk[order], pos[order],
         np.ascontiguousarray(u8[order]),
     )
+
+
+def _block_sh_views(t: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Zero-copy (starts, lens, flat) views of a block's ``sh`` list
+    column (offsets index the RAW child array, so ``.values`` — not
+    ``.flatten()`` — keeps positions aligned)."""
+    col = t["sh"].combine_chunks()
+    offs = col.offsets.to_numpy()
+    starts = offs[:-1].astype(np.int64)
+    lens = np.diff(offs).astype(np.int64)
+    flat = col.values.to_numpy(zero_copy_only=False)
+    return starts, lens, flat
 
 
 def minhash_dedup(
@@ -523,6 +551,7 @@ def minhash_dedup(
     jaccard_threshold: float = 60.0,
     broadcast_limit_rows: int = 1_000_000,
     estimate_margin: float | None = 12.0,
+    progress=None,
     **kw,
 ) -> dict:
     """Full near-dup pipeline: LSH candidates → shingle-Jaccard verify →
@@ -552,6 +581,11 @@ def minhash_dedup(
     pairs, so the prefilter is not the recall bottleneck). Set
     ``estimate_margin=None`` for exact-verify-everything."""
     shingle = kw.get("shingle", 4)
+
+    def _tick(stage: str, info: dict) -> None:
+        if callable(progress):
+            progress(stage, info)
+
     n_docs = ds.count()
     import ray
 
@@ -563,12 +597,14 @@ def minhash_dedup(
             ds, text_col, id_col, shingle,
             kw.get("num_perm", 64), kw.get("seed", 1),
         ).materialize()
-        # broadcast as CONTIGUOUS numpy arrays (ids / offsets / flat
-        # shingles): ray.put of numpy is zero-copy on worker reads — a
-        # dict of per-doc arrays would be re-unpickled (hundreds of MB)
-        # by every worker process
-        sh_ids, sh_starts, sh_lens, sh_flat, sig_u8 = _collect_comb(comb)
-        lookup_ref = ray.put((sh_ids, sh_starts, sh_lens, sh_flat))
+        _tick("shingle_sig", {"docs": n_docs})
+        # the shingle payload STAYS in the object store: verify tasks read
+        # the materialized blocks zero-copy; only the (id → block, row)
+        # routing index and the 1 B/perm signature fold are broadcast
+        block_refs = comb.to_arrow_refs()
+        sh_ids, sh_blk, sh_pos, sig_u8 = _routing_index(block_refs)
+        _tick("collect", {"docs_indexed": int(len(sh_ids))})
+        route_ref = ray.put((sh_ids, sh_blk, sh_pos))
         n_bk = kw.get("n_buckets", 256)
         est = None
         if estimate_margin is not None:
@@ -593,13 +629,72 @@ def minhash_dedup(
             [("a", pa.int64()), ("b", pa.int64()), ("jaccard", pa.float64())]
         ).empty_table()
 
+        def _gather_side(
+            vals: np.ndarray,
+            ids_s: np.ndarray,
+            blk_s: np.ndarray,
+            pos_s: np.ndarray,
+            cache: dict,
+        ) -> tuple[np.ndarray, np.ndarray]:
+            """→ (lens per element, flat shingles concatenated in element
+            order): route each doc id to its (block, row), then one
+            scattered vectorized copy per touched block — destination
+            slices are computed from the element-order cumsum, so block-
+            by-block placement PRESERVES pair order (no global sort)."""
+            ii = np.searchsorted(ids_s, vals)
+            blk = blk_s[ii]
+            pos = pos_s[ii]
+            n = len(vals)
+            lens_e = np.empty(n, np.int64)
+            ub = np.unique(blk)
+            for b in ub:
+                sel = blk == b
+                lens_e[sel] = cache[b][1][pos[sel]]
+            dst_starts = np.cumsum(lens_e) - lens_e
+            out = np.empty(int(lens_e.sum()), np.int64)
+            for b in ub:
+                starts_b, _, flat_b = cache[b]
+                sel = blk == b
+                out[_seg_gather(dst_starts[sel], lens_e[sel])] = flat_b[
+                    _seg_gather(starts_b[pos[sel]], lens_e[sel])
+                ]
+            return lens_e, out
+
         def verify(t: pa.Table) -> pa.Table:
             """Exact per-pair Jaccard with NO sort: per-doc shingles are
             pre-sorted 45-bit values, so tagging each element with its
             pair rank (rank<<45 | value, fits int64 for ranks < 2^18)
             yields globally sorted streams and |A∩B| is one searchsorted
-            probe of A's stream into B's."""
-            ids_s, d_starts, d_lens, flat = ray.get(lookup_ref)
+            probe of A's stream into B's. Shingles are read zero-copy from
+            the materialized plasma blocks via the routing index (worker
+            processes keep per-block views cached across batches)."""
+            ids_s, blk_s, pos_s = ray.get(route_ref)
+            # per-WORKER cache of block views, keyed to THIS run's
+            # route_ref: a fresh dict per call re-ran ray.get ~85×/batch
+            # (93 k gets over the bench corpus — measured 29 s → 227 s),
+            # while an unkeyed global would pin dead plasma blocks across
+            # runs. A new route_ref resets the cache.
+            # resolve the cache through the WORKER'S module singleton: this
+            # closure is cloudpickled BY VALUE, which copies referenced
+            # module globals — naming _VERIFY_CACHE directly gave every
+            # task a private empty dict (measured: 74 k block rebuilds,
+            # 1 859 s of CPU, instead of ~32)
+            from record_matcher_ray.pipelines import dedup as _dmod
+
+            g = _dmod._VERIFY_CACHE
+            if g.get("key") != route_ref:  # ObjectRef equality = same id
+                # ONE batched ray.get for every block: per-block gets from
+                # 32 workers at once stampede the plasma store's request
+                # path (measured 9 728 serialized gets ≈ 20 s PER WORKER;
+                # the same blocks arrive in 0.05 s as one list get)
+                tbls = ray.get(list(block_refs))
+                g["key"] = route_ref
+                g["blocks"] = {
+                    i: _block_sh_views(t)
+                    for i, t in enumerate(tbls)
+                    if len(t)
+                }
+            cache: dict = g["blocks"]
             aa = t["a"].to_numpy()
             bb = t["b"].to_numpy()
             outs = []
@@ -607,14 +702,12 @@ def minhash_dedup(
                 a = aa[s:s + (1 << 18)]
                 b = bb[s:s + (1 << 18)]
                 n = len(a)
-                ia = np.searchsorted(ids_s, a)
-                ib = np.searchsorted(ids_s, b)
-                a_lens = d_lens[ia]
-                b_lens = d_lens[ib]
+                a_lens, a_flat = _gather_side(a, ids_s, blk_s, pos_s, cache)
+                b_lens, b_flat = _gather_side(b, ids_s, blk_s, pos_s, cache)
                 pr_a = np.repeat(np.arange(n, dtype=np.int64), a_lens)
                 pr_b = np.repeat(np.arange(n, dtype=np.int64), b_lens)
-                a_comp = (pr_a << np.int64(45)) | flat[_seg_gather(d_starts[ia], a_lens)]
-                b_comp = (pr_b << np.int64(45)) | flat[_seg_gather(d_starts[ib], b_lens)]
+                a_comp = (pr_a << np.int64(45)) | a_flat
+                b_comp = (pr_b << np.int64(45)) | b_flat
                 idx = np.searchsorted(b_comp, a_comp)
                 hit = np.zeros(len(a_comp), np.float64)
                 valid = idx < len(b_comp)
@@ -643,9 +736,13 @@ def minhash_dedup(
         # re-FAULTED next batch at the microVM's ~20 MB/s, making the
         # stage 14× slower than its solo-core compute rate (measured:
         # 68 s → ~7 s on 9 M pairs at 690 k docs)
+        if callable(progress):  # barrier only when stage timing is wanted
+            cands = cands.materialize()
+            _tick("candidates", {"pairs": cands.count()})
         verified = cands.map_batches(
             verify, batch_format="pyarrow", batch_size=8192
         ).materialize()
+        _tick("verify", {"pairs": verified.count()})
     else:
         cands = minhash_candidates(ds, text_col, id_col, **kw)
         sh = _shingle_table(ds, text_col, id_col, shingle)
@@ -696,6 +793,7 @@ def minhash_dedup(
         ).materialize()
 
     comps = connected_components(verified, u="a", v="b")
+    _tick("components", {})
     return {"pairs": verified, "components": comps}
 
 
