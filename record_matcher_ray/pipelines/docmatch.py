@@ -31,7 +31,6 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
-from ray.data.aggregate import Sum
 
 from record_matcher_ray.core.config import MatchConfig, MatchConfigBuilder
 from record_matcher_ray.core.kernel import MATCH_STATUS, score_pairs_flat
@@ -114,13 +113,80 @@ class KeyExpander:
             "side": pa.array(np.full(len(idx), self.side, dtype=np.int8)),
         }
         for c in self.carry_cols:
-            # NOTE: plain strings, not dictionary-encoded — probed
-            # 2026-08-17: dict columns through Ray's sort shuffle re-unify
-            # dictionaries at every block concat and cost +50% on stage B
+            # carrying value columns through the blocking shuffle
+            # replicates them once per key (~20×/doc) — the pipeline path
+            # passes carry_cols=[] and gathers values in score_bucket from
+            # the materialized flats instead (see match_documents); this
+            # branch remains for diagnostic use
             cols[c] = pc.take(
                 pc.fill_null(pc.cast(t[c], pa.string()), "").combine_chunks(), take
             )
         return pa.table(cols)
+
+
+# per-worker-process cache of carry-column block views for score_bucket
+# ({"key": the run's routing ObjectRef, "x"/"y": [per-block {col: Array}]});
+# resolved via an in-function module import — cloudpickle copies
+# closure-referenced globals per task (see CLAUDE.md)
+_CARRY_CACHE: dict = {}
+
+
+def _uniqueness_from_refs(
+    flat: ray.data.Dataset,
+    columns: list[str],
+    driver_cap: int = 50_000_000,
+) -> dict[str, float]:
+    """O2 distinct-ratios computed on the DRIVER from the materialized
+    body-free flat blocks (zero-copy column reads, per-block pc.unique →
+    one merge) — the dataset-based pass spent 6-9 s of pure barrier
+    latency per flagship run. Falls back to the streaming
+    ``table_ops.uniqueness`` above ``driver_cap`` rows."""
+    total = flat.count()
+    if total == 0:
+        return {c: 0.0 for c in columns}
+    if total > driver_cap:
+        return table_ops.uniqueness(flat, columns, total=total)
+    blocks = [t for t in ray.get(flat.to_arrow_refs()) if len(t)]
+    out: dict[str, float] = {}
+    for c in columns:
+        present = [t for t in blocks if c in t.column_names]
+        if not present:
+            out[c] = 0.0
+            continue
+        parts = []
+        for t in present:
+            s = pc.cast(t[c], pa.string())
+            mask = pc.and_kleene(pc.is_valid(s), pc.not_equal(s, ""))
+            u = pc.unique(s.filter(mask))
+            parts.append(u.combine_chunks() if isinstance(u, pa.ChunkedArray) else u)
+        merged = pc.unique(pa.concat_arrays(parts))
+        out[c] = len(merged) / total
+    return out
+
+
+def _flat_route(
+    flat: ray.data.Dataset,
+) -> tuple[list, np.ndarray, np.ndarray, np.ndarray]:
+    """→ (block refs, rids sorted asc, block-of-rid int32, row-in-block
+    int32) for a MATERIALIZED flat table. Only the 8 B/row rid column
+    passes through driver memory (blocks are read zero-copy and their
+    string/body buffers are never touched)."""
+    refs = flat.to_arrow_refs()
+    ids_p, blk_p, pos_p = [], [], []
+    for bi, t in enumerate(ray.get(list(refs))):
+        if len(t) == 0:
+            continue
+        ids_p.append(np.asarray(t["rid"].to_numpy(), np.int64))
+        blk_p.append(np.full(len(t), bi, np.int32))
+        pos_p.append(np.arange(len(t), dtype=np.int32))
+    if not ids_p:
+        return (refs, np.empty(0, np.int64),
+                np.empty(0, np.int32), np.empty(0, np.int32))
+    ids = np.concatenate(ids_p)
+    blk = np.concatenate(blk_p)
+    pos = np.concatenate(pos_p)
+    o = np.argsort(ids, kind="stable")
+    return refs, ids[o], blk[o], pos[o]
 
 
 class DocMatchResult:
@@ -143,6 +209,7 @@ def match_documents(
     cluster_edges: bool = True,
     progress: "Callable[[str, dict], None] | None" = None,
     n_buckets: int = 256,
+    reduce_driver_cap: int = 500_000,
 ) -> DocMatchResult:
     """x_docs / y_docs: (doc_id, spans) tables (corpus schema). Returns
     per-x assignments, accepted-pair edges and entity clusters.
@@ -157,40 +224,76 @@ def match_documents(
         if callable(progress):
             progress(stage, info)
 
-    # materialized: each flat table is consumed twice (uniqueness pass +
-    # key expansion) — without this the read+flatten lineage re-executes
-    x_flat = (
-        x_docs.map_batches(flatten_spans, batch_format="pyarrow")
-        .map_batches(add_int_ids, batch_format="pyarrow")
-        .materialize()
+    # materialize the flats WITHOUT the long body text: body is only read
+    # by key expansion, which re-runs the (deterministic) read+flatten
+    # lineage in one streaming pass — writing ~0.5 GB of body to the
+    # object store twice cost more than re-decoding the parquet, and the
+    # body-free flats are what uniqueness / carry-gather / backfill read
+    x_pipe = x_docs.map_batches(flatten_spans, batch_format="pyarrow").map_batches(
+        add_int_ids, batch_format="pyarrow"
     )
-    y_flat = (
-        y_docs.map_batches(flatten_spans, batch_format="pyarrow")
-        .map_batches(add_int_ids, batch_format="pyarrow")
-        .materialize()
+    y_pipe = y_docs.map_batches(flatten_spans, batch_format="pyarrow").map_batches(
+        add_int_ids, batch_format="pyarrow"
     )
 
-    _tick("flatten", {"x_rows": x_flat.count(), "y_rows": y_flat.count()})
-    uniq = table_ops.uniqueness(x_flat, [c for c, _ in cfg.columns_to_match])
-    _tick("uniqueness", dict(uniq))
-
-    # only the columns the scorers read travel through the shuffle
     x_match_cols = cfg.x_match_columns()
     y_need_cols = cfg.y_columns_needed()
     carry = sorted(set(x_match_cols) | set(y_need_cols))
-    n_buckets = int(n_buckets)
-    xk = x_flat.map_batches(
-        KeyExpander(0, carry, num_perm, seed, n_buckets), batch_format="pyarrow"
+
+    def _drop_body(t: pa.Table) -> pa.Table:
+        if "body" in t.column_names and "body" not in carry:
+            return t.drop_columns(["body"])
+        return t
+
+    # the two materializes are independent — run them CONCURRENTLY (each
+    # blocks its thread on its own streaming executor; serial back-to-back
+    # barriers cost ~5 s of the flagship's serial floor)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _ex:
+        _fx = _ex.submit(
+            x_pipe.map_batches(_drop_body, batch_format="pyarrow").materialize
+        )
+        _fy = _ex.submit(
+            y_pipe.map_batches(_drop_body, batch_format="pyarrow").materialize
+        )
+        x_flat = _fx.result()
+        y_flat = _fy.result()
+
+    _tick("flatten", {"x_rows": x_flat.count(), "y_rows": y_flat.count()})
+    uniq = _uniqueness_from_refs(
+        x_flat, [c for c, _ in cfg.columns_to_match]
     )
-    yk = y_flat.map_batches(
-        KeyExpander(1, carry, num_perm, seed, n_buckets), batch_format="pyarrow"
+    _tick("uniqueness", dict(uniq))
+
+    # NO value columns travel through the blocking shuffle at all: only
+    # (bucket, key, rid, side) — 25 B/key-row instead of ~120 B with the
+    # ~20×/doc carry-string replication (the shuffle, not the scorers, was
+    # 55 s of the 75 s stage-B wall at 690 k docs). score_bucket gathers
+    # the scorer columns zero-copy from the materialized flats via a
+    # broadcast (rid → block, row) routing index.
+    n_buckets = int(n_buckets)
+    xk = x_pipe.map_batches(
+        KeyExpander(0, [], num_perm, seed, n_buckets), batch_format="pyarrow"
+    )
+    yk = y_pipe.map_batches(
+        KeyExpander(1, [], num_perm, seed, n_buckets), batch_format="pyarrow"
+    )
+    x_refs, xr_ids, xr_blk, xr_pos = _flat_route(x_flat)
+    y_refs, yr_ids, yr_blk, yr_pos = _flat_route(y_flat)
+    carry_route_ref = ray.put(
+        (xr_ids, xr_blk, xr_pos, yr_ids, yr_blk, yr_pos)
     )
 
     counters = Counter()
+    # xb (the stage-C per-x reduce bucket) is emitted directly by stage B —
+    # a separate add_xbucket map pass over the tie rows was ~2-4 s of task
+    # scheduling at every parallelism level
     pair_schema = pa.schema(
         [("x_id", pa.int64()), ("y_id", pa.int64()),
          ("score", pa.float64()), ("optimal", pa.float64()),
-         ("n_scored", pa.int64()), ("dropped_groups", pa.int64())]
+         ("n_scored", pa.int64()), ("dropped_groups", pa.int64()),
+         ("xb", pa.int64())]
     )
 
     def _pair_table(cols: dict, n_dropped: int) -> pa.Table:
@@ -207,11 +310,14 @@ def match_documents(
                  "score": pa.array([float("nan")], pa.float64()),
                  "optimal": pa.array([float("nan")], pa.float64()),
                  "n_scored": pa.array([0], pa.int64()),
-                 "dropped_groups": pa.array([n_dropped], pa.int64())}
+                 "dropped_groups": pa.array([n_dropped], pa.int64()),
+                 "xb": pa.array([0], pa.int64())}
             )
         dg = np.zeros(nrows, np.int64)
         dg[0] = n_dropped
         cols["dropped_groups"] = pa.array(dg)
+        xv = cols["x_id"].to_numpy()
+        cols["xb"] = pa.array(np.bitwise_and(xv, n_buckets - 1))
         return pa.table({f.name: cols[f.name] for f in pair_schema})
 
     # ---- stage B: bucketed pair scoring + local per-x argmax --------------
@@ -225,6 +331,11 @@ def match_documents(
     # float equality is exact) — emitting raw candidates would shuffle the
     # full |pairs| stream into stage C.
     def score_bucket(t: pa.Table) -> pa.Table:
+        import time as _time
+
+        from record_matcher_ray.core.kernel import _PROF_PATH, _prof_write
+
+        _t0 = _time.perf_counter() if _PROF_PATH else 0.0
         n = len(t)
         if n == 0:
             return pair_schema.empty_table()
@@ -267,16 +378,66 @@ def match_documents(
         yi_sorted = np.repeat(y_start_per_x, ny_per_x) + within
         xi = np.repeat(orig_x, ny_per_x)
         yi = order[yi_sorted]
-        cols_np = {}
-        for c in set(x_match_cols) | set(y_need_cols):
-            arr = t[c].combine_chunks() if isinstance(
-                t[c], pa.ChunkedArray) else t[c]
-            if not pa.types.is_dictionary(arr.type):
-                # local encode: values are ~20x replicated (one row per
-                # key) — materialize each DISTINCT Python str once
-                arr = arr.dictionary_encode()
-            dvals = np.asarray(arr.dictionary.to_pylist(), dtype=object)
-            cols_np[c] = dvals[arr.indices.to_numpy()]
+        # gather scorer columns from the materialized flats (zero-copy
+        # plasma reads routed by rid) into bucket-row-aligned object
+        # arrays; per-worker block-view cache, ONE batched prefetch get
+        from record_matcher_ray.pipelines import docmatch as _dmod
+
+        rt = ray.get(carry_route_ref)
+        g = _dmod._CARRY_CACHE
+        if g.get("key") != carry_route_ref:
+            def _views(tbls):
+                return [
+                    {
+                        c: pc.fill_null(
+                            pc.cast(tt[c], pa.string()), ""
+                        ).combine_chunks()
+                        for c in carry
+                    }
+                    if len(tt)
+                    else None
+                    for tt in tbls
+                ]
+
+            g["key"] = carry_route_ref
+            g["x"] = _views(ray.get(list(x_refs)))
+            g["y"] = _views(ray.get(list(y_refs)))
+        cols_np = {c: np.full(n, "", dtype=object) for c in carry}
+        for side_val, r_ids, r_blk, r_pos, bviews in (
+            (0, rt[0], rt[1], rt[2], g["x"]),
+            (1, rt[3], rt[4], rt[5], g["y"]),
+        ):
+            rows = np.nonzero(side == side_val)[0]
+            if not len(rows):
+                continue
+            ii = np.searchsorted(r_ids, rid[rows])
+            blkv = r_blk[ii]
+            posv = r_pos[ii]
+            ob = np.argsort(blkv, kind="stable")
+            rows_s = rows[ob]
+            blk_s2 = blkv[ob]
+            pos_s2 = posv[ob]
+            segs = np.nonzero(
+                np.concatenate(([True], blk_s2[1:] != blk_s2[:-1]))
+            )[0]
+            seg_ends = np.concatenate((segs[1:], [len(blk_s2)]))
+            for c in carry:
+                pieces = [
+                    pc.take(
+                        bviews[int(blk_s2[s])][c],
+                        pa.array(pos_s2[s:e]),
+                    )
+                    for s, e in zip(segs, seg_ends)
+                ]
+                gathered = (
+                    pa.concat_arrays(pieces)
+                    if len(pieces) > 1
+                    else pieces[0]
+                )
+                de = gathered.dictionary_encode()
+                dvals = np.asarray(de.dictionary.to_pylist(), dtype=object)
+                idxs = de.indices.to_numpy(zero_copy_only=False)
+                cols_np[c][rows_s] = dvals[idxs]
         score, cand, optimal = score_pairs_flat(
             cols_np, cols_np, xi, yi, cfg, uniq
         )
@@ -299,6 +460,9 @@ def match_documents(
         firstk = np.concatenate(([True], x_keep[1:] != x_keep[:-1]))
         grp_sizes = np.repeat(cnts, cnts)[keep]
         n_scored = np.where(firstk, grp_sizes, 0).astype(np.int64)
+        if _PROF_PATH:
+            _prof_write("__bucket__", "total", P,
+                        _time.perf_counter() - _t0)
         return _pair_table(
             {
                 "x_id": pa.array(x_of[order2][keep]),
@@ -317,16 +481,16 @@ def match_documents(
         score_bucket, batch_format="pyarrow"
     ).materialize()
     counters["blocks_dropped"] = int(
-        pairs.aggregate(Sum("dropped_groups"))["sum(dropped_groups)"] or 0
+        sum(
+            pc.sum(t["dropped_groups"]).as_py() or 0
+            for t in ray.get(pairs.to_arrow_refs())
+            if len(t)
+        )
     )
-    _tick("pair_scoring", {"tie_rows": pairs.count(),
+    n_tie_rows = pairs.count()
+    _tick("pair_scoring", {"tie_rows": n_tie_rows,
                            "blocks_dropped": counters["blocks_dropped"]})
-    pairs = pairs.map_batches(
-        lambda t: t.filter(pc.not_equal(t["x_id"], -1)).drop_columns(
-            ["dropped_groups"]
-        ),
-        batch_format="pyarrow",
-    )
+    pairs_mat = pairs
 
     # ---- stage C: bucketed per-x reduce ----------------------------------
     req = cfg.required_threshold
@@ -337,13 +501,11 @@ def match_documents(
          ("n_candidates", pa.int64())]
     )
 
-    def add_xbucket(t: pa.Table) -> pa.Table:
-        xb = pc.cast(
-            pc.bit_wise_and(t["x_id"], n_buckets - 1), pa.int64()
-        )
-        return t.append_column("xb", xb)
-
     def reduce_bucket(t: pa.Table) -> pa.Table:
+        # sentinel rows (x_id == -1, dropped-group carriers) are filtered
+        # HERE — a separate filter map over the tie rows was one more
+        # whole task wave
+        t = t.filter(pc.not_equal(t["x_id"], -1))
         n = len(t)
         if n == 0:
             return scored_schema.empty_table()
@@ -430,15 +592,38 @@ def match_documents(
             }
         )
 
-    scored = (
-        pairs.map_batches(add_xbucket, batch_format="pyarrow")
-        .groupby("xb")
-        .map_groups(reduce_bucket, batch_format="pyarrow")
-    )
-    scored = scored.materialize()
+    if n_tie_rows <= reduce_driver_cap:
+        # small-corpus fast path: below the cap, pull the narrow numeric
+        # tie rows zero-copy and run reduce_bucket ONCE on the driver —
+        # saves a whole shuffle round (~3-5 s) on test/interactive sizes.
+        # The cap is deliberately low: at 3.8 M ties the driver's
+        # first-touch fault rate (~20 MB/s, CLAUDE.md) made this path
+        # 49 s vs the 13 s bounded-bucket shuffle — measured, do not
+        # raise without re-probing.
+        tie_parts = [
+            t for t in ray.get(pairs_mat.to_arrow_refs()) if len(t)
+        ]
+        tie_tbl = (
+            pa.concat_tables(tie_parts).combine_chunks()
+            if tie_parts
+            else pair_schema.empty_table()
+        )
+        scored = ray.data.from_arrow(reduce_bucket(tie_tbl)).materialize()
+    else:
+        scored = (
+            pairs_mat.groupby("xb")
+            .map_groups(reduce_bucket, batch_format="pyarrow")
+        ).materialize()
 
+    # sum n_candidates on the driver from the materialized blocks (8 B/row
+    # int column read zero-copy from plasma) — Sum() here was a whole
+    # extra aggregate round over `scored`, pure barrier latency
     counters["pairs_scored"] = int(
-        scored.aggregate(Sum("n_candidates"))["sum(n_candidates)"] or 0
+        sum(
+            pc.sum(t["n_candidates"]).as_py() or 0
+            for t in ray.get(scored.to_arrow_refs())
+            if len(t)
+        )
     )
     _tick("reduce", {"x_with_candidates": scored.count(),
                      "pairs_scored": counters["pairs_scored"]})
@@ -498,15 +683,12 @@ def match_documents(
     # x docs whose every candidate pair was filtered (or that never shared
     # a block) are ABSENT from `scored`; surface them as UNMATCHED rows so
     # status accounting over assignments never silently loses rows.
-    # Fast path: the assigned-id SET is skinny int64s — broadcast it once
-    # and anti-filter x ids with zero shuffle (semi_join); above the
-    # broadcast cap fall back to the bounded-bucket hash join.
+    # Fast path: both id sets are skinny int64 columns of MATERIALIZED
+    # datasets — read them zero-copy from plasma and setdiff on the driver
+    # (no dataset passes at all; the previous semi_join form spent 3 extra
+    # pipeline rounds, pure barrier latency at every corpus size tested).
+    # Above the driver cap fall back to the shuffle forms.
     from record_matcher_ray.pipelines.joins import hash_join, semi_join
-
-    x_ids_only = x_flat.map_batches(
-        lambda t: pa.table({"x_id": pc.cast(t["rid"], pa.int64())}),
-        batch_format="pyarrow",
-    )
 
     def _unmatched_rows(k: pa.Table) -> pa.Table:
         return pa.table(
@@ -524,36 +706,68 @@ def match_documents(
         )
 
     n_assigned = assignments.count()  # metadata (materialized above)
-    if n_assigned <= 20_000_000:
-        missing = semi_join(
-            x_ids_only,
-            assignments.map_batches(
-                lambda t: pa.table({"x_id": t["x_id"].combine_chunks()}),
+    n_x = x_flat.count()
+    if n_x <= 50_000_000:  # 8 B/id → ≤400 MB of driver reads, zero-copy
+        x_ids_np = np.concatenate(
+            [
+                np.asarray(t["rid"].to_numpy(), np.int64)
+                for t in ray.get(x_flat.to_arrow_refs())
+                if len(t)
+            ]
+            or [np.empty(0, np.int64)]
+        )
+        got_np = np.concatenate(
+            [
+                t["x_id"].to_numpy()
+                for t in ray.get(assignments.to_arrow_refs())
+                if len(t)
+            ]
+            or [np.empty(0, np.int64)]
+        )
+        miss_np = np.setdiff1d(x_ids_np, got_np)  # sorted unique
+        backfill_tbl = _unmatched_rows(
+            pa.table({"x_id": pa.array(miss_np, pa.int64())})
+        )
+        counters["x_without_candidates"] = len(miss_np)
+        if len(miss_np):
+            assignments = assignments.union(
+                ray.data.from_arrow(backfill_tbl)
+            ).materialize()
+    else:  # id sets beyond driver memory: shuffle forms
+        x_ids_only = x_flat.map_batches(
+            lambda t: pa.table({"x_id": pc.cast(t["rid"], pa.int64())}),
+            batch_format="pyarrow",
+        )
+        if n_assigned <= 20_000_000:
+            missing = semi_join(
+                x_ids_only,
+                assignments.map_batches(
+                    lambda t: pa.table({"x_id": t["x_id"].combine_chunks()}),
+                    batch_format="pyarrow",
+                ),
+                on="x_id",
+                anti=True,
+            )
+        else:  # broadcast would be GBs — bounded-bucket hash join instead
+            marker = assignments.map_batches(
+                lambda t: pa.table(
+                    {"x_id_m": t["x_id"].combine_chunks(),
+                     "present": pa.array(np.ones(len(t), np.int8))}
+                ),
                 batch_format="pyarrow",
-            ),
-            on="x_id",
-            anti=True,
-        )
-    else:  # broadcast would be GBs — bounded-bucket hash join instead
-        marker = assignments.map_batches(
-            lambda t: pa.table(
-                {"x_id_m": t["x_id"].combine_chunks(),
-                 "present": pa.array(np.ones(len(t), np.int8))}
-            ),
-            batch_format="pyarrow",
-        )
-        missing = hash_join(
-            x_ids_only, marker, "x_id", "x_id_m", how="left"
-        ).map_batches(
-            lambda t: t.filter(pc.is_null(t["present"])).select(["x_id"]),
-            batch_format="pyarrow",
-        )
-    backfill = missing.map_batches(
-        _unmatched_rows, batch_format="pyarrow"
-    ).materialize()
-    counters["x_without_candidates"] = backfill.count()
-    if counters["x_without_candidates"]:
-        assignments = assignments.union(backfill).materialize()
+            )
+            missing = hash_join(
+                x_ids_only, marker, "x_id", "x_id_m", how="left"
+            ).map_batches(
+                lambda t: t.filter(pc.is_null(t["present"])).select(["x_id"]),
+                batch_format="pyarrow",
+            )
+        backfill = missing.map_batches(
+            _unmatched_rows, batch_format="pyarrow"
+        ).materialize()
+        counters["x_without_candidates"] = backfill.count()
+        if counters["x_without_candidates"]:
+            assignments = assignments.union(backfill).materialize()
     _tick("assignments", {"rows": assignments.count(),
                           "backfilled": counters["x_without_candidates"]})
 
