@@ -36,7 +36,7 @@ from record_matcher_ray.core.config import MatchConfig, MatchConfigBuilder
 from record_matcher_ray.core.kernel import MATCH_STATUS, score_pairs_flat
 from record_matcher_ray.pipelines import table_ops
 from record_matcher_ray.pipelines.cluster import connected_components
-from record_matcher_ray.pipelines.match import compute_flips
+from record_matcher_ray.pipelines.match import compute_flips, resolve_winner_arrays
 from record_matcher_ray.stages.blocking import MinHasher, batch_doc_keys
 from record_matcher_ray.stages.flatten import add_int_ids, flatten_spans
 
@@ -610,34 +610,69 @@ def match_documents(
         )
         scored = ray.data.from_arrow(reduce_bucket(tie_tbl)).materialize()
     else:
+        # coalesce the 256 tiny tie blocks before the xb sort: the sort
+        # emits (input blocks × output partitions) intermediate objects —
+        # 256×256 ≈ 65k tiny object-store ops dominated this stage's wall
         scored = (
-            pairs_mat.groupby("xb")
+            pairs_mat.repartition(32)
+            .groupby("xb")
             .map_groups(reduce_bucket, batch_format="pyarrow")
         ).materialize()
 
-    # sum n_candidates on the driver from the materialized blocks (8 B/row
-    # int column read zero-copy from plasma) — Sum() here was a whole
-    # extra aggregate round over `scored`, pure barrier latency
-    counters["pairs_scored"] = int(
-        sum(
-            pc.sum(t["n_candidates"]).as_py() or 0
-            for t in ray.get(scored.to_arrow_refs())
-            if len(t)
+    # ONE zero-copy driver pass over the materialized scored blocks reads
+    # everything stage D needs from them: the pairs_scored counter, the
+    # winner triples for the duplicate pass AND the accepted-pair edges
+    # for clustering — each was previously its own dataset round (an
+    # aggregate, compute_flips' projection pass, and an edges
+    # map+materialize+count), ~6-8 s of pure barrier latency per run.
+    # Above the driver cap the distributed forms run instead.
+    n_scored_rows = scored.count()
+    driver_d = n_scored_rows <= 20_000_000  # 3 int64/f64 cols ≈ 480 MB cap
+    if driver_d:
+        pairs_sum = 0
+        wx_p, wy_p, ws_p = [], [], []
+        for t in ray.get(scored.to_arrow_refs()):
+            if not len(t):
+                continue
+            pairs_sum += int(pc.sum(t["n_candidates"]).as_py() or 0)
+            m = pc.not_equal(t["winner_y_id"], -1)
+            tt = t.filter(m)
+            wx_p.append(tt["__x_id__"].to_numpy())
+            wy_p.append(tt["winner_y_id"].to_numpy())
+            ws_p.append(tt["winner_score"].to_numpy())
+        x_w = np.concatenate(wx_p) if wx_p else np.empty(0, np.int64)
+        y_w = np.concatenate(wy_p) if wy_p else np.empty(0, np.int64)
+        s_w = np.concatenate(ws_p) if ws_p else np.empty(0, np.float64)
+        counters["pairs_scored"] = pairs_sum
+        _tick("reduce", {"x_with_candidates": n_scored_rows,
+                         "pairs_scored": pairs_sum})
+        flip_x, flip_v = resolve_winner_arrays(
+            x_w, y_w, s_w, cfg.duplicate_threshold
         )
-    )
-    _tick("reduce", {"x_with_candidates": scored.count(),
-                     "pairs_scored": counters["pairs_scored"]})
+        dup_ids = np.sort(flip_x[flip_v == "duplicate"])
+        dem_ids = np.sort(flip_x[flip_v == "demote"])
+        _tick("flips", {"n_flips": int(len(flip_x))})
+    else:
+        counters["pairs_scored"] = int(
+            sum(
+                pc.sum(t["n_candidates"]).as_py() or 0
+                for t in ray.get(scored.to_arrow_refs())
+                if len(t)
+            )
+        )
+        _tick("reduce", {"x_with_candidates": n_scored_rows,
+                         "pairs_scored": counters["pairs_scored"]})
+        flips = compute_flips(scored, cfg.duplicate_threshold)
+        _tick("flips", {"n_flips": len(flips)})
+        dup_ids = np.sort(np.fromiter(
+            (k for k, v in flips.items() if v == "duplicate"), np.int64))
+        dem_ids = np.sort(np.fromiter(
+            (k for k, v in flips.items() if v == "demote"), np.int64))
 
     # ---- stage D: duplicate pass + finalize ------------------------------
-    flips = compute_flips(scored, cfg.duplicate_threshold)
-    _tick("flips", {"n_flips": len(flips)})
-    # broadcast as two SORTED id arrays, not the dict — at multi-mention
+    # broadcast as two SORTED id arrays, not a dict — at multi-mention
     # corpora the flip set is ~|x|/2, and per-batch dict iteration in every
     # finalize task was Python over the whole set
-    dup_ids = np.sort(np.fromiter(
-        (k for k, v in flips.items() if v == "duplicate"), np.int64))
-    dem_ids = np.sort(np.fromiter(
-        (k for k, v in flips.items() if v == "demote"), np.int64))
     flips_ref = ray.put((dup_ids, dem_ids))
 
     def finalize(t: pa.Table) -> pa.Table:
@@ -777,18 +812,30 @@ def match_documents(
     # registry doc demote to UNMATCHED per reference semantics,
     # matcher.py:433-447) — but those demoted pairs are still true
     # same-entity links, exactly what transitive clustering must connect.
-    def to_edges(t: pa.Table) -> pa.Table:
-        keep = pc.not_equal(t["winner_y_id"], -1)
-        k = t.filter(keep)
-        return pa.table(
-            {
-                "u": pc.multiply(k["x_id"].combine_chunks(), 2),
-                "v": pc.add(pc.multiply(k["winner_y_id"].combine_chunks(), 2), 1),
-            }
+    if driver_d:
+        # the winner arrays are already on the driver (stage-D pull):
+        # build the edge table directly — no dataset round at all
+        edges = ray.data.from_arrow(
+            pa.table({"u": pa.array(x_w * 2), "v": pa.array(y_w * 2 + 1)})
         )
+        counters["matches_accepted"] = int(len(x_w))
+    else:
+        def to_edges(t: pa.Table) -> pa.Table:
+            keep = pc.not_equal(t["winner_y_id"], -1)
+            k = t.filter(keep)
+            return pa.table(
+                {
+                    "u": pc.multiply(k["x_id"].combine_chunks(), 2),
+                    "v": pc.add(
+                        pc.multiply(k["winner_y_id"].combine_chunks(), 2), 1
+                    ),
+                }
+            )
 
-    edges = assignments.map_batches(to_edges, batch_format="pyarrow").materialize()
-    counters["matches_accepted"] = edges.count()
+        edges = assignments.map_batches(
+            to_edges, batch_format="pyarrow"
+        ).materialize()
+        counters["matches_accepted"] = edges.count()
     _tick("edges", {"accepted": counters["matches_accepted"]})
 
     clusters = connected_components(edges) if cluster_edges else None

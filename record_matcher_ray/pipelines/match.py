@@ -100,6 +100,45 @@ class MatchResult:
         yield self.summary
 
 
+def resolve_winner_arrays(
+    xid: np.ndarray,
+    yid: np.ndarray,
+    sc: np.ndarray,
+    duplicate_threshold: float,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized twin of core.dup.resolve_duplicates across ALL y-groups
+    of (x_id, winner_y_id, winner_score) rows at once (the per-group
+    Python call was ~0.04 ms × |groups| — at a corpus where most entities
+    have several mentions nearly every winner group is multi, so the loop
+    dominated). → (flip x_ids int64, verdicts object: "duplicate"/"demote").
+    Callers must pass whole y-groups (any superset partitioning works)."""
+    n = len(xid)
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, object)
+    order = np.argsort(yid, kind="stable")
+    y_s = yid[order]
+    x_s, sc_s = xid[order], sc[order]
+    bounds = np.nonzero(np.concatenate(([True], y_s[1:] != y_s[:-1])))[0]
+    sizes = np.diff(np.concatenate((bounds, [n])))
+    mx = np.maximum.reduceat(sc_s, bounds)
+    mn = np.minimum.reduceat(sc_s, bounds)
+    is_max = sc_s == np.repeat(mx, sizes)
+    n_max = np.add.reduceat(is_max.astype(np.int64), bounds)
+    multi = sizes > 1
+    dup_g = multi & ((n_max > 1) | (np.abs(mx - mn) < duplicate_threshold))
+    dem_g = multi & ~dup_g
+    grp = np.repeat(np.arange(len(bounds)), sizes)
+    dup_rows = dup_g[grp]
+    dem_rows = dem_g[grp] & ~is_max
+    verdict = np.empty(int(dup_rows.sum()) + int(dem_rows.sum()), object)
+    verdict[: dup_rows.sum()] = "duplicate"
+    verdict[dup_rows.sum():] = "demote"
+    return (
+        np.concatenate([x_s[dup_rows], x_s[dem_rows]]).astype(np.int64),
+        verdict,
+    )
+
+
 def compute_flips(
     scored: ray.data.Dataset,
     duplicate_threshold: float,
@@ -127,40 +166,19 @@ def compute_flips(
         return t.append_column("wb", pa.array(wb.astype(np.int64)))
 
     def resolve_bucket(t: pa.Table) -> pa.Table:
-        """Vectorized twin of core.dup.resolve_duplicates across ALL of a
-        bucket's y-groups at once (the per-group Python call was ~0.04 ms
-        × |groups| — at a corpus where most entities have several mentions
-        nearly every winner group is multi, so the loop dominated)."""
         n = len(t)
         empty = pa.schema([("x_id", pa.int64()), ("verdict", pa.string())])
         if n == 0:
             return empty.empty_table()
-        xid = t[x_id_col].to_numpy()
-        yid = t["winner_y_id"].to_numpy()
-        sc = t["winner_score"].to_numpy()
-        order = np.argsort(yid, kind="stable")
-        y_s = yid[order]
-        x_s, sc_s = xid[order], sc[order]
-        bounds = np.nonzero(np.concatenate(([True], y_s[1:] != y_s[:-1])))[0]
-        sizes = np.diff(np.concatenate((bounds, [n])))
-        mx = np.maximum.reduceat(sc_s, bounds)
-        mn = np.minimum.reduceat(sc_s, bounds)
-        is_max = sc_s == np.repeat(mx, sizes)
-        n_max = np.add.reduceat(is_max.astype(np.int64), bounds)
-        multi = sizes > 1
-        dup_g = multi & ((n_max > 1)
-                         | (np.abs(mx - mn) < duplicate_threshold))
-        dem_g = multi & ~dup_g
-        grp = np.repeat(np.arange(len(bounds)), sizes)
-        dup_rows = dup_g[grp]
-        dem_rows = dem_g[grp] & ~is_max
-        verdict = np.empty(int(dup_rows.sum()) + int(dem_rows.sum()), object)
-        verdict[: dup_rows.sum()] = "duplicate"
-        verdict[dup_rows.sum():] = "demote"
+        flip_x, flip_v = resolve_winner_arrays(
+            t[x_id_col].to_numpy(),
+            t["winner_y_id"].to_numpy(),
+            t["winner_score"].to_numpy(),
+            duplicate_threshold,
+        )
         return pa.table(
-            {"x_id": pa.array(
-                np.concatenate([x_s[dup_rows], x_s[dem_rows]]), pa.int64()),
-             "verdict": pa.array(verdict, pa.string())}
+            {"x_id": pa.array(flip_x, pa.int64()),
+             "verdict": pa.array(flip_v, pa.string())}
         )
 
     w = scored.map_batches(winners, batch_format="pyarrow").materialize()
