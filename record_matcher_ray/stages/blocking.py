@@ -83,13 +83,22 @@ class MinHasher:
         self.num_perm = num_perm
 
     def signature(self, shingle_hashes: np.ndarray) -> np.ndarray:
-        """(num_perm,) minhash signature of a set of shingle hashes."""
+        """(num_perm,) minhash signature of a set of shingle hashes —
+        uint64 wraparound multiply-add with odd multipliers, min by
+        unsigned value, stored by bit pattern (SAME arithmetic as
+        hashkernels.batch_signatures; keep in lockstep)."""
         if len(shingle_hashes) == 0:
             return np.zeros(self.num_perm, dtype=np.int64)
-        m = (
-            self.a[:, None] * shingle_hashes[None, :].astype(np.int64) + self.b[:, None]
-        ) % _MERSENNE
-        return m.min(axis=1)
+        au = self.a.astype(np.uint64) | np.uint64(1)
+        bu = self.b.astype(np.uint64)
+        hu = (
+            shingle_hashes.view(np.uint64)
+            if shingle_hashes.dtype == np.int64
+            else shingle_hashes.astype(np.uint64)
+        )
+        with np.errstate(over="ignore"):
+            m = au[:, None] * hu[None, :] + bu[:, None]
+        return m.min(axis=1).view(np.int64)
 
 
 def char_shingles(text: str, n: int = 4) -> np.ndarray:
@@ -206,9 +215,16 @@ def batch_doc_keys(
     keys_out.append(tag_keys(tn_h, KEY_TAG_NGRAM))
     rows_out.append(np.repeat(np.arange(n, dtype=np.int64), tn_n))
 
-    # body minhash band keys
+    # body minhash band keys. Raw window hashes feed the signatures
+    # directly — min-wise hashing is invariant to duplicates, so skipping
+    # unique_per_doc's doc-major lexsort (the most expensive step of key
+    # expansion at corpus scale) yields BIT-IDENTICAL signatures; the same
+    # ``>> 3`` post-shift as batch_char_shingles keeps the hash domain
+    # shared with the dedup/verify paths (which do need sorted uniques).
     norm_body = normalize_utf8(body_col)
-    sh_flat, sh_lens = batch_char_shingles(norm_body, shingle)
+    fb, sb, lb = utf8_view(norm_body)
+    wh, sh_lens = window_hashes(fb, sb, lb, shingle, 1)
+    sh_flat = (wh >> np.uint64(3)).astype(np.int64)
     sig = batch_signatures(sh_flat, sh_lens, hasher.a, hasher.b)
     band_k = batch_band_keys(sig, bands)
     has_b = sh_lens > 0
