@@ -28,9 +28,11 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 # corpus size for the flagship doc pipeline (independent of sf_dir; scaled
 # to exercise blocking+scoring+clustering for tens of seconds at 32 cpus —
-# raised from 100k after the round-2 vectorized-blocking ~4x speedup so the
-# scaling run stays compute-bound, per CLAUDE.md)
-CORPUS_ENTITIES = int(os.environ.get("GRAFT_CORPUS_ENTITIES", "300000"))
+# raised 100k→300k→1M as kernel speedups landed (vectorized blocking, then
+# the 2026-08-18 cache-chunked minhash + scratch-arena hashing, ~2.5x) so
+# the scaling run stays compute-bound at 200+ s on the 8-cpu leg, per
+# CLAUDE.md)
+CORPUS_ENTITIES = int(os.environ.get("GRAFT_CORPUS_ENTITIES", "1000000"))
 # x-side amplification for the fuzzy-match workload (replicated with
 # distinct corruptions) — sizes the jaro-winkler stage to dominate overhead
 FUZZY_REPLICAS = int(os.environ.get("GRAFT_FUZZY_REPLICAS", "8"))

@@ -166,12 +166,28 @@ def generate_corpus(
          pa.schema([("doc_id", pa.string()), ("entity_id", pa.int64())])),
     ]:
         path = os.path.join(out_dir, f"{name}.parquet")
-        # small row groups: ray.data.read_parquet can only SPLIT a file at
-        # row-group boundaries — a single-row-group corpus made the whole
-        # read+flatten stage one serial task (67 s of a 211 s flagship run)
-        pq.write_table(
-            pa.Table.from_pylist(rows, schema=schema), path,
-            row_group_size=8192,
-        )
+        tbl = pa.Table.from_pylist(rows, schema=schema)
+        # MULTI-FILE fixture: ray.data.read_parquet parallelizes the DECODE
+        # at file granularity only (measured 2026-08-18: a single-file 1M-
+        # entity corpus decoded as ONE 11 s read task regardless of row
+        # groups or override_num_blocks — SplitBlocks only re-chunks the
+        # one task's output). ~16k rows per part keeps the fused
+        # read+flatten+key-expansion task grain at a few seconds so
+        # stragglers cost a fraction of a wave. Small row groups are still
+        # written so a row-group-aware reader can split further.
+        if name == "truth" or len(tbl) <= 16384:
+            pq.write_table(tbl, path, row_group_size=8192)
+        else:
+            n_parts = min(128, max(1, len(tbl) // 16384))
+            os.makedirs(path, exist_ok=True)
+            step = -(-len(tbl) // n_parts)
+            for pi in range(n_parts):
+                part = tbl.slice(pi * step, step)
+                if len(part) == 0:
+                    break
+                pq.write_table(
+                    part, os.path.join(path, f"part-{pi:04d}.parquet"),
+                    row_group_size=8192,
+                )
         paths[name] = path
     return paths
