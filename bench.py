@@ -333,13 +333,19 @@ def run_scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    # best-of-2 per leg: the sandbox microVM adds STRICTLY ADDITIVE noise
-    # (first-touch page-fault storms; identical runs measured 75-95 s at
-    # 32 cpus, 2x swings seen across a day), so min over repeats is the
-    # least-polluted estimate of each leg; raw values are reported too
+    # best-of-2 per leg, legs INTERLEAVED: the sandbox microVM adds
+    # STRICTLY ADDITIVE noise and its page-fault throughput wanders by
+    # ~100x on a tens-of-minutes timescale (measured 2026-08-18: the same
+    # 50 MB first-touch cost 0.01 s in the morning and 1.25 s in the
+    # afternoon regime), so (a) min over repeats is the least-polluted
+    # estimate of each leg and (b) alternating legs keeps both sampling
+    # the same host regime instead of letting a mid-run shift bias the
+    # ratio; raw values are reported too
     lo, hi = 8, 32
-    runs_lo = [run(lo), run(lo)]
-    runs_hi = [run(hi), run(hi)]
+    r1_lo, r1_hi = run(lo), run(hi)
+    r2_lo, r2_hi = run(lo), run(hi)
+    runs_lo = [r1_lo, r2_lo]
+    runs_hi = [r1_hi, r2_hi]
     t_lo = min(r["value"] for r in runs_lo)
     t_hi = min(r["value"] for r in runs_hi)
     eff = (t_lo / t_hi) / (hi / lo)

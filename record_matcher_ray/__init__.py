@@ -26,6 +26,22 @@ the session is owned by the caller (driver, bench.py, or test fixture).
 
 __version__ = "0.1.0"
 
+# Keep jemalloc's freed Arrow buffers resident for 10 s instead of the
+# sub-second default decay: every map_batches task allocates/frees tens of
+# MB of Arrow buffers, and returning them to the OS between tasks makes
+# each task re-fault its working set — page-fault throughput saturates
+# machine-wide (~30 GB/s aggregate, measured 2026-08-18), so the re-fault
+# tax GROWS with worker count and erodes scaling. 10 s >> task duration ⇒
+# steady-state reuse; per-worker dirty retention is bounded by its peak
+# batch footprint. Workers import this package before any kernel runs.
+try:  # not all Arrow builds ship jemalloc
+    import pyarrow as _pa
+
+    if _pa.default_memory_pool().backend_name == "jemalloc":
+        _pa.jemalloc_set_decay_ms(10_000)
+except Exception:  # pragma: no cover - allocator knob is best-effort
+    pass
+
 # convenience re-exports (lazy — keep import light; none touch ray.init)
 from record_matcher_ray.api import RecordMatcher  # noqa: E402,F401
 from record_matcher_ray.core.config import (  # noqa: E402,F401
