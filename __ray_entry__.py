@@ -569,6 +569,76 @@ def _q_media_features(sf_dir: str):
     return featurize_media(ds, decoder="fake", concurrency=2)
 
 
+def _q_dup_span_stats(sf_dir: str):
+    """Substring-level dedup stats: per doc, the fraction of its 16-char
+    normalized windows whose content recurs in ≥2 distinct documents
+    (windowed-fingerprint form of suffix-array substring dedup)."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.spandedup import duplicated_window_stats
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return duplicated_window_stats(ds, window=16, stride=1, min_docs=2)
+
+
+def _q_dup_spans(sf_dir: str):
+    """Merged byte spans (normalized-text coordinates) covered by
+    cross-document duplicated 16-char windows."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.spandedup import duplicate_spans
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return duplicate_spans(ds, window=16, stride=1, min_docs=2)
+
+
+def _q_lm_quality(sf_dir: str):
+    """Unigram-LM cross-entropy (perplexity-filter signal), model trained
+    on the corpus itself (vocab 4096, add-1 OOV floor)."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.analysis import lm_quality
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return lm_quality(ds, vocab_size=4096, alpha=1.0)
+
+
+def _q_orders_customer_full(sf_dir: str):
+    """Full-outer bucketed hash join: every order with its customer's
+    balance, plus customers with no orders (null order side). Key columns
+    are cast DOUBLE on both sides so nullable ints hash identically."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from record_matcher_ray.pipelines.joins import hash_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]
+    )
+    out = hash_join(orders, cust, "o_custkey", "c_custkey", how="full")
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.float64()),
+                "o_custkey": pc.cast(t["o_custkey"], pa.float64()),
+                "c_acctbal": pc.cast(t["c_acctbal"], pa.float64()),
+            }
+        )
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from record_matcher_ray.pipelines import analysis, relational
 
@@ -607,8 +677,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # match pipeline (O6-O8) + scorer kernel surface
         "match_exact_customer": _match_exact_customer,
         "supplier_levenshtein": relational.supplier_nation_levenshtein,
+        # joins
+        "orders_customer_full": _q_orders_customer_full,
         # dedup family
         "dedup_exact_docs": _q_dedup_exact_docs,
+        "dup_span_stats_docs": _q_dup_span_stats,
+        "dup_spans_docs": _q_dup_spans,
         "minhash_dedup_docs": _q_minhash_dedup,
         "minhash_recall_docs": _q_minhash_recall,
         "ngram_jaccard_docs": _q_ngram_jaccard,
@@ -626,6 +700,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # text analysis
         "token_count_docs": token_counts,
         "quality_docs": quality,
+        "lm_quality_docs": _q_lm_quality,
         "lang_id_docs": _q_lang_id,
         "fingerprint_docs": _q_fingerprints,
         "repetition_docs": _q_repetition,
@@ -920,6 +995,113 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(m3.mx, 0)::DOUBLE /
                          greatest(b.n_tokens - 2, 1), 6) AS top3gram_frac
             FROM b LEFT JOIN m2 USING (doc_id) LEFT JOIN m3 USING (doc_id)
+        """,
+        "orders_customer_full": """
+            SELECT CAST(o.o_orderkey AS DOUBLE) AS o_orderkey,
+                   CAST(coalesce(o.o_custkey, c.c_custkey) AS DOUBLE)
+                       AS o_custkey,
+                   CAST(c.c_acctbal AS DOUBLE) AS c_acctbal
+            FROM orders o FULL JOIN customer c ON o.o_custkey = c.c_custkey
+        """,
+        "dup_span_stats_docs": """
+            WITH t AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(coalesce(text, '')),
+                                         '[^a-z0-9]+', ' ', 'g')) AS nt
+              FROM documents
+            ), win AS (
+              SELECT doc_id, unnest(
+                CASE WHEN length(nt) = 0 THEN CAST([] AS VARCHAR[])
+                     WHEN length(nt) <= 16 THEN [nt]
+                     ELSE list_transform(generate_series(1, length(nt) - 15),
+                                         i -> substr(nt, i, 16))
+                END) AS g
+              FROM t
+            ), per AS (
+              SELECT doc_id, g, count(*)::BIGINT AS cnt
+              FROM win GROUP BY doc_id, g
+            ), dup AS (
+              SELECT g FROM per GROUP BY g
+              HAVING count(DISTINCT doc_id) >= 2
+            )
+            SELECT p.doc_id, sum(p.cnt)::BIGINT AS n_windows,
+                   sum(CASE WHEN d.g IS NOT NULL THEN p.cnt ELSE 0
+                       END)::BIGINT AS n_dup_windows,
+                   round(sum(CASE WHEN d.g IS NOT NULL THEN p.cnt ELSE 0
+                             END)::DOUBLE / sum(p.cnt), 6) AS dup_frac
+            FROM per p LEFT JOIN dup d ON p.g = d.g
+            GROUP BY p.doc_id
+        """,
+        "dup_spans_docs": """
+            WITH t AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(coalesce(text, '')),
+                                         '[^a-z0-9]+', ' ', 'g')) AS nt
+              FROM documents
+            ), win AS (
+              SELECT doc_id, nt, unnest(
+                CASE WHEN length(nt) = 0 THEN CAST([] AS BIGINT[])
+                     WHEN length(nt) <= 16 THEN [CAST(0 AS BIGINT)]
+                     ELSE list_transform(generate_series(1, length(nt) - 15),
+                                         i -> CAST(i - 1 AS BIGINT))
+                END) AS pos
+              FROM t
+            ), w2 AS (
+              SELECT doc_id, pos,
+                     substr(nt, CAST(pos + 1 AS INT), 16) AS g,
+                     least(pos + 16, length(nt))::BIGINT AS end_
+              FROM win
+            ), dup AS (
+              SELECT g FROM w2 GROUP BY g
+              HAVING count(DISTINCT doc_id) >= 2
+            ), d AS (
+              SELECT doc_id, pos, end_ FROM w2
+              WHERE g IN (SELECT g FROM dup)
+            ), m AS (
+              SELECT doc_id, pos, end_,
+                     max(end_) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS prev_max
+              FROM d
+            ), i AS (
+              SELECT doc_id, pos, end_,
+                     CASE WHEN prev_max IS NULL OR pos > prev_max
+                          THEN 1 ELSE 0 END AS brk
+              FROM m
+            ), c AS (
+              SELECT doc_id, pos, end_,
+                     sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS isl
+              FROM i
+            )
+            SELECT doc_id, min(pos)::BIGINT AS span_start,
+                   max(end_)::BIGINT AS span_end
+            FROM c GROUP BY doc_id, isl
+        """,
+        "lm_quality_docs": """
+            WITH t AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(coalesce(text, '')),
+                                         '[^a-z0-9]+', ' ', 'g')) AS nt
+              FROM documents
+            ), tok AS (
+              SELECT doc_id, unnest(string_split(nt, ' ')) AS term
+              FROM t WHERE len(nt) > 0
+            ), counts AS (
+              SELECT term, count(*)::BIGINT AS c FROM tok GROUP BY term
+            ), tot AS (
+              SELECT sum(c)::DOUBLE AS n FROM counts
+            ), vocab AS (
+              SELECT term, c FROM counts ORDER BY c DESC, term LIMIT 4096
+            ), lp AS (
+              SELECT tok.doc_id,
+                     coalesce(ln(v.c::DOUBLE / (SELECT n FROM tot)),
+                              ln(1.0 / (SELECT n FROM tot))) AS l
+              FROM tok LEFT JOIN vocab v ON tok.term = v.term
+            )
+            SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                   round(-avg(l), 6) AS xent
+            FROM lp GROUP BY doc_id
         """,
         "decontam_docs": """
             WITH t AS (

@@ -326,3 +326,109 @@ def repetition_metrics(
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def lm_quality(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    vocab_size: int = 65536,
+    alpha: float = 1.0,
+) -> ray.data.Dataset:
+    """Unigram-LM cross-entropy quality score per document — the
+    "perplexity filtering" stage of large-scale pipelines (CCNet / Gopher
+    style), with the LM trained on the corpus itself in one pass.
+
+    Model: the ``vocab_size`` most frequent normalized whitespace tokens
+    (ties broken by term, ascending — same cut as the SQL oracle), with
+    ``logp(term) = ln(count / N)`` over the TOTAL token count N (all
+    tokens, in- or out-of-vocabulary) and OOV floor ``ln(alpha / N)``.
+    Output: Dataset[id_col, n_tokens, xent] for every doc with ≥1 token;
+    ``xent`` = mean negative log-prob in nats/token, rounded half-away to
+    6 decimals. High xent ⇒ rare-token-heavy (noisy) text; near-zero ⇒
+    boilerplate.
+
+    Scale shape: the model pass is the bounded-vocabulary partial-
+    aggregate of terms.top_terms (raw tokens never cross the wire) plus a
+    scalar token-count sum; the model broadcasts once via ``ray.put`` as a
+    sorted uint64 hash array + float logp array (``vocab_size`` × 16 B);
+    scoring is one zero-shuffle streaming pass (hash, searchsorted,
+    segmented mean). At 100 TB, train the vocabulary on a sample
+    (``ds.random_sample``) — counts only shift logp by the sample ratio.
+    """
+    from ray.data.aggregate import Sum
+
+    from record_matcher_ray.core.hashkernels import (
+        normalize_utf8,
+        utf8_view,
+        whole_hashes,
+    )
+    from record_matcher_ray.pipelines.terms import top_terms
+
+    def _tok_count(t: pa.Table) -> pa.Table:
+        norm = normalize_utf8(t[text_col])
+        toks = pc.split_pattern(norm, " ")
+        lens = np.diff(toks.offsets.to_numpy()).astype(np.int64)
+        empty = np.asarray(pc.equal(norm, "").to_numpy(zero_copy_only=False))
+        return pa.table({"n": pa.array(np.where(empty, 0, lens).sum(keepdims=True))})
+
+    total = (
+        ds.map_batches(_tok_count, batch_format="pyarrow")
+        .aggregate(Sum("n", alias_name="n"))["n"]
+    )
+    vocab = top_terms(ds, k=vocab_size, text_col=text_col, id_col=id_col)
+    vt = vocab.to_pandas()  # ≤ vocab_size rows by construction
+
+    if total is None or int(total) == 0 or len(vt) == 0:
+        def _empty(t: pa.Table) -> pa.Table:
+            return pa.schema(
+                [(id_col, t.schema.field(id_col).type),
+                 ("n_tokens", pa.int64()), ("xent", pa.float64())]
+            ).empty_table()
+
+        return ds.map_batches(_empty, batch_format="pyarrow")
+
+    n_total = float(total)
+    terms_arr = pa.array(vt["term"].astype(str).to_numpy(), pa.string())
+    th = whole_hashes(*utf8_view(terms_arr))
+    order = np.argsort(th)
+    h_sorted = th[order]
+    logp_sorted = np.log(vt["n_occ"].to_numpy().astype(np.float64)[order] / n_total)
+    logp_oov = float(np.log(float(alpha) / n_total))
+    import ray as _ray
+
+    model_ref = _ray.put((h_sorted, logp_sorted))
+
+    def score(t: pa.Table) -> pa.Table:
+        hs, lp = _ray.get(model_ref)
+        norm = normalize_utf8(t[text_col])
+        toks = pc.split_pattern(norm, " ")
+        n = len(t)
+        per_doc = np.diff(toks.offsets.to_numpy()).astype(np.int64)
+        empty = np.asarray(pc.equal(norm, "").to_numpy(zero_copy_only=False))
+        tok_lens = np.where(empty, 0, per_doc)
+        th_all = whole_hashes(*utf8_view(toks.flatten()))
+        doc_all = np.repeat(np.arange(n, dtype=np.int64), per_doc)
+        keep = ~empty[doc_all]
+        thv, doc = th_all[keep], doc_all[keep]
+        idx = np.searchsorted(hs, thv)
+        ok = idx < len(hs)
+        lpv = np.full(len(thv), logp_oov)
+        hit = np.zeros(len(thv), bool)
+        hit[ok] = hs[idx[ok]] == thv[ok]
+        lpv[hit] = lp[idx[hit]]
+        sums = np.bincount(doc, weights=lpv, minlength=n)
+        nz = tok_lens > 0
+        xent = _round_half_away6(-(sums[nz] / tok_lens[nz]))
+        return pa.table(
+            {
+                id_col: t[id_col].combine_chunks().take(
+                    pa.array(np.nonzero(nz)[0])
+                ),
+                "n_tokens": pa.array(tok_lens[nz]),
+                "xent": pa.array(xent),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

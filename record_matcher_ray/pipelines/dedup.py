@@ -549,7 +549,7 @@ def minhash_dedup(
     id_col: str,
     *,
     jaccard_threshold: float = 60.0,
-    broadcast_limit_rows: int = 1_000_000,
+    broadcast_limit_rows: int = 4_000_000,
     estimate_margin: float | None = 12.0,
     progress=None,
     **kw,
@@ -558,14 +558,16 @@ def minhash_dedup(
     connected components. Returns {"pairs": verified pairs Dataset,
     "components": (node, component) Dataset}.
 
-    Verification paths: below ``broadcast_limit_rows`` the shingle table is
-    broadcast once as contiguous numpy arrays (``ray.put`` is zero-copy for
-    numpy; ~2.5 KB/doc ⇒ 1 M docs ≈ 2.5 GB in the object store, read not
-    copied per worker). Above the limit the shingle lists are attached to
-    candidate pairs via two partitioned hash joins — driver-free, but the
-    intermediate carries one shingle list PER CANDIDATE PAIR, so it is only
-    the right shape when pairs ≈ O(docs); with fat LSH buckets prefer
-    raising the broadcast limit or tightening ``max_bucket``.
+    Verification paths: below ``broadcast_limit_rows`` the shingle payload
+    STAYS in the (spillable) object store as materialized blocks and only
+    a (id → block, row) routing index plus the 1 B/perm signature fold
+    live on the driver — ~(28 + num_perm) B/doc, so the default 4 M-doc
+    cap costs the driver ≈ 370 MB; shingle bytes never collect. Above the
+    limit the shingle lists are attached to candidate pairs via two
+    partitioned hash joins — fully driver-free, but the intermediate
+    carries one shingle list PER CANDIDATE PAIR, so it is only the right
+    shape when pairs ≈ O(docs); with fat LSH buckets prefer raising the
+    limit or tightening ``max_bucket``.
 
     ``estimate_margin``: template-heavy corpora produce a huge mass of
     candidate pairs just BELOW the threshold (every LSH band collides at

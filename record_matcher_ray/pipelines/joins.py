@@ -37,7 +37,9 @@ def hash_join(
 ) -> ray.data.Dataset:
     """Equi-join; output columns = left columns + right columns (right key
     dropped; non-key right columns must not collide with left names).
-    ``how``: "inner" or "left".
+    ``how``: "inner", "left", "right" or "full". For right/full joins the
+    ``left_on`` output column carries the COALESCED join key (SQL
+    ``USING(key)`` semantics) so right-only rows keep their key.
 
     Scale shape: the shuffle key is a ≤``n_buckets`` hash bucket — never the
     raw join key — so the per-group Python overhead is bounded by the bucket
@@ -91,16 +93,42 @@ def hash_join(
         + [(c, rschema.field(c).type) for c in rcols]
     )
     out_names = [f.name for f in out_schema]
-    join_type = "inner" if how == "inner" else "left outer"
+    join_types = {"inner": "inner", "left": "left outer",
+                  "right": "right outer", "full": "full outer"}
+    if how not in join_types:
+        raise ValueError(f"how must be one of {sorted(join_types)}, got {how!r}")
+    join_type = join_types[how]
 
     def bucket_join(t: pa.Table) -> pa.Table:
+        # index join + gather: Acero joins only (key, row-ordinal) — then
+        # payload columns are gathered by take(), so ANY column type
+        # (lists, structs, binaries) rides through, and the join kernel
+        # never copies wide payloads
         lmask = pc.equal(t[_J_SIDE], 0)
-        lt = t.filter(lmask).select(["__jkey__"] + lcols)
-        rt = t.filter(pc.invert(lmask)).select(["__jkey__"] + rcols)
-        if len(lt) == 0:
+        lt = t.filter(lmask)
+        rt = t.filter(pc.invert(lmask))
+        if len(lt) == 0 and how in ("inner", "left"):
             return out_schema.empty_table()
-        out = lt.join(rt, keys="__jkey__", join_type=join_type)
-        return out.select(out_names).cast(out_schema)
+        lix = pa.table(
+            {"__jkey__": lt["__jkey__"],
+             "__li__": pa.array(np.arange(len(lt), dtype=np.int64))}
+        )
+        rix = pa.table(
+            {"__jkey__": rt["__jkey__"],
+             "__ri__": pa.array(np.arange(len(rt), dtype=np.int64))}
+        )
+        j = lix.join(rix, keys="__jkey__", join_type=join_type)
+        li, ri = j["__li__"].combine_chunks(), j["__ri__"].combine_chunks()
+        cols = {}
+        for c in lcols:
+            cols[c] = pc.take(lt[c].combine_chunks(), li)
+        for c in rcols:
+            cols[c] = pc.take(rt[c].combine_chunks(), ri)
+        if how in ("right", "full"):
+            # Acero coalesces the key column across sides; surface it as
+            # the left_on output column (USING-key semantics)
+            cols[left_on] = pc.cast(j["__jkey__"].combine_chunks(), key_type)
+        return pa.table({c: cols[c] for c in out_names}).cast(out_schema)
 
     return tagged.groupby("__jb__").map_groups(
         bucket_join, batch_format="pyarrow"

@@ -46,6 +46,39 @@ def test_minhash_dedup_finds_near_dups(ray_session):
     assert cmap[0] == cmap[1] == cmap[3]
 
 
+def test_minhash_dedup_join_path_matches_routing_path(ray_session):
+    """broadcast_limit_rows=0 forces the >cap join-verify path (shingle
+    lists attached to pairs via hash_join, which must carry list<int64>
+    payload columns); its verified pairs must equal the routing-index
+    path's, with estimate prefiltering off so both verify exactly."""
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.dedup import minhash_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        {"id": 0, "text": base},
+        {"id": 1, "text": base.replace("quick", "quack")},
+        {"id": 2, "text": "completely different content about databases"},
+        {"id": 3, "text": base + " extra tail"},
+        {"id": 4, "text": "another unrelated string entirely here"},
+        {"id": 5, "text": base.replace("lazy", "crazy")},
+    ]
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    kw = dict(jaccard_threshold=50.0, estimate_margin=None)
+    via_route = minhash_dedup(ds, "text", "id", **kw)
+    via_join = minhash_dedup(ds, "text", "id",
+                             broadcast_limit_rows=0, **kw)
+    pr = via_route["pairs"].to_pandas()
+    pj = via_join["pairs"].to_pandas()
+    canon = lambda df: sorted(
+        (int(a), int(b), round(float(j), 9))
+        for a, b, j in zip(df["a"], df["b"], df["jaccard"])
+    )
+    assert canon(pr) == canon(pj)
+    assert len(pr) >= 3  # the near-dup cluster {0,1,3,5} is found
+
+
 def test_simhash_near_texts_close(ray_session):
     import ray.data as rd
 
