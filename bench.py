@@ -33,17 +33,20 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # the scaling run stays compute-bound at 200+ s on the 8-cpu leg, per
 # CLAUDE.md)
 CORPUS_ENTITIES = int(os.environ.get("GRAFT_CORPUS_ENTITIES", "1000000"))
+# minhash_dedup defaults to the flagship corpus; override to decouple
+MINHASH_ENTITIES = int(os.environ.get("GRAFT_MINHASH_ENTITIES", str(CORPUS_ENTITIES)))
 # x-side amplification for the fuzzy-match workload (replicated with
 # distinct corruptions) — sizes the jaro-winkler stage to dominate overhead
 FUZZY_REPLICAS = int(os.environ.get("GRAFT_FUZZY_REPLICAS", "8"))
 
 
-def _corpus_dir() -> str:
+def _corpus_dir(n_entities: int | None = None) -> str:
     from record_matcher_ray.sources.corpus import generate_corpus
 
-    d = f"/tmp/rmr_bench_corpus_{CORPUS_ENTITIES}"
+    n = CORPUS_ENTITIES if n_entities is None else n_entities
+    d = f"/tmp/rmr_bench_corpus_{n}"
     if not os.path.exists(f"{d}/truth.parquet"):
-        generate_corpus(d, n_entities=CORPUS_ENTITIES, max_docs_per_entity=3, seed=42)
+        generate_corpus(d, n_entities=n, max_docs_per_entity=3, seed=42)
     return d
 
 
@@ -190,7 +193,7 @@ def bench_minhash_dedup() -> dict:
     from record_matcher_ray.pipelines.dedup import minhash_dedup
     from record_matcher_ray.stages.flatten import add_int_ids, flatten_spans
 
-    d = _corpus_dir()
+    d = _corpus_dir(MINHASH_ENTITIES)
     docs = (
         rd.read_parquet(f"{d}/corpus.parquet")
         .map_batches(flatten_spans, batch_format="pyarrow")
@@ -280,6 +283,8 @@ def run_suite(only: str | None = None) -> None:
     for t in ["customer", "lineitem", "documents", "embeddings"]:
         pq.read_table(f"{SF_DIR}/{t}.parquet")
     _corpus_dir()
+    if not only or only == "minhash_dedup":
+        _corpus_dir(MINHASH_ENTITIES)
     # spin up the Ray worker-process pool (untimed): the first dataset
     # execution otherwise pays worker startup inside the first timed query
     # at every parallelism level

@@ -366,6 +366,12 @@ _MASK45 = np.int64((1 << 45) - 1)
 # {block_idx: (starts, lens, flat)}}
 _VERIFY_CACHE: dict = {}
 
+# verify-chunk element budget: per-chunk temporaries are ~8 B × this per
+# array (≤16 MB), safely under glibc's 32 MB DEFAULT_MMAP_THRESHOLD_MAX so
+# repeated chunk temporaries are heap-served instead of mmap/munmap/refault
+# cycles (the microVM fault path is the bottleneck — CLAUDE.md)
+_VERIFY_CHUNK_ELEMS = 1 << 21
+
 
 def _shingle_sig_table(
     ds: ray.data.Dataset,
@@ -534,8 +540,17 @@ def _routing_index(
 def _block_sh_views(t: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Zero-copy (starts, lens, flat) views of a block's ``sh`` list
     column (offsets index the RAW child array, so ``.values`` — not
-    ``.flatten()`` — keeps positions aligned)."""
-    col = t["sh"].combine_chunks()
+    ``.flatten()`` — keeps positions aligned).
+
+    NEVER ``combine_chunks`` here: it COPIES the 100s-of-MB shingle
+    payload even for single-chunk columns, and when all 32 workers build
+    their view cache at once those anonymous first-touch copies collapse
+    the microVM's page-fault path (measured: 383 s PER WORKER,
+    concurrently, vs 0.01 s for the zero-copy view — the entire
+    2.3 M-doc verify stage was cache-build). Materialized blocks are
+    single-chunk; the rare multi-chunk input pays one explicit copy."""
+    ca = t["sh"]
+    col = ca.chunk(0) if ca.num_chunks == 1 else ca.combine_chunks()
     offs = col.offsets.to_numpy()
     starts = offs[:-1].astype(np.int64)
     lens = np.diff(offs).astype(np.int64)
@@ -631,36 +646,43 @@ def minhash_dedup(
             [("a", pa.int64()), ("b", pa.int64()), ("jaccard", pa.float64())]
         ).empty_table()
 
-        def _gather_side(
+        def _route_side(
             vals: np.ndarray,
             ids_s: np.ndarray,
             blk_s: np.ndarray,
             pos_s: np.ndarray,
             cache: dict,
-        ) -> tuple[np.ndarray, np.ndarray]:
-            """→ (lens per element, flat shingles concatenated in element
-            order): route each doc id to its (block, row), then one
-            scattered vectorized copy per touched block — destination
-            slices are computed from the element-order cumsum, so block-
-            by-block placement PRESERVES pair order (no global sort)."""
+        ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+            """Route each doc id to its (block, row) and look up its
+            shingle count → (blk, pos, lens per element)."""
             ii = np.searchsorted(ids_s, vals)
             blk = blk_s[ii]
             pos = pos_s[ii]
-            n = len(vals)
-            lens_e = np.empty(n, np.int64)
-            ub = np.unique(blk)
-            for b in ub:
+            lens_e = np.empty(len(vals), np.int64)
+            for b in np.unique(blk):
                 sel = blk == b
                 lens_e[sel] = cache[b][1][pos[sel]]
+            return blk, pos, lens_e
+
+        def _gather_flat(
+            blk: np.ndarray,
+            pos: np.ndarray,
+            lens_e: np.ndarray,
+            cache: dict,
+            out: np.ndarray,
+        ) -> np.ndarray:
+            """Fill ``out`` with the elements' shingles concatenated in
+            element order: one scattered vectorized copy per touched block
+            — destination slices come from the element-order cumsum, so
+            block-by-block placement PRESERVES pair order (no sort)."""
             dst_starts = np.cumsum(lens_e) - lens_e
-            out = np.empty(int(lens_e.sum()), np.int64)
-            for b in ub:
+            for b in np.unique(blk):
                 starts_b, _, flat_b = cache[b]
                 sel = blk == b
                 out[_seg_gather(dst_starts[sel], lens_e[sel])] = flat_b[
                     _seg_gather(starts_b[pos[sel]], lens_e[sel])
                 ]
-            return lens_e, out
+            return out
 
         def verify(t: pa.Table) -> pa.Table:
             """Exact per-pair Jaccard with NO sort: per-doc shingles are
@@ -689,34 +711,92 @@ def minhash_dedup(
                 # 32 workers at once stampede the plasma store's request
                 # path (measured 9 728 serialized gets ≈ 20 s PER WORKER;
                 # the same blocks arrive in 0.05 s as one list get)
+                import os as _os
+                import sys as _sys
+                import time as _time
+
+                _t0 = _time.time()
                 tbls = ray.get(list(block_refs))
+                _t1 = _time.time()
                 g["key"] = route_ref
                 g["blocks"] = {
                     i: _block_sh_views(t)
                     for i, t in enumerate(tbls)
                     if len(t)
                 }
+                if _os.environ.get("RMR_DEBUG_VERIFY"):
+                    print(
+                        f"[verify-cache-build] pid={_os.getpid()} "
+                        f"get={_t1 - _t0:.2f}s views={_time.time() - _t1:.2f}s",
+                        file=_sys.stderr, flush=True,
+                    )
             cache: dict = g["blocks"]
-            aa = t["a"].to_numpy()
-            bb = t["b"].to_numpy()
+            from record_matcher_ray.core.hashkernels import _scratch
+
+            # sort the batch's pairs by a-doc: docs average tens of
+            # candidate partners, so grouping by a lets the A side's
+            # shingles be GATHERED ONCE PER DISTINCT DOC (was: once per
+            # pair — ~half the verify's DRAM traffic at the 2.3 M-doc
+            # corpus) and shrinks the searchsorted target from a
+            # per-pair-composed stream (~16 MB, DRAM-resident binary
+            # search) to a per-distinct-doc one (~L2/L3-resident).
+            # |A∩B| = count of B elements present in A because per-doc
+            # shingles are unique, so probing B into the group-composed
+            # A array and bincounting hits per pair is the exact
+            # intersection.
+            order = np.argsort(t["a"].to_numpy(), kind="stable")
+            aa = t["a"].to_numpy()[order]
+            bb = t["b"].to_numpy()[order]
+            blkB, posB, lensB = _route_side(bb, ids_s, blk_s, pos_s, cache)
+            # per-pair A lens via the distinct-a routing
+            firstA = np.empty(len(aa), bool)
+            if len(aa):
+                firstA[0] = True
+                firstA[1:] = aa[1:] != aa[:-1]
+            a_dist = aa[firstA]
+            blkAd, posAd, lensAd = _route_side(
+                a_dist, ids_s, blk_s, pos_s, cache
+            )
+            grp = np.cumsum(firstA) - 1  # pair → distinct-a index
+            lensA = lensAd[grp]
+            # chunk the PAIR axis by gathered-ELEMENT budget, not a fixed
+            # pair count: shingle counts vary with body length, and a
+            # fixed pair-count chunk ballooned past glibc's 32 MB
+            # DEFAULT_MMAP_THRESHOLD_MAX on long-body corpora (every
+            # temporary mmap'd, munmap'd, re-faulted). ≤2^18 pairs per
+            # chunk keeps the 18-bit group rank inside the 45-bit
+            # shingle compose.
+            mass = lensA + lensB
+            cum = np.cumsum(mass)
             outs = []
-            for s in range(0, len(aa), 1 << 18):
-                a = aa[s:s + (1 << 18)]
-                b = bb[s:s + (1 << 18)]
-                n = len(a)
-                a_lens, a_flat = _gather_side(a, ids_s, blk_s, pos_s, cache)
-                b_lens, b_flat = _gather_side(b, ids_s, blk_s, pos_s, cache)
-                pr_a = np.repeat(np.arange(n, dtype=np.int64), a_lens)
-                pr_b = np.repeat(np.arange(n, dtype=np.int64), b_lens)
-                a_comp = (pr_a << np.int64(45)) | a_flat
-                b_comp = (pr_b << np.int64(45)) | b_flat
-                idx = np.searchsorted(b_comp, a_comp)
-                hit = np.zeros(len(a_comp), np.float64)
-                valid = idx < len(b_comp)
-                hit[valid] = (b_comp[idx[valid]] == a_comp[valid]).astype(
+            s = 0
+            n_all = len(aa)
+            while s < n_all:
+                base = int(cum[s - 1]) if s else 0
+                e = int(np.searchsorted(cum, base + _VERIFY_CHUNK_ELEMS,
+                                        "right"))
+                e = min(max(e, s + 1), s + (1 << 18), n_all)
+                n = e - s
+                g0, g1 = int(grp[s]), int(grp[e - 1]) + 1
+                a_lens, b_lens = lensA[s:e], lensB[s:e]
+                ad_lens = lensAd[g0:g1]
+                na, nb = int(ad_lens.sum()), int(b_lens.sum())
+                a_comp = _scratch("mv_ac", na, np.int64)
+                b_comp = _scratch("mv_bc", nb, np.int64)
+                _gather_flat(blkAd[g0:g1], posAd[g0:g1], ad_lens, cache,
+                             a_comp)
+                _gather_flat(blkB[s:e], posB[s:e], b_lens, cache, b_comp)
+                gl = (np.arange(g1 - g0, dtype=np.int64)) << np.int64(45)
+                a_comp |= np.repeat(gl, ad_lens)
+                pair_rank = np.repeat(np.arange(n, dtype=np.int64), b_lens)
+                b_comp |= (grp[s:e] - g0)[pair_rank] << np.int64(45)
+                idx = np.searchsorted(a_comp, b_comp)
+                hit = np.zeros(nb, np.float64)
+                valid = idx < na
+                hit[valid] = (a_comp[idx[valid]] == b_comp[valid]).astype(
                     np.float64
                 )
-                inter = np.bincount(pr_a, weights=hit, minlength=n)
+                inter = np.bincount(pair_rank, weights=hit, minlength=n)
                 union = a_lens.astype(np.float64) + b_lens.astype(np.float64) - inter
                 with np.errstate(divide="ignore", invalid="ignore"):
                     sims = np.where(union > 0, 100.0 * inter / union, 0.0)
@@ -725,24 +805,24 @@ def minhash_dedup(
                 kidx = np.nonzero(keep)[0]
                 outs.append(
                     pa.table(
-                        {"a": pa.array(a[kidx]), "b": pa.array(b[kidx]),
+                        {"a": pa.array(aa[s:e][kidx]),
+                         "b": pa.array(bb[s:e][kidx]),
                          "jaccard": pa.array(sims[kidx])}
                     )
                 )
+                s = e
             return pa.concat_tables(outs) if outs else empty_v
 
-        # 8192 pairs × ~100 grams × 8 B ≈ 6.5 MB per temporary array:
-        # below glibc's dynamic mmap threshold (32 MB), so freed batch
-        # temporaries return to the heap and are REUSED — at 65536 pairs
-        # each ~50-100 MB temporary was mmap'd, munmap'd on free, and
-        # re-FAULTED next batch at the microVM's ~20 MB/s, making the
-        # stage 14× slower than its solo-core compute rate (measured:
-        # 68 s → ~7 s on 9 M pairs at 690 k docs)
+        # memory safety comes from verify's internal element-budget
+        # chunking (≤_VERIFY_CHUNK_ELEMS gathered shingles per chunk), so
+        # the TASK batch can be large — 65536 pairs keeps the task count
+        # (and per-task route/cache-key overhead) 8× lower than the old
+        # 8192-pair batches whose size doubled as the memory guard
         if callable(progress):  # barrier only when stage timing is wanted
             cands = cands.materialize()
             _tick("candidates", {"pairs": cands.count()})
         verified = cands.map_batches(
-            verify, batch_format="pyarrow", batch_size=8192
+            verify, batch_format="pyarrow", batch_size=65536
         ).materialize()
         _tick("verify", {"pairs": verified.count()})
     else:
