@@ -596,6 +596,19 @@ def _q_dup_spans(sf_dir: str):
     return duplicate_spans(ds, window=16, stride=1, min_docs=2)
 
 
+def _q_strip_spans(sf_dir: str):
+    """Normalized text with cross-document duplicated 16-char window spans
+    cut out (suffix-array-style substring dedup, remove form)."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.spandedup import strip_duplicate_spans
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return strip_duplicate_spans(ds, window=16, stride=1, min_docs=2)
+
+
 def _q_lm_quality(sf_dir: str):
     """Unigram-LM cross-entropy (perplexity-filter signal), model trained
     on the corpus itself (vocab 4096, add-1 OOV floor)."""
@@ -683,6 +696,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact_docs": _q_dedup_exact_docs,
         "dup_span_stats_docs": _q_dup_span_stats,
         "dup_spans_docs": _q_dup_spans,
+        "strip_spans_docs": _q_strip_spans,
         "minhash_dedup_docs": _q_minhash_dedup,
         "minhash_recall_docs": _q_minhash_recall,
         "ngram_jaccard_docs": _q_ngram_jaccard,
@@ -1077,6 +1091,71 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, min(pos)::BIGINT AS span_start,
                    max(end_)::BIGINT AS span_end
             FROM c GROUP BY doc_id, isl
+        """,
+        "strip_spans_docs": """
+            WITH t AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(coalesce(text, '')),
+                                         '[^a-z0-9]+', ' ', 'g')) AS nt
+              FROM documents
+            ), win AS (
+              SELECT doc_id, nt, unnest(
+                CASE WHEN length(nt) = 0 THEN CAST([] AS BIGINT[])
+                     WHEN length(nt) <= 16 THEN [CAST(0 AS BIGINT)]
+                     ELSE list_transform(generate_series(1, length(nt) - 15),
+                                         i -> CAST(i - 1 AS BIGINT))
+                END) AS pos
+              FROM t
+            ), w2 AS (
+              SELECT doc_id, pos,
+                     substr(nt, CAST(pos + 1 AS INT), 16) AS g,
+                     least(pos + 16, length(nt))::BIGINT AS end_
+              FROM win
+            ), dup AS (
+              SELECT g FROM w2 GROUP BY g
+              HAVING count(DISTINCT doc_id) >= 2
+            ), d AS (
+              SELECT doc_id, pos, end_ FROM w2
+              WHERE g IN (SELECT g FROM dup)
+            ), m AS (
+              SELECT doc_id, pos, end_,
+                     max(end_) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS prev_max
+              FROM d
+            ), i AS (
+              SELECT doc_id, pos, end_,
+                     CASE WHEN prev_max IS NULL OR pos > prev_max
+                          THEN 1 ELSE 0 END AS brk
+              FROM m
+            ), c AS (
+              SELECT doc_id, pos, end_,
+                     sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS UNBOUNDED PRECEDING) AS isl
+              FROM i
+            ), spans AS (
+              SELECT doc_id, min(pos) AS s, max(end_) AS e
+              FROM c GROUP BY doc_id, isl
+            ), segs AS (
+              -- kept segment before each span (may be empty)
+              SELECT doc_id, lag(e, 1, 0) OVER (
+                       PARTITION BY doc_id ORDER BY s) AS ks, s AS ke
+              FROM spans
+              UNION ALL
+              -- tail segment after the last span
+              SELECT sp.doc_id, max(sp.e) AS ks, length(t.nt)::BIGINT AS ke
+              FROM spans sp JOIN t USING (doc_id)
+              GROUP BY sp.doc_id, length(t.nt)
+            ), rebuilt AS (
+              SELECT s.doc_id,
+                     string_agg(substr(t.nt, CAST(s.ks + 1 AS INT),
+                                       CAST(s.ke - s.ks AS INT)),
+                                '' ORDER BY s.ks) AS txt
+              FROM segs s JOIN t USING (doc_id)
+              GROUP BY s.doc_id
+            )
+            SELECT t.doc_id, coalesce(r.txt, t.nt) AS text
+            FROM t LEFT JOIN rebuilt r USING (doc_id)
         """,
         "lm_quality_docs": """
             WITH t AS (

@@ -181,11 +181,15 @@ def duplicate_spans(
     min_docs: int = 2,
     n_buckets: int = 256,
     shuffle_partitions: int | None = None,
+    as_lists: bool = False,
 ) -> ray.data.Dataset:
     """→ Dataset[id_col, span_start, span_end]: maximal merged byte spans
     of the NORMALIZED text covered by duplicated windows (half-open
     ``[span_start, span_end)``; overlapping or touching windows merge).
-    Strip by slicing these out of ``normalize_utf8(text)``."""
+    Strip by slicing these out of ``normalize_utf8(text)`` — or call
+    :func:`strip_duplicate_spans`, which does exactly that. With
+    ``as_lists=True`` the output is one row per doc:
+    Dataset[id_col, span_starts: list<int64>, span_ends: list<int64>]."""
 
     def emit(t: pa.Table) -> pa.Table:
         h, n_win, lens = _doc_windows(t, text_col, window, stride)
@@ -254,6 +258,12 @@ def duplicate_spans(
         pos = t["__pos__"].to_numpy()
         end = t["__end__"].to_numpy()
         if len(pos) == 0:
+            if as_lists:
+                return pa.table(
+                    {id_col: t[id_col].slice(0, 0),
+                     "span_starts": pa.array([], pa.list_(pa.int64())),
+                     "span_ends": pa.array([], pa.list_(pa.int64()))}
+                )
             return pa.table(
                 {id_col: t[id_col].slice(0, 0),
                  "span_start": pa.array([], pa.int64()),
@@ -272,13 +282,30 @@ def duplicate_spans(
         s = p2[idx]
         e = np.maximum.reduceat(e2, idx)
         code_of = (s // big).astype(np.int64)
+        starts_out = s - code_of * big
+        ends_out = e - code_of * big
+        id_type = t.schema.field(id_col).type
+        if not as_lists:
+            return pa.table(
+                {
+                    id_col: pa.array(uniq_ids[code_of]).cast(id_type),
+                    "span_start": pa.array(starts_out),
+                    "span_end": pa.array(ends_out),
+                }
+            )
+        # spans arrive code-major (the offset trick sorts globally), so
+        # one bincount gives per-present-doc list offsets
+        present, counts = np.unique(code_of, return_counts=True)
+        offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int32)
         return pa.table(
             {
-                id_col: pa.array(uniq_ids[code_of]).cast(
-                    t.schema.field(id_col).type
+                id_col: pa.array(uniq_ids[present]).cast(id_type),
+                "span_starts": pa.ListArray.from_arrays(
+                    pa.array(offsets), pa.array(starts_out)
                 ),
-                "span_start": pa.array(s - code_of * big),
-                "span_end": pa.array(e - code_of * big),
+                "span_ends": pa.ListArray.from_arrays(
+                    pa.array(offsets), pa.array(ends_out)
+                ),
             }
         )
 
@@ -294,3 +321,112 @@ def duplicate_spans(
         .groupby(_B)
         .map_groups(bucket_merge, batch_format="pyarrow")
     )
+
+
+def strip_duplicate_spans(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    window: int = 16,
+    stride: int = 1,
+    min_docs: int = 2,
+    n_buckets: int = 256,
+    shuffle_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """→ Dataset[id_col, text_col]: the NORMALIZED text of every document
+    with its cross-document duplicated spans cut out (the "remove
+    duplicated substrings" form of span dedup). Documents with no
+    duplicated spans pass through normalized; fully-duplicated documents
+    come out empty.
+
+    Scale shape: the span pipeline (see :func:`duplicate_spans`) plus one
+    bucketed hash_join attaching each doc's span LISTS (the join carries
+    list payloads via index-join + gather) and one vectorized byte-mask
+    pass — normalized text is pure ASCII, so byte slicing is safe."""
+    from record_matcher_ray.pipelines.joins import hash_join
+
+    spans = duplicate_spans(
+        ds, text_col, id_col,
+        window=window, stride=stride, min_docs=min_docs,
+        n_buckets=n_buckets, shuffle_partitions=shuffle_partitions,
+        as_lists=True,
+    )
+
+    def norm_only(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {id_col: t[id_col], "__nt__": normalize_utf8(t[text_col])}
+        )
+
+    joined = hash_join(
+        ds.map_batches(norm_only, batch_format="pyarrow"),
+        spans, id_col, id_col, how="left",
+        n_buckets=n_buckets,
+    )
+
+    def cut(t: pa.Table) -> pa.Table:
+        nt = t["__nt__"]
+        if isinstance(nt, pa.ChunkedArray):
+            nt = (nt.chunk(0) if nt.num_chunks == 1 else nt.combine_chunks())
+        flat, starts, lens = utf8_view(nt)
+        flat = flat.copy()  # plasma views are read-only; mask in a copy
+        import pyarrow.compute as pc
+
+        sl_col = t["span_starts"].combine_chunks()
+        el_col = t["span_ends"].combine_chunks()
+        valid = np.asarray(pc.is_valid(sl_col).to_numpy(zero_copy_only=False))
+        # per-doc span counts (0 for docs without spans)
+        so = sl_col.offsets.to_numpy().astype(np.int64)
+        n_spans = np.where(valid, np.diff(so), 0)
+        sv = sl_col.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        ev = el_col.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_of_span = np.repeat(np.arange(len(t), dtype=np.int64), n_spans)
+        if so[0] == 0 and int(n_spans.sum()) == len(sv):
+            # canonical layout (take-produced nulls are empty slots):
+            # values align with offsets in doc order — fully vectorized
+            span_starts_abs = starts[doc_of_span] + sv
+            span_lens = ev - sv
+            k = len(sv)
+        else:
+            # non-canonical null-slot offsets: rebuild per doc
+            span_starts_abs = np.empty(len(doc_of_span), np.int64)
+            span_lens = np.empty(len(doc_of_span), np.int64)
+            k = 0
+            for i in np.nonzero(valid & (n_spans > 0))[0]:
+                a, b = so[i], so[i + 1]
+                m = b - a
+                span_starts_abs[k:k + m] = starts[i] + sv[a:b]
+                span_lens[k:k + m] = ev[a:b] - sv[a:b]
+                k += m
+        keep = np.ones(len(flat), bool)
+        if k:
+            keep[
+                np.repeat(span_starts_abs[:k], span_lens[:k])
+                + _seg_iota(span_lens[:k])
+            ] = False
+        kept_flat = flat[keep]
+        cut_per_doc = np.bincount(
+            doc_of_span, weights=span_lens.astype(np.float64),
+            minlength=len(t),
+        ).astype(np.int64)
+        new_lens = lens - cut_per_doc
+        offsets = np.concatenate(([0], np.cumsum(new_lens))).astype(np.int32)
+        out_text = pa.Array.from_buffers(
+            pa.utf8(), len(t),
+            [None, pa.py_buffer(offsets.tobytes()),
+             pa.py_buffer(kept_flat.tobytes())],
+        )
+        return pa.table({id_col: t[id_col], text_col: out_text})
+
+    return joined.map_batches(cut, batch_format="pyarrow")
+
+
+def _seg_iota(lens: np.ndarray) -> np.ndarray:
+    """[0..l0) ++ [0..l1) ++ … as one flat array."""
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, np.int64)
+    starts = np.cumsum(lens) - lens
+    out = np.arange(total, dtype=np.int64)
+    out -= np.repeat(starts, lens)
+    return out

@@ -237,3 +237,30 @@ def test_fingerprints_match_independent_python_impl(ray_session):
         assert np.int64(got.loc[did]).view(np.uint64) == np.uint64(
             py_fp(text)
         ), did
+
+
+def test_strip_duplicate_spans(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.spandedup import strip_duplicate_spans
+
+    ds = rd.from_pandas(pd.DataFrame(DOCS, columns=["doc_id", "text"]))
+    got = (
+        strip_duplicate_spans(ds, window=16, min_docs=2,
+                              shuffle_partitions=4)
+        .to_pandas().set_index("doc_id")["text"]
+    )
+    spans = _brute_spans()
+    assert len(got) == len(DOCS)  # every doc passes through
+    for did, text in DOCS:
+        nt = _norm(text)
+        keep = [True] * len(nt)
+        for s, e in spans.get(did, []):
+            for i in range(s, e):
+                keep[i] = False
+        want = "".join(c for c, k in zip(nt, keep) if k)
+        assert got.loc[did] == want, did
+    # identical docs 2/7 are fully duplicated -> stripped to empty
+    assert got.loc[2] == "" and got.loc[7] == ""
+    # doc 0 keeps SOMETHING (shares only part of its text with doc 1)
+    assert 0 < len(got.loc[0]) < len(_norm(DOCS[0][1]))
