@@ -416,10 +416,10 @@ def run_scaling() -> None:
         if calib[cand_hi] / calib[cand_lo] >= 3.3:
             lo, hi = cand_lo, cand_hi
             break
-    r1_lo, r1_hi = run(lo), run(hi)
-    r2_lo, r2_hi = run(lo), run(hi)
-    runs_lo = [r1_lo, r2_lo]
-    runs_hi = [r1_hi, r2_hi]
+    runs_lo, runs_hi = [], []
+    for _ in range(3):  # 3 interleaved reps: legs swing ±25% run-to-run
+        runs_lo.append(run(lo))
+        runs_hi.append(run(hi))
     t_lo = min(r["value"] for r in runs_lo)
     t_hi = min(r["value"] for r in runs_hi)
     eff = (t_lo / t_hi) / (hi / lo)
