@@ -231,11 +231,14 @@ def match_documents(
         if callable(progress):
             progress(stage, info)
 
-    # materialize the flats WITHOUT the long body text: body is only read
-    # by key expansion, which re-runs the (deterministic) read+flatten
-    # lineage in one streaming pass — writing ~0.5 GB of body to the
-    # object store twice cost more than re-decoding the parquet, and the
-    # body-free flats are what uniqueness / carry-gather / backfill read
+    # ONE decode+flatten pass: the flats are materialized WITH the body
+    # text and key expansion reads them back zero-copy from plasma. The
+    # round-1 design re-ran the read+flatten lineage for key expansion to
+    # avoid storing body twice; once the view caches went zero-copy the
+    # duplicated parquet decode + flatten became the flagship's largest
+    # non-scaling cost (the decode/fault path serializes on this host), so
+    # storing body once (~0.25 KB/doc resident for the pipeline's
+    # lifetime, spillable) now wins at every parallelism level
     x_pipe = x_docs.map_batches(flatten_spans, batch_format="pyarrow").map_batches(
         add_int_ids, batch_format="pyarrow"
     )
@@ -247,9 +250,7 @@ def match_documents(
     y_need_cols = cfg.y_columns_needed()
     carry = sorted(set(x_match_cols) | set(y_need_cols))
 
-    def _drop_body(t: pa.Table) -> pa.Table:
-        if "body" in t.column_names and "body" not in carry:
-            t = t.drop_columns(["body"])
+    def _normalize_carry(t: pa.Table) -> pa.Table:
         # normalize the scorer (carry) columns ONCE here, before the flats
         # are materialized: cast→string, nulls→"", single chunk. Every
         # score_bucket WORKER builds block views over these columns — with
@@ -265,38 +266,31 @@ def match_documents(
                 t = t.set_column(t.column_names.index(c), c, arr)
         return t
 
-    # the flats and the blocking-key exchange are independent until
-    # score_bucket — run ALL THREE materializes CONCURRENTLY (each blocks
-    # its thread on its own streaming executor). Serial back-to-back they
-    # were ~12 s of the flagship's serial floor at 32 cpus: neither the
-    # flats pass nor the key exchange saturates the cluster alone, and the
-    # overlap costs nothing at low parallelism where everything is
-    # CPU-bound anyway (exactly the shape that preserves N→4N scaling).
     if shuffle_partitions is None:
         ncpu = int(ray.cluster_resources().get("CPU", 32))
         shuffle_partitions = max(64, 2 * ncpu)
     n_buckets = int(n_buckets)
-    xk = x_pipe.map_batches(
-        KeyExpander(0, [], num_perm, seed, n_buckets), batch_format="pyarrow"
-    )
-    yk = y_pipe.map_batches(
-        KeyExpander(1, [], num_perm, seed, n_buckets), batch_format="pyarrow"
-    )
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=3) as _ex:
+    # the two flats materialize concurrently (each blocks its thread on
+    # its own streaming executor); key expansion then streams over the
+    # materialized blocks zero-copy — no second decode+flatten
+    with ThreadPoolExecutor(max_workers=2) as _ex:
         _fx = _ex.submit(
-            x_pipe.map_batches(_drop_body, batch_format="pyarrow").materialize
+            x_pipe.map_batches(_normalize_carry, batch_format="pyarrow").materialize
         )
         _fy = _ex.submit(
-            y_pipe.map_batches(_drop_body, batch_format="pyarrow").materialize
-        )
-        _fk = _ex.submit(
-            xk.union(yk).repartition(shuffle_partitions).materialize
+            y_pipe.map_batches(_normalize_carry, batch_format="pyarrow").materialize
         )
         x_flat = _fx.result()
         y_flat = _fy.result()
-        keys_mat = _fk.result()
+    xk = x_flat.map_batches(
+        KeyExpander(0, [], num_perm, seed, n_buckets), batch_format="pyarrow"
+    )
+    yk = y_flat.map_batches(
+        KeyExpander(1, [], num_perm, seed, n_buckets), batch_format="pyarrow"
+    )
+    keys_mat = xk.union(yk).repartition(shuffle_partitions).materialize()
 
     _tick("flatten", {"x_rows": x_flat.count(), "y_rows": y_flat.count()})
     uniq = _uniqueness_from_refs(
