@@ -42,6 +42,25 @@ try:  # not all Arrow builds ship jemalloc
 except Exception:  # pragma: no cover - allocator knob is best-effort
     pass
 
+# The same re-fault tax hits NUMPY temporaries, which go through glibc
+# malloc: any block past the (≤32 MB) mmap threshold is mmap'd fresh and
+# munmap'd on free, so each multi-ten-MB temporary in a driver stage
+# (connected-components rounds, winner-flip resolution) or a worker kernel
+# re-pays first-touch page faults on every allocation. Raising
+# M_MMAP_THRESHOLD to 1 GB and M_TRIM_THRESHOLD likewise serves those
+# blocks from the sbrk heap and KEEPS the pages across free/alloc cycles:
+# the process faults its peak working set once and reuses it thereafter.
+# RSS cost is bounded by each process's peak temporary footprint (driver
+# ~hundreds of MB, workers ~tens), well inside this host's budget.
+try:
+    import ctypes as _ct
+
+    _libc = _ct.CDLL("libc.so.6", use_errno=True)
+    _libc.mallopt(-3, 1 << 30)  # M_MMAP_THRESHOLD
+    _libc.mallopt(-1, 1 << 30)  # M_TRIM_THRESHOLD
+except Exception:  # pragma: no cover - allocator knob is best-effort
+    pass
+
 # convenience re-exports (lazy — keep import light; none touch ray.init)
 from record_matcher_ray.api import RecordMatcher  # noqa: E402,F401
 from record_matcher_ray.core.config import (  # noqa: E402,F401

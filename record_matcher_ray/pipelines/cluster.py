@@ -77,6 +77,34 @@ def connected_components_arrays(
     return nodes, nodes[label]
 
 
+def connected_components_star(
+    u: np.ndarray, v: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Connected components for the DEGREE-≤1 left side special case: every
+    ``u`` value appears in at most one edge, so the graph is a forest of
+    stars centered on ``v`` and a component is exactly one v-group. One
+    sort + segmented min — no node-id ``np.unique``, no propagation
+    rounds; ~⅓ the memory traffic of the general kernel, which matters on
+    this host where a cold driver pays first-touch faults per fresh byte
+    (CLAUDE.md). Same contract as ``connected_components_arrays``:
+    (nodes sorted asc, component id = min node id in the component).
+    Callers must guarantee u-uniqueness (docmatch's winner pairs are one
+    row per x by construction of the per-x argmax reduce)."""
+    if len(u) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    order = np.argsort(v, kind="stable")
+    vs = v[order]
+    us = u[order]
+    seg = np.nonzero(np.concatenate(([True], vs[1:] != vs[:-1])))[0]
+    v_uniq = vs[seg]
+    comp_g = np.minimum(np.minimum.reduceat(us, seg), v_uniq)
+    sizes = np.diff(np.concatenate((seg, [len(vs)])))
+    nodes = np.concatenate([us, v_uniq])
+    comps = np.concatenate([np.repeat(comp_g, sizes), comp_g])
+    no = np.argsort(nodes, kind="stable")
+    return nodes[no], comps[no]
+
+
 def connected_components_local(edges) -> dict[int, int]:
     """Union-find over an iterable of (u, v); returns node → component root
     (the minimum node id in the component)."""

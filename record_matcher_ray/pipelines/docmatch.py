@@ -879,13 +879,15 @@ def match_documents(
     _tick("edges", {"accepted": counters["matches_accepted"]})
 
     if cluster_edges and driver_d:
-        # edge arrays are already driver-resident — vectorized label
-        # propagation directly, no dataset count/collect round
+        # edge arrays are already driver-resident — and the winner table is
+        # one row per x (per-x argmax), so the match graph is a forest of
+        # stars: the degree-≤1 specialized kernel applies (one sort +
+        # segmented min, no unique / propagation rounds)
         from record_matcher_ray.pipelines.cluster import (
-            connected_components_arrays,
+            connected_components_star,
         )
 
-        nodes, roots = connected_components_arrays(x_w * 2, y_w * 2 + 1)
+        nodes, roots = connected_components_star(x_w * 2, y_w * 2 + 1)
         clusters = ray.data.from_arrow(
             pa.table({"node": pa.array(nodes), "component": pa.array(roots)})
         )

@@ -153,6 +153,27 @@ def test_connected_components_local():
     assert comp[10] == comp[11] == 10
 
 
+def test_connected_components_star_matches_general():
+    from record_matcher_ray.pipelines.cluster import (
+        connected_components_arrays,
+        connected_components_star,
+    )
+
+    rng = np.random.RandomState(7)
+    # degree-≤1 left side: unique u (even ids), shared v centers (odd ids),
+    # like docmatch's per-x winner pairs
+    u = np.arange(500, dtype=np.int64) * 2
+    v = rng.randint(0, 80, 500).astype(np.int64) * 2 + 1
+    n_gen, c_gen = connected_components_arrays(u, v)
+    n_star, c_star = connected_components_star(u, v)
+    assert np.array_equal(n_gen, n_star)
+    assert np.array_equal(c_gen, c_star)
+    # empty edge list
+    e = np.empty(0, np.int64)
+    n0, c0 = connected_components_star(e, e)
+    assert len(n0) == 0 and len(c0) == 0
+
+
 def test_connected_components_bsp_matches_local(ray_session):
     import pandas as pd
     import ray.data as rd
