@@ -35,6 +35,14 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 CORPUS_ENTITIES = int(os.environ.get("GRAFT_CORPUS_ENTITIES", "1000000"))
 # minhash_dedup defaults to the flagship corpus; override to decouple
 MINHASH_ENTITIES = int(os.environ.get("GRAFT_MINHASH_ENTITIES", str(CORPUS_ENTITIES)))
+# the --scaling run uses a LARGER corpus than the mixed suite: the serial
+# driver floor (~12 s: stage barriers + driver reduce/flip/cluster passes)
+# is fixed per run, so the low-cpu leg must be deep enough in compute that
+# the floor doesn't cap measurable efficiency — 2 M entities ≈ 4.6 M docs
+# puts the lo leg at 300+ s (CLAUDE.md: keep legs compute-bound)
+SCALING_ENTITIES = int(
+    os.environ.get("GRAFT_SCALING_ENTITIES", str(max(CORPUS_ENTITIES, 2_000_000)))
+)
 # x-side amplification for the fuzzy-match workload (replicated with
 # distinct corruptions) — sizes the jaro-winkler stage to dominate overhead
 FUZZY_REPLICAS = int(os.environ.get("GRAFT_FUZZY_REPLICAS", "8"))
@@ -418,7 +426,8 @@ def run_scaling() -> None:
 
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   GRAFT_BENCH_ONLY="docmatch")
+                   GRAFT_BENCH_ONLY="docmatch",
+                   GRAFT_CORPUS_ENTITIES=str(SCALING_ENTITIES))
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
             env=env, capture_output=True, text=True, check=True,
@@ -456,6 +465,7 @@ def run_scaling() -> None:
                 "pipeline": "docmatch (flagship interleaved-doc ER)",
                 "cpus_lo": lo,
                 "cpus_hi": hi,
+                "corpus_entities": SCALING_ENTITIES,
                 "sec_lo": t_lo,
                 "sec_hi": t_hi,
                 "raw_sec_lo": [r["value"] for r in runs_lo],
