@@ -398,6 +398,20 @@ def _q_top_terms(sf_dir: str):
     return top_terms(ds, k=100)
 
 
+def _q_bm25(sf_dir: str):
+    """BM25 lexical relevance to a fixed query — broadcast idf table from
+    one O(|query|)-rows-per-block aggregate pass, zero-shuffle scoring."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.terms import bm25_scores
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return bm25_scores(ds, "merge scan vector window",
+                       text_col="text", id_col="doc_id")
+
+
 def _q_events_in_window(sf_dir: str):
     """Equi+range self join: non-signup events inside the 10 minutes after
     a signup by the SAME user, then a tiny aggregate. Shuffle key is a
@@ -724,6 +738,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_docs": _q_redact,
         "chunk_docs": _q_chunks,
         "top_terms_docs": _q_top_terms,
+        "bm25_docs": _q_bm25,
         # north-star document pipeline + multimodal plumbing
         "docmatch_corpus": _q_docmatch,
         "media_features": _q_media_features,
@@ -1309,6 +1324,42 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT doc_id)::BIGINT AS n_docs
             FROM tok GROUP BY term
             ORDER BY n_occ DESC, term LIMIT 100
+        """,
+        "bm25_docs": """
+            -- Okapi/Lucene BM25 (k1=1.2, b=0.75) with
+            -- avgdl = total tokens / total documents (empty docs count)
+            WITH t AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(coalesce(text, '')),
+                                         '[^a-z0-9]+', ' ', 'g')) AS nt
+              FROM documents
+            ), tok AS (
+              SELECT doc_id, unnest(string_split(nt, ' ')) AS term
+              FROM t WHERE len(nt) > 0
+            ), q AS (
+              SELECT unnest(['merge', 'scan', 'vector', 'window']) AS term
+            ), consts AS (
+              SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+                     (SELECT count(*) FROM tok)::DOUBLE AS n_toks
+            ), dl AS (
+              SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id
+            ), df AS (
+              SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
+              WHERE term IN (SELECT term FROM q) GROUP BY term
+            ), tf AS (
+              SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+              WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term
+            )
+            SELECT tf.doc_id,
+                   round(sum(
+                     ln((consts.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                     * tf.tf * (1.2 + 1.0)
+                     / (tf.tf + 1.2 * (1.0 - 0.75
+                        + 0.75 * dl.dl / (consts.n_toks / consts.n_docs)))
+                   ), 6) AS bm25
+            FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+            CROSS JOIN consts
+            GROUP BY tf.doc_id
         """,
         "pack_docs": """
             -- replay the next-fit recurrence: walk docs in doc_id order,

@@ -29,6 +29,23 @@ def _normalize(text: pa.Array) -> pa.Array:
     )
 
 
+def _block_tokens(text: pa.ChunkedArray | pa.Array):
+    """Vectorized whitespace tokenization of one block's text column →
+    (tokens object-array, doc index per token, tokens per doc)."""
+    nt = _normalize(text)
+    pieces = pc.split_pattern(nt, " ")
+    if isinstance(pieces, pa.ChunkedArray):
+        pieces = pieces.combine_chunks()
+    flat = pieces.flatten()
+    off = pieces.offsets.to_numpy().astype(np.int64)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    toks = flat.filter(pa.array(keep)).to_numpy(zero_copy_only=False)
+    kept_cum = np.concatenate([[0], np.cumsum(keep, dtype=np.int64)])
+    n_per_doc = kept_cum[off[1:]] - kept_cum[off[:-1]]
+    doc_idx = np.repeat(np.arange(len(n_per_doc), dtype=np.int64), n_per_doc)
+    return toks, doc_idx, n_per_doc
+
+
 def top_terms(
     ds: ray.data.Dataset,
     k: int = 100,
@@ -39,15 +56,7 @@ def top_terms(
     — ties at the cut are deterministic because term is unique."""
 
     def partial(batch: pa.Table) -> pa.Table:
-        nt = _normalize(batch[text_col])
-        pieces = pc.split_pattern(nt, " ").combine_chunks()
-        flat = pieces.flatten()
-        off = pieces.offsets.to_numpy().astype(np.int64)
-        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-        toks = flat.filter(pa.array(keep)).to_numpy(zero_copy_only=False)
-        kept_cum = np.concatenate([[0], np.cumsum(keep, dtype=np.int64)])
-        n_per_doc = kept_cum[off[1:]] - kept_cum[off[:-1]]
-        doc_idx = np.repeat(np.arange(len(n_per_doc), dtype=np.int64), n_per_doc)
+        toks, doc_idx, n_per_doc = _block_tokens(batch[text_col])
         if len(toks) == 0:
             return pa.table(
                 {"term": pa.array([], pa.string()),
@@ -75,3 +84,113 @@ def top_terms(
                    Sum("n_docs", alias_name="n_docs"))
     )
     return agg.sort(["n_occ", "term"], descending=[True, False]).limit(k)
+
+
+def bm25_scores(
+    ds: ray.data.Dataset,
+    query: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    ndigits: int = 6,
+) -> ray.data.Dataset:
+    """BM25 lexical relevance of every document to a short query string →
+    rows (id_col, bm25) for documents containing at least one query term.
+
+    Scale shape: the query's term set is tiny and rides in the task
+    closure (broadcast); corpus statistics come from ONE partial-aggregate
+    pass whose per-block output is O(|query terms|) rows — raw tokens
+    never leave their block — merged by a vocabulary-sized ``groupby``.
+    The scoring pass is then zero-shuffle: every block scores its own
+    documents against the driver-computed idf table. Two streaming passes
+    over the text, no all-to-all, so the operator's exchange volume is
+    independent of corpus size.
+
+    Uses the Lucene/Okapi formulation: idf = ln((N - df + .5)/(df + .5)
+    + 1), score = Σ_t idf_t · tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)),
+    with avgdl = total tokens / total documents (empty documents count).
+    Scores are rounded to ``ndigits`` so the result is reproducible
+    against an independent SQL evaluation despite float summation order.
+    """
+    qtoks, _, _ = _block_tokens(pa.array([query], pa.string()))
+    qterms = sorted(set(qtoks.tolist()))
+    if not qterms:
+        raise ValueError("query contains no tokens after normalization")
+    tcode_of = {t: i for i, t in enumerate(qterms)}
+    T = len(qterms)
+    qset = pa.array(qterms, pa.string())
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        toks, doc_idx, n_per_doc = _block_tokens(batch[text_col])
+        n_docs_blk = len(n_per_doc)
+        df = np.zeros(T, dtype=np.int64)
+        if len(toks):
+            mask = pc.is_in(pa.array(toks, pa.string()), value_set=qset
+                            ).to_numpy(zero_copy_only=False)
+            if mask.any():
+                codes, uniq = pd.factorize(toks[mask])
+                tc = np.array([tcode_of[u] for u in uniq],
+                              dtype=np.int64)[codes]
+                qd = doc_idx[mask]
+                # distinct (term, doc) pairs per term
+                key = tc * np.int64(n_docs_blk) + qd
+                uk = np.unique(key)
+                df = np.bincount(uk // n_docs_blk, minlength=T
+                                 ).astype(np.int64)
+        return pa.table(
+            {"term": pa.array(qterms + [""], pa.string()),
+             "df": pa.array(np.concatenate([df, [0]])),
+             "n_docs": pa.array([0] * T + [n_docs_blk], pa.int64()),
+             "dl_sum": pa.array([0] * T + [int(n_per_doc.sum())],
+                                pa.int64())}
+        )
+
+    stats = (
+        ds.map_batches(stats_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"),
+                   Sum("n_docs", alias_name="n_docs"),
+                   Sum("dl_sum", alias_name="dl_sum"))
+        .to_pandas()
+    )
+    totals = stats[stats["term"] == ""]
+    n_corpus = float(totals["n_docs"].sum())
+    if n_corpus == 0:
+        raise ValueError("empty corpus")
+    avgdl = float(totals["dl_sum"].sum()) / n_corpus
+    df_of = dict(zip(stats["term"], stats["df"]))
+    idf = np.array(
+        [np.log((n_corpus - df_of.get(t, 0) + 0.5)
+                / (df_of.get(t, 0) + 0.5) + 1.0) for t in qterms]
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        toks, doc_idx, n_per_doc = _block_tokens(batch[text_col])
+        n = len(n_per_doc)
+        empty = pa.table({id_col: batch[id_col].slice(0, 0),
+                          "bm25": pa.array([], pa.float64())})
+        if not len(toks):
+            return empty
+        mask = pc.is_in(pa.array(toks, pa.string()), value_set=qset
+                        ).to_numpy(zero_copy_only=False)
+        if not mask.any():
+            return empty
+        codes, uniq = pd.factorize(toks[mask])
+        tc = np.array([tcode_of[u] for u in uniq], dtype=np.int64)[codes]
+        qd = doc_idx[mask]
+        tf = np.bincount(qd * np.int64(T) + tc, minlength=n * T
+                         ).reshape(n, T).astype(np.float64)
+        dl = n_per_doc.astype(np.float64)
+        denom = tf + k1 * (1.0 - b + b * (dl / avgdl))[:, None]
+        with np.errstate(invalid="ignore"):
+            per_term = np.where(tf > 0, tf * (k1 + 1.0) / denom, 0.0)
+        total = per_term @ idf
+        hit = tf.any(axis=1)
+        return pa.table(
+            {id_col: batch[id_col].filter(pa.array(hit)),
+             "bm25": pa.array(np.round(total[hit], ndigits))}
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -161,3 +161,60 @@ class TestGroupedQuantiles:
             grouped_quantiles(ds, [], "v")
         with pytest.raises(ValueError):
             grouped_quantiles(ds, ["a"], "v", qs=(1.5,))
+
+
+class TestBM25:
+    @staticmethod
+    def _mirror(texts, query, k1=1.2, b=0.75):
+        """Independent pure-Python BM25 (Lucene idf; avgdl over ALL docs)."""
+        import math
+        import re
+
+        def toks(s):
+            return [t for t in re.sub(r"[^a-z0-9]+", " ", (s or "").lower()).split() if t]
+
+        docs = [toks(t) for t in texts]
+        n = len(docs)
+        avgdl = sum(len(d) for d in docs) / n
+        qterms = sorted(set(toks(query)))
+        out = {}
+        for i, d in enumerate(docs):
+            s = 0.0
+            hit = False
+            for t in qterms:
+                tf = d.count(t)
+                if tf == 0:
+                    continue
+                hit = True
+                df = sum(1 for dd in docs if t in dd)
+                idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+                s += idf * tf * (k1 + 1.0) / (tf + k1 * (1 - b + b * len(d) / avgdl))
+            if hit:
+                out[i] = round(s, 6)
+        return out
+
+    def test_matches_mirror(self, ray_session):
+        from record_matcher_ray.pipelines.terms import bm25_scores
+
+        rng = np.random.default_rng(7)
+        vocab = ["apple", "pear", "banana", "kiwi", "fig", "plum", "grape"]
+        texts = [
+            " ".join(rng.choice(vocab, rng.integers(1, 20)))
+            for _ in range(200)
+        ] + ["", "no match here at all"]
+        ids = list(range(len(texts)))
+        ds = ray.data.from_arrow(
+            pa.table({"doc_id": ids, "text": texts})
+        ).repartition(7)
+        got = bm25_scores(ds, "apple fig kiwi", id_col="doc_id").to_pandas()
+        want = self._mirror(texts, "apple fig kiwi")
+        assert dict(zip(got["doc_id"], got["bm25"])) == want
+        # docs without any query term are absent
+        assert len(texts) - 1 not in set(got["doc_id"])  # "no match here..."
+
+    def test_empty_query_raises(self, ray_session):
+        from record_matcher_ray.pipelines.terms import bm25_scores
+
+        ds = ray.data.from_arrow(pa.table({"doc_id": [1], "text": ["x"]}))
+        with pytest.raises(ValueError):
+            bm25_scores(ds, "!!! ???")
