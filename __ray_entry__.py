@@ -307,6 +307,38 @@ def _q_ngram_jaccard(sf_dir: str):
     return out
 
 
+def _q_decontam_near(sf_dir: str):
+    """Near-dup decontamination: eval side = every 7th document truncated
+    to its first 80% of characters (planted light-edit contamination);
+    broadcast eval inverted index, one zero-shuffle pass over train."""
+    import pyarrow as pa
+    import ray.data
+
+    from record_matcher_ray.pipelines.dedup import ngram_jaccard_decontam
+
+    train = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        sel = t.filter(pa.array((ids % 7) == 0))
+        cut = [
+            (s or "")[: max(1, (len(s or "") * 4) // 5)]
+            for s in sel["text"].to_pylist()
+        ]
+        return pa.table(
+            {"doc_id": sel["doc_id"], "text": pa.array(cut, pa.string())}
+        )
+
+    ev = train.map_batches(derive, batch_format="pyarrow")
+    out = ngram_jaccard_decontam(
+        train, ev, "text", "doc_id", jaccard_threshold=60.0
+    ).to_pandas()
+    out["jaccard"] = out["jaccard"].round(6)
+    return out
+
+
 def _q_embedding_near_dups(sf_dir: str):
     """Exact broadcast variant (full recall ⇒ SQL-hash comparable); the
     IVF multi-probe variant is the >1 M-row scale path, recall-tested in
@@ -739,6 +771,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": _q_chunks,
         "top_terms_docs": _q_top_terms,
         "bm25_docs": _q_bm25,
+        "decontam_near_docs": _q_decontam_near,
         # north-star document pipeline + multimodal plumbing
         "docmatch_corpus": _q_docmatch,
         "media_features": _q_media_features,
@@ -1250,6 +1283,59 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON p.id_a = sa.doc_id
             JOIN sizes sb ON p.id_b = sb.doc_id
             WHERE 100.0 * p.n_common / (sa.n + sb.n - p.n_common) >= 60.0
+        """,
+        "decontam_near_docs": """
+            -- eval = every 7th doc truncated to its first 80% of chars;
+            -- exact char-4-gram jaccard between train and eval corpora
+            WITH ev_raw AS (
+              SELECT doc_id,
+                     substr(coalesce(text, ''), 1,
+                            greatest((length(coalesce(text, '')) * 4) // 5,
+                                     1)) AS text
+              FROM documents WHERE doc_id % 7 = 0
+            ), tn AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(coalesce(text, '')),
+                                         '[^a-z0-9]+', ' ', 'g')) AS nt
+              FROM documents
+            ), en AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(text),
+                                         '[^a-z0-9]+', ' ', 'g')) AS nt
+              FROM ev_raw
+            ), tg AS (
+              SELECT doc_id, unnest(list_distinct(
+                CASE WHEN length(nt) = 0 THEN CAST([] AS VARCHAR[])
+                     WHEN length(nt) < 4 THEN [nt]
+                     ELSE list_transform(generate_series(1, length(nt) - 3),
+                                         i -> substr(nt, i, 4))
+                END)) AS gram
+              FROM tn
+            ), eg AS (
+              SELECT doc_id, unnest(list_distinct(
+                CASE WHEN length(nt) = 0 THEN CAST([] AS VARCHAR[])
+                     WHEN length(nt) < 4 THEN [nt]
+                     ELSE list_transform(generate_series(1, length(nt) - 3),
+                                         i -> substr(nt, i, 4))
+                END)) AS gram
+              FROM en
+            ), ts AS (
+              SELECT doc_id, count(*) AS n FROM tg GROUP BY 1
+            ), es AS (
+              SELECT doc_id, count(*) AS n FROM eg GROUP BY 1
+            ), pairs AS (
+              SELECT tg.doc_id AS train_id, eg.doc_id AS eval_id,
+                     count(*) AS n_common
+              FROM tg JOIN eg USING (gram)
+              GROUP BY 1, 2
+            )
+            SELECT p.train_id, p.eval_id, p.n_common,
+                   round(100.0 * p.n_common / (ts.n + es.n - p.n_common), 6)
+                     AS jaccard
+            FROM pairs p
+            JOIN ts ON p.train_id = ts.doc_id
+            JOIN es ON p.eval_id = es.doc_id
+            WHERE 100.0 * p.n_common / (ts.n + es.n - p.n_common) >= 60.0
         """,
         "embedding_near_dups": """
             SELECT e1.vec_id AS a, e2.vec_id AS b,

@@ -1198,3 +1198,119 @@ def ngram_jaccard_dedup(
         .groupby("pb")
         .map_groups(sum_and_score, batch_format="pyarrow")
     )
+
+
+def ngram_jaccard_decontam(
+    train_ds: ray.data.Dataset,
+    eval_ds: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    *,
+    shingle: int = 4,
+    jaccard_threshold: float = 60.0,
+    max_eval_grams: int = 50_000_000,
+) -> ray.data.Dataset:
+    """Cross-corpus EXACT n-gram-Jaccard contamination pairs →
+    (train_id, eval_id, n_common, jaccard) for pairs ≥ threshold.
+
+    The near-duplicate sibling of :func:`decontam.decontaminate` (which is
+    exact-hash/Bloom): catches eval documents that leaked into the
+    training corpus with light edits, truncation or whitespace churn.
+
+    Scale shape: decontamination's eval side (held-out benchmarks) is
+    orders of magnitude smaller than the training corpus, so the eval
+    inverted index — sorted gram hashes, their doc ids, per-doc set
+    sizes — is built once and broadcast via ``ray.put``; the train side
+    then streams through ONE zero-shuffle ``map_batches`` pass (gram
+    probe = vectorized ``searchsorted``; per-(train doc, eval doc)
+    common-gram counts via lexsort+reduceat). No exchange ever touches
+    the big corpus. ``max_eval_grams`` guards the broadcast; an
+    oversized eval side should go through :func:`ngram_jaccard_dedup`
+    on a side-tagged union instead.
+    """
+    import ray as _ray
+
+    ev_tbls = [
+        t for t in _ray.get(
+            _shingle_table(eval_ds, text_col, id_col, shingle).to_arrow_refs()
+        ) if len(t)
+    ]
+    out_schema = pa.schema(
+        [("train_id", pa.int64()), ("eval_id", pa.int64()),
+         ("n_common", pa.int64()), ("jaccard", pa.float64())]
+    )
+    if not ev_tbls:
+        # empty eval side: nothing can match — skip the train pass entirely
+        return ray.data.from_arrow(out_schema.empty_table())
+    grams_l, eid_l, ids_l, ns_l = [], [], [], []
+    for t in ev_tbls:
+        col = t["sh"]
+        col = col.chunk(0) if col.num_chunks == 1 else col.combine_chunks()
+        lens = np.diff(col.offsets.to_numpy()).astype(np.int64)
+        grams_l.append(col.flatten().to_numpy(zero_copy_only=False)
+                       .astype(np.int64))
+        tid = t["id"].to_numpy()
+        eid_l.append(np.repeat(tid, lens))
+        ids_l.append(tid)
+        ns_l.append(lens)
+    grams = np.concatenate(grams_l)
+    if len(grams) > max_eval_grams:
+        raise ValueError(
+            f"eval side has {len(grams):,} grams > max_eval_grams="
+            f"{max_eval_grams:,}; run ngram_jaccard_dedup on a side-tagged "
+            "union instead of the broadcast-index path."
+        )
+    order = np.argsort(grams, kind="stable")
+    g_sorted = grams[order]
+    e_sorted = np.concatenate(eid_l)[order]
+    eids = np.concatenate(ids_l)
+    ens = np.concatenate(ns_l)
+    eorder = np.argsort(eids)
+    idx_ref = _ray.put(
+        (g_sorted, e_sorted, eids[eorder], ens[eorder].astype(np.int64))
+    )
+
+    def score(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return out_schema.empty_table()
+        gs, es, sids, sns = _ray.get(idx_ref)
+        col = t["sh"]
+        col = col.chunk(0) if col.num_chunks == 1 else col.combine_chunks()
+        lens = np.diff(col.offsets.to_numpy()).astype(np.int64)
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64)
+        tids = t["id"].to_numpy()
+        lo = np.searchsorted(gs, flat, side="left")
+        hi = np.searchsorted(gs, flat, side="right")
+        hits = (hi - lo).astype(np.int64)
+        total = int(hits.sum())
+        if total == 0:
+            return out_schema.empty_table()
+        occ_eval = es[_seg_gather(lo.astype(np.int64), hits)]
+        occ_train_row = np.repeat(
+            np.repeat(np.arange(len(lens), dtype=np.int64), lens), hits
+        )
+        # count common grams per (train row, eval doc)
+        o = np.lexsort((occ_eval, occ_train_row))
+        tr_s, ev_s = occ_train_row[o], occ_eval[o]
+        first = np.concatenate(
+            ([True], (tr_s[1:] != tr_s[:-1]) | (ev_s[1:] != ev_s[:-1]))
+        )
+        starts = np.nonzero(first)[0]
+        n_common = np.diff(np.concatenate((starts, [len(tr_s)]))).astype(
+            np.int64
+        )
+        tr_u, ev_u = tr_s[starts], ev_s[starts]
+        n_t = lens[tr_u]
+        n_e = sns[np.searchsorted(sids, ev_u)]
+        jac = 100.0 * n_common / (n_t + n_e - n_common).astype(np.float64)
+        keep = jac >= jaccard_threshold
+        return pa.table(
+            {"train_id": pa.array(tids[tr_u[keep]]),
+             "eval_id": pa.array(ev_u[keep]),
+             "n_common": pa.array(n_common[keep]),
+             "jaccard": pa.array(jac[keep])}
+        )
+
+    return _shingle_table(train_ds, text_col, id_col, shingle).map_batches(
+        score, batch_format="pyarrow"
+    )

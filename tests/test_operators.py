@@ -640,3 +640,100 @@ def test_range_join_domain_buckets(ray_session):
             rd.from_pandas(left), rd.from_pandas(right),
             left_point="pt", right_lo="lo", right_hi="hi",
         )  # no equi key and no bucket_width
+
+
+class TestNgramJaccardDecontam:
+    def _corpora(self):
+        import numpy as np
+
+        rng = np.random.default_rng(3)
+        vocab = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot"]
+        train_texts = [
+            " ".join(rng.choice(vocab, 30)) for _ in range(40)
+        ]
+        # eval: 5 truncated copies of train docs (planted contamination)
+        # + 3 novel docs
+        eval_texts = [t[: (len(t) * 4) // 5] for t in train_texts[:5]] + [
+            " ".join(rng.choice(["zulu", "yankee", "xray"], 25))
+            for _ in range(3)
+        ]
+        return train_texts, eval_texts
+
+    def test_matches_tagged_union_dedup(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from record_matcher_ray.pipelines.dedup import (
+            ngram_jaccard_decontam,
+            ngram_jaccard_dedup,
+        )
+
+        train_texts, eval_texts = self._corpora()
+        train = rd.from_arrow(pa.table(
+            {"doc_id": list(range(len(train_texts))), "text": train_texts}
+        )).repartition(4)
+        ev = rd.from_arrow(pa.table(
+            {"doc_id": list(range(len(eval_texts))), "text": eval_texts}
+        ))
+        got = ngram_jaccard_decontam(
+            train, ev, "text", "doc_id", jaccard_threshold=55.0
+        ).to_pandas()
+        # independent route: side-tagged union through the trusted
+        # single-corpus operator, keeping only cross-side pairs
+        OFF = 10_000
+        union = rd.from_arrow(pa.table({
+            "doc_id": (list(range(len(train_texts)))
+                       + [OFF + i for i in range(len(eval_texts))]),
+            "text": train_texts + eval_texts,
+        })).repartition(4)
+        allp = ngram_jaccard_dedup(
+            union, "text", "doc_id", jaccard_threshold=55.0
+        ).to_pandas()
+        cross = allp[(allp["id_a"] < OFF) != (allp["id_b"] < OFF)]
+        want = {
+            (min(a, b), max(a, b) - OFF): (c, round(j, 9))
+            for a, b, c, j in zip(cross["id_a"], cross["id_b"],
+                                  cross["n_common"], cross["jaccard"])
+        }
+        have = {
+            (t, e): (c, round(j, 9))
+            for t, e, c, j in zip(got["train_id"], got["eval_id"],
+                                  got["n_common"], got["jaccard"])
+        }
+        assert have == want
+        # every planted truncation is caught against its source
+        for i in range(5):
+            assert (i, i) in have
+
+    def test_empty_eval(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from record_matcher_ray.pipelines.dedup import ngram_jaccard_decontam
+
+        train = rd.from_arrow(
+            pa.table({"doc_id": [1, 2], "text": ["some text here", "more"]})
+        )
+        ev = rd.from_arrow(pa.table(
+            {"doc_id": pa.array([], pa.int64()),
+             "text": pa.array([], pa.string())}
+        ))
+        out = ngram_jaccard_decontam(train, ev, "text", "doc_id")
+        # NOTE: Dataset.to_pandas() drops column names on 0-row datasets
+        # (Ray 2.49 quirk) — assert on the dataset schema instead
+        assert out.schema().names == ["train_id", "eval_id", "n_common",
+                                      "jaccard"]
+        assert out.count() == 0
+
+    def test_broadcast_guard(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from record_matcher_ray.pipelines.dedup import ngram_jaccard_decontam
+
+        ds = rd.from_arrow(pa.table(
+            {"doc_id": [1], "text": ["plenty of grams in this text"]}
+        ))
+        with pytest.raises(ValueError, match="max_eval_grams"):
+            ngram_jaccard_decontam(ds, ds, "text", "doc_id",
+                                   max_eval_grams=2)
