@@ -44,10 +44,23 @@ def read_json(paths, **kwargs) -> ray.data.Dataset:
 
 
 def write_partitioned(
-    ds: ray.data.Dataset, out_dir: str, min_rows_per_file: int = 500_000
+    ds: ray.data.Dataset,
+    out_dir: str,
+    min_rows_per_file: int = 500_000,
+    partition_cols: list[str] | None = None,
 ) -> None:
     """Partitioned parquet sink — a directory of part files (never one
-    giant file; resumable layouts belong to state/checkpoint.py)."""
+    giant file; resumable layouts belong to state/checkpoint.py).
+
+    ``partition_cols`` produces hive-style ``col=value/`` directories so a
+    failed downstream run can skip finished key ranges and readers can
+    prune partitions at the source; keep partition cardinality bounded
+    (e.g. lang, source, date bucket) — one directory per distinct tuple.
+    """
+    if partition_cols:
+        ds.write_parquet(out_dir, partition_cols=partition_cols,
+                         min_rows_per_file=min_rows_per_file)
+        return
     try:
         ds.write_parquet(out_dir, min_rows_per_file=min_rows_per_file)
     except TypeError:  # older Ray kwarg name
