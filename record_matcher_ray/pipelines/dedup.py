@@ -1314,3 +1314,55 @@ def ngram_jaccard_decontam(
     return _shingle_table(train_ds, text_col, id_col, shingle).map_batches(
         score, batch_format="pyarrow"
     )
+
+
+def minhash_decontam(
+    train_ds: ray.data.Dataset,
+    eval_ds: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    *,
+    jaccard_threshold: float = 60.0,
+    **kw,
+) -> ray.data.Dataset:
+    """LSH-scale near-dup decontamination → (train_id, eval_id, jaccard).
+
+    The big-eval sibling of :func:`ngram_jaccard_decontam` (whose broadcast
+    inverted index caps at ``max_eval_grams``): both corpora are tagged
+    into one id space (train ids even, eval ids odd — ids must fit 63
+    bits) and flow through the full :func:`minhash_dedup` LSH pipeline;
+    only cross-side survivors are kept and decoded. Cost is one LSH
+    dedup over |train|+|eval| docs — use the broadcast variant whenever
+    the eval side fits its gram guard, this one when both sides are huge.
+    """
+
+    def _tag(side: int):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t[id_col].to_numpy()
+            enc = pa.array(ids.astype(np.int64) * 2 + side)
+            return pa.table({id_col: enc, text_col: t[text_col]})
+
+        return fn
+
+    union = train_ds.map_batches(
+        _tag(0), batch_format="pyarrow"
+    ).union(eval_ds.map_batches(_tag(1), batch_format="pyarrow"))
+    res = minhash_dedup(
+        union, text_col, id_col,
+        jaccard_threshold=jaccard_threshold, **kw,
+    )
+
+    def decode(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy()
+        b = t["b"].to_numpy()
+        cross = (a % 2) != (b % 2)
+        a, b = a[cross], b[cross]
+        jac = t["jaccard"].to_numpy()[cross]
+        tr = np.where(a % 2 == 0, a, b) >> 1
+        ev = np.where(a % 2 == 1, a, b) >> 1
+        return pa.table(
+            {"train_id": pa.array(tr), "eval_id": pa.array(ev),
+             "jaccard": pa.array(jac)}
+        )
+
+    return res["pairs"].map_batches(decode, batch_format="pyarrow")

@@ -737,3 +737,38 @@ class TestNgramJaccardDecontam:
         with pytest.raises(ValueError, match="max_eval_grams"):
             ngram_jaccard_decontam(ds, ds, "text", "doc_id",
                                    max_eval_grams=2)
+
+
+class TestMinhashDecontam:
+    def test_planted_cross_pairs(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from record_matcher_ray.pipelines.dedup import minhash_decontam
+
+        rng = np.random.default_rng(11)
+        vocab = ["alpha", "bravo", "charlie", "delta", "echo", "golf"]
+        train_texts = [" ".join(rng.choice(vocab, 40)) for _ in range(30)]
+        # train has an internal exact duplicate pair (must NOT appear in
+        # the cross output) and eval holds 4 truncated train docs + noise
+        train_texts.append(train_texts[0])
+        eval_texts = [t[: (len(t) * 9) // 10] for t in train_texts[:4]] + [
+            " ".join(rng.choice(["xray", "yankee"], 30)) for _ in range(3)
+        ]
+        train = rd.from_arrow(pa.table(
+            {"doc_id": list(range(len(train_texts))), "text": train_texts}
+        )).repartition(3)
+        ev = rd.from_arrow(pa.table(
+            {"doc_id": list(range(len(eval_texts))), "text": eval_texts}
+        ))
+        got = minhash_decontam(
+            train, ev, "text", "doc_id", jaccard_threshold=60.0
+        ).to_pandas()
+        pairs = set(zip(got["train_id"], got["eval_id"]))
+        for i in range(4):  # every planted truncation caught
+            assert (i, i) in pairs
+        # the train-internal duplicate (0, 30) never leaks into the
+        # cross-side output columns
+        assert got["eval_id"].max() < len(eval_texts)
+        assert (got["jaccard"] >= 60.0).all()
