@@ -339,6 +339,36 @@ def _q_decontam_near(sf_dir: str):
     return out
 
 
+def _q_minhash_decontam(sf_dir: str):
+    """LSH-path decontamination (big-eval escape hatch): same planted
+    truncation fixture as decontam_near_docs; seed-dependent candidate set
+    ⇒ rows-only (recall vs the exact path is pinned in tests)."""
+    import pyarrow as pa
+    import ray.data
+
+    from record_matcher_ray.pipelines.dedup import minhash_decontam
+
+    train = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        sel = t.filter(pa.array((ids % 7) == 0))
+        cut = [
+            (s or "")[: max(1, (len(s or "") * 4) // 5)]
+            for s in sel["text"].to_pylist()
+        ]
+        return pa.table(
+            {"doc_id": sel["doc_id"], "text": pa.array(cut, pa.string())}
+        )
+
+    ev = train.map_batches(derive, batch_format="pyarrow")
+    return minhash_decontam(
+        train, ev, "text", "doc_id", jaccard_threshold=60.0
+    )
+
+
 def _q_embedding_near_dups(sf_dir: str):
     """Exact broadcast variant (full recall ⇒ SQL-hash comparable); the
     IVF multi-probe variant is the >1 M-row scale path, recall-tested in
@@ -772,6 +802,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms_docs": _q_top_terms,
         "bm25_docs": _q_bm25,
         "decontam_near_docs": _q_decontam_near,
+        "minhash_decontam_docs": _q_minhash_decontam,
         # north-star document pipeline + multimodal plumbing
         "docmatch_corpus": _q_docmatch,
         "media_features": _q_media_features,
