@@ -339,6 +339,40 @@ def _q_decontam_near(sf_dir: str):
     return out
 
 
+def _q_containment(sf_dir: str):
+    """Leaked-benchmark decontamination: eval side = a verbatim middle
+    slice of every 11th document (embedded contamination Jaccard misses);
+    eval-side gram containment over the broadcast inverted index."""
+    import pyarrow as pa
+    import ray.data
+
+    from record_matcher_ray.pipelines.dedup import ngram_jaccard_decontam
+
+    train = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def derive(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        sel = t.filter(pa.array((ids % 11) == 0))
+        cut = [
+            (s or "")[len(s or "") // 3: len(s or "") // 3
+                      + max(3 * len(s or "") // 10, 4)]
+            for s in sel["text"].to_pylist()
+        ]
+        return pa.table(
+            {"doc_id": sel["doc_id"], "text": pa.array(cut, pa.string())}
+        )
+
+    ev = train.map_batches(derive, batch_format="pyarrow")
+    out = ngram_jaccard_decontam(
+        train, ev, "text", "doc_id",
+        jaccard_threshold=90.0, metric="containment",
+    ).to_pandas()
+    out["containment"] = out["containment"].round(6)
+    return out
+
+
 def _q_minhash_decontam(sf_dir: str):
     """LSH-path decontamination (big-eval escape hatch): same planted
     truncation fixture as decontam_near_docs; seed-dependent candidate set
@@ -803,6 +837,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_docs": _q_bm25,
         "decontam_near_docs": _q_decontam_near,
         "minhash_decontam_docs": _q_minhash_decontam,
+        "contamination_docs": _q_containment,
         # north-star document pipeline + multimodal plumbing
         "docmatch_corpus": _q_docmatch,
         "media_features": _q_media_features,
@@ -1367,6 +1402,55 @@ def oracle_sql() -> dict[str, str]:
             JOIN ts ON p.train_id = ts.doc_id
             JOIN es ON p.eval_id = es.doc_id
             WHERE 100.0 * p.n_common / (ts.n + es.n - p.n_common) >= 60.0
+        """,
+        "contamination_docs": """
+            -- eval = middle ~30% slice of every 11th doc (embedded
+            -- contamination); score = eval-side gram containment
+            WITH ev_raw AS (
+              SELECT doc_id,
+                     substr(coalesce(text, ''),
+                            length(coalesce(text, '')) // 3 + 1,
+                            greatest((length(coalesce(text, '')) * 3) // 10,
+                                     4)) AS text
+              FROM documents WHERE doc_id % 11 = 0
+            ), tn AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(coalesce(text, '')),
+                                         '[^a-z0-9]+', ' ', 'g')) AS nt
+              FROM documents
+            ), en AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(text),
+                                         '[^a-z0-9]+', ' ', 'g')) AS nt
+              FROM ev_raw
+            ), tg AS (
+              SELECT doc_id, unnest(list_distinct(
+                CASE WHEN length(nt) = 0 THEN CAST([] AS VARCHAR[])
+                     WHEN length(nt) < 4 THEN [nt]
+                     ELSE list_transform(generate_series(1, length(nt) - 3),
+                                         i -> substr(nt, i, 4))
+                END)) AS gram
+              FROM tn
+            ), eg AS (
+              SELECT doc_id, unnest(list_distinct(
+                CASE WHEN length(nt) = 0 THEN CAST([] AS VARCHAR[])
+                     WHEN length(nt) < 4 THEN [nt]
+                     ELSE list_transform(generate_series(1, length(nt) - 3),
+                                         i -> substr(nt, i, 4))
+                END)) AS gram
+              FROM en
+            ), es AS (
+              SELECT doc_id, count(*) AS n FROM eg GROUP BY 1
+            ), pairs AS (
+              SELECT tg.doc_id AS train_id, eg.doc_id AS eval_id,
+                     count(*) AS n_common
+              FROM tg JOIN eg USING (gram)
+              GROUP BY 1, 2
+            )
+            SELECT p.train_id, p.eval_id, p.n_common,
+                   round(100.0 * p.n_common / es.n, 6) AS containment
+            FROM pairs p JOIN es ON p.eval_id = es.doc_id
+            WHERE 100.0 * p.n_common / es.n >= 90.0
         """,
         "embedding_near_dups": """
             SELECT e1.vec_id AS a, e2.vec_id AS b,

@@ -1209,13 +1209,20 @@ def ngram_jaccard_decontam(
     shingle: int = 4,
     jaccard_threshold: float = 60.0,
     max_eval_grams: int = 50_000_000,
+    metric: str = "jaccard",
 ) -> ray.data.Dataset:
-    """Cross-corpus EXACT n-gram-Jaccard contamination pairs →
-    (train_id, eval_id, n_common, jaccard) for pairs ≥ threshold.
+    """Cross-corpus EXACT n-gram contamination pairs →
+    (train_id, eval_id, n_common, <metric>) for pairs ≥ threshold.
 
     The near-duplicate sibling of :func:`decontam.decontaminate` (which is
     exact-hash/Bloom): catches eval documents that leaked into the
     training corpus with light edits, truncation or whitespace churn.
+
+    ``metric``: ``"jaccard"`` = 100·|∩|/|∪| (near-duplicate documents);
+    ``"containment"`` = 100·|∩|/|eval grams| — the leaked-benchmark
+    shape, where a short eval document is EMBEDDED in a much longer
+    training document and Jaccard stays low while eval-side containment
+    is ≈100. The score column is named after the metric.
 
     Scale shape: decontamination's eval side (held-out benchmarks) is
     orders of magnitude smaller than the training corpus, so the eval
@@ -1230,6 +1237,10 @@ def ngram_jaccard_decontam(
     """
     import ray as _ray
 
+    if metric not in ("jaccard", "containment"):
+        raise ValueError(
+            f"metric must be 'jaccard' or 'containment', got {metric!r}"
+        )
     ev_tbls = [
         t for t in _ray.get(
             _shingle_table(eval_ds, text_col, id_col, shingle).to_arrow_refs()
@@ -1237,7 +1248,7 @@ def ngram_jaccard_decontam(
     ]
     out_schema = pa.schema(
         [("train_id", pa.int64()), ("eval_id", pa.int64()),
-         ("n_common", pa.int64()), ("jaccard", pa.float64())]
+         ("n_common", pa.int64()), (metric, pa.float64())]
     )
     if not ev_tbls:
         # empty eval side: nothing can match — skip the train pass entirely
@@ -1302,13 +1313,17 @@ def ngram_jaccard_decontam(
         tr_u, ev_u = tr_s[starts], ev_s[starts]
         n_t = lens[tr_u]
         n_e = sns[np.searchsorted(sids, ev_u)]
-        jac = 100.0 * n_common / (n_t + n_e - n_common).astype(np.float64)
-        keep = jac >= jaccard_threshold
+        if metric == "containment":
+            denom = n_e.astype(np.float64)
+        else:
+            denom = (n_t + n_e - n_common).astype(np.float64)
+        sc = 100.0 * n_common / denom
+        keep = sc >= jaccard_threshold
         return pa.table(
             {"train_id": pa.array(tids[tr_u[keep]]),
              "eval_id": pa.array(ev_u[keep]),
              "n_common": pa.array(n_common[keep]),
-             "jaccard": pa.array(jac[keep])}
+             metric: pa.array(sc[keep])}
         )
 
     return _shingle_table(train_ds, text_col, id_col, shingle).map_batches(

@@ -772,3 +772,50 @@ class TestMinhashDecontam:
         # cross-side output columns
         assert got["eval_id"].max() < len(eval_texts)
         assert (got["jaccard"] >= 60.0).all()
+
+
+class TestContainmentDecontam:
+    def test_embedded_eval_caught_by_containment_not_jaccard(
+        self, ray_session
+    ):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from record_matcher_ray.pipelines.dedup import ngram_jaccard_decontam
+
+        rng = np.random.default_rng(5)
+        vocab = ["alpha", "bravo", "charlie", "delta", "echo"]
+        long_docs = [" ".join(rng.choice(vocab, 200)) for _ in range(10)]
+        # eval docs: short SLICES embedded verbatim inside train docs
+        evals = [d[300:420] for d in long_docs[:3]]
+        train = rd.from_arrow(pa.table(
+            {"doc_id": list(range(10)), "text": long_docs}
+        )).repartition(2)
+        ev = rd.from_arrow(pa.table(
+            {"doc_id": list(range(3)), "text": evals}
+        ))
+        cont = ngram_jaccard_decontam(
+            train, ev, "text", "doc_id",
+            jaccard_threshold=95.0, metric="containment",
+        ).to_pandas()
+        got = set(zip(cont["train_id"], cont["eval_id"]))
+        for i in range(3):  # every embedded slice is fully contained
+            assert (i, i) in got
+        assert "containment" in cont.columns
+        # the same pairs are invisible to jaccard at that threshold (the
+        # eval slice is a tiny fraction of the long doc's gram set)
+        jac = ngram_jaccard_decontam(
+            train, ev, "text", "doc_id", jaccard_threshold=95.0,
+        ).to_pandas()
+        assert len(jac) == 0
+
+    def test_bad_metric_raises(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from record_matcher_ray.pipelines.dedup import ngram_jaccard_decontam
+
+        ds = rd.from_arrow(pa.table({"doc_id": [1], "text": ["abcdef"]}))
+        with pytest.raises(ValueError, match="metric"):
+            ngram_jaccard_decontam(ds, ds, "text", "doc_id", metric="dice")
