@@ -339,6 +339,19 @@ def _q_decontam_near(sf_dir: str):
     return out
 
 
+def _q_compression(sf_dir: str):
+    """Per-doc zlib compression ratio (classic cheap repetition/quality
+    signal); no DuckDB zlib ⇒ rows-only, pinned vs direct zlib in tests."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.analysis import compression_metrics
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return compression_metrics(ds)
+
+
 def _q_containment(sf_dir: str):
     """Leaked-benchmark decontamination: eval side = a verbatim middle
     slice of every 11th document (embedded contamination Jaccard misses);
@@ -838,6 +851,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontam_near_docs": _q_decontam_near,
         "minhash_decontam_docs": _q_minhash_decontam,
         "contamination_docs": _q_containment,
+        "compression_docs": _q_compression,
         # north-star document pipeline + multimodal plumbing
         "docmatch_corpus": _q_docmatch,
         "media_features": _q_media_features,

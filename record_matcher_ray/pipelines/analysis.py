@@ -432,3 +432,41 @@ def lm_quality(
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def compression_metrics(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> ray.data.Dataset:
+    """Per-document zlib compression ratio — the classic cheap quality /
+    repetition signal (highly repetitive or templated text compresses far
+    below ~2.5×; random noise barely compresses): → (id_col, raw_bytes,
+    compressed_bytes, compression_ratio).
+
+    Scale shape: embarrassingly parallel single streaming pass; the zlib
+    call is per-document by nature (like tokenization) but runs in C on
+    the raw utf-8 bytes, so the Python loop only pays per-doc dispatch.
+    Not SQL-expressible (no DuckDB zlib) — pinned against direct zlib in
+    tests instead.
+    """
+    import zlib
+
+    def fn(t: pa.Table) -> pa.Table:
+        texts = pc.fill_null(pc.cast(t[text_col], pa.string()), "")
+        raw = np.empty(len(t), np.int64)
+        comp = np.empty(len(t), np.int64)
+        for i, s in enumerate(texts.to_pylist()):
+            b = s.encode("utf-8")
+            raw[i] = len(b)
+            comp[i] = len(zlib.compress(b, level))
+        ratio = raw / np.maximum(comp, 1)
+        return pa.table(
+            {id_col: t[id_col],
+             "raw_bytes": pa.array(raw),
+             "compressed_bytes": pa.array(comp),
+             "compression_ratio": pa.array(np.round(ratio, 6))}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -218,3 +218,24 @@ class TestBM25:
         ds = ray.data.from_arrow(pa.table({"doc_id": [1], "text": ["x"]}))
         with pytest.raises(ValueError):
             bm25_scores(ds, "!!! ???")
+
+
+class TestCompressionMetrics:
+    def test_matches_direct_zlib(self, ray_session):
+        import zlib
+
+        from record_matcher_ray.pipelines.analysis import compression_metrics
+
+        texts = ["abc " * 200, "x", "", "the quick brown fox " * 7,
+                 "9f8e7d6c5b4a" * 3]
+        ds = ray.data.from_arrow(pa.table(
+            {"doc_id": list(range(len(texts))), "text": texts}
+        )).repartition(2)
+        out = compression_metrics(ds).to_pandas().set_index("doc_id")
+        for i, s in enumerate(texts):
+            b = s.encode()
+            assert out.loc[i, "raw_bytes"] == len(b)
+            assert out.loc[i, "compressed_bytes"] == len(zlib.compress(b, 6))
+        # repetitive text compresses much harder than near-random text
+        assert (out.loc[0, "compression_ratio"]
+                > 3 * out.loc[4, "compression_ratio"])
