@@ -339,6 +339,19 @@ def _q_decontam_near(sf_dir: str):
     return out
 
 
+def _q_bm25_topk(sf_dir: str):
+    """Ranked retrieval: top-10 docs by BM25 for the fixed query, ties by
+    doc_id ascending (deterministic cut)."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.terms import bm25_topk
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return bm25_topk(ds, "merge scan vector window", k=10)
+
+
 def _q_compression(sf_dir: str):
     """Per-doc zlib compression ratio (classic cheap repetition/quality
     signal); no DuckDB zlib ⇒ rows-only, pinned vs direct zlib in tests."""
@@ -852,6 +865,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_decontam_docs": _q_minhash_decontam,
         "contamination_docs": _q_containment,
         "compression_docs": _q_compression,
+        "bm25_topk_docs": _q_bm25_topk,
         # north-star document pipeline + multimodal plumbing
         "docmatch_corpus": _q_docmatch,
         "media_features": _q_media_features,
@@ -1575,6 +1589,44 @@ def oracle_sql() -> dict[str, str]:
             FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
             CROSS JOIN consts
             GROUP BY tf.doc_id
+        """,
+        "bm25_topk_docs": """
+            SELECT * FROM (
+            -- Okapi/Lucene BM25 (k1=1.2, b=0.75) with
+            -- avgdl = total tokens / total documents (empty docs count)
+            WITH t AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(coalesce(text, '')),
+                                         '[^a-z0-9]+', ' ', 'g')) AS nt
+              FROM documents
+            ), tok AS (
+              SELECT doc_id, unnest(string_split(nt, ' ')) AS term
+              FROM t WHERE len(nt) > 0
+            ), q AS (
+              SELECT unnest(['merge', 'scan', 'vector', 'window']) AS term
+            ), consts AS (
+              SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+                     (SELECT count(*) FROM tok)::DOUBLE AS n_toks
+            ), dl AS (
+              SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id
+            ), df AS (
+              SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
+              WHERE term IN (SELECT term FROM q) GROUP BY term
+            ), tf AS (
+              SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+              WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term
+            )
+            SELECT tf.doc_id,
+                   round(sum(
+                     ln((consts.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                     * tf.tf * (1.2 + 1.0)
+                     / (tf.tf + 1.2 * (1.0 - 0.75
+                        + 0.75 * dl.dl / (consts.n_toks / consts.n_docs)))
+                   ), 6) AS bm25
+            FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+            CROSS JOIN consts
+            GROUP BY tf.doc_id
+        ) ORDER BY bm25 DESC, doc_id LIMIT 10
         """,
         "pack_docs": """
             -- replay the next-fit recurrence: walk docs in doc_id order,

@@ -194,3 +194,17 @@ def bm25_scores(
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def bm25_topk(
+    ds: ray.data.Dataset,
+    query: str,
+    k: int = 10,
+    **kw,
+) -> ray.data.Dataset:
+    """Top-k documents by BM25 relevance to ``query`` (ties broken by id
+    ascending, so the cut is deterministic). Same two-pass scale shape as
+    :func:`bm25_scores`; the sort runs over only the scored (hit) rows."""
+    id_col = kw.get("id_col", "doc_id")
+    scored = bm25_scores(ds, query, **kw)
+    return scored.sort(["bm25", id_col], descending=[True, False]).limit(k)

@@ -239,3 +239,23 @@ class TestCompressionMetrics:
         # repetitive text compresses much harder than near-random text
         assert (out.loc[0, "compression_ratio"]
                 > 3 * out.loc[4, "compression_ratio"])
+
+
+class TestBM25TopK:
+    def test_ranked_cut(self, ray_session):
+        from record_matcher_ray.pipelines.terms import bm25_scores, bm25_topk
+
+        rng = np.random.default_rng(13)
+        vocab = ["apple", "pear", "fig", "kiwi", "plum"]
+        texts = [" ".join(rng.choice(vocab, rng.integers(3, 25)))
+                 for _ in range(100)]
+        ds = ray.data.from_arrow(pa.table(
+            {"doc_id": list(range(100)), "text": texts}
+        )).repartition(5)
+        top = bm25_topk(ds, "apple fig", k=7).to_pandas()
+        full = bm25_scores(ds, "apple fig").to_pandas()
+        want = full.sort_values(
+            ["bm25", "doc_id"], ascending=[False, True]
+        ).head(7)
+        assert top["doc_id"].tolist() == want["doc_id"].tolist()
+        assert top["bm25"].tolist() == want["bm25"].tolist()
