@@ -534,6 +534,19 @@ def _q_bm25(sf_dir: str):
                        text_col="text", id_col="doc_id")
 
 
+def _q_funnel(sf_dir: str):
+    """Ordered view→click→purchase funnel per user (greedy earliest
+    completion, strict ts ordering); bucketed segmented-min passes."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.relational import funnel_steps
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    return funnel_steps(ev, ["view", "click", "purchase"])
+
+
 def _q_events_in_window(sf_dir: str):
     """Equi+range self join: non-signup events inside the 10 minutes after
     a signup by the SAME user, then a tiny aggregate. Shuffle key is a
@@ -866,6 +879,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_docs": _q_containment,
         "compression_docs": _q_compression,
         "bm25_topk_docs": _q_bm25_topk,
+        "funnel_events": _q_funnel,
         # north-star document pipeline + multimodal plumbing
         "docmatch_corpus": _q_docmatch,
         "media_features": _q_media_features,
@@ -1430,6 +1444,28 @@ def oracle_sql() -> dict[str, str]:
             JOIN ts ON p.train_id = ts.doc_id
             JOIN es ON p.eval_id = es.doc_id
             WHERE 100.0 * p.n_common / (ts.n + es.n - p.n_common) >= 60.0
+        """,
+        "funnel_events": """
+            -- greedy earliest-completion ordered funnel, strict ts order
+            WITH s1 AS (
+              SELECT user_id, min(ts) AS t1 FROM events
+              WHERE event_type = 'view' GROUP BY 1
+            ), s2 AS (
+              SELECT e.user_id, min(e.ts) AS t2
+              FROM events e JOIN s1 USING (user_id)
+              WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1
+            ), s3 AS (
+              SELECT e.user_id, min(e.ts) AS t3
+              FROM events e JOIN s2 USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1
+            )
+            SELECT s1.user_id,
+                   (1 + (s2.user_id IS NOT NULL)::INT
+                      + (s3.user_id IS NOT NULL)::INT)::BIGINT
+                     AS steps_completed
+            FROM s1
+            LEFT JOIN s2 ON s1.user_id = s2.user_id
+            LEFT JOIN s3 ON s1.user_id = s3.user_id
         """,
         "contamination_docs": """
             -- eval = middle ~30% slice of every 11th doc (embedded

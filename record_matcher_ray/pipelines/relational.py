@@ -359,3 +359,86 @@ def supplier_nation_levenshtein(sf_dir: str) -> pd.DataFrame:
         )
 
     return sup.map_batches(cross, batch_format="pyarrow").to_pandas()
+
+
+def funnel_steps(
+    ds: ray.data.Dataset,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Ordered funnel: for each user, how many of ``steps`` they completed
+    IN ORDER (greedy earliest-completion semantics: step k+1 must occur
+    STRICTLY after the earliest valid completion of step k) → rows
+    (user_col, steps_completed ≥ 1) for users who performed step 1.
+
+    Scale shape: rows not matching any step are dropped at the source;
+    the only exchange hash-buckets users into ≤``n_buckets`` groups
+    (never one group per user — CLAUDE.md rule); inside a bucket one
+    lexsort orders (user, ts) and each funnel step is a single
+    vectorized masked segmented-min (``np.minimum.reduceat``) over the
+    bucket, so cost is O(K · bucket rows), no per-user Python.
+    """
+    if not steps:
+        raise ValueError("steps must be a non-empty ordered list")
+    K = len(steps)
+    step_set = pa.array(steps, pa.string())
+    # index_in maps a type to its FIRST position in steps, so a repeated
+    # step type ("view twice") must be matched by that first index
+    fidx = np.array([steps.index(s) for s in steps], dtype=np.int64)
+
+    def prep(t: pa.Table) -> pa.Table:
+        code = pc.index_in(t[type_col], value_set=step_set)
+        keep = pc.is_valid(code)
+        t2 = t.filter(keep)
+        code2 = pc.cast(pc.index_in(t2[type_col], value_set=step_set),
+                        pa.int64())
+        u = t2[user_col].to_numpy()
+        b = ((u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+             >> np.uint64(33)) % np.uint64(n_buckets)
+        return pa.table(
+            {"__fb__": pa.array(b.astype(np.int64)),
+             user_col: t2[user_col],
+             "__ts__": pc.cast(t2[ts_col], pa.int64()),
+             "__code__": code2}
+        )
+
+    NEG = np.int64(-(2 ** 62))
+    POS = np.int64(2 ** 62)
+
+    def local(t: pa.Table) -> pa.Table:
+        empty = pa.table({user_col: pa.array([], pa.int64()),
+                          "steps_completed": pa.array([], pa.int64())})
+        if len(t) == 0:
+            return empty
+        u = t[user_col].to_numpy()
+        ts = t["__ts__"].to_numpy()
+        code = t["__code__"].to_numpy()
+        order = np.lexsort((ts, u))
+        u_s, ts_s, c_s = u[order], ts[order], code[order]
+        first = np.concatenate(([True], u_s[1:] != u_s[:-1]))
+        starts = np.nonzero(first)[0]
+        seg = np.cumsum(first) - 1  # user segment id per row
+        n_users = len(starts)
+        cur = np.full(n_users, NEG)
+        done = np.zeros(n_users, np.int64)
+        for k in range(K):
+            m = (c_s == fidx[k]) & (done[seg] == k) & (ts_s > cur[seg])
+            v = np.where(m, ts_s, POS)
+            mins = np.minimum.reduceat(v, starts)
+            ok = mins < POS
+            cur = np.where(ok, mins, cur)
+            done += ok
+        hit = done > 0
+        return pa.table(
+            {user_col: pa.array(u_s[starts][hit]),
+             "steps_completed": pa.array(done[hit])}
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("__fb__")
+        .map_groups(local, batch_format="pyarrow")
+    )

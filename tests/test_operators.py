@@ -819,3 +819,52 @@ class TestContainmentDecontam:
         ds = rd.from_arrow(pa.table({"doc_id": [1], "text": ["abcdef"]}))
         with pytest.raises(ValueError, match="metric"):
             ngram_jaccard_decontam(ds, ds, "text", "doc_id", metric="dice")
+
+
+class TestFunnelSteps:
+    def test_ordered_semantics(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from record_matcher_ray.pipelines.relational import funnel_steps
+
+        rows = [
+            # u1: full ordered funnel
+            (1, 10, "view"), (1, 20, "click"), (1, 30, "purchase"),
+            # u2: click BEFORE view — only step 1 counts
+            (2, 10, "click"), (2, 20, "view"),
+            # u3: view+click ordered, purchase before click — 2 steps
+            (3, 5, "purchase"), (3, 10, "view"), (3, 20, "click"),
+            # u4: never views — absent from output
+            (4, 10, "click"), (4, 20, "purchase"),
+            # u5: same-timestamp view and click — strict > blocks step 2
+            (5, 10, "view"), (5, 10, "click"),
+            # u6: greedy earliest view(10) then click(15) then purchase(40)
+            (6, 10, "view"), (6, 15, "click"), (6, 20, "view"),
+            (6, 40, "purchase"),
+        ]
+        ds = rd.from_arrow(pa.table({
+            "user_id": [r[0] for r in rows],
+            "ts": [r[1] for r in rows],
+            "event_type": [r[2] for r in rows],
+        })).repartition(3)
+        out = funnel_steps(ds, ["view", "click", "purchase"]).to_pandas()
+        got = dict(zip(out["user_id"], out["steps_completed"]))
+        assert got == {1: 3, 2: 1, 3: 2, 5: 1, 6: 3}
+
+    def test_repeated_step_type(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from record_matcher_ray.pipelines.relational import funnel_steps
+
+        rows = [(1, 10, "view"), (1, 20, "view"),   # view twice: 2 steps
+                (2, 10, "view")]                    # view once: 1 step
+        ds = rd.from_arrow(pa.table({
+            "user_id": [r[0] for r in rows],
+            "ts": [r[1] for r in rows],
+            "event_type": [r[2] for r in rows],
+        }))
+        out = funnel_steps(ds, ["view", "view"]).to_pandas()
+        got = dict(zip(out["user_id"], out["steps_completed"]))
+        assert got == {1: 2, 2: 1}
