@@ -534,6 +534,19 @@ def _q_bm25(sf_dir: str):
                        text_col="text", id_col="doc_id")
 
 
+def _q_retention(sf_dir: str):
+    """Daily retention cohorts (cohort day × offset distinct-user counts);
+    three vectorized hash exchanges, no per-user Python."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.relational import retention_cohorts
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return retention_cohorts(ev)
+
+
 def _q_funnel(sf_dir: str):
     """Ordered view→click→purchase funnel per user (greedy earliest
     completion, strict ts ordering); bucketed segmented-min passes."""
@@ -880,6 +893,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compression_docs": _q_compression,
         "bm25_topk_docs": _q_bm25_topk,
         "funnel_events": _q_funnel,
+        "retention_events": _q_retention,
         # north-star document pipeline + multimodal plumbing
         "docmatch_corpus": _q_docmatch,
         "media_features": _q_media_features,
@@ -1444,6 +1458,20 @@ def oracle_sql() -> dict[str, str]:
             JOIN ts ON p.train_id = ts.doc_id
             JOIN es ON p.eval_id = es.doc_id
             WHERE 100.0 * p.n_common / (ts.n + es.n - p.n_common) >= 60.0
+        """,
+        "retention_events": """
+            WITH act AS (
+              SELECT DISTINCT user_id,
+                     epoch_us(ts) // 86400000000 AS day
+              FROM events
+            ), coh AS (
+              SELECT user_id, min(day) AS cohort_day FROM act GROUP BY 1
+            )
+            SELECT coh.cohort_day,
+                   (act.day - coh.cohort_day) AS day_offset,
+                   count(*)::BIGINT AS n_users
+            FROM act JOIN coh USING (user_id)
+            GROUP BY 1, 2
         """,
         "funnel_events": """
             -- greedy earliest-completion ordered funnel, strict ts order

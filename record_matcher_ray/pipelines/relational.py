@@ -442,3 +442,56 @@ def funnel_steps(
         .groupby("__fb__")
         .map_groups(local, batch_format="pyarrow")
     )
+
+
+def retention_cohorts(
+    ds: ray.data.Dataset,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    day_us: int = 86_400_000_000,
+) -> ray.data.Dataset:
+    """Classic retention matrix: cohort = a user's first active day; →
+    rows (cohort_day, day_offset, n_users) = how many of that cohort were
+    active again ``day_offset`` days later (offset 0 = cohort size).
+    Days are integer days-since-epoch (no date formatting ambiguity).
+
+    Scale shape: three vectorized hash exchanges, none per-user Python —
+    (1) distinct (user, day) pairs via ``groupby(...).count()``,
+    (2) per-user min day via ``groupby(user).aggregate(Min)``,
+    (3) bucketed :func:`joins.hash_join` back + final (cohort, offset)
+    count. Activity volume reduces to ≤ users × active-days rows after
+    the first aggregate, so later stages shrink with real workloads.
+    """
+    from ray.data.aggregate import Min
+
+    from record_matcher_ray.pipelines.joins import hash_join
+
+    def to_day(t: pa.Table) -> pa.Table:
+        d = pc.divide(pc.cast(t[ts_col], pa.int64()), day_us)
+        return pa.table({user_col: t[user_col], "__day__": d})
+
+    days = ds.map_batches(to_day, batch_format="pyarrow")
+    active = days.groupby([user_col, "__day__"]).count().drop_columns(
+        ["count()"]
+    )
+    cohort = active.groupby(user_col).aggregate(
+        Min("__day__", alias_name="__cohort__")
+    )
+    joined = hash_join(active, cohort, user_col, user_col)
+
+    def offs(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"cohort_day": t["__cohort__"],
+             "day_offset": pc.subtract(t["__day__"], t["__cohort__"])}
+        )
+
+    out = (
+        joined.map_batches(offs, batch_format="pyarrow")
+        .groupby(["cohort_day", "day_offset"])
+        .count()
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["cohort_day", "day_offset", "n_users"])
+
+    return out.map_batches(rename, batch_format="pyarrow")

@@ -868,3 +868,43 @@ class TestFunnelSteps:
         out = funnel_steps(ds, ["view", "view"]).to_pandas()
         got = dict(zip(out["user_id"], out["steps_completed"]))
         assert got == {1: 2, 2: 1}
+
+
+class TestRetentionCohorts:
+    def test_matches_pandas_mirror(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from record_matcher_ray.pipelines.relational import retention_cohorts
+
+        rng = np.random.default_rng(17)
+        n = 3000
+        users = rng.integers(0, 80, n)
+        ts = rng.integers(0, 20, n) * 86_400_000_000 + rng.integers(
+            0, 86_400_000_000, n
+        )
+        ds = rd.from_arrow(pa.table(
+            {"user_id": users,
+             "ts": pa.array(ts, pa.timestamp("us"))}
+        )).repartition(5)
+        got = retention_cohorts(ds).to_pandas().sort_values(
+            ["cohort_day", "day_offset"]
+        ).reset_index(drop=True)
+        # independent mirror in pandas
+        df = pd.DataFrame({"u": users, "d": ts // 86_400_000_000})
+        act = df.drop_duplicates()
+        coh = act.groupby("u")["d"].min().rename("c")
+        j = act.join(coh, on="u")
+        want = (
+            j.assign(off=j["d"] - j["c"])
+            .groupby(["c", "off"]).size().rename("n").reset_index()
+            .sort_values(["c", "off"]).reset_index(drop=True)
+        )
+        assert got["cohort_day"].tolist() == want["c"].tolist()
+        assert got["day_offset"].tolist() == want["off"].tolist()
+        assert got["n_users"].tolist() == want["n"].tolist()
+        # offset 0 row per cohort equals the cohort size
+        sizes = coh.value_counts()
+        day0 = got[got["day_offset"] == 0].set_index("cohort_day")["n_users"]
+        for c, s in sizes.items():
+            assert day0[c] == s
