@@ -731,6 +731,22 @@ def _q_media_features(sf_dir: str):
     return featurize_media(ds, decoder="fake", concurrency=2)
 
 
+def _q_media_frames(sf_dir: str):
+    """Video frame sampling (2 fps, one row per frame) — the multimodal
+    expansion shape (actor pool, per-row fan-out, binary frame payloads);
+    decode honestly stubbed. The resize stage is tested in
+    tests/test_operators.py."""
+    import ray.data
+
+    from record_matcher_ray.stages.multimodal import (
+        sample_frames,
+        synth_media_table,
+    )
+
+    ds = ray.data.from_arrow(synth_media_table(n=96, seed=3))
+    return sample_frames(ds, fps=2.0, concurrency=2)
+
+
 def _q_dup_span_stats(sf_dir: str):
     """Substring-level dedup stats: per doc, the fraction of its 16-char
     normalized windows whose content recurs in ≥2 distinct documents
@@ -897,6 +913,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # north-star document pipeline + multimodal plumbing
         "docmatch_corpus": _q_docmatch,
         "media_features": _q_media_features,
+        "media_frames": _q_media_frames,
     }
 
 

@@ -908,3 +908,64 @@ class TestRetentionCohorts:
         day0 = got[got["day_offset"] == 0].set_index("cohort_day")["n_users"]
         for c, s in sizes.items():
             assert day0[c] == s
+
+
+class TestMultimodalResizeFrames:
+    def test_resize_images_only(self, ray_session):
+        import ray.data as rd
+
+        from record_matcher_ray.stages.multimodal import (
+            resize_media,
+            synth_media_table,
+        )
+
+        ds = rd.from_arrow(synth_media_table(n=30, seed=1))
+        out = resize_media(ds, target_w=16, target_h=16).to_pandas()
+        assert len(out) == 30
+        img = out[out["kind"] == "image"]
+        other = out[out["kind"] != "image"]
+        assert (img["width"] == 16).all() and (img["height"] == 16).all()
+        # non-image rows pass through with original dims/payloads
+        src = synth_media_table(n=30, seed=1).to_pandas().set_index("media_id")
+        for _, r in other.iterrows():
+            assert r["payload"] == src.loc[r["media_id"], "payload"]
+        # deterministic: same input -> same fake payload
+        out2 = resize_media(ds, target_w=16, target_h=16).to_pandas()
+        m1 = dict(zip(out["media_id"], out["payload"]))
+        m2 = dict(zip(out2["media_id"], out2["payload"]))
+        assert m1 == m2
+
+    def test_frame_sampling_expansion(self, ray_session):
+        import math
+
+        import ray.data as rd
+
+        from record_matcher_ray.stages.multimodal import (
+            sample_frames,
+            synth_media_table,
+        )
+
+        tbl = synth_media_table(n=30, seed=2)
+        ds = rd.from_arrow(tbl)
+        out = sample_frames(ds, fps=2.0).to_pandas()
+        src = tbl.to_pandas()
+        vids = src[(src["kind"] == "video") & (src["duration_ms"] > 0)]
+        want_frames = int(sum(
+            math.ceil(d / 500.0) for d in vids["duration_ms"]
+        ))
+        assert len(out) == want_frames
+        assert set(out["media_id"]) == set(vids["media_id"])
+        # frame timestamps are fps-spaced and within duration
+        g = out[out["media_id"] == vids["media_id"].iloc[0]]
+        assert g["ts_ms"].tolist() == [i * 500 for i in range(len(g))]
+
+    def test_real_mode_stubbed(self, ray_session):
+        from record_matcher_ray.stages.multimodal import (
+            FrameSampler,
+            MediaResizer,
+        )
+
+        with pytest.raises(NotImplementedError):
+            MediaResizer(mode="real")
+        with pytest.raises(NotImplementedError):
+            FrameSampler(mode="real")
