@@ -1353,8 +1353,14 @@ def minhash_decontam(
 
     def _tag(side: int):
         def fn(t: pa.Table) -> pa.Table:
-            ids = t[id_col].to_numpy()
-            enc = pa.array(ids.astype(np.int64) * 2 + side)
+            ids = t[id_col].to_numpy().astype(np.int64)
+            if len(ids) and (ids.min() < 0 or ids.max() >= 2 ** 62):
+                raise ValueError(
+                    "minhash_decontam ids must be in [0, 2**62): the "
+                    "even/odd side tag uses id*2+side and larger or "
+                    "negative ids would silently wrap to wrong ids"
+                )
+            enc = pa.array(ids * 2 + side)
             return pa.table({id_col: enc, text_col: t[text_col]})
 
         return fn

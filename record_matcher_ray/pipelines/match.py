@@ -705,6 +705,18 @@ def _result_table(
 
 
 def _score_tables(xt, yt, cfg, uniq, x_passthrough, x_match_cols) -> pa.Table:
+    # Deterministic candidate order (documented deviation, COVERAGE.md
+    # §known-deviations): rows arrive in arbitrary post-shuffle order, so
+    # both sides are sorted by rid before scoring. Ambiguous tie STRINGS
+    # therefore order by ascending id — identical to the reference's
+    # y-insertion order whenever ids ascend at ingest (every fixture and
+    # the common load path); for non-monotone id insertion the tie SET
+    # still matches, only the string order differs. This also makes the
+    # distributed output run-stable, which raw group order is not.
+    if len(xt) > 1:
+        xt = xt.take(pc.sort_indices(xt[_RID]))
+    if len(yt) > 1:
+        yt = yt.take(pc.sort_indices(yt[_RID]))
     x_ids = xt[_RID].to_numpy()
     y_ids = yt[_RID].to_numpy() if len(yt) else np.empty(0, dtype=np.int64)
     x_cols = {c: _str_np(xt, "xn::" + c) for c in x_match_cols}

@@ -395,9 +395,17 @@ def funnel_steps(
         t2 = t.filter(keep)
         code2 = pc.cast(pc.index_in(t2[type_col], value_set=step_set),
                         pa.int64())
-        u = t2[user_col].to_numpy()
-        b = ((u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
-             >> np.uint64(33)) % np.uint64(n_buckets)
+        u = t2[user_col].to_numpy(zero_copy_only=False)
+        if np.issubdtype(u.dtype, np.number):
+            b = ((u.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                 >> np.uint64(33)) % np.uint64(n_buckets)
+        else:
+            # generic (string/object) user ids: vectorized row-hash, the
+            # same pattern as dedup._with_tuple_bucket (CLAUDE.md rule)
+            b = (
+                pd.util.hash_pandas_object(pd.Series(u), index=False)
+                .to_numpy() % np.uint64(n_buckets)
+            )
         return pa.table(
             {"__fb__": pa.array(b.astype(np.int64)),
              user_col: t2[user_col],
@@ -409,16 +417,24 @@ def funnel_steps(
     POS = np.int64(2 ** 62)
 
     def local(t: pa.Table) -> pa.Table:
-        empty = pa.table({user_col: pa.array([], pa.int64()),
+        utype = t.schema.field(user_col).type
+        empty = pa.table({user_col: pa.array([], utype),
                           "steps_completed": pa.array([], pa.int64())})
         if len(t) == 0:
             return empty
-        u = t[user_col].to_numpy()
+        u = t[user_col].to_numpy(zero_copy_only=False)
         ts = t["__ts__"].to_numpy()
         code = t["__code__"].to_numpy()
-        order = np.lexsort((ts, u))
+        if np.issubdtype(u.dtype, np.number):
+            ukey = u
+        else:
+            # factorize object ids to int codes so the lexsort stays
+            # numeric (CLAUDE.md: never sort object arrays in a hot path)
+            ukey, _ = pd.factorize(u)
+        order = np.lexsort((ts, ukey))
         u_s, ts_s, c_s = u[order], ts[order], code[order]
-        first = np.concatenate(([True], u_s[1:] != u_s[:-1]))
+        uk_s = ukey[order]
+        first = np.concatenate(([True], uk_s[1:] != uk_s[:-1]))
         starts = np.nonzero(first)[0]
         seg = np.cumsum(first) - 1  # user segment id per row
         n_users = len(starts)
@@ -433,7 +449,7 @@ def funnel_steps(
             done += ok
         hit = done > 0
         return pa.table(
-            {user_col: pa.array(u_s[starts][hit]),
+            {user_col: pa.array(u_s[starts][hit], utype),
              "steps_completed": pa.array(done[hit])}
         )
 
@@ -467,13 +483,22 @@ def retention_cohorts(
     from record_matcher_ray.pipelines.joins import hash_join
 
     def to_day(t: pa.Table) -> pa.Table:
-        d = pc.divide(pc.cast(t[ts_col], pa.int64()), day_us)
+        # FLOOR division (DuckDB `//` semantics): pc.divide truncates
+        # toward zero, which would shift pre-epoch timestamps one day late
+        ts64 = pc.cast(t[ts_col], pa.int64())
+        q = pc.divide(ts64, day_us)
+        r = pc.subtract(ts64, pc.multiply(q, day_us))
+        d = pc.subtract(q, pc.cast(pc.less(r, 0), pa.int64()))
         return pa.table({user_col: t[user_col], "__day__": d})
 
     days = ds.map_batches(to_day, batch_format="pyarrow")
+    # materialize: `active` feeds BOTH the cohort aggregate and the join —
+    # without it the full-events exchange re-executes once per consumer
+    # (CLAUDE.md multi-consumer rule); post-aggregate it is small
+    # (≤ users × active-days rows)
     active = days.groupby([user_col, "__day__"]).count().drop_columns(
         ["count()"]
-    )
+    ).materialize()
     cohort = active.groupby(user_col).aggregate(
         Min("__day__", alias_name="__cohort__")
     )

