@@ -277,8 +277,10 @@ def _q_minhash_recall(sf_dir: str):
 
 def _q_simhash_near_dups(sf_dir: str):
     """Banded Hamming LSH over simhash64 fingerprints (rows-only: simhash
-    is not SQL-expressible; semantics pinned vs brute-force Hamming in
-    tests/test_operators.py::test_simhash_near_dups_vs_brute)."""
+    r3: banding has 100% recall (pigeonhole), so the full pair set IS
+    deterministic — oracled by a brute-force bit_count self-join in SQL
+    (`_hash_oracles`); semantics additionally pinned vs brute-force
+    Hamming in tests/test_operators.py::test_simhash_near_dups_vs_brute."""
     import ray.data
 
     from record_matcher_ray.pipelines.dedup import simhash_near_dups
@@ -984,6 +986,149 @@ def _pii_oracles() -> dict[str, str]:
     }
 
 
+def _hash_oracles() -> dict[str, str]:
+    """SQL mirrors of the DETERMINISTIC hash pipelines (r3: drops the
+    simhash/fingerprint/simhash-near-dup rows from `no_oracle` to
+    driver-hash-checked — VERDICT r2 next-round item 3).
+
+    Both engines compute mod-2**64 polynomial hashes; DuckDB has no
+    wraparound arithmetic, so 64-bit multiplies are emulated in HUGEINT
+    by 32-bit splitting: x*c mod 2^64 = (x_lo*c + ((x_hi*c_lo) mod 2^32)
+    * 2^32) mod 2^64. splitmix64's xor/shift steps run in UBIGINT (never
+    overflow). ASCII-only text assumption (CLAUDE.md parity gotchas —
+    holds for every testdata corpus; chars == bytes after it)."""
+    M = "18446744073709551616"
+    HALF = "9223372036854775808"
+
+    def mulmod(x: str, c: int) -> str:
+        lo = c % (1 << 32)
+        return (f"(({x} % 4294967296) * {c} "
+                f"+ (({x} // 4294967296) * {lo} % 4294967296) * 4294967296"
+                f") % {M}")
+
+    def xorshift(x: str, s: int) -> str:
+        return f"xor({x}::UBIGINT, {x}::UBIGINT >> {s})::HUGEINT"
+
+    # simhash64 (dedup.py:882): normalize → distinct char-4-gram
+    # poly+splitmix64 hashes >> 3 → golden-ratio spread → per-bit vote
+    simhash_fp_cte = f"""
+        WITH norm AS (
+          SELECT doc_id,
+                 trim(regexp_replace(lower(coalesce(text,'')),
+                                     '[^a-z0-9]+', ' ', 'g')) AS s
+          FROM documents
+        ), wins AS (
+          SELECT doc_id, s,
+                 unnest(generate_series(1, greatest(length(s) - 3, 1))) AS i
+          FROM norm WHERE length(s) > 0
+        ), grams AS (
+          SELECT doc_id, substr(s, i, 4) AS w FROM wins
+        ), poly AS (
+          SELECT doc_id,
+            (CASE length(w)
+              WHEN 4 THEN ((ascii(substr(w,1,1))::HUGEINT*1000003
+                            + ascii(substr(w,2,1)))*1000003
+                           + ascii(substr(w,3,1)))*1000003
+                          + ascii(substr(w,4,1))
+              WHEN 3 THEN (ascii(substr(w,1,1))::HUGEINT*1000003
+                           + ascii(substr(w,2,1)))*1000003
+                          + ascii(substr(w,3,1))
+              WHEN 2 THEN ascii(substr(w,1,1))::HUGEINT*1000003
+                          + ascii(substr(w,2,1))
+              ELSE ascii(substr(w,1,1))::HUGEINT END) % {M} AS p
+          FROM grams
+        ), m1 AS (
+          SELECT doc_id,
+                 {mulmod(xorshift('p', 30), 0xBF58476D1CE4E5B9)} AS h
+          FROM poly
+        ), m2 AS (
+          SELECT doc_id,
+                 {mulmod(xorshift('h', 27), 0x94D049BB133111EB)} AS h
+          FROM m1
+        ), shingle AS (
+          SELECT DISTINCT doc_id,
+                 xor(h::UBIGINT, h::UBIGINT >> 31) >> 3 AS sh64
+          FROM m2
+        ), golden AS (
+          SELECT doc_id,
+                 ({mulmod('sh64::HUGEINT', 0x9E3779B97F4A7C15)})::UBIGINT AS g
+          FROM shingle
+        ), votes AS (
+          SELECT doc_id, b,
+                 count(*) FILTER (WHERE (g >> b::UBIGINT) & 1 = 1) AS cnt,
+                 count(*) AS n
+          FROM golden, (SELECT unnest(generate_series(0, 63)) AS b) bits
+          GROUP BY doc_id, b
+        ), fp AS (
+          SELECT doc_id,
+                 sum(CASE WHEN 2*cnt > n THEN 1::HUGEINT << b
+                          ELSE 0::HUGEINT END) AS v
+          FROM votes GROUP BY doc_id
+        ), sim AS (
+          SELECT d.doc_id AS id,
+                 coalesce(CASE WHEN f.v < {HALF} THEN f.v
+                               ELSE f.v - {M} END, 0)::BIGINT AS simhash
+          FROM documents d LEFT JOIN fp f ON d.doc_id = f.doc_id
+        )
+    """
+
+    # fingerprints (analysis.py:183): min of stride-4 16-byte rolling
+    # poly hashes over RAW text (no normalization, no mix). Two branches:
+    # docs >= 16 chars use a fixed 16-step fold reduced every 3rd step
+    # (2^64 * (2^20)^3 < 2^127 so HUGEINT never overflows — measured 2.7×
+    # faster than per-step CASE+mod); short docs fold their exact length.
+    fp16 = "ascii(substr(w,1,1))::HUGEINT"
+    for k in range(2, 17):
+        fp16 = (f"(({fp16} * 1000003 + ascii(substr(w,{k},1))) % {M})"
+                if k % 3 == 0
+                else f"({fp16} * 1000003 + ascii(substr(w,{k},1)))")
+    fp16 = fp16.replace("w", "substr(s, 1 + i*4, 16)")
+    fp_var = "0::HUGEINT"
+    for k in range(1, 16):
+        fp_var = (f"(CASE WHEN length(w) >= {k} THEN ({fp_var} * 1000003 "
+                  f"+ ascii(substr(w,{k},1))) % {M} ELSE {fp_var} END)")
+
+    return {
+        "simhash_docs": simhash_fp_cte + """
+            SELECT id, simhash FROM sim ORDER BY id
+        """,
+        "simhash_near_dups_docs": simhash_fp_cte + f"""
+            SELECT a.id AS id_a, b.id AS id_b,
+                   bit_count(xor(((a.simhash::HUGEINT % {M} + {M}) % {M})::UBIGINT,
+                                 ((b.simhash::HUGEINT % {M} + {M}) % {M})::UBIGINT)
+                             )::BIGINT AS hamming
+            FROM sim a JOIN sim b ON a.id < b.id
+            WHERE a.simhash <> 0 AND b.simhash <> 0
+              AND bit_count(xor(((a.simhash::HUGEINT % {M} + {M}) % {M})::UBIGINT,
+                                ((b.simhash::HUGEINT % {M} + {M}) % {M})::UBIGINT)) <= 3
+        """,
+        "fingerprint_docs": f"""
+            WITH base AS (
+              SELECT doc_id, coalesce(text,'') AS s FROM documents
+            ), longdocs AS (
+              SELECT doc_id, s,
+                     unnest(generate_series(0, (length(s)-16)//4)) AS i
+              FROM base WHERE length(s) >= 16
+            ), h16 AS (
+              SELECT doc_id, {fp16} % {M} AS h FROM longdocs
+            ), shortdocs AS (
+              SELECT doc_id, s AS w
+              FROM base WHERE length(s) > 0 AND length(s) < 16
+            ), hvar AS (
+              SELECT doc_id, {fp_var} AS h FROM shortdocs
+            ), fp AS (
+              SELECT doc_id, min(h) AS v
+              FROM (SELECT * FROM h16 UNION ALL SELECT * FROM hvar)
+              GROUP BY doc_id
+            )
+            SELECT d.doc_id AS doc_id,
+                   coalesce(CASE WHEN f.v < {HALF} THEN f.v
+                                 ELSE f.v - {M} END, 0)::BIGINT AS fp64
+            FROM documents d LEFT JOIN fp f ON d.doc_id = f.doc_id
+        """,
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     stop = ", ".join(f"'{w}'" for w in sorted(
         {"the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "for",
@@ -1597,6 +1742,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         **_pii_oracles(),
+        **_hash_oracles(),
         "events_in_order_window": """
             SELECT p.event_type,
                    count(*) AS n_events,
