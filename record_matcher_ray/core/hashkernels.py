@@ -189,6 +189,29 @@ def unique_per_doc(
     return h_s[first], u_lens
 
 
+def column_hash64(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Deterministic uint64 hash per value, Arrow/numpy-native for
+    int/string columns (pandas-siphash fallback otherwise — fixed default
+    key, stable across processes/workers). BUCKET-use contract: equal
+    values hash equal; null may collide with 0/"" (a superset partition —
+    in-bucket equality decides). Shared by joins/dedup/sampling/table_ops
+    bucket stages (r3: replaced their per-batch Arrow→pandas copies)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    with np.errstate(over="ignore"):
+        if pa.types.is_integer(arr.type):
+            v = pc.fill_null(pc.cast(arr, pa.int64()), 0).to_numpy()
+            return mix64(v.view(np.uint64))
+        if pa.types.is_string(arr.type):
+            flat, starts, lens = utf8_view(pc.fill_null(arr, ""))
+            return whole_hashes(flat, starts, lens)
+    import pandas as pd
+
+    return pd.util.hash_pandas_object(
+        arr.to_pandas(), index=False
+    ).to_numpy()
+
+
 def normalize_utf8(col: pa.ChunkedArray | pa.Array) -> pa.Array:
     """Vectorized equivalent of blocking.normalize_text: lowercase,
     collapse non-[a-z0-9] runs to one space, trim. Null → ""."""

@@ -38,17 +38,24 @@ def _with_tuple_bucket(
     """Append a ≤``n_buckets`` hash bucket of the value TUPLE of ``columns``
     (vectorized row-hash) so downstream grouping runs per bucket, never per
     distinct value — the CLAUDE.md per-group-overhead rule. The raw text of
-    ``columns`` still rides the shuffle (needed for in-bucket equality)."""
+    ``columns`` still rides the shuffle (needed for in-bucket equality).
+    r3: pyarrow batch + per-column numpy hashes folded with splitmix64 —
+    the r2 pandas form copied every batch (VERDICT cleanup item)."""
 
-    def add(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df[col] = (
-            pd.util.hash_pandas_object(df[columns], index=False)
-            % np.uint64(n_buckets)
-        ).astype("int64")
-        return df
+    def add(t: pa.Table) -> pa.Table:
+        from record_matcher_ray.core.hashkernels import column_hash64, mix64
 
-    return ds.map_batches(add, batch_format="pandas")
+        h = np.zeros(len(t), np.uint64)
+        with np.errstate(over="ignore"):
+            for c in columns:
+                h = mix64(
+                    h * np.uint64(0x9E3779B97F4A7C15) ^ column_hash64(t[c])
+                )
+        return t.append_column(
+            col, pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    return ds.map_batches(add, batch_format="pyarrow")
 
 
 def exact_dedup(
@@ -484,6 +491,25 @@ def _candidates_from_comb(
     return _dedupe_pairs_bucketed(pairs, n_buckets) if distinct else pairs
 
 
+@ray.remote(num_cpus=0)
+def _route_partial(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(ids, folded-signature bytes) of one (id, sh, sig) block — runs
+    next to the block; the fat ``sh`` payload never leaves it."""
+    if len(t) == 0:
+        return np.empty(0, np.int64), np.empty((0, 0), np.uint8)
+    ids_b = np.ascontiguousarray(t["id"].to_numpy(), np.int64)
+    sigcol = t["sig"].combine_chunks()  # small: num_perm * 8 B/doc
+    num_perm = sigcol.type.list_size
+    sig = sigcol.values.to_numpy(zero_copy_only=False).reshape(
+        len(t), num_perm
+    )
+    u8 = (
+        (sig.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+        >> np.uint64(56)
+    ).astype(np.uint8)
+    return ids_b, u8
+
+
 def _routing_index(
     block_refs: list,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
@@ -499,29 +525,24 @@ def _routing_index(
     pipeline (measured at 690 k docs / 67.5 M shingles). Only the small
     per-doc index (8+4+4 B/doc) and the 1 B/perm signature fold pass
     through driver memory. Per-block temporaries stay a few MB so heap
-    reuse absorbs the fault cost."""
-    blocks = ray.get(list(block_refs))
+    reuse absorbs the fault cost.
+
+    r3: the (id, sig-fold) partial is computed by a TASK next to each
+    block — the r2 form ray.get the whole (id, sh, sig) blocks, which on
+    a multi-node cluster would ship the shingle payload to the driver
+    (the very thing this function exists to avoid); now only 8+num_perm
+    bytes/doc ever travel."""
+    partials = ray.get(
+        [_route_partial.remote(r) for r in list(block_refs)]
+    )
     ids_p, blk_p, pos_p, u8_p = [], [], [], []
-    num_perm = 0
-    for bi, t in enumerate(blocks):
-        if len(t) == 0:
+    for bi, (ids_b, u8_b) in enumerate(partials):
+        if len(ids_b) == 0:
             continue
-        ids_b = t["id"].to_numpy()
-        ids_p.append(np.asarray(ids_b, np.int64))
-        blk_p.append(np.full(len(t), bi, np.int32))
-        pos_p.append(np.arange(len(t), dtype=np.int32))
-        sigcol = t["sig"].combine_chunks()
-        num_perm = sigcol.type.list_size
-        sig = (
-            sigcol.values.to_numpy(zero_copy_only=False)
-            .reshape(len(t), num_perm)
-        )
-        u8_p.append(
-            (
-                (sig.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
-                >> np.uint64(56)
-            ).astype(np.uint8)
-        )
+        ids_p.append(ids_b)
+        blk_p.append(np.full(len(ids_b), bi, np.int32))
+        pos_p.append(np.arange(len(ids_b), dtype=np.int32))
+        u8_p.append(u8_b)
     if not ids_p:
         z = np.empty(0, np.int64)
         zi = np.empty(0, np.int32)

@@ -137,34 +137,94 @@ class KeyExpander:
 _CARRY_CACHE: dict = {}
 
 
+# ---- per-block remote partials (multi-node-safe driver reads) -----------
+# r2's driver fast paths did `ray.get(ds.to_arrow_refs())` and projected
+# on the DRIVER: zero-copy on one node, but on a real cluster every get
+# ships the WHOLE block (body text included) to the driver node. These
+# tiny tasks run NEXT to the block (Ray schedules on the owning node for
+# plasma locality) and return only the narrow partial; the driver then
+# does ONE batched ray.get over small results (CLAUDE.md: never per-object
+# gets in a loop).
+
+
+@ray.remote(num_cpus=0)
+def _rid_partial(t: pa.Table) -> np.ndarray:
+    """8 B/row rid column of one block — the only bytes that leave it."""
+    if len(t) == 0 or "rid" not in t.column_names:
+        return np.empty(0, np.int64)
+    return np.ascontiguousarray(t["rid"].to_numpy(), dtype=np.int64)
+
+
+@ray.remote(num_cpus=0)
+def _id_col_partial(t: pa.Table, col: str) -> np.ndarray:
+    if len(t) == 0 or col not in t.column_names:
+        return np.empty(0, np.int64)
+    return np.ascontiguousarray(t[col].to_numpy(), dtype=np.int64)
+
+
+@ray.remote(num_cpus=0)
+def _unique_partial(t: pa.Table, columns: list[str]) -> dict:
+    """Per-block distinct non-blank values of each column (block-local
+    dedupe, so repeated values never ship)."""
+    out = {}
+    for c in columns:
+        if c not in t.column_names or len(t) == 0:
+            continue
+        s = pc.cast(t[c], pa.string())
+        mask = pc.and_kleene(pc.is_valid(s), pc.not_equal(s, ""))
+        u = pc.unique(s.filter(mask))
+        out[c] = u.combine_chunks() if isinstance(u, pa.ChunkedArray) else u
+    return out
+
+
+@ray.remote(num_cpus=0)
+def _sum_col_partial(t: pa.Table, col: str) -> int:
+    if len(t) == 0 or col not in t.column_names:
+        return 0
+    return int(pc.sum(t[col]).as_py() or 0)
+
+
+@ray.remote(num_cpus=0)
+def _winner_partial(t: pa.Table):
+    """(n_candidates sum, winner x/y/score arrays) of one scored block —
+    drops the tie-string columns before anything ships."""
+    if len(t) == 0:
+        return 0, (np.empty(0, np.int64), np.empty(0, np.int64),
+                   np.empty(0, np.float64))
+    n_cand = int(pc.sum(t["n_candidates"]).as_py() or 0)
+    tt = t.filter(pc.not_equal(t["winner_y_id"], -1))
+    return n_cand, (
+        np.ascontiguousarray(tt["__x_id__"].to_numpy(), np.int64),
+        np.ascontiguousarray(tt["winner_y_id"].to_numpy(), np.int64),
+        np.ascontiguousarray(tt["winner_score"].to_numpy(), np.float64),
+    )
+
+
 def _uniqueness_from_refs(
     flat: ray.data.Dataset,
     columns: list[str],
     driver_cap: int = 50_000_000,
 ) -> dict[str, float]:
-    """O2 distinct-ratios computed on the DRIVER from the materialized
-    body-free flat blocks (zero-copy column reads, per-block pc.unique →
-    one merge) — the dataset-based pass spent 6-9 s of pure barrier
-    latency per flagship run. Falls back to the streaming
-    ``table_ops.uniqueness`` above ``driver_cap`` rows."""
+    """O2 distinct-ratios from per-block remote unique partials merged on
+    the driver — the dataset-based pass spent 6-9 s of pure barrier
+    latency per flagship run, and the r2 whole-block driver pull was
+    single-node-shaped (it shipped full flat tables on a cluster). Falls
+    back to the streaming ``table_ops.uniqueness`` above ``driver_cap``
+    rows (where even the distinct sets could exceed driver memory)."""
     total = flat.count()
     if total == 0:
         return {c: 0.0 for c in columns}
     if total > driver_cap:
         return table_ops.uniqueness(flat, columns, total=total)
-    blocks = [t for t in ray.get(flat.to_arrow_refs()) if len(t)]
+    partials = ray.get(
+        [_unique_partial.remote(r, columns) for r in flat.to_arrow_refs()]
+    )
     out: dict[str, float] = {}
     for c in columns:
-        present = [t for t in blocks if c in t.column_names]
-        if not present:
+        parts = [p[c] for p in partials if c in p and len(p[c])]
+        if not parts:
             out[c] = 0.0
             continue
-        parts = []
-        for t in present:
-            s = pc.cast(t[c], pa.string())
-            mask = pc.and_kleene(pc.is_valid(s), pc.not_equal(s, ""))
-            u = pc.unique(s.filter(mask))
-            parts.append(u.combine_chunks() if isinstance(u, pa.ChunkedArray) else u)
         merged = pc.unique(pa.concat_arrays(parts))
         out[c] = len(merged) / total
     return out
@@ -175,16 +235,17 @@ def _flat_route(
 ) -> tuple[list, np.ndarray, np.ndarray, np.ndarray]:
     """→ (block refs, rids sorted asc, block-of-rid int32, row-in-block
     int32) for a MATERIALIZED flat table. Only the 8 B/row rid column
-    passes through driver memory (blocks are read zero-copy and their
-    string/body buffers are never touched)."""
+    leaves each block (projected by a task NEXT to it — r2 pulled whole
+    blocks, which ships body text to the driver on a multi-node cluster)."""
     refs = flat.to_arrow_refs()
+    rid_parts = ray.get([_rid_partial.remote(r) for r in refs])
     ids_p, blk_p, pos_p = [], [], []
-    for bi, t in enumerate(ray.get(list(refs))):
-        if len(t) == 0:
+    for bi, ids_b in enumerate(rid_parts):
+        if len(ids_b) == 0:
             continue
-        ids_p.append(np.asarray(t["rid"].to_numpy(), np.int64))
-        blk_p.append(np.full(len(t), bi, np.int32))
-        pos_p.append(np.arange(len(t), dtype=np.int32))
+        ids_p.append(ids_b)
+        blk_p.append(np.full(len(ids_b), bi, np.int32))
+        pos_p.append(np.arange(len(ids_b), dtype=np.int32))
     if not ids_p:
         return (refs, np.empty(0, np.int64),
                 np.empty(0, np.int32), np.empty(0, np.int32))
@@ -520,13 +581,10 @@ def match_documents(
     pairs = keys_mat.groupby("bucket").map_groups(
         score_bucket, batch_format="pyarrow"
     ).materialize()
-    counters["blocks_dropped"] = int(
-        sum(
-            pc.sum(t["dropped_groups"]).as_py() or 0
-            for t in ray.get(pairs.to_arrow_refs())
-            if len(t)
-        )
-    )
+    counters["blocks_dropped"] = int(sum(ray.get(
+        [_sum_col_partial.remote(r, "dropped_groups")
+         for r in pairs.to_arrow_refs()]
+    )))
     n_tie_rows = pairs.count()
     _tick("pair_scoring", {"tie_rows": n_tie_rows,
                            "blocks_dropped": counters["blocks_dropped"]})
@@ -639,7 +697,10 @@ def match_documents(
         # The cap is deliberately low: at 3.8 M ties the driver's
         # first-touch fault rate (~20 MB/s, CLAUDE.md) made this path
         # 49 s vs the 13 s bounded-bucket shuffle — measured, do not
-        # raise without re-probing.
+        # raise without re-probing. Multi-node note: unlike the flat
+        # blocks, these blocks hold ONLY pair_schema's 7 numeric columns
+        # (56 B/row, ≤28 MB at the cap) — the whole-block get IS the
+        # narrow partial here, no projection task needed.
         tie_parts = [
             t for t in ray.get(pairs_mat.to_arrow_refs()) if len(t)
         ]
@@ -669,17 +730,17 @@ def match_documents(
     n_scored_rows = scored.count()
     driver_d = n_scored_rows <= 20_000_000  # 3 int64/f64 cols ≈ 480 MB cap
     if driver_d:
-        pairs_sum = 0
-        wx_p, wy_p, ws_p = [], [], []
-        for t in ray.get(scored.to_arrow_refs()):
-            if not len(t):
-                continue
-            pairs_sum += int(pc.sum(t["n_candidates"]).as_py() or 0)
-            m = pc.not_equal(t["winner_y_id"], -1)
-            tt = t.filter(m)
-            wx_p.append(tt["__x_id__"].to_numpy())
-            wy_p.append(tt["winner_y_id"].to_numpy())
-            ws_p.append(tt["winner_score"].to_numpy())
+        # per-block remote partials: n_candidates is summed and the tie
+        # STRINGS are dropped inside a task next to each block, so only
+        # the numeric winner triples reach the driver (r2 pulled whole
+        # scored blocks — single-node-shaped)
+        parts = ray.get(
+            [_winner_partial.remote(r) for r in scored.to_arrow_refs()]
+        )
+        pairs_sum = sum(p[0] for p in parts)
+        wx_p = [p[1][0] for p in parts if len(p[1][0])]
+        wy_p = [p[1][1] for p in parts if len(p[1][1])]
+        ws_p = [p[1][2] for p in parts if len(p[1][2])]
         x_w = np.concatenate(wx_p) if wx_p else np.empty(0, np.int64)
         y_w = np.concatenate(wy_p) if wy_p else np.empty(0, np.int64)
         s_w = np.concatenate(ws_p) if ws_p else np.empty(0, np.float64)
@@ -693,13 +754,10 @@ def match_documents(
         dem_ids = np.sort(flip_x[flip_v == "demote"])
         _tick("flips", {"n_flips": int(len(flip_x))})
     else:
-        counters["pairs_scored"] = int(
-            sum(
-                pc.sum(t["n_candidates"]).as_py() or 0
-                for t in ray.get(scored.to_arrow_refs())
-                if len(t)
-            )
-        )
+        counters["pairs_scored"] = int(sum(ray.get(
+            [_sum_col_partial.remote(r, "n_candidates")
+             for r in scored.to_arrow_refs()]
+        )))
         _tick("reduce", {"x_with_candidates": n_scored_rows,
                          "pairs_scored": counters["pairs_scored"]})
         flips = compute_flips(scored, cfg.duplicate_threshold)
@@ -782,21 +840,21 @@ def match_documents(
 
     n_assigned = assignments.count()  # metadata (materialized above)
     n_x = x_flat.count()
-    if n_x <= 50_000_000:  # 8 B/id → ≤400 MB of driver reads, zero-copy
+    if n_x <= 50_000_000:  # 8 B/id → ≤400 MB of driver reads
+        # per-block remote projections: only the id columns ship (the x
+        # flats carry BODY text — r2's whole-block pull was the worst
+        # multi-node offender here)
         x_ids_np = np.concatenate(
-            [
-                np.asarray(t["rid"].to_numpy(), np.int64)
-                for t in ray.get(x_flat.to_arrow_refs())
-                if len(t)
-            ]
+            [p for p in ray.get(
+                [_rid_partial.remote(r) for r in x_flat.to_arrow_refs()]
+            ) if len(p)]
             or [np.empty(0, np.int64)]
         )
         got_np = np.concatenate(
-            [
-                t["x_id"].to_numpy()
-                for t in ray.get(assignments.to_arrow_refs())
-                if len(t)
-            ]
+            [p for p in ray.get(
+                [_id_col_partial.remote(r, "x_id")
+                 for r in assignments.to_arrow_refs()]
+            ) if len(p)]
             or [np.empty(0, np.int64)]
         )
         miss_np = np.setdiff1d(x_ids_np, got_np)  # sorted unique

@@ -115,13 +115,11 @@ def stratified_cap(
         raise ValueError(f"cap must be >= 0, got {cap}")
     s = seed
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["__sb__"] = (
-            pd.util.hash_pandas_object(df[group_col], index=False)
-            % np.uint64(n_buckets)
-        ).astype("int64")
-        return df
+    def add_bucket(t: pa.Table) -> pa.Table:
+        from record_matcher_ray.core.hashkernels import column_hash64
+
+        b = column_hash64(t[group_col]) % np.uint64(n_buckets)
+        return t.append_column("__sb__", pa.array(b.astype(np.int64)))
 
     def rank_keep(df: pd.DataFrame) -> pd.DataFrame:
         h = sample_hash(df[id_col].to_numpy(), s)
@@ -132,7 +130,7 @@ def stratified_cap(
         return df[rank.to_numpy() < cap].drop(columns=["__sb__", "__sh__"])
 
     return (
-        ds.map_batches(add_bucket, batch_format="pandas")
+        ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("__sb__")
         .map_groups(rank_keep, batch_format="pandas")
     )

@@ -168,13 +168,11 @@ def duplicated_by_column(
     each bucket resolves duplicate groups in one vectorized pass
     (value_counts), per the CLAUDE.md per-group-overhead rule."""
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["__db__"] = (
-            pd.util.hash_pandas_object(df[column], index=False)
-            % np.uint64(n_buckets)
-        ).astype("int64")
-        return df
+    def add_bucket(t: pa.Table) -> pa.Table:
+        from record_matcher_ray.core.hashkernels import column_hash64
+
+        b = column_hash64(t[column]) % np.uint64(n_buckets)
+        return t.append_column("__db__", pa.array(b.astype(np.int64)))
 
     def keep_dups(df: pd.DataFrame) -> pd.DataFrame:
         vals = df[column]
@@ -184,7 +182,7 @@ def duplicated_by_column(
         return df.loc[keep].drop(columns="__db__")
 
     return (
-        ds.map_batches(add_bucket, batch_format="pandas")
+        ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("__db__")
         .map_groups(keep_dups, batch_format="pandas")
     )
@@ -222,15 +220,20 @@ def grouped_quantiles(
     if any(not 0.0 <= q <= 1.0 for q in qs):
         raise ValueError(f"quantiles must be in [0, 1], got {qs}")
 
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["__qb__"] = (
-            pd.util.hash_pandas_object(
-                df[group_cols].astype(str).agg("\x1f".join, axis=1), index=False
-            )
-            % np.uint64(n_buckets)
-        ).astype("int64")
-        return df
+    def add_bucket(t: pa.Table) -> pa.Table:
+        # r3: per-column numpy hashes folded with splitmix64 — the r2 form
+        # ran a PER-ROW Python "\x1f".join over the group tuple
+        from record_matcher_ray.core.hashkernels import column_hash64, mix64
+
+        h = np.zeros(len(t), np.uint64)
+        with np.errstate(over="ignore"):
+            for c in group_cols:
+                h = mix64(
+                    h * np.uint64(0x9E3779B97F4A7C15) ^ column_hash64(t[c])
+                )
+        return t.append_column(
+            "__qb__", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+        )
 
     def bucket_quantiles(df: pd.DataFrame) -> pd.DataFrame:
         vals = df[value_col].to_numpy(dtype=np.float64)
@@ -257,7 +260,7 @@ def grouped_quantiles(
         return pd.DataFrame(out)
 
     return (
-        ds.map_batches(add_bucket, batch_format="pandas")
+        ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("__qb__")
         .map_groups(bucket_quantiles, batch_format="pandas")
     )
