@@ -749,6 +749,45 @@ def _q_media_frames(sf_dir: str):
     return sample_frames(ds, fps=2.0, concurrency=2)
 
 
+def _q_media_real(sf_dir: str):
+    """REAL multimodal decode end-to-end (r3): genuinely decodable PNG and
+    PCM-WAV payloads flow through resize (decode → nearest-resize →
+    re-encode) then featurize with ``decoder='real'`` (stdlib codecs;
+    PIL/pyav picked up via import guards when present). Deterministic
+    outputs (content-derived features, no RNG), so the driver's rows-only
+    check sees a stable table; videos have no stdlib codec and surface as
+    decoded=False rows rather than vanishing."""
+    import pandas as pd
+    import ray.data
+
+    from record_matcher_ray.stages.multimodal import (
+        featurize_media,
+        resize_media,
+        synth_media_table,
+    )
+
+    ds = ray.data.from_arrow(
+        synth_media_table(n=96, seed=3, real_payloads=True)
+    )
+    feats = featurize_media(
+        resize_media(ds, 8, 8, mode="real", concurrency=2),
+        decoder="real", on_undecodable="null", concurrency=2,
+    ).take_batch(200, batch_format="pyarrow")
+    fl = feats["features"].to_pylist()
+    return pd.DataFrame(
+        {
+            "media_id": feats["media_id"].to_pylist(),
+            "kind": feats["kind"].to_pylist(),
+            "n_bytes": feats["n_bytes"].to_pylist(),
+            "decoded": [f is not None for f in fl],
+            "feat_mean": [
+                round(float(np.mean(f)), 6) if f is not None else None
+                for f in fl
+            ],
+        }
+    ).sort_values("media_id").reset_index(drop=True)
+
+
 def _q_dup_span_stats(sf_dir: str):
     """Substring-level dedup stats: per doc, the fraction of its 16-char
     normalized windows whose content recurs in ≥2 distinct documents
@@ -916,6 +955,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docmatch_corpus": _q_docmatch,
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
+        "media_real": _q_media_real,
     }
 
 
