@@ -909,6 +909,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # match pipeline (O6-O8) + scorer kernel surface
         "match_exact_customer": _match_exact_customer,
         "supplier_levenshtein": relational.supplier_nation_levenshtein,
+        "supplier_jaro": relational.supplier_nation_jaro,
         # joins
         "orders_customer_full": _q_orders_customer_full,
         # dedup family
@@ -1300,6 +1301,14 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 100.0 * (1.0 - levenshtein(s_name, n_name)::double
                           / greatest(length(s_name), length(n_name)))
                    END, 6) AS lev_sim
+            FROM supplier, nation
+        """,
+        # engine jw == DuckDB jaro_winkler_similarity on non-empty ASCII
+        # (boost>0.7, prefix<=4; divergence only at ("",""): engine 100)
+        "supplier_jaro": """
+            SELECT s_suppkey, n_nationkey,
+                   round(100.0 * jaro_winkler_similarity(s_name, n_name), 6)
+                     AS jw_sim
             FROM supplier, nation
         """,
         "dedup_exact_docs": """

@@ -156,6 +156,24 @@ def _rid_partial(t: pa.Table) -> np.ndarray:
 
 
 @ray.remote(num_cpus=0)
+def _rid_uniq_partial(t: pa.Table, columns: list[str]):
+    """Fused (rid array, per-column distinct sets) of one block — one
+    task wave serves both the routing index and the uniqueness pass."""
+    if len(t) == 0:
+        return np.empty(0, np.int64), {}
+    ids_b = np.ascontiguousarray(t["rid"].to_numpy(), dtype=np.int64)
+    uniq = {}
+    for c in columns:
+        if c not in t.column_names:
+            continue
+        s = pc.cast(t[c], pa.string())
+        mask = pc.and_kleene(pc.is_valid(s), pc.not_equal(s, ""))
+        u = pc.unique(s.filter(mask))
+        uniq[c] = u.combine_chunks() if isinstance(u, pa.ChunkedArray) else u
+    return ids_b, uniq
+
+
+@ray.remote(num_cpus=0)
 def _id_col_partial(t: pa.Table, col: str) -> np.ndarray:
     if len(t) == 0 or col not in t.column_names:
         return np.empty(0, np.int64)
@@ -230,6 +248,28 @@ def _uniqueness_from_refs(
     return out
 
 
+def _assemble_route(
+    rid_parts: list[np.ndarray],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-block rid arrays → (rids sorted asc, block-of-rid int32,
+    row-in-block int32)."""
+    ids_p, blk_p, pos_p = [], [], []
+    for bi, ids_b in enumerate(rid_parts):
+        if len(ids_b) == 0:
+            continue
+        ids_p.append(ids_b)
+        blk_p.append(np.full(len(ids_b), bi, np.int32))
+        pos_p.append(np.arange(len(ids_b), dtype=np.int32))
+    if not ids_p:
+        return (np.empty(0, np.int64),
+                np.empty(0, np.int32), np.empty(0, np.int32))
+    ids = np.concatenate(ids_p)
+    blk = np.concatenate(blk_p)
+    pos = np.concatenate(pos_p)
+    o = np.argsort(ids, kind="stable")
+    return ids[o], blk[o], pos[o]
+
+
 def _flat_route(
     flat: ray.data.Dataset,
 ) -> tuple[list, np.ndarray, np.ndarray, np.ndarray]:
@@ -239,21 +279,8 @@ def _flat_route(
     blocks, which ships body text to the driver on a multi-node cluster)."""
     refs = flat.to_arrow_refs()
     rid_parts = ray.get([_rid_partial.remote(r) for r in refs])
-    ids_p, blk_p, pos_p = [], [], []
-    for bi, ids_b in enumerate(rid_parts):
-        if len(ids_b) == 0:
-            continue
-        ids_p.append(ids_b)
-        blk_p.append(np.full(len(ids_b), bi, np.int32))
-        pos_p.append(np.arange(len(ids_b), dtype=np.int32))
-    if not ids_p:
-        return (refs, np.empty(0, np.int64),
-                np.empty(0, np.int32), np.empty(0, np.int32))
-    ids = np.concatenate(ids_p)
-    blk = np.concatenate(blk_p)
-    pos = np.concatenate(pos_p)
-    o = np.argsort(ids, kind="stable")
-    return refs, ids[o], blk[o], pos[o]
+    ids, blk, pos = _assemble_route(rid_parts)
+    return refs, ids, blk, pos
 
 
 class DocMatchResult:
@@ -353,19 +380,35 @@ def match_documents(
     )
     keys_mat = xk.union(yk).repartition(shuffle_partitions).materialize()
 
-    _tick("flatten", {"x_rows": x_flat.count(), "y_rows": y_flat.count()})
-    uniq = _uniqueness_from_refs(
-        x_flat, [c for c, _ in cfg.columns_to_match]
-    )
-    _tick("uniqueness", dict(uniq))
+    n_x_total = x_flat.count()
+    _tick("flatten", {"x_rows": n_x_total, "y_rows": y_flat.count()})
 
     # NO value columns travel through the blocking shuffle at all: only
     # (bucket, key, rid, side) — 25 B/key-row instead of ~120 B with the
     # ~20×/doc carry-string replication (the shuffle, not the scorers, was
     # 55 s of the 75 s stage-B wall at 690 k docs). score_bucket gathers
     # the scorer columns zero-copy from the materialized flats via a
-    # broadcast (rid → block, row) routing index.
-    x_refs, xr_ids, xr_blk, xr_pos = _flat_route(x_flat)
+    # broadcast (rid → block, row) routing index. The x-side route pass is
+    # FUSED with the uniqueness pass (one task wave, r3 — two separate
+    # per-block waves measurably stacked scheduling latency).
+    uniq_cols = [c for c, _ in cfg.columns_to_match]
+    if 0 < n_x_total <= 50_000_000:
+        x_refs = x_flat.to_arrow_refs()
+        fused = ray.get(
+            [_rid_uniq_partial.remote(r, uniq_cols) for r in x_refs]
+        )
+        xr_ids, xr_blk, xr_pos = _assemble_route(
+            [ids_b for ids_b, _ in fused]
+        )
+        uniq = {}
+        for c in uniq_cols:
+            parts = [u[c] for _, u in fused if c in u and len(u[c])]
+            merged = pc.unique(pa.concat_arrays(parts)) if parts else []
+            uniq[c] = len(merged) / n_x_total
+    else:
+        uniq = _uniqueness_from_refs(x_flat, uniq_cols)
+        x_refs, xr_ids, xr_blk, xr_pos = _flat_route(x_flat)
+    _tick("uniqueness", dict(uniq))
     y_refs, yr_ids, yr_blk, yr_pos = _flat_route(y_flat)
     carry_route_ref = ray.put(
         (xr_ids, xr_blk, xr_pos, yr_ids, yr_blk, yr_pos)
@@ -841,15 +884,11 @@ def match_documents(
     n_assigned = assignments.count()  # metadata (materialized above)
     n_x = x_flat.count()
     if n_x <= 50_000_000:  # 8 B/id → ≤400 MB of driver reads
-        # per-block remote projections: only the id columns ship (the x
-        # flats carry BODY text — r2's whole-block pull was the worst
-        # multi-node offender here)
-        x_ids_np = np.concatenate(
-            [p for p in ray.get(
-                [_rid_partial.remote(r) for r in x_flat.to_arrow_refs()]
-            ) if len(p)]
-            or [np.empty(0, np.int64)]
-        )
+        # the x id set is ALREADY on the driver (xr_ids, the routing
+        # index built above — sorted asc); assignments project x_id via a
+        # per-block task next to each block (r3: the r2 form re-pulled the
+        # whole body-carrying x flats, the worst multi-node offender)
+        x_ids_np = xr_ids
         got_np = np.concatenate(
             [p for p in ray.get(
                 [_id_col_partial.remote(r, "x_id")

@@ -329,6 +329,40 @@ def events_props_extract(sf_dir: str) -> pd.DataFrame:
     return ds.map_batches(extract, batch_format="pyarrow").to_pandas()
 
 
+def supplier_nation_jaro(sf_dir: str) -> pd.DataFrame:
+    """Cross-score s_name × n_name with the vectorized Jaro-Winkler kernel
+    (scorer-kernel correctness surface for DuckDB's
+    ``jaro_winkler_similarity`` — semantics match exactly on non-empty
+    ASCII, see scorers.py:96)."""
+    from record_matcher_ray.functions.scorers import jaro_winkler_matrix
+
+    sup = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    )
+    nat = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    nat_ref = ray.put(nat)
+
+    def cross(t: pa.Table) -> pa.Table:
+        n = ray.get(nat_ref)
+        xs = np.asarray(t["s_name"].to_pylist(), dtype=object)
+        ys = np.asarray(n["n_name"].to_numpy(), dtype=object)
+        m = jaro_winkler_matrix(xs, ys)
+        nk = n["n_nationkey"].to_numpy()
+        sk = t["s_suppkey"].to_numpy()
+        xi, yi = np.indices(m.shape)
+        return pa.table(
+            {
+                "s_suppkey": pa.array(sk[xi.ravel()]),
+                "n_nationkey": pa.array(nk[yi.ravel()]),
+                "jw_sim": pa.array(np.round(m.ravel(), 6)),
+            }
+        )
+
+    return sup.map_batches(cross, batch_format="pyarrow").to_pandas()
+
+
 def supplier_nation_levenshtein(sf_dir: str) -> pd.DataFrame:
     """Cross-score s_name × n_name with the vectorized Levenshtein kernel
     (scorer-kernel correctness surface for the DuckDB oracle)."""

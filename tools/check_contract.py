@@ -2,7 +2,7 @@
 and its oracle_sql() side-by-side, compare row count / schema / values
 (order-insensitive). Usage:
 
-    PYTHONPATH=/root/repo python tools/check_contract.py [sf_dir]
+    PYTHONPATH=/root/repo python tools/check_contract.py [sf_dir] [--only name1,name2]
 """
 
 from __future__ import annotations
@@ -80,7 +80,7 @@ def compare(name, ours: pd.DataFrame, theirs: pd.DataFrame) -> list[str]:
     return problems
 
 
-def main(sf_dir: str):
+def main(sf_dir: str, only: set[str] | None = None):
     import ray
 
     ray.init(address="local", num_cpus=8, include_dashboard=False,
@@ -98,11 +98,18 @@ def main(sf_dir: str):
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
-    e = entrymod.entry()
-    edf = to_pandas(e)
-    print(f"entry(): {len(edf)} rows, schema ok: {list(edf.columns)[:4]}...")
+    if only is None:
+        e = entrymod.entry()
+        edf = to_pandas(e)
+        print(f"entry(): {len(edf)} rows, schema ok: {list(edf.columns)[:4]}...")
 
     qs = entrymod.queries()
+    if only:
+        missing = only - set(qs)
+        if missing:
+            print(f"unknown query names: {sorted(missing)}")
+            sys.exit(2)
+        qs = {k: v for k, v in qs.items() if k in only}
     sqls = entrymod.oracle_sql()
     n_pass = n_fail = 0
     for name, fn in qs.items():
@@ -132,4 +139,10 @@ def main(sf_dir: str):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01")
+    argv = sys.argv[1:]
+    only = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        argv = argv[:i] + argv[i + 2:]
+    main(argv[0] if argv else "/root/testdata/sf0.01", only)
