@@ -549,6 +549,30 @@ def _q_retention(sf_dir: str):
     return retention_cohorts(ev)
 
 
+def _q_approx_distinct(sf_dir: str):
+    """HyperLogLog approximate distinct o_custkey per o_orderstatus plus
+    a global 'ALL' row (p=12) — fixed-size mergeable partials, raw
+    values never shuffle (sketches.py)."""
+    import pandas as pd
+    import ray.data
+
+    from record_matcher_ray.pipelines.sketches import approx_distinct
+
+    def orders():
+        return ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_orderstatus"],
+        )
+
+    per = approx_distinct(orders(), "o_custkey", group_col="o_orderstatus")
+    glob = approx_distinct(orders(), "o_custkey", group_col=None)
+    return (
+        pd.concat([per, glob], ignore_index=True)
+        .sort_values("grp")
+        .reset_index(drop=True)
+    )
+
+
 def _q_funnel(sf_dir: str):
     """Ordered view→click→purchase funnel per user (greedy earliest
     completion, strict ts ordering); bucketed segmented-min passes."""
@@ -940,6 +964,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_docs": _q_repetition,
         "pii_docs": _q_pii,
         "quantiles_orders": _q_quantiles,
+        "approx_distinct_orders": _q_approx_distinct,
         "events_in_order_window": _q_events_in_window,
         "redact_docs": _q_redact,
         "chunk_docs": _q_chunks,
@@ -1027,6 +1052,85 @@ def _pii_oracles() -> dict[str, str]:
     }
 
 
+_SQL_M = "18446744073709551616"
+
+
+def _sql_mulmod(x: str, c: int) -> str:
+    """x*c mod 2**64 in DuckDB HUGEINT via 32-bit splitting."""
+    lo = c % (1 << 32)
+    return (f"(({x} % 4294967296) * {c} "
+            f"+ (({x} // 4294967296) * {lo} % 4294967296) * 4294967296"
+            f") % {_SQL_M}")
+
+
+def _sql_xorshift(x: str, s: int) -> str:
+    return f"xor(({x})::UBIGINT, ({x})::UBIGINT >> {s})::HUGEINT"
+
+
+def _sql_splitmix64(x: str) -> str:
+    """Full splitmix64 finalizer chain (hashkernels.mix64) as nested SQL
+    (input HUGEINT in [0, 2**64) → UBIGINT expression)."""
+    h1 = _sql_mulmod(_sql_xorshift(x, 30), 0xBF58476D1CE4E5B9)
+    h2 = _sql_mulmod(_sql_xorshift(f"({h1})", 27), 0x94D049BB133111EB)
+    return f"xor(({h2})::UBIGINT, ({h2})::UBIGINT >> 31)"
+
+
+def _sketch_oracles() -> dict[str, str]:
+    """SQL replay of the HyperLogLog pipeline (sketches.py): splitmix64
+    hash → (bucket, rho) → per-group register max → exact HUGEINT
+    register sum → the estimator in the engine's exact double
+    association order (linear counting below 2.5m uses ln(), the same
+    libm log as math.log)."""
+    p, m = 12, 4096
+    C264 = "18446744073709551616.0"
+    hu = _sql_splitmix64(f"(v::HUGEINT % {_SQL_M} + {_SQL_M}) % {_SQL_M}")
+    alpha = f"(0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / {m}.0))"
+    raw = (f"(((({alpha} * {m}) * {m}) * {C264}) / (s::DOUBLE))")
+    hll = f"""
+        WITH vals AS (
+          SELECT o_orderstatus AS grp, o_custkey AS v FROM orders
+          UNION ALL
+          SELECT 'ALL' AS grp, o_custkey AS v FROM orders
+        ), hf AS (
+          SELECT grp, ({hu}) AS hu FROM vals
+        ), br AS (
+          SELECT grp, (hu >> {64 - p})::BIGINT AS bucket,
+                 ({_sql_mulmod("hu::HUGEINT", 1 << p)})::UBIGINT AS rest
+          FROM hf
+        ), s1 AS (SELECT grp, bucket, rest, (rest | (rest >> 1)) AS x FROM br
+        ), s2 AS (SELECT grp, bucket, rest, (x | (x >> 2)) AS x FROM s1
+        ), s3 AS (SELECT grp, bucket, rest, (x | (x >> 4)) AS x FROM s2
+        ), s4 AS (SELECT grp, bucket, rest, (x | (x >> 8)) AS x FROM s3
+        ), s5 AS (SELECT grp, bucket, rest, (x | (x >> 16)) AS x FROM s4
+        ), s6 AS (SELECT grp, bucket, rest, (x | (x >> 32)) AS x FROM s5
+        ), rt AS (
+          SELECT grp, bucket,
+                 CASE WHEN rest = 0 THEN {64 - p + 1}
+                      ELSE 65 - bit_count(x)::BIGINT END AS rho
+          FROM s6
+        ), regs AS (
+          SELECT grp, bucket, max(rho) AS reg FROM rt GROUP BY grp, bucket
+        ), sums AS (
+          SELECT grp,
+                 sum(1::HUGEINT << (64 - reg)) AS s_present,
+                 count(*) AS n_present
+          FROM regs GROUP BY grp
+        ), est AS (
+          SELECT grp,
+                 s_present + ({m} - n_present)::HUGEINT * (1::HUGEINT << 64)
+                   AS s,
+                 ({m} - n_present) AS zeros
+          FROM sums
+        )
+        SELECT grp,
+               round(CASE WHEN {raw} <= 2.5::DOUBLE * {m}.0 AND zeros > 0
+                          THEN {m} * ln({m}.0 / zeros)
+                          ELSE {raw} END, 6) AS approx_n
+        FROM est ORDER BY grp
+    """
+    return {"approx_distinct_orders": hll}
+
+
 def _hash_oracles() -> dict[str, str]:
     """SQL mirrors of the DETERMINISTIC hash pipelines (r3: drops the
     simhash/fingerprint/simhash-near-dup rows from `no_oracle` to
@@ -1038,17 +1142,10 @@ def _hash_oracles() -> dict[str, str]:
     * 2^32) mod 2^64. splitmix64's xor/shift steps run in UBIGINT (never
     overflow). ASCII-only text assumption (CLAUDE.md parity gotchas —
     holds for every testdata corpus; chars == bytes after it)."""
-    M = "18446744073709551616"
+    M = _SQL_M
     HALF = "9223372036854775808"
-
-    def mulmod(x: str, c: int) -> str:
-        lo = c % (1 << 32)
-        return (f"(({x} % 4294967296) * {c} "
-                f"+ (({x} // 4294967296) * {lo} % 4294967296) * 4294967296"
-                f") % {M}")
-
-    def xorshift(x: str, s: int) -> str:
-        return f"xor({x}::UBIGINT, {x}::UBIGINT >> {s})::HUGEINT"
+    mulmod = _sql_mulmod
+    xorshift = _sql_xorshift
 
     # simhash64 (dedup.py:882): normalize → distinct char-4-gram
     # poly+splitmix64 hashes >> 3 → golden-ratio spread → per-bit vote
@@ -1792,6 +1889,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         **_pii_oracles(),
         **_hash_oracles(),
+        **_sketch_oracles(),
         "events_in_order_window": """
             SELECT p.event_type,
                    count(*) AS n_events,

@@ -9,9 +9,87 @@ Standard error ≈ 1.04 / sqrt(2^p) (≈1.6% at p=12).
 
 from __future__ import annotations
 
-import zlib
+import math
 
 import numpy as np
+
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount for uint64 (numpy<2 has no bitwise_count)."""
+    return (
+        _POP8[x.view(np.uint8)].reshape(len(x), 8).sum(axis=1).astype(np.uint64)
+    )
+
+
+def hll_rho(h: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """(bucket, rho) per 64-bit hash: bucket = top ``p`` bits, rho = 1 +
+    leading zeros of the remaining 64-p bits (capped at 64-p+1).
+    clz via bit-smear + popcount — exact integer ops, no float log2
+    (whose rounding near powers of two would mis-rank)."""
+    h = h.astype(np.uint64, copy=False)
+    bucket = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = h << np.uint64(p)  # uint64 wraparound: low bits, left-aligned
+    x = rest.copy()
+    for s in (1, 2, 4, 8, 16, 32):
+        x |= x >> np.uint64(s)
+    bits = popcount64(x)  # = 64 - clz(rest); 0 when rest == 0
+    rho = np.where(
+        rest == 0, np.uint64(64 - p + 1), np.uint64(65) - bits
+    ).astype(np.uint64)
+    return bucket, rho
+
+
+def hll_registers(h: np.ndarray, p: int) -> np.ndarray:
+    """Hashes → dense uint8[2**p] register array (max rho per bucket,
+    sort-based segmented max: ufunc.at is ~20× slower, CLAUDE.md)."""
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    if len(h) == 0:
+        return regs
+    bucket, rho = hll_rho(h, p)
+    comb = (bucket.astype(np.uint64) << np.uint64(8)) | rho
+    comb.sort()
+    b = (comb >> np.uint64(8)).astype(np.int64)
+    ends = np.flatnonzero(np.diff(b) != 0)
+    last = np.concatenate([ends, [len(b) - 1]])
+    regs[b[last]] = (comb[last] & np.uint64(0xFF)).astype(np.uint8)
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """HLL estimate from a uint8 register array. Integer accumulation in
+    units of 2**-64 (exact and order-independent — a float sum over the
+    registers would be summation-order-dependent and unreplayable in
+    SQL), then ONE double division; linear counting below 2.5m via libm
+    log (math.log, which DuckDB's ln() also resolves to). 64-bit-hash
+    variant: no large-range correction needed (Heule et al. 2013)."""
+    m = len(regs)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    s = 0
+    for r in regs.tolist():
+        s += 1 << (64 - r)
+    est = alpha * m * m * 18446744073709551616.0 / float(s)
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros > 0:
+        est = m * math.log(m / zeros)
+    return est
+
+
+def string_hashes64(values) -> np.ndarray:
+    """Well-mixed 64-bit hashes of a string sequence / Arrow array,
+    vectorized (whole-string rolling hash → splitmix64 finalizer; the
+    raw polynomial hash has structured low bits, which HLL's rho reads)."""
+    import pyarrow as pa
+
+    from record_matcher_ray.core.hashkernels import column_hash64, mix64
+
+    arr = values if isinstance(values, (pa.Array, pa.ChunkedArray)) else (
+        pa.array([v if isinstance(v, str) else str(v) for v in values],
+                 pa.string())
+    )
+    return mix64(column_hash64(arr))
 
 
 class HyperLogLog:
@@ -21,30 +99,15 @@ class HyperLogLog:
         self.registers = np.zeros(self.m, dtype=np.uint8)
 
     def add_hashes(self, hashes: np.ndarray) -> None:
-        """Add pre-hashed 64-bit values (vectorized)."""
-        h = hashes.astype(np.uint64)
-        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
-        rest = (h << np.uint64(self.p)) | np.uint64((1 << self.p) - 1)
-        # rank = leading zeros of the remaining bits + 1
-        ranks = np.zeros(len(h), dtype=np.uint8)
-        probe = np.uint64(1) << np.uint64(63)
-        live = np.ones(len(h), dtype=bool)
-        for r in range(1, 64 - self.p + 2):
-            hit = live & ((rest & probe) != 0)
-            ranks[hit] = r
-            live &= ~hit
-            if not live.any():
-                break
-            probe >>= np.uint64(1)
-        np.maximum.at(self.registers, idx, ranks)
+        """Add pre-hashed (well-mixed) 64-bit values, vectorized."""
+        np.maximum(
+            self.registers,
+            hll_registers(np.asarray(hashes), self.p),
+            out=self.registers,
+        )
 
     def add_strings(self, values) -> None:
-        hs = np.fromiter(
-            (zlib.crc32(str(v).encode()) * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF
-             for v in values),
-            dtype=np.uint64, count=len(values),
-        )
-        self.add_hashes(hs)
+        self.add_hashes(string_hashes64(values))
 
     def merge(self, other: "HyperLogLog") -> "HyperLogLog":
         assert self.p == other.p
@@ -53,13 +116,7 @@ class HyperLogLog:
         return out
 
     def cardinality(self) -> float:
-        m = float(self.m)
-        alpha = 0.7213 / (1 + 1.079 / m)
-        est = alpha * m * m / np.sum(2.0 ** -self.registers.astype(np.float64))
-        zeros = int((self.registers == 0).sum())
-        if est <= 2.5 * m and zeros:
-            return m * np.log(m / zeros)  # small-range correction
-        return float(est)
+        return hll_estimate(self.registers)
 
     def to_bytes(self) -> bytes:
         return self.registers.tobytes()

@@ -1,0 +1,127 @@
+"""Dataset-level sketch aggregates — the fixed-size-partial shape a
+100-TB pipeline needs where exact aggregation would shuffle raw values.
+
+HyperLogLog (Flajolet et al. 2007; 64-bit variant per Heule et al.
+"HyperLogLog in practice", EDBT 2013): each block contributes a
+2**p-byte register array computed vectorized from splitmix64 hashes;
+partials merge by elementwise max, so the exchange volume is
+O(blocks · groups · 2**p) bytes — independent of row count. The
+reference engine has no sketch surface (records.py:49 computes exact
+uniqueness in memory); this module is part of the engine's
+beyond-reference scale family. Kernels live in functions/sketches.py
+(shared with the per-object HyperLogLog class and approx_uniqueness).
+
+Every numeric step (hash chain, rho, integer register sum, estimator
+association order, libm log for linear counting) is replayable
+bit-for-bit by the DuckDB oracle in ``__ray_entry__._sketch_oracles``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from record_matcher_ray.functions.sketches import (
+    hll_estimate,
+    hll_registers,
+    hll_rho,
+)
+
+
+def _registers_of(bucket: np.ndarray, rho: np.ndarray, p: int) -> np.ndarray:
+    """(bucket, rho) already computed → dense register array (sort-based
+    segmented max; see functions/sketches.hll_registers)."""
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    if len(bucket) == 0:
+        return regs
+    comb = (bucket.astype(np.uint64) << np.uint64(8)) | rho
+    comb.sort()
+    b = (comb >> np.uint64(8)).astype(np.int64)
+    ends = np.flatnonzero(np.diff(b) != 0)
+    last = np.concatenate([ends, [len(b) - 1]])
+    regs[b[last]] = (comb[last] & np.uint64(0xFF)).astype(np.uint8)
+    return regs
+
+
+def hll_partials(
+    ds: ray.data.Dataset,
+    col: str,
+    group_col: str | None = None,
+    p: int = 12,
+) -> ray.data.Dataset:
+    """Per-block HLL partials: one row per (group, block) with a
+    ``2**p``-byte register list. Hash = ``column_hash64`` (splitmix64
+    for int columns — SQL-replayable; whole-string rolling hash +
+    splitmix64 finalizer for strings, whose raw poly hash has
+    structured low bits that rho would read)."""
+    from record_matcher_ray.core.hashkernels import column_hash64, mix64
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "grp": pa.array([], pa.string()),
+                    "regs": pa.array([], pa.list_(pa.uint8())),
+                }
+            )
+        col_arr = t[col]
+        h = column_hash64(col_arr)
+        if pa.types.is_string(col_arr.type):
+            h = mix64(h)
+        if group_col is None:
+            regs = hll_registers(h, p)
+            return pa.table(
+                {
+                    "grp": pa.array(["ALL"]),
+                    "regs": pa.array([regs], pa.list_(pa.uint8())),
+                }
+            )
+        bucket, rho = hll_rho(h, p)
+        codes, uniques = pd.factorize(
+            t[group_col].to_pandas().astype(str), sort=False
+        )
+        out_g, out_r = [], []
+        for gi, gval in enumerate(uniques):
+            sel = codes == gi
+            out_g.append(str(gval))
+            out_r.append(_registers_of(bucket[sel], rho[sel], p))
+        return pa.table(
+            {
+                "grp": pa.array(out_g),
+                "regs": pa.array(out_r, pa.list_(pa.uint8())),
+            }
+        )
+
+    return ds.map_batches(partial, batch_format="pyarrow")
+
+
+def approx_distinct(
+    ds: ray.data.Dataset,
+    col: str,
+    group_col: str | None = None,
+    p: int = 12,
+) -> pd.DataFrame:
+    """Approximate distinct count of ``col`` (optionally per
+    ``group_col``) via HyperLogLog: fixed-size mergeable partials per
+    block, merged with a tiny groupby over the partial stream — raw
+    values never shuffle. → DataFrame(grp, approx_n) sorted by grp,
+    estimate rounded to 6 decimals (double-determinism margin for the
+    SQL oracle)."""
+    parts = hll_partials(ds, col, group_col=group_col, p=p)
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        stack = np.stack([np.asarray(r, dtype=np.uint8) for r in df["regs"]])
+        regs = stack.max(axis=0)
+        return pd.DataFrame(
+            {
+                "grp": [df["grp"].iloc[0]],
+                "approx_n": [round(hll_estimate(regs), 6)],
+            }
+        )
+
+    out = parts.groupby("grp").map_groups(merge, batch_format="pandas")
+    return out.to_pandas().sort_values("grp").reset_index(drop=True)

@@ -108,13 +108,14 @@ def approx_uniqueness(
     present = [c for c in columns if c in ds.schema().names]
 
     def sketch_batch(batch: pa.Table) -> pa.Table:
+        from record_matcher_ray.functions.sketches import string_hashes64
+
         out_c, out_b = [], []
         for c in present:
             s = pc.cast(batch[c], pa.string())
             mask = pc.and_kleene(pc.is_valid(s), pc.not_equal(s, ""))
-            vals = s.filter(mask).to_pylist()
             h = HyperLogLog(p)
-            h.add_strings(vals)
+            h.add_hashes(string_hashes64(s.filter(mask)))
             out_c.append(c)
             out_b.append(h.to_bytes())
         return pa.table(

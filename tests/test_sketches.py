@@ -31,6 +31,34 @@ def test_hll_small_range():
     assert abs(h.cardinality() - 3) < 0.5
 
 
+def test_approx_distinct_dataset_grouped(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.sketches import approx_distinct
+
+    rng = np.random.RandomState(1)
+    n = 60_000
+    df = pd.DataFrame(
+        {
+            "v": rng.randint(0, 8_000, size=n).astype(np.int64),
+            "g": rng.choice(["a", "b", "c"], size=n),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(8)  # force multi-block merge
+    out = approx_distinct(ds, "v", group_col="g", p=12)
+    assert list(out["grp"]) == ["a", "b", "c"]
+    for g in ["a", "b", "c"]:
+        exact = df.loc[df["g"] == g, "v"].nunique()
+        est = float(out.loc[out["grp"] == g, "approx_n"].iloc[0])
+        assert abs(est - exact) / exact < 0.06, (g, est, exact)
+    # global path + string column path
+    glob = approx_distinct(ds, "v", p=12)
+    assert abs(float(glob["approx_n"].iloc[0]) - df["v"].nunique()) < 0.06 * n
+    sds = rd.from_pandas(pd.DataFrame({"s": [f"u{i}" for i in range(20_000)]}))
+    sout = approx_distinct(sds.repartition(4), "s", p=12)
+    assert abs(float(sout["approx_n"].iloc[0]) - 20_000) / 20_000 < 0.06
+
+
 def test_approx_uniqueness_close_to_exact(ray_session):
     import ray.data as rd
 
