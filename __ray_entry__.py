@@ -705,6 +705,27 @@ def _q_pack_docs(sf_dir: str):
     ).drop_columns(["doc_ids"])
 
 
+def _q_shuffle_docs(sf_dir: str):
+    """First 100 documents in seeded global shuffle order with their
+    positions — proves the deterministic epoch-shuffle ORDER end to end
+    (the driver compare is order-insensitive, so the position column
+    carries the order into the hash check)."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.sampling import deterministic_shuffle
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+    head = (
+        deterministic_shuffle(ds, "doc_id", seed=7)
+        .limit(100)
+        .to_pandas()
+    )
+    head["pos"] = np.arange(len(head), dtype=np.int64)
+    return head[["pos", "doc_id"]]
+
+
 def _q_sample_docs(sf_dir: str):
     """Deterministic 10% uniform sample by splitmix64(doc_id ^ seed) —
     the oracle reproduces the hash bit-exactly in SQL (32-bit-split
@@ -949,6 +970,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # decontamination + deterministic sampling / mixing
         "decontam_docs": _q_decontam,
         "sample_docs": _q_sample_docs,
+        "shuffle_docs": _q_shuffle_docs,
         "stratified_docs": _q_stratified_docs,
         "mix_docs": _q_mix_docs,
         "pack_docs": _q_pack_docs,
@@ -1020,6 +1042,13 @@ def _sampling_oracles() -> dict[str, str]:
                            WHEN 'src1' THEN {thr(0.5)}
                            WHEN 'src2' THEN {thr(0.25)}
                            ELSE {thr(0.1)} END AS UBIGINT)
+        """,
+        "shuffle_docs": f"""
+            WITH t0 AS (SELECT doc_id FROM documents),{cte7}
+            SELECT (row_number() OVER (ORDER BY e, doc_id) - 1)::BIGINT
+                     AS pos,
+                   doc_id
+            FROM s5 ORDER BY e, doc_id LIMIT 100
         """,
     }
 

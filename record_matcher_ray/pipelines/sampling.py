@@ -136,6 +136,33 @@ def stratified_cap(
     )
 
 
+def deterministic_shuffle(
+    ds: ray.data.Dataset,
+    id_col: str,
+    seed: int = 0,
+    drop_hash: bool = True,
+) -> ray.data.Dataset:
+    """Seeded global shuffle: order rows by ``splitmix64(id ^ seed)``
+    (ties by id). The training-data shuffle primitive: unlike
+    ``ds.random_shuffle()`` the order is a pure function of (id, seed),
+    so any resumed / re-sharded / re-run job — on any cluster size or
+    partitioning — materializes the SAME epoch order, and different
+    seeds give independent epoch orders. Cost is one sort exchange
+    (inherent to a global shuffle); the hash column riding it is 8 B/row.
+    ``drop_hash=False`` keeps the ``__shuffle__`` key column."""
+
+    def add(t: pa.Table) -> pa.Table:
+        h = sample_hash(
+            np.ascontiguousarray(t[id_col].to_numpy(), dtype=np.int64), seed
+        )
+        return t.append_column("__shuffle__", pa.array(h))
+
+    out = ds.map_batches(add, batch_format="pyarrow").sort(
+        ["__shuffle__", id_col]
+    )
+    return out.drop_columns(["__shuffle__"]) if drop_hash else out
+
+
 def sql_sample_hash_cte(
     id_expr: str, seed: int = 0, table: str = "t0"
 ) -> tuple[str, str]:

@@ -132,3 +132,34 @@ class TestWeightedMix:
         ds = ray.data.from_arrow(_table(10))
         with pytest.raises(ValueError):
             weighted_mix(ds, "src", {"s0": -0.1}, "id")
+
+
+class TestDeterministicShuffle:
+    def test_order_is_partition_invariant_and_seeded(self, ray_session):
+        import ray.data
+
+        from record_matcher_ray.pipelines.sampling import (
+            deterministic_shuffle,
+            sample_hash,
+        )
+
+        t = _table(3_000)
+        a = deterministic_shuffle(
+            ray.data.from_arrow(t), "id", seed=5
+        ).to_pandas()
+        b = deterministic_shuffle(
+            ray.data.from_arrow(t).repartition(13), "id", seed=5
+        ).to_pandas()
+        assert list(a["id"]) == list(b["id"])  # partitioning-invariant
+
+        # order == argsort of the sampling hash (ties by id)
+        df = t.to_pandas()
+        h = sample_hash(df["id"].to_numpy(), 5)
+        expect = df["id"].to_numpy()[np.lexsort((df["id"].to_numpy(), h))]
+        assert list(a["id"]) == list(expect)
+
+        c = deterministic_shuffle(
+            ray.data.from_arrow(t), "id", seed=6
+        ).to_pandas()
+        assert list(a["id"]) != list(c["id"])  # seed changes the epoch
+        assert set(a["id"]) == set(c["id"])  # but it is a permutation
