@@ -549,6 +549,21 @@ def _q_retention(sf_dir: str):
     return retention_cohorts(ev)
 
 
+def _q_kmeans(sf_dir: str):
+    """Distributed fixed-point k-means assignments over the embeddings
+    table (k=8, 5 Lloyd iterations, deterministic hash init) — exact
+    integer arithmetic end to end, bit-replayed by the DuckDB oracle."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.similarity import kmeans
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    _, assign = kmeans(ds, k=8, iters=5, seed=0)
+    return assign.to_pandas().sort_values("vec_id").reset_index(drop=True)
+
+
 def _q_approx_distinct(sf_dir: str):
     """HyperLogLog approximate distinct o_custkey per o_orderstatus plus
     a global 'ALL' row (p=12) — fixed-size mergeable partials, raw
@@ -977,6 +992,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk": _q_ann_topk,
         "embedding_near_dups": _q_embedding_near_dups,
+        "kmeans_embeddings": _q_kmeans,
         # text analysis
         "token_count_docs": token_counts,
         "quality_docs": quality,
@@ -1104,6 +1120,66 @@ def _sql_splitmix64(x: str) -> str:
     return f"xor(({h2})::UBIGINT, ({h2})::UBIGINT >> 31)"
 
 
+def _kmeans_oracle(
+    k: int = 8, iters: int = 5, d: int = 64,
+    scale_bits: int = 20, seed: int = 0,
+) -> str:
+    """Exact replay of pipelines/similarity.kmeans: because the engine
+    runs Lloyd's entirely in fixed-point integer arithmetic (quantize →
+    integer distances → integer centroid floor-div), every iteration is
+    bit-replayable as a chained CTE — no float summation order anywhere.
+    DuckDB's `//` truncates toward zero, so the floor-div CASE emulates
+    Python's floor semantics for negative sums."""
+    from record_matcher_ray.pipelines.sampling import sql_sample_hash_cte
+
+    C = f"{float(1 << scale_bits)!r}"
+    cte, hcol = sql_sample_hash_cte("vec_id", seed=seed)
+    dist = ("list_sum(list_transform(list_zip(p.qv, c.qv), "
+            "z -> (z[1]-z[2])*(z[1]-z[2])))")
+    sql = [f"""
+        WITH q AS (
+          SELECT vec_id,
+                 list_transform(embedding,
+                   x -> CAST(floor(x::DOUBLE * {C} + 0.5) AS BIGINT)) AS qv
+          FROM embeddings
+        ), t0 AS (SELECT vec_id, qv FROM q),{cte},
+        c0 AS (
+          SELECT (row_number() OVER (ORDER BY {hcol}, vec_id) - 1)::BIGINT
+                   AS cid, qv
+          FROM s5 ORDER BY {hcol}, vec_id LIMIT {k}
+        )"""]
+    for i in range(iters):
+        sql.append(f""", a{i} AS (
+          SELECT vec_id, qv, cid FROM (
+            SELECT p.vec_id, p.qv, c.cid,
+                   row_number() OVER (PARTITION BY p.vec_id
+                                      ORDER BY {dist}, c.cid) AS rn
+            FROM q p CROSS JOIN c{i} c) WHERE rn = 1
+        ), u{i} AS (
+          SELECT cid, r.j AS j, sum(qv[r.j]) AS s, count(*) AS cnt
+          FROM a{i} CROSS JOIN range(1, {d + 1}) r(j)
+          GROUP BY cid, r.j
+        ), c{i + 1} AS (
+          SELECT prev.cid, coalesce(upd.qv, prev.qv) AS qv
+          FROM c{i} prev LEFT JOIN (
+            SELECT cid, list(fd ORDER BY j) AS qv FROM (
+              SELECT cid, j,
+                     CAST(CASE WHEN s >= 0 THEN s // cnt
+                          ELSE -(((-s) + cnt - 1) // cnt) END
+                          AS BIGINT) AS fd
+              FROM u{i}) GROUP BY cid) upd
+          ON prev.cid = upd.cid
+        )""")
+    sql.append(f"""
+        SELECT vec_id, cid AS cluster FROM (
+          SELECT p.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY p.vec_id
+                                    ORDER BY {dist}, c.cid) AS rn
+          FROM q p CROSS JOIN c{iters} c) WHERE rn = 1
+        ORDER BY vec_id""")
+    return "".join(sql)
+
+
 def _sketch_oracles() -> dict[str, str]:
     """SQL replay of the HyperLogLog pipeline (sketches.py): splitmix64
     hash → (bucket, rho) → per-group register max → exact HUGEINT
@@ -1157,7 +1233,10 @@ def _sketch_oracles() -> dict[str, str]:
                           ELSE {raw} END, 6) AS approx_n
         FROM est ORDER BY grp
     """
-    return {"approx_distinct_orders": hll}
+    return {
+        "approx_distinct_orders": hll,
+        "kmeans_embeddings": _kmeans_oracle(),
+    }
 
 
 def _hash_oracles() -> dict[str, str]:

@@ -305,3 +305,176 @@ def embedding_near_dups(
         .groupby("__pb__")
         .map_groups(local_distinct, batch_format="pandas")
     )
+
+
+# ---- distributed fixed-point k-means -----------------------------------
+
+_KM_GUARD_BITS = 27  # |q| < 2**27 keeps d*(2|q|)**2 < 2**63 at d ≤ 64
+
+
+@ray.remote(num_cpus=0)
+def _km_init_partial(t: pa.Table, id_col: str, k: int, seed: int):
+    """Per-block candidate centroids: the k rows with the smallest
+    (sample_hash(id), id) — only k rows/block reach the driver."""
+    from record_matcher_ray.pipelines.sampling import sample_hash
+
+    if len(t) == 0:
+        return (np.empty(0, np.uint64), np.empty(0, np.int64),
+                np.empty((0, 0), np.int64))
+    ids = np.ascontiguousarray(t[id_col].to_numpy(), dtype=np.int64)
+    h = sample_hash(ids, seed)
+    order = np.lexsort((ids, h))[:k]
+    q = _qv_matrix(t)
+    return h[order], ids[order], q[order]
+
+
+def _qv_matrix(t: pa.Table) -> np.ndarray:
+    """(n, d) int64 matrix from the quantized list<int64> column,
+    zero-copy per chunk (no combine_chunks — CLAUDE.md)."""
+    col = t["qv"]
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    mats = []
+    for ch in chunks:
+        if len(ch) == 0:
+            continue
+        flat = ch.flatten().to_numpy(zero_copy_only=False)
+        mats.append(flat.reshape(len(ch), -1))
+    if not mats:
+        return np.empty((0, 0), np.int64)
+    return mats[0] if len(mats) == 1 else np.concatenate(mats)
+
+
+def _km_assign(q: np.ndarray, cents: np.ndarray) -> np.ndarray:
+    """argmin integer squared L2 (ties → lowest centroid index). Exact
+    int64 arithmetic throughout — no float rounding anywhere, so the
+    result is independent of partitioning and replayable in SQL."""
+    qq = (q * q).sum(axis=1)[:, None]
+    cc = (cents * cents).sum(axis=1)[None, :]
+    d2 = qq + cc - 2 * (q @ cents.T)
+    return d2.argmin(axis=1)
+
+
+@ray.remote(num_cpus=1)
+def _km_iter_partial(t: pa.Table, cents_ref, k: int):
+    """One Lloyd partial: (k×d int64 cluster sums, k counts) of a block
+    against the broadcast centroids."""
+    cents = ray.get(cents_ref) if isinstance(cents_ref, ray.ObjectRef) else cents_ref
+    q = _qv_matrix(t)
+    d = cents.shape[1]
+    sums = np.zeros((k, d), dtype=np.int64)
+    counts = np.zeros(k, dtype=np.int64)
+    if len(q) == 0:
+        return sums, counts
+    assign = _km_assign(q, cents)
+    for c in range(k):
+        sel = assign == c
+        n = int(sel.sum())
+        if n:
+            sums[c] = q[sel].sum(axis=0)
+            counts[c] = n
+    return sums, counts
+
+
+@ray.remote(num_cpus=1)
+def _km_assign_block(t: pa.Table, cents_ref, id_col: str) -> pa.Table:
+    cents = ray.get(cents_ref) if isinstance(cents_ref, ray.ObjectRef) else cents_ref
+    q = _qv_matrix(t)
+    if len(q) == 0:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "cluster": pa.array([], pa.int64())})
+    assign = _km_assign(q, cents)
+    return pa.table({
+        id_col: pa.array(
+            np.ascontiguousarray(t[id_col].to_numpy(), np.int64)),
+        "cluster": pa.array(assign.astype(np.int64)),
+    })
+
+
+def kmeans(
+    ds: ray.data.Dataset,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 5,
+    scale_bits: int = 20,
+    seed: int = 0,
+) -> tuple[np.ndarray, ray.data.Dataset]:
+    """Distributed Lloyd's k-means over an embedding column in EXACT
+    fixed-point integer arithmetic → (int64 centroids [k, d],
+    assignments Dataset (id, cluster)).
+
+    Why integer: float partial sums merge in block order, so the same
+    data partitioned differently would drift by ulps and assignments
+    could flip — this k-means quantizes each vector ONCE
+    (floor(x * 2**scale_bits + 0.5)) and does every distance, sum and
+    centroid update in exact integer math (centroid = floor-div of the
+    cluster sum), making the result a pure function of (data, k, iters,
+    seed): partitioning-invariant, resumable, and bit-replayable by the
+    DuckDB oracle (__ray_entry__._kmeans_oracle).
+
+    Scale shape: the quantized table is materialized once; each of the
+    ``iters`` rounds is one wave of per-block tasks shipping k×d×8 B
+    partials to the driver (merged with Python-int exactness); centroids
+    broadcast via ``ray.put``. No shuffle at any point; the assignment
+    output is written block-parallel. Init = the k rows with smallest
+    (splitmix64(id ^ seed), id) — deterministic under any partitioning.
+    Empty clusters keep their previous centroid (same rule in SQL)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    C = float(1 << scale_bits)
+
+    def quantize(t: pa.Table) -> pa.Table:
+        x = _batch_vecs(t, vec_col)
+        q = np.floor(x * C + 0.5).astype(np.int64)
+        if len(q) and int(np.abs(q).max()) >= (1 << _KM_GUARD_BITS):
+            raise ValueError(
+                "kmeans fixed-point overflow guard: |quantized| >= "
+                f"2**{_KM_GUARD_BITS}; lower scale_bits (={scale_bits}) "
+                "or normalize the vectors"
+            )
+        ids = np.ascontiguousarray(t[id_col].to_numpy(), dtype=np.int64)
+        d = q.shape[1] if q.size else 0
+        return pa.table({
+            id_col: pa.array(ids),
+            "qv": pa.FixedSizeListArray.from_arrays(
+                pa.array(q.ravel()), d) if d else pa.array(
+                [[] for _ in range(len(ids))], pa.list_(pa.int64())),
+        })
+
+    qds = ds.map_batches(quantize, batch_format="pyarrow").materialize()
+    refs = qds.to_arrow_refs()
+
+    # deterministic init: global k smallest (hash, id)
+    parts = ray.get([_km_init_partial.remote(r, id_col, k, seed)
+                     for r in refs])
+    hs = np.concatenate([p[0] for p in parts] or [np.empty(0, np.uint64)])
+    ids = np.concatenate([p[1] for p in parts] or [np.empty(0, np.int64)])
+    qs = [p[2] for p in parts if p[2].size]
+    if not qs:
+        raise ValueError("kmeans: empty input dataset")
+    qmat = np.concatenate(qs)
+    order = np.lexsort((ids, hs))[:k]
+    cents = qmat[order].copy()
+    k_eff = len(cents)
+
+    for _ in range(iters):
+        cref = ray.put(cents)
+        partials = ray.get(
+            [_km_iter_partial.remote(r, cref, k_eff) for r in refs]
+        )
+        # Python-int merge: exact at any block count (int64 partials can
+        # overflow only past ~2**63 rows/cluster of accumulated mass)
+        new = cents.copy()
+        for c in range(k_eff):
+            cnt = sum(int(p[1][c]) for p in partials)
+            if cnt == 0:
+                continue  # empty cluster keeps its previous centroid
+            for j in range(cents.shape[1]):
+                s = sum(int(p[0][c, j]) for p in partials)
+                new[c, j] = s // cnt  # Python floor division
+        cents = new
+
+    cref = ray.put(cents)
+    out_refs = [_km_assign_block.remote(r, cref, id_col) for r in refs]
+    assignments = ray.data.from_arrow_refs(out_refs)
+    return cents, assignments

@@ -1,0 +1,79 @@
+"""Distributed fixed-point k-means (pipelines/similarity.kmeans)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _blob_ds(rd, n_per=200, d=8, seed=3):
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(4, d) * 5
+    rows = []
+    vid = 0
+    truth = []
+    for ci, c in enumerate(centers):
+        for _ in range(n_per):
+            rows.append(c + rng.randn(d) * 0.3)
+            truth.append(ci)
+            vid += 1
+    df = pd.DataFrame(
+        {
+            "vec_id": np.arange(len(rows), dtype=np.int64),
+            "embedding": [r.astype(np.float32) for r in rows],
+            "truth": np.array(truth),
+        }
+    )
+    return rd.from_pandas(df), df
+
+
+def test_kmeans_partition_invariant_and_separates_blobs(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.similarity import kmeans
+
+    ds, df = _blob_ds(rd)
+    cents_a, assign_a = kmeans(ds, k=4, iters=8, seed=0)
+    a = assign_a.to_pandas().sort_values("vec_id").reset_index(drop=True)
+
+    cents_b, assign_b = kmeans(
+        rd.from_pandas(df).repartition(11), k=4, iters=8, seed=0
+    )
+    b = assign_b.to_pandas().sort_values("vec_id").reset_index(drop=True)
+
+    # exact integer math → identical centroids AND assignments under any
+    # partitioning (the whole point of the fixed-point design)
+    assert np.array_equal(cents_a, cents_b)
+    assert list(a["cluster"]) == list(b["cluster"])
+
+    # well-separated blobs: each found cluster maps to one true blob
+    merged = a.merge(df[["vec_id", "truth"]], on="vec_id")
+    purity = (
+        merged.groupby("cluster")["truth"]
+        .agg(lambda s: s.value_counts().iloc[0] / len(s))
+        .min()
+    )
+    assert purity > 0.99
+
+
+def test_kmeans_seed_changes_init_and_guard(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.similarity import kmeans
+
+    ds, df = _blob_ds(rd, n_per=50)
+    c0, _ = kmeans(ds, k=4, iters=0, seed=0)
+    c1, _ = kmeans(rd.from_pandas(df), k=4, iters=0, seed=9)
+    assert not np.array_equal(c0, c1)  # init rows differ by seed
+
+    big = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "vec_id": np.arange(4, dtype=np.int64),
+                "embedding": [
+                    np.full(4, 1e6, dtype=np.float32) for _ in range(4)
+                ],
+            }
+        )
+    )
+    with pytest.raises(Exception, match="overflow guard"):
+        kmeans(big, k=2, iters=1)  # materialize inside raises eagerly
