@@ -564,6 +564,29 @@ def _q_kmeans(sf_dir: str):
     return assign.to_pandas().sort_values("vec_id").reset_index(drop=True)
 
 
+def _q_countmin(sf_dir: str):
+    """Count-min frequency estimates of custkeys 1-20 over orders
+    (width=512 < distinct keys, so real over-count collisions are in
+    play) — counters built by exact-integer partial addition, replayed
+    cell-for-cell by the SQL oracle."""
+    import pandas as pd
+    import ray.data
+
+    from record_matcher_ray.pipelines.sketches import cm_estimate, count_min
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    )
+    counters = count_min(ds, "o_custkey", width=512, depth=4, seed=0)
+    keys = np.arange(1, 21, dtype=np.int64)
+    return pd.DataFrame(
+        {
+            "custkey": keys,
+            "est_count": cm_estimate(counters, keys, seed=0).astype(np.int64),
+        }
+    )
+
+
 def _q_approx_distinct(sf_dir: str):
     """HyperLogLog approximate distinct o_custkey per o_orderstatus plus
     a global 'ALL' row (p=12) — fixed-size mergeable partials, raw
@@ -1003,6 +1026,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_docs": _q_pii,
         "quantiles_orders": _q_quantiles,
         "approx_distinct_orders": _q_approx_distinct,
+        "countmin_orders": _q_countmin,
         "events_in_order_window": _q_events_in_window,
         "redact_docs": _q_redact,
         "chunk_docs": _q_chunks,
@@ -1233,9 +1257,46 @@ def _sketch_oracles() -> dict[str, str]:
                           ELSE {raw} END, 6) AS approx_n
         FROM est ORDER BY grp
     """
+    # count-min replay (sketches.count_min / cm_estimate): positions are
+    # splitmix64(x ^ splitmix64(seed+i)) % width per depth row i; the
+    # counter table is a plain GROUP BY, the probe a LEFT JOIN + min
+    # (absent cells = 0 on both sides).
+    import numpy as _np
+
+    from record_matcher_ray.core.hashkernels import mix64 as _mix64
+
+    depth, width, cm_seed = 4, 512, 0
+
+    def _cm_pos(x: str, i: int) -> str:
+        sc = int(_mix64(_np.array([cm_seed + i], _np.uint64))[0])
+        seeded = f"xor(({x})::UBIGINT, {sc}::UBIGINT)::HUGEINT"
+        return f"(({_sql_splitmix64(seeded)}) % {width})"
+
+    data_rows = "\n            UNION ALL ".join(
+        f"SELECT {i} AS i, {_cm_pos('o_custkey', i)} AS p FROM orders"
+        for i in range(depth)
+    )
+    probe_rows = "\n            UNION ALL ".join(
+        f"SELECT custkey, {i} AS i, {_cm_pos('custkey', i)} AS p FROM keys"
+        for i in range(depth)
+    )
+    cm = f"""
+        WITH keys AS (SELECT r.k::BIGINT AS custkey FROM range(1, 21) r(k)),
+        pos AS (
+          SELECT i, p, count(*) AS cnt FROM (
+            {data_rows}
+          ) GROUP BY i, p
+        ), probe AS (
+            {probe_rows}
+        )
+        SELECT k.custkey, min(coalesce(c.cnt, 0))::BIGINT AS est_count
+        FROM probe k LEFT JOIN pos c ON k.i = c.i AND k.p = c.p
+        GROUP BY k.custkey ORDER BY k.custkey
+    """
     return {
         "approx_distinct_orders": hll,
         "kmeans_embeddings": _kmeans_oracle(),
+        "countmin_orders": cm,
     }
 
 

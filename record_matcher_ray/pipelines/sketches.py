@@ -125,3 +125,64 @@ def approx_distinct(
 
     out = parts.groupby("grp").map_groups(merge, batch_format="pandas")
     return out.to_pandas().sort_values("grp").reset_index(drop=True)
+
+
+# ---- count-min sketch ---------------------------------------------------
+
+
+def cm_hash_rows(ids: np.ndarray, depth: int, width: int, seed: int) -> np.ndarray:
+    """(depth, n) counter positions: row i uses sample_hash(id, seed+i)
+    % width — the same splitmix64 chain the sampling family replays in
+    SQL, so the whole sketch is oracle-checkable."""
+    from record_matcher_ray.pipelines.sampling import sample_hash
+
+    return np.stack(
+        [
+            (sample_hash(ids, seed + i) % np.uint64(width)).astype(np.int64)
+            for i in range(depth)
+        ]
+    )
+
+
+def count_min(
+    ds: ray.data.Dataset,
+    col: str,
+    width: int = 1024,
+    depth: int = 4,
+    seed: int = 0,
+) -> np.ndarray:
+    """Count-min sketch of an int64 column → (depth, width) int64
+    counters. Partials are per-block counters merged by elementwise
+    ADDITION — exact integer sums, so the sketch is merge-order- and
+    partitioning-invariant (unlike Misra-Gries/SpaceSaving, whose merge
+    is order-dependent — why this is the frequency sketch chosen for the
+    oracle-checked surface). Counter volume O(blocks · depth · width · 8 B)
+    rides the tiny partial stream; raw values never shuffle.
+    Estimate(key) = min over rows of counter[row][h_row(key)] —
+    always >= true count (Cormode & Muthukrishnan 2005)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = np.zeros((depth, width), dtype=np.int64)
+        if len(t):
+            ids = np.ascontiguousarray(t[col].to_numpy(), dtype=np.int64)
+            pos = cm_hash_rows(ids, depth, width, seed)
+            for i in range(depth):
+                c[i] = np.bincount(pos[i], minlength=width)
+        return pa.table({"counters": pa.array([c.ravel()], pa.list_(pa.int64()))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+    total = np.zeros(depth * width, dtype=np.int64)
+    for b in parts.iter_batches(batch_size=256, batch_format="pyarrow"):
+        for row in b["counters"]:
+            total += np.asarray(row.as_py(), dtype=np.int64)
+    return total.reshape(depth, width)
+
+
+def cm_estimate(
+    counters: np.ndarray, keys: np.ndarray, seed: int = 0
+) -> np.ndarray:
+    """Point-query the sketch: min over rows of the key's counter."""
+    depth, width = counters.shape
+    pos = cm_hash_rows(keys.astype(np.int64), depth, width, seed)
+    ests = np.stack([counters[i, pos[i]] for i in range(depth)])
+    return ests.min(axis=0)

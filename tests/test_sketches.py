@@ -101,3 +101,27 @@ def test_sliding_window_covers_each_event_twice(ray_session):
     sliding = events_sliding_window(sf)  # W=3600, S=1800 → 2 windows/event
     tumbling = events_tumbling_window(sf)
     assert sliding["n_events"].sum() == 2 * tumbling["n_events"].sum()
+
+
+def test_count_min_overcounts_bounded_and_invariant(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.sketches import cm_estimate, count_min
+
+    rng = np.random.RandomState(2)
+    vals = rng.zipf(1.5, size=30_000).astype(np.int64)  # skewed freqs
+    vals = vals[vals < 10_000]
+    df = pd.DataFrame({"v": vals})
+    c1 = count_min(rd.from_pandas(df), "v", width=512, depth=4, seed=0)
+    c2 = count_min(
+        rd.from_pandas(df).repartition(9), "v", width=512, depth=4, seed=0
+    )
+    assert np.array_equal(c1, c2)  # exact integer merge → invariant
+
+    keys, true = np.unique(vals, return_counts=True)
+    est = cm_estimate(c1, keys, seed=0)
+    assert (est >= true).all()  # CM never under-counts
+    # expected overshoot per row ~ n/width; with min over 4 rows the
+    # heavy keys should be close
+    heavy = true > 100
+    assert ((est[heavy] - true[heavy]) < len(vals) / 64).all()
