@@ -423,9 +423,21 @@ def kmeans(
         raise ValueError(f"k must be >= 1, got {k}")
     C = float(1 << scale_bits)
 
+    # resolve the dimension ONCE so every quantized block (including
+    # empty ones) emits the same fixed_size_list[d] schema — a mixed
+    # list/fixed_size_list stream would break the assignment union
+    probe = ds.limit(1).to_pandas()
+    if len(probe) == 0:
+        raise ValueError("kmeans: empty input dataset")
+    dim = len(np.asarray(probe[vec_col].iloc[0]))
+
     def quantize(t: pa.Table) -> pa.Table:
         x = _batch_vecs(t, vec_col)
         q = np.floor(x * C + 0.5).astype(np.int64)
+        if len(q) and q.shape[1] != dim:
+            raise ValueError(
+                f"kmeans: ragged embeddings ({q.shape[1]} != {dim})"
+            )
         if len(q) and int(np.abs(q).max()) >= (1 << _KM_GUARD_BITS):
             raise ValueError(
                 "kmeans fixed-point overflow guard: |quantized| >= "
@@ -433,12 +445,10 @@ def kmeans(
                 "or normalize the vectors"
             )
         ids = np.ascontiguousarray(t[id_col].to_numpy(), dtype=np.int64)
-        d = q.shape[1] if q.size else 0
         return pa.table({
             id_col: pa.array(ids),
             "qv": pa.FixedSizeListArray.from_arrays(
-                pa.array(q.ravel()), d) if d else pa.array(
-                [[] for _ in range(len(ids))], pa.list_(pa.int64())),
+                pa.array(q.ravel(), pa.int64()), dim),
         })
 
     qds = ds.map_batches(quantize, batch_format="pyarrow").materialize()
