@@ -564,6 +564,24 @@ def _q_kmeans(sf_dir: str):
     return assign.to_pandas().sort_values("vec_id").reset_index(drop=True)
 
 
+def _q_quantile_filter(sf_dir: str):
+    """Per-source [0.1, 0.9] length-quantile band filter over documents —
+    the quality-curation primitive (trim per-source outliers); exact
+    thresholds rounded to 6 decimals so the boundary decision is
+    deterministic on both sides."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.table_ops import filter_by_quantile
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "n_chars"],
+    )
+    return filter_by_quantile(
+        ds, "n_chars", q_lo=0.1, q_hi=0.9, group_cols=["source"]
+    )
+
+
 def _q_countmin(sf_dir: str):
     """Count-min frequency estimates of custkeys 1-20 over orders
     (width=512 < distinct keys, so real over-count collisions are in
@@ -1027,6 +1045,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantiles_orders": _q_quantiles,
         "approx_distinct_orders": _q_approx_distinct,
         "countmin_orders": _q_countmin,
+        "quantile_filter_docs": _q_quantile_filter,
         "events_in_order_window": _q_events_in_window,
         "redact_docs": _q_redact,
         "chunk_docs": _q_chunks,
@@ -2078,6 +2097,16 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(o_totalprice, 0.50), 6) AS q_50,
                    round(quantile_cont(o_totalprice, 0.75), 6) AS q_75
             FROM orders GROUP BY 1
+        """,
+        "quantile_filter_docs": """
+            SELECT doc_id, source, n_chars FROM (
+              SELECT doc_id, source, n_chars,
+                round(quantile_cont(n_chars, 0.1)
+                      OVER (PARTITION BY source), 6) AS lo,
+                round(quantile_cont(n_chars, 0.9)
+                      OVER (PARTITION BY source), 6) AS hi
+              FROM documents)
+            WHERE n_chars >= lo AND n_chars <= hi
         """,
         "chunk_docs": __import__(
             "record_matcher_ray.pipelines.chunking", fromlist=["x"]

@@ -135,6 +135,87 @@ def approx_uniqueness(
     return out
 
 
+def filter_by_quantile(
+    ds: ray.data.Dataset,
+    value_col: str,
+    q_lo: float = 0.0,
+    q_hi: float = 1.0,
+    group_cols: list[str] | None = None,
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Keep rows whose ``value_col`` lies inside the exact
+    [``q_lo``, ``q_hi``] quantile band — globally or per group. The
+    quality-curation primitive (drop the bottom decile of quality
+    scores, trim the top 1% length outliers per source, ...).
+
+    Two passes: (1) exact interpolated thresholds via
+    ``grouped_quantiles`` (bounded-bucket exchange; thresholds rounded to
+    6 decimals so the boundary decision is deterministic across numpy /
+    SQL ulp differences), (2) thresholds broadcast as a tiny dict and
+    applied in a zero-shuffle vectorized filter pass. Global mode
+    funnels the threshold pass through one bucket (the documented
+    grouped_quantiles exactness constraint) — at unbounded scale prefer
+    grouped mode or a histogram-sketch threshold."""
+    if not (0.0 <= q_lo <= q_hi <= 1.0):
+        raise ValueError(f"need 0 <= q_lo <= q_hi <= 1, got {q_lo}, {q_hi}")
+    gcols = list(group_cols or [])
+    if gcols:
+        thr_ds = grouped_quantiles(
+            ds, gcols, value_col, qs=(q_lo, q_hi), n_buckets=n_buckets
+        )
+    else:
+        with_all = ds.map_batches(
+            lambda t: t.append_column(
+                "__all__", pa.array(np.zeros(len(t), np.int64))
+            ),
+            batch_format="pyarrow",
+        )
+        thr_ds = grouped_quantiles(
+            with_all, ["__all__"], value_col, qs=(q_lo, q_hi), n_buckets=1
+        )
+    lo_name = f"q_{int(round(q_lo * 100))}"
+    hi_name = f"q_{int(round(q_hi * 100))}"
+    thr = thr_ds.to_pandas()  # one row per group — tiny
+    if lo_name == hi_name:  # q_lo == q_hi after pct rounding
+        hi_vals = lo_vals = thr[lo_name].to_numpy(np.float64)
+    else:
+        lo_vals = thr[lo_name].to_numpy(np.float64)
+        hi_vals = thr[hi_name].to_numpy(np.float64)
+    if gcols:
+        keys = [
+            "\x1f".join(vals)
+            for vals in zip(*[thr[c].astype(str).to_numpy() for c in gcols])
+        ]
+        table = {k: (lo, hi) for k, lo, hi in zip(keys, lo_vals, hi_vals)}
+    else:
+        table = {"": (float(lo_vals[0]), float(hi_vals[0]))}
+
+    import ray as _ray
+
+    thr_ref = _ray.put(table)
+
+    def keep(t: pa.Table) -> pa.Table:
+        tbl = _ray.get(thr_ref)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        if gcols:
+            joined = pc.binary_join_element_wise(
+                *[pc.cast(t[c], pa.string()) for c in gcols], "\x1f"
+            ).to_numpy(zero_copy_only=False)
+            # per-batch lookup vectorized over UNIQUE keys (few per group)
+            codes, uniques = pd.factorize(joined, sort=False)
+            lo_u = np.empty(len(uniques))
+            hi_u = np.empty(len(uniques))
+            for ui, key in enumerate(uniques):
+                lo_u[ui], hi_u[ui] = tbl.get(key, (np.inf, -np.inf))
+            lo, hi = lo_u[codes], hi_u[codes]
+        else:
+            lo, hi = tbl[""]
+        mask = (v >= lo) & (v <= hi)
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def group_by(ds: ray.data.Dataset, column_map: dict[str, str]) -> ray.data.Dataset:
     """O4 — conjunctive equality filter (records.py:106-132): keep rows where
     each column equals the given literal; missing column ⇒ "" semantics.

@@ -1045,3 +1045,36 @@ class TestMultimodalResizeFrames:
         if not _HAVE_AV:
             with pytest.raises(NotImplementedError):
                 FrameSampler(mode="real")
+
+
+def test_filter_by_quantile_global_and_grouped(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.table_ops import filter_by_quantile
+
+    rng = np.random.RandomState(4)
+    df = pd.DataFrame(
+        {
+            "id": np.arange(5_000, dtype=np.int64),
+            "g": rng.choice(["a", "b"], size=5_000),
+            "v": rng.randn(5_000) * 10,
+        }
+    )
+    ds = rd.from_pandas(df).repartition(7)
+
+    out = filter_by_quantile(ds, "v", 0.1, 0.9).to_pandas()
+    lo = round(np.quantile(df["v"], 0.1, method="linear"), 6)
+    hi = round(np.quantile(df["v"], 0.9, method="linear"), 6)
+    expect = df[(df["v"] >= lo) & (df["v"] <= hi)]
+    assert sorted(out["id"]) == sorted(expect["id"])
+
+    outg = filter_by_quantile(ds, "v", 0.25, 0.75, group_cols=["g"]).to_pandas()
+    keep = []
+    for g, sub in df.groupby("g"):
+        glo = round(np.quantile(sub["v"], 0.25, method="linear"), 6)
+        ghi = round(np.quantile(sub["v"], 0.75, method="linear"), 6)
+        keep += list(sub[(sub["v"] >= glo) & (sub["v"] <= ghi)]["id"])
+    assert sorted(outg["id"]) == sorted(keep)
+
+    with pytest.raises(ValueError):
+        filter_by_quantile(ds, "v", 0.9, 0.1)
