@@ -564,6 +564,27 @@ def _q_kmeans(sf_dir: str):
     return assign.to_pandas().sort_values("vec_id").reset_index(drop=True)
 
 
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _q_split_docs(sf_dir: str):
+    """Leakage-safe train/val/test split: every exact duplicate of a
+    document gets the split of its group REPRESENTATIVE (min doc_id per
+    identical text), so no content straddles train and eval."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.dedup import tuple_representatives
+    from record_matcher_ray.pipelines.sampling import leakage_safe_split
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    reps = tuple_representatives(docs, ["text"], "doc_id")
+    return leakage_safe_split(
+        reps, _SPLIT_WEIGHTS, key_col="rep", seed=11
+    ).to_pandas()[["doc_id", "rep", "split"]]
+
+
 def _q_quantile_filter(sf_dir: str):
     """Per-source [0.1, 0.9] length-quantile band filter over documents —
     the quality-curation primitive (trim per-source outliers); exact
@@ -1046,6 +1067,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_orders": _q_approx_distinct,
         "countmin_orders": _q_countmin,
         "quantile_filter_docs": _q_quantile_filter,
+        "split_docs": _q_split_docs,
         "events_in_order_window": _q_events_in_window,
         "redact_docs": _q_redact,
         "chunk_docs": _q_chunks,
@@ -1064,6 +1086,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frames": _q_media_frames,
         "media_real": _q_media_real,
     }
+
+
+def _split_docs_oracle() -> str:
+    """Leakage-safe split replay: rep = min(doc_id) per identical text,
+    splitmix64(rep ^ seed) banded by the ENGINE's own integer thresholds
+    (embedded as literals — no float surface)."""
+    from record_matcher_ray.pipelines.sampling import (
+        split_thresholds,
+        sql_sample_hash_cte,
+    )
+
+    bands = split_thresholds(_SPLIT_WEIGHTS)
+    cte, hcol = sql_sample_hash_cte("rep", seed=11)
+    case = " ".join(
+        f"WHEN {hcol} < CAST({thr} AS UBIGINT) THEN '{name}'"
+        for name, thr in bands[:-1]
+    )
+    return f"""
+        WITH r AS (
+          SELECT doc_id,
+                 min(doc_id) OVER (PARTITION BY text) AS rep
+          FROM documents
+        ), t0 AS (SELECT doc_id, rep FROM r),{cte}
+        SELECT doc_id, rep,
+               CASE {case} ELSE '{bands[-1][0]}' END AS split
+        FROM s5
+    """
 
 
 def _sampling_oracles() -> dict[str, str]:
@@ -1109,6 +1158,7 @@ def _sampling_oracles() -> dict[str, str]:
                    doc_id
             FROM s5 ORDER BY e, doc_id LIMIT 100
         """,
+        "split_docs": _split_docs_oracle(),
     }
 
 

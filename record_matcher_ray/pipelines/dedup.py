@@ -103,6 +103,34 @@ def exact_dup_groups(
     )
 
 
+def tuple_representatives(
+    ds: ray.data.Dataset, columns: list[str], id_col: str, n_buckets: int = 256
+) -> ray.data.Dataset:
+    """→ (id, rep) for EVERY row: rep = min id among rows sharing the
+    exact value tuple of ``columns`` (singletons map to themselves).
+    Same bounded-bucket exchange as exact_dup_groups; feeds
+    sampling.leakage_safe_split so all copies of a document land on the
+    same train/val/test side."""
+
+    def reps(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(id_col, kind="stable")
+        rep = df.groupby(columns, sort=False, dropna=False)[id_col].transform(
+            "first"
+        )
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(dtype=np.int64),
+                "rep": rep.to_numpy(dtype=np.int64),
+            }
+        )
+
+    return (
+        _with_tuple_bucket(ds, columns, n_buckets)
+        .groupby("__xb__")
+        .map_groups(reps, batch_format="pandas")
+    )
+
+
 class _MinhashKeys:
     """Stateless band-key emitter with per-process-cached permutation state.
     Emits (hash bucket of band_key, int64 band_key, id) so downstream

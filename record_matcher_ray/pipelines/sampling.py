@@ -163,6 +163,53 @@ def deterministic_shuffle(
     return out.drop_columns(["__shuffle__"]) if drop_hash else out
 
 
+def leakage_safe_split(
+    ds: ray.data.Dataset,
+    weights: dict[str, float],
+    key_col: str,
+    seed: int = 0,
+    out_col: str = "split",
+) -> ray.data.Dataset:
+    """Assign each row a named split by hash-banding ``key_col`` —
+    train/val/test assignment that is a pure function of (key, seed).
+    Pass a group REPRESENTATIVE id as the key (from
+    dedup.tuple_representatives, minhash components, or docmatch
+    clusters) and every duplicate/near-duplicate of a document lands on
+    the SAME side — the leakage-safe split a training pipeline needs;
+    pass the row's own id for a plain iid split. Zero shuffle; band
+    thresholds are precomputed integers, so the SQL oracle embeds them
+    as literals (no float parity surface)."""
+    names = list(weights)
+    w = np.array([float(weights[n]) for n in names])
+    if len(names) == 0 or (w < 0).any() or w.sum() <= 0:
+        raise ValueError(f"invalid split weights {weights}")
+    cum = np.cumsum(w) / w.sum()
+    thrs = [min(int(c * _TWO64), _TWO64 - 1) for c in cum[:-1]]
+    thrs_np = np.array(thrs + [_TWO64 - 1], dtype=np.uint64)
+    names_arr = np.array(names, dtype=object)
+    s = seed
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = np.ascontiguousarray(t[key_col].to_numpy(), dtype=np.int64)
+        h = sample_hash(ids, s)
+        # smallest band i with h < thr_i; top band catches h == 2**64-1
+        idx = np.searchsorted(thrs_np[:-1], h, side="right")
+        return t.append_column(out_col, pa.array(names_arr[idx]))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def split_thresholds(weights: dict[str, float]) -> list[tuple[str, int]]:
+    """(name, exclusive-upper-threshold) bands as EXACT integers — the
+    same values leakage_safe_split uses; oracle SQL embeds them."""
+    names = list(weights)
+    w = np.array([float(weights[n]) for n in names])
+    cum = np.cumsum(w) / w.sum()
+    return [
+        (n, min(int(c * _TWO64), _TWO64 - 1)) for n, c in zip(names, cum)
+    ]
+
+
 def sql_sample_hash_cte(
     id_expr: str, seed: int = 0, table: str = "t0"
 ) -> tuple[str, str]:

@@ -163,3 +163,39 @@ class TestDeterministicShuffle:
         ).to_pandas()
         assert list(a["id"]) != list(c["id"])  # seed changes the epoch
         assert set(a["id"]) == set(c["id"])  # but it is a permutation
+
+
+class TestLeakageSafeSplit:
+    def test_duplicates_same_side_and_weights(self, ray_session):
+        import ray.data
+
+        from record_matcher_ray.pipelines.dedup import tuple_representatives
+        from record_matcher_ray.pipelines.sampling import leakage_safe_split
+
+        import pandas as pd
+
+        rng = np.random.RandomState(8)
+        base = [f"text-{i}" for i in range(2_000)]
+        texts = base + [base[i] for i in rng.randint(0, 2_000, size=1_000)]
+        df = pd.DataFrame(
+            {
+                "doc_id": np.arange(len(texts), dtype=np.int64),
+                "text": texts,
+            }
+        )
+        reps = tuple_representatives(
+            ray.data.from_pandas(df).repartition(5), ["text"], "doc_id"
+        )
+        out = leakage_safe_split(
+            reps, {"train": 0.8, "val": 0.1, "test": 0.1}, key_col="rep",
+            seed=11,
+        ).to_pandas()
+
+        merged = out.merge(df, on="doc_id")
+        # every copy of a text gets exactly one split value
+        assert (merged.groupby("text")["split"].nunique() == 1).all()
+        frac = out["split"].value_counts(normalize=True)
+        assert abs(frac["train"] - 0.8) < 0.05
+
+        with pytest.raises(ValueError):
+            leakage_safe_split(reps, {"a": -1.0}, key_col="rep")
