@@ -567,6 +567,56 @@ def _q_kmeans(sf_dir: str):
 _SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
 
+def _q_minhash_signatures(sf_dir: str):
+    """Full 64-perm MinHash signatures of every document in long format
+    (doc_id, perm, sig) — computed by the SAME kernels the minhash-LSH
+    dedup pipeline uses (blocking.batch_char_shingles +
+    hashkernels.batch_signatures), so the hash-exact SQL replay pins the
+    flagship dedup family's signature math, not a lookalike."""
+    import ray.data
+
+    from record_matcher_ray.stages.blocking import MinHasher
+
+    hasher = MinHasher(num_perm=64, seed=1)
+    a, b = hasher.a, hasher.b
+
+    def fn(t):
+        import numpy as np
+        import pyarrow as pa
+
+        from record_matcher_ray.core.hashkernels import (
+            batch_signatures,
+            normalize_utf8,
+        )
+        from record_matcher_ray.stages.blocking import batch_char_shingles
+
+        sh_flat, sh_lens = batch_char_shingles(
+            normalize_utf8(t["text"]), 4
+        )
+        sig = batch_signatures(sh_flat, sh_lens, a, b)
+        n, num_perm = sig.shape
+        ids = np.ascontiguousarray(t["doc_id"].to_numpy(), np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, num_perm)),
+                "perm": pa.array(
+                    np.tile(np.arange(num_perm, dtype=np.int64), n)
+                ),
+                "sig": pa.array(sig.ravel()),
+            }
+        )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return (
+        ds.map_batches(fn, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["doc_id", "perm"])
+        .reset_index(drop=True)
+    )
+
+
 def _q_split_docs(sf_dir: str):
     """Leakage-safe train/val/test split: every exact duplicate of a
     document gets the split of its group REPRESENTATIVE (min doc_id per
@@ -1040,6 +1090,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_spans_docs": _q_dup_spans,
         "strip_spans_docs": _q_strip_spans,
         "minhash_dedup_docs": _q_minhash_dedup,
+        "minhash_signatures_docs": _q_minhash_signatures,
         "minhash_recall_docs": _q_minhash_recall,
         "ngram_jaccard_docs": _q_ngram_jaccard,
         "simhash_docs": _q_simhash,
@@ -1369,6 +1420,193 @@ def _sketch_oracles() -> dict[str, str]:
     }
 
 
+def _minhash_sig_oracle() -> str:
+    """SQL replay of the 64-perm MinHash signature kernel. The (a, b)
+    permutation constants come from the ENGINE's own MinHasher(seed=1),
+    embedded as a VALUES list; the 64-bit multiply is the 32-bit-split
+    column form of _sql_mulmod (the multiplier is a column here, not a
+    literal)."""
+    from record_matcher_ray.stages.blocking import MinHasher
+
+    M = _SQL_M
+    HALF = "9223372036854775808"
+    hasher = MinHasher(num_perm=64, seed=1)
+    perms = ", ".join(
+        f"({j}, {int(av) | 1}, {int(bv)})"
+        for j, (av, bv) in enumerate(zip(hasher.a, hasher.b))
+    )
+    # column-mulmod: s64 < 2**61, ab <= 2**61 → every term < 2**94, safe
+    # in HUGEINT
+    sigv = (f"((s64::HUGEINT % 4294967296) * ab "
+            f"+ (((s64::HUGEINT // 4294967296) * (ab % 4294967296)) "
+            f"% 4294967296) * 4294967296 + b) % {M}")
+    m1 = _sql_mulmod(_sql_xorshift("p", 30), 0xBF58476D1CE4E5B9)
+    m2 = _sql_mulmod(_sql_xorshift("h", 27), 0x94D049BB133111EB)
+    return f"""
+        WITH norm AS (
+          SELECT doc_id,
+                 trim(regexp_replace(lower(coalesce(text,'')),
+                                     '[^a-z0-9]+', ' ', 'g')) AS s
+          FROM documents
+        ), wins AS (
+          SELECT doc_id, s,
+                 unnest(generate_series(1, greatest(length(s) - 3, 1))) AS i
+          FROM norm WHERE length(s) > 0
+        ), grams AS (
+          SELECT doc_id, substr(s, i, 4) AS w FROM wins
+        ), poly AS (
+          SELECT doc_id,
+            (CASE length(w)
+              WHEN 4 THEN ((ascii(substr(w,1,1))::HUGEINT*1000003
+                            + ascii(substr(w,2,1)))*1000003
+                           + ascii(substr(w,3,1)))*1000003
+                          + ascii(substr(w,4,1))
+              WHEN 3 THEN (ascii(substr(w,1,1))::HUGEINT*1000003
+                           + ascii(substr(w,2,1)))*1000003
+                          + ascii(substr(w,3,1))
+              WHEN 2 THEN ascii(substr(w,1,1))::HUGEINT*1000003
+                          + ascii(substr(w,2,1))
+              ELSE ascii(substr(w,1,1))::HUGEINT END) % {M} AS p
+          FROM grams
+        ), m1 AS (SELECT doc_id, {m1} AS h FROM poly
+        ), m2 AS (SELECT doc_id, {m2} AS h FROM m1
+        ), sh AS (
+          SELECT DISTINCT doc_id,
+                 (xor(h::UBIGINT, h::UBIGINT >> 31) >> 3) AS s64
+          FROM m2
+        ), perms(j, ab, b) AS (VALUES {perms}),
+        sigs AS (
+          SELECT doc_id, j, min({sigv}) AS v
+          FROM sh CROSS JOIN perms
+          GROUP BY doc_id, j
+        )
+        SELECT d.doc_id, p.j AS perm,
+               coalesce(CASE WHEN g.v < {HALF} THEN g.v
+                             ELSE g.v - {M} END, 0)::BIGINT AS sig
+        FROM documents d CROSS JOIN perms p
+        LEFT JOIN sigs g ON g.doc_id = d.doc_id AND g.j = p.j
+        ORDER BY d.doc_id, p.j
+    """
+
+
+def _minhash_pairs_oracle() -> str:
+    """Full SQL replay of minhash_dedup's verified-pairs output
+    (dedup.py: _shingle_sig_table → batch_band_keys →
+    _bucket_pairs_fn(max_bucket=200, est_cut=48) → distinct →
+    exact-jaccard verify at threshold 60): shingles and signatures as in
+    _minhash_sig_oracle; band key = ((su0·B⁴+su1·B³+su2·B²+su3·B+band)
+    mod 2⁶⁴) >> 6 | 3<<58 (blocking.batch_band_keys + tag_keys); bucket
+    cap = band-key group size ∈ [2, 200]; estimate prefilter = equal
+    golden-folded signature bytes ·100/64 ≥ 48 (exact dyadic floats both
+    sides); verify = round(100·|∩|/|∪|, 6) ≥ 60 over the 45-bit-masked
+    distinct shingles (the engine's searchsorted kernel's exact input)."""
+    from record_matcher_ray.stages.blocking import MinHasher
+
+    M = _SQL_M
+    B = 1000003
+    GOLDEN = 0x9E3779B97F4A7C15
+    hasher = MinHasher(num_perm=64, seed=1)
+    perms = ", ".join(
+        f"({j}, {int(av) | 1}, {int(bv)})"
+        for j, (av, bv) in enumerate(zip(hasher.a, hasher.b))
+    )
+    sigv = (f"((s64::HUGEINT % 4294967296) * ab "
+            f"+ (((s64::HUGEINT // 4294967296) * (ab % 4294967296)) "
+            f"% 4294967296) * 4294967296 + b) % {M}")
+    m1 = _sql_mulmod(_sql_xorshift("p", 30), 0xBF58476D1CE4E5B9)
+    m2 = _sql_mulmod(_sql_xorshift("h", 27), 0x94D049BB133111EB)
+    pw = {k: pow(B, 4 - k, 1 << 64) for k in range(4)}
+    term = " ".join(
+        f"WHEN {k} THEN {_sql_mulmod('v', pw[k])}" for k in range(4)
+    )
+    mask45 = (1 << 45) - 1
+    return f"""
+        WITH norm AS (
+          SELECT doc_id,
+                 trim(regexp_replace(lower(coalesce(text,'')),
+                                     '[^a-z0-9]+', ' ', 'g')) AS s
+          FROM documents
+        ), wins AS (
+          SELECT doc_id, s,
+                 unnest(generate_series(1, greatest(length(s) - 3, 1))) AS i
+          FROM norm WHERE length(s) > 0
+        ), grams AS (
+          SELECT doc_id, substr(s, i, 4) AS w FROM wins
+        ), poly AS (
+          SELECT doc_id,
+            (CASE length(w)
+              WHEN 4 THEN ((ascii(substr(w,1,1))::HUGEINT*1000003
+                            + ascii(substr(w,2,1)))*1000003
+                           + ascii(substr(w,3,1)))*1000003
+                          + ascii(substr(w,4,1))
+              WHEN 3 THEN (ascii(substr(w,1,1))::HUGEINT*1000003
+                           + ascii(substr(w,2,1)))*1000003
+                          + ascii(substr(w,3,1))
+              WHEN 2 THEN ascii(substr(w,1,1))::HUGEINT*1000003
+                          + ascii(substr(w,2,1))
+              ELSE ascii(substr(w,1,1))::HUGEINT END) % {M} AS p
+          FROM grams
+        ), m1 AS (SELECT doc_id, {m1} AS h FROM poly
+        ), m2 AS (SELECT doc_id, {m2} AS h FROM m1
+        ), sh AS (
+          SELECT DISTINCT doc_id,
+                 (xor(h::UBIGINT, h::UBIGINT >> 31) >> 3) AS s64
+          FROM m2
+        ), perms(j, ab, b) AS (VALUES {perms}),
+        sigs AS (
+          SELECT doc_id, j, min({sigv}) AS v
+          FROM sh CROSS JOIN perms
+          GROUP BY doc_id, j
+        ), folds AS (
+          SELECT doc_id, j // 4 AS band,
+                 (CASE j % 4 {term} END) AS t
+          FROM sigs
+        ), bk AS (
+          SELECT doc_id,
+                 (((((sum(t) + band) % {M})::UBIGINT >> 6)
+                   | (3::UBIGINT << 58))::HUGEINT)::BIGINT AS band_key
+          FROM folds GROUP BY doc_id, band
+        ), bsz AS (
+          SELECT band_key, count(*) AS n FROM bk GROUP BY band_key
+        ), cand AS (
+          SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+          FROM bk x
+          JOIN bk y ON x.band_key = y.band_key AND x.doc_id < y.doc_id
+          JOIN bsz s ON s.band_key = x.band_key
+          WHERE s.n BETWEEN 2 AND 200
+        ), est AS (
+          SELECT doc_id, j,
+                 (({_sql_mulmod('v', GOLDEN)})::UBIGINT >> 56) AS u8
+          FROM sigs
+        ), cand2 AS (
+          SELECT c.a, c.b
+          FROM cand c
+          JOIN est ea ON ea.doc_id = c.a
+          JOIN est eb ON eb.doc_id = c.b AND eb.j = ea.j
+          GROUP BY c.a, c.b
+          HAVING sum(CASE WHEN ea.u8 = eb.u8 THEN 1 ELSE 0 END)
+                 * 100.0 / 64.0 >= 48.0
+        ), sh45 AS (
+          SELECT DISTINCT doc_id, (s64 & {mask45}) AS v FROM sh
+        ), lens AS (
+          SELECT doc_id, count(*) AS n FROM sh45 GROUP BY doc_id
+        ), inter AS (
+          SELECT c.a, c.b, count(*) AS i
+          FROM cand2 c
+          JOIN sh45 xa ON xa.doc_id = c.a
+          JOIN sh45 xb ON xb.doc_id = c.b AND xb.v = xa.v
+          GROUP BY c.a, c.b
+        )
+        SELECT c.a, c.b,
+               round(100.0 * i.i / (la.n + lb.n - i.i), 6) AS jaccard
+        FROM cand2 c
+        JOIN inter i ON i.a = c.a AND i.b = c.b
+        JOIN lens la ON la.doc_id = c.a
+        JOIN lens lb ON lb.doc_id = c.b
+        WHERE round(100.0 * i.i / (la.n + lb.n - i.i), 6) >= 60.0
+    """
+
+
 def _hash_oracles() -> dict[str, str]:
     """SQL mirrors of the DETERMINISTIC hash pipelines (r3: drops the
     simhash/fingerprint/simhash-near-dup rows from `no_oracle` to
@@ -1468,6 +1706,14 @@ def _hash_oracles() -> dict[str, str]:
         "simhash_docs": simhash_fp_cte + """
             SELECT id, simhash FROM sim ORDER BY id
         """,
+        # minhash signature replay (hashkernels.batch_signatures via
+        # blocking.batch_char_shingles): shingle = splitmix64(4-gram
+        # fwd-poly) >> 3 (same chain as simhash's gram hash, no
+        # golden-spread), then per perm j: min over shingles of
+        # ((a_j|1)*sh + b_j) mod 2**64, unsigned min, int64 bit pattern;
+        # shingle-less docs -> sig 0 for every perm.
+        "minhash_signatures_docs": _minhash_sig_oracle(),
+        "minhash_dedup_docs": _minhash_pairs_oracle(),
         "simhash_near_dups_docs": simhash_fp_cte + f"""
             SELECT a.id AS id_a, b.id AS id_b,
                    bit_count(xor(((a.simhash::HUGEINT % {M} + {M}) % {M})::UBIGINT,
