@@ -403,8 +403,10 @@ def _q_containment(sf_dir: str):
 
 def _q_minhash_decontam(sf_dir: str):
     """LSH-path decontamination (big-eval escape hatch): same planted
-    truncation fixture as decontam_near_docs; seed-dependent candidate set
-    ⇒ rows-only (recall vs the exact path is pinned in tests)."""
+    truncation fixture as decontam_near_docs. Fully deterministic (fixed
+    MinHasher seed), so the whole tagged-union LSH pipeline is replayed
+    by the SQL oracle (_minhash_decontam_oracle), hash-exact; recall vs
+    the exact path is additionally pinned in tests."""
     import pyarrow as pa
     import ray.data
 
@@ -1500,6 +1502,52 @@ def _minhash_pairs_oracle() -> str:
     golden-folded signature bytes ·100/64 ≥ 48 (exact dyadic floats both
     sides); verify = round(100·|∩|/|∪|, 6) ≥ 60 over the 45-bit-masked
     distinct shingles (the engine's searchsorted kernel's exact input)."""
+    return _minhash_pairs_body("SELECT doc_id, text FROM documents") + """
+        SELECT c.a, c.b,
+               round(100.0 * i.i / (la.n + lb.n - i.i), 6) AS jaccard
+        FROM cand2 c
+        JOIN inter i ON i.a = c.a AND i.b = c.b
+        JOIN lens la ON la.doc_id = c.a
+        JOIN lens lb ON lb.doc_id = c.b
+        WHERE round(100.0 * i.i / (la.n + lb.n - i.i), 6) >= 60.0
+    """
+
+
+def _minhash_decontam_oracle() -> str:
+    """Replay of minhash_decontam over _q_minhash_decontam's fixture:
+    train = documents tagged id*2, eval = every-7th doc truncated to 4/5
+    length tagged id*2+1 (ASCII corpus ⇒ substr == Python slice); same
+    LSH pairs replay, then cross-side filter + decode (>>1 == //2 for
+    non-negative ids)."""
+    source = """
+          SELECT doc_id * 2 AS doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id * 2 + 1 AS doc_id,
+                 substr(coalesce(text,''), 1,
+                        greatest(1, (length(coalesce(text,'')) * 4) // 5))
+                   AS text
+          FROM documents WHERE doc_id % 7 = 0
+    """
+    return _minhash_pairs_body(source) + """
+        SELECT (CASE WHEN c.a % 2 = 0 THEN c.a ELSE c.b END) // 2
+                 AS train_id,
+               (CASE WHEN c.a % 2 = 1 THEN c.a ELSE c.b END) // 2
+                 AS eval_id,
+               round(100.0 * i.i / (la.n + lb.n - i.i), 6) AS jaccard
+        FROM cand2 c
+        JOIN inter i ON i.a = c.a AND i.b = c.b
+        JOIN lens la ON la.doc_id = c.a
+        JOIN lens lb ON lb.doc_id = c.b
+        WHERE round(100.0 * i.i / (la.n + lb.n - i.i), 6) >= 60.0
+          AND (c.a % 2) <> (c.b % 2)
+    """
+
+
+def _minhash_pairs_body(source: str) -> str:
+    """Shared WITH-chain of the minhash-LSH replay (shingles →
+    signatures → band keys → capped buckets → estimate prefilter →
+    intersection/lengths) over any (doc_id, text) source. See
+    _minhash_pairs_oracle for the semantics map."""
     from record_matcher_ray.stages.blocking import MinHasher
 
     M = _SQL_M
@@ -1525,7 +1573,7 @@ def _minhash_pairs_oracle() -> str:
           SELECT doc_id,
                  trim(regexp_replace(lower(coalesce(text,'')),
                                      '[^a-z0-9]+', ' ', 'g')) AS s
-          FROM documents
+          FROM ({source}) __src
         ), wins AS (
           SELECT doc_id, s,
                  unnest(generate_series(1, greatest(length(s) - 3, 1))) AS i
@@ -1597,13 +1645,6 @@ def _minhash_pairs_oracle() -> str:
           JOIN sh45 xb ON xb.doc_id = c.b AND xb.v = xa.v
           GROUP BY c.a, c.b
         )
-        SELECT c.a, c.b,
-               round(100.0 * i.i / (la.n + lb.n - i.i), 6) AS jaccard
-        FROM cand2 c
-        JOIN inter i ON i.a = c.a AND i.b = c.b
-        JOIN lens la ON la.doc_id = c.a
-        JOIN lens lb ON lb.doc_id = c.b
-        WHERE round(100.0 * i.i / (la.n + lb.n - i.i), 6) >= 60.0
     """
 
 
@@ -1714,6 +1755,7 @@ def _hash_oracles() -> dict[str, str]:
         # shingle-less docs -> sig 0 for every perm.
         "minhash_signatures_docs": _minhash_sig_oracle(),
         "minhash_dedup_docs": _minhash_pairs_oracle(),
+        "minhash_decontam_docs": _minhash_decontam_oracle(),
         "simhash_near_dups_docs": simhash_fp_cte + f"""
             SELECT a.id AS id_a, b.id AS id_b,
                    bit_count(xor(((a.simhash::HUGEINT % {M} + {M}) % {M})::UBIGINT,
