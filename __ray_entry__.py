@@ -215,11 +215,13 @@ def _q_fingerprints(sf_dir: str):
 
 def _q_minhash_recall(sf_dir: str):
     """LSH pair recall vs brute-force shingle-Jaccard ground truth on a
-    150-doc slice (rows-only: LSH is seed-dependent, not SQL). One row:
-    (n_true_pairs, n_verified_pairs, verified_recall, false_positives) at
-    jaccard >= 60. The slice is capped because the TRUTH side is O(n²)
-    pairs × shingle-set size on the driver — it validates recall, it is
-    not the scale path."""
+    150-doc slice. One row: (n_true_pairs, n_verified_pairs,
+    verified_recall, false_positives) at jaccard >= 60. Both sides are
+    deterministic (fixed MinHasher seed), so the WHOLE metric is
+    hash-checked by the SQL oracle (_minhash_recall_oracle: truth via a
+    shingle self-join, verified via the LSH replay). The slice is capped
+    because the TRUTH side is O(n²) pairs × shingle-set size on the
+    driver — it validates recall, it is not the scale path."""
     import pandas as pd
     import ray.data
 
@@ -1648,6 +1650,50 @@ def _minhash_pairs_body(source: str) -> str:
     """
 
 
+def _minhash_recall_oracle() -> str:
+    """Replay of _q_minhash_recall's one-row metrics: truth = all-pairs
+    exact jaccard (>= 60, both sides shingled) over the first-150-doc
+    slice via a shingle self-join on the UNMASKED 61-bit hashes (the
+    engine's float32 intersection matmul is exact for these counts);
+    verified = the full LSH pairs replay over the same slice; recall =
+    |ver ∩ truth| / max(1, |truth|) rounded to 6."""
+    src = "SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 150"
+    return _minhash_pairs_body(src) + """
+        , ver AS (
+          SELECT c.a, c.b
+          FROM cand2 c
+          JOIN inter i ON i.a = c.a AND i.b = c.b
+          JOIN lens la ON la.doc_id = c.a
+          JOIN lens lb ON lb.doc_id = c.b
+          WHERE round(100.0 * i.i / (la.n + lb.n - i.i), 6) >= 60.0
+        ), tl AS (
+          SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        ), tinter AS (
+          SELECT xa.doc_id AS a, xb.doc_id AS b, count(*) AS i
+          FROM sh xa
+          JOIN sh xb ON xb.s64 = xa.s64 AND xa.doc_id < xb.doc_id
+          GROUP BY 1, 2
+        ), truth AS (
+          SELECT t.a, t.b
+          FROM tinter t
+          JOIN tl la ON la.doc_id = t.a
+          JOIN tl lb ON lb.doc_id = t.b
+          WHERE round(100.0 * t.i / (la.n + lb.n - t.i), 6) >= 60.0
+        )
+        SELECT
+          (SELECT count(*) FROM truth) AS n_true_pairs,
+          (SELECT count(*) FROM ver) AS n_verified_pairs,
+          round((SELECT count(*) FROM
+                   (SELECT * FROM ver INTERSECT SELECT * FROM truth)
+                )::DOUBLE
+                / greatest(1, (SELECT count(*) FROM truth)), 6)
+            AS verified_recall,
+          (SELECT count(*) FROM
+             (SELECT * FROM ver EXCEPT SELECT * FROM truth))
+            AS false_positives
+    """
+
+
 def _hash_oracles() -> dict[str, str]:
     """SQL mirrors of the DETERMINISTIC hash pipelines (r3: drops the
     simhash/fingerprint/simhash-near-dup rows from `no_oracle` to
@@ -1756,6 +1802,7 @@ def _hash_oracles() -> dict[str, str]:
         "minhash_signatures_docs": _minhash_sig_oracle(),
         "minhash_dedup_docs": _minhash_pairs_oracle(),
         "minhash_decontam_docs": _minhash_decontam_oracle(),
+        "minhash_recall_docs": _minhash_recall_oracle(),
         "simhash_near_dups_docs": simhash_fp_cte + f"""
             SELECT a.id AS id_a, b.id AS id_b,
                    bit_count(xor(((a.simhash::HUGEINT % {M} + {M}) % {M})::UBIGINT,
