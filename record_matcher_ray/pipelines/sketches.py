@@ -124,7 +124,11 @@ def approx_distinct(
         )
 
     out = parts.groupby("grp").map_groups(merge, batch_format="pandas")
-    return out.to_pandas().sort_values("grp").reset_index(drop=True)
+    df = out.to_pandas()
+    if len(df) == 0:  # Ray 2.49 drops names on 0-row to_pandas
+        return pd.DataFrame({"grp": pd.Series([], dtype=object),
+                             "approx_n": pd.Series([], dtype=np.float64)})
+    return df.sort_values("grp").reset_index(drop=True)
 
 
 # ---- count-min sketch ---------------------------------------------------

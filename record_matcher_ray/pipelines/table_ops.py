@@ -176,6 +176,8 @@ def filter_by_quantile(
     lo_name = f"q_{int(round(q_lo * 100))}"
     hi_name = f"q_{int(round(q_hi * 100))}"
     thr = thr_ds.to_pandas()  # one row per group — tiny
+    if len(thr) == 0:  # empty input: nothing to keep (no thresholds)
+        return ds.filter(lambda _row: False)
     if lo_name == hi_name:  # q_lo == q_hi after pct rounding
         hi_vals = lo_vals = thr[lo_name].to_numpy(np.float64)
     else:

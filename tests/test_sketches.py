@@ -125,3 +125,21 @@ def test_count_min_overcounts_bounded_and_invariant(ray_session):
     # heavy keys should be close
     heavy = true > 100
     assert ((est[heavy] - true[heavy]) < len(vals) / 64).all()
+
+
+def test_empty_input_edges(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.sketches import approx_distinct, count_min
+    from record_matcher_ray.pipelines.table_ops import filter_by_quantile
+
+    empty = rd.from_pandas(
+        pd.DataFrame({"v": pd.Series([], dtype=np.int64),
+                      "g": pd.Series([], dtype=object)})
+    )
+    ad = approx_distinct(empty, "v", group_col="g")
+    assert list(ad.columns) == ["grp", "approx_n"] and len(ad) == 0
+    cm = count_min(empty, "v", width=64, depth=2)
+    assert cm.shape == (2, 64) and cm.sum() == 0
+    fq = filter_by_quantile(empty, "v", 0.1, 0.9).to_pandas()
+    assert len(fq) == 0
