@@ -472,16 +472,21 @@ def kmeans(
         partials = ray.get(
             [_km_iter_partial.remote(r, cref, k_eff) for r in refs]
         )
-        # Python-int merge: exact at any block count (int64 partials can
-        # overflow only past ~2**63 rows/cluster of accumulated mass)
+        counts = np.sum([p[1] for p in partials], axis=0)
         new = cents.copy()
-        for c in range(k_eff):
-            cnt = sum(int(p[1][c]) for p in partials)
-            if cnt == 0:
-                continue  # empty cluster keeps its previous centroid
-            for j in range(cents.shape[1]):
-                s = sum(int(p[0][c, j]) for p in partials)
-                new[c, j] = s // cnt  # Python floor division
+        nz = counts > 0  # empty clusters keep their previous centroid
+        if int(counts.sum()) < (1 << 35):
+            # vectorized exact merge: rows·2**GUARD < 2**62 → the int64
+            # sums cannot wrap; floor_divide floors like Python //
+            sums = np.sum([p[0] for p in partials], axis=0)
+            new[nz] = np.floor_divide(sums[nz], counts[nz, None])
+        else:
+            # Python-int fallback: exact at any scale (identical result)
+            for c in np.nonzero(nz)[0]:
+                cnt = int(counts[c])
+                for j in range(cents.shape[1]):
+                    s = sum(int(p[0][c, j]) for p in partials)
+                    new[c, j] = s // cnt
         cents = new
 
     cref = ray.put(cents)
