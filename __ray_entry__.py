@@ -553,6 +553,29 @@ def _q_retention(sf_dir: str):
     return retention_cohorts(ev)
 
 
+def _q_semantic_decontam(sf_dir: str):
+    """Embedding-space decontamination: train = all embeddings, eval =
+    every 5th vector; matches = cosine >= 0.9 (catches paraphrase-level
+    leakage n-gram/MinHash decontam can't see). Eval matrix broadcast
+    once, one zero-shuffle train pass."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.similarity import semantic_decontam
+
+    def emb():
+        return ray.data.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+
+    ev = emb().filter(lambda r: r["vec_id"] % 5 == 0)
+    return (
+        semantic_decontam(emb(), ev, threshold=0.9)
+        .to_pandas()
+        .sort_values(["train_id", "eval_id"])
+        .reset_index(drop=True)
+    )
+
+
 def _q_kmeans(sf_dir: str):
     """Distributed fixed-point k-means assignments over the embeddings
     table (k=8, 5 Lloyd iterations, deterministic hash init) — exact
@@ -1110,6 +1133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "embedding_near_dups": _q_embedding_near_dups,
         "kmeans_embeddings": _q_kmeans,
+        "semantic_decontam_embeddings": _q_semantic_decontam,
         # text analysis
         "token_count_docs": token_counts,
         "quality_docs": quality,
@@ -2434,6 +2458,16 @@ def oracle_sql() -> dict[str, str]:
             JOIN embeddings e2 ON e1.vec_id < e2.vec_id
             WHERE list_cosine_similarity(e1.embedding::DOUBLE[],
                                          e2.embedding::DOUBLE[]) >= 0.35
+        """,
+        "semantic_decontam_embeddings": """
+            SELECT t.vec_id AS train_id, e.vec_id AS eval_id,
+                   round(list_cosine_similarity(t.embedding::DOUBLE[],
+                                                e.embedding::DOUBLE[]), 6)
+                     AS cos_sim
+            FROM embeddings t
+            JOIN embeddings e ON e.vec_id % 5 = 0
+            WHERE list_cosine_similarity(t.embedding::DOUBLE[],
+                                         e.embedding::DOUBLE[]) >= 0.9
         """,
         "ann_topk": """
             WITH sims AS (

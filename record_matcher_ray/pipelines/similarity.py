@@ -493,3 +493,51 @@ def kmeans(
     out_refs = [_km_assign_block.remote(r, cref, id_col) for r in refs]
     assignments = ray.data.from_arrow_refs(out_refs)
     return cents, assignments
+
+
+def semantic_decontam(
+    train_ds: ray.data.Dataset,
+    eval_ds: ray.data.Dataset,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_eval_rows: int = 1_000_000,
+) -> ray.data.Dataset:
+    """Embedding-space decontamination: (train_id, eval_id, cos_sim) for
+    every train vector within ``threshold`` cosine of ANY eval vector —
+    catches paraphrased/templated benchmark leakage that n-gram and
+    MinHash decontamination miss (no token overlap required).
+
+    The 100-TB shape shared with decontam.py: the EVAL side (small by
+    construction) is normalized, sorted and broadcast ONCE via
+    ``ray.put``; the train corpus streams through one zero-shuffle
+    ``map_batches`` matmul pass. Above ``max_eval_rows`` raise with the
+    actionable alternative (IVF-bucket the eval side) rather than
+    silently ballooning the broadcast."""
+    try:
+        ev = eval_ds.to_pandas(limit=max_eval_rows)
+    except ValueError as ex:
+        raise ValueError(
+            f"semantic_decontam broadcasts the eval matrix and it exceeds "
+            f"max_eval_rows={max_eval_rows}; IVF-bucket the eval side or "
+            f"raise the guard if driver memory allows."
+        ) from ex
+    ev_ids = ev[id_col].to_numpy(dtype=np.int64)
+    order = np.argsort(ev_ids, kind="stable")
+    ev_ids = ev_ids[order]
+    ev_vecs = _unit(np.stack(ev[vec_col].to_numpy()).astype(np.float64))[order]
+    ref = ray.put((ev_ids, ev_vecs))
+
+    def hits(t: pa.Table) -> pa.Table:
+        ids_e, vecs_e = ray.get(ref)
+        vecs = _unit(_batch_vecs(t, vec_col))
+        ids = t[id_col].to_numpy().astype(np.int64)
+        sims = vecs @ vecs_e.T  # (nb, n_eval)
+        bi, ei = np.nonzero(sims >= threshold)
+        return pa.table(
+            {"train_id": pa.array(ids[bi]),
+             "eval_id": pa.array(ids_e[ei]),
+             "cos_sim": pa.array(np.round(sims[bi, ei], 6))}
+        )
+
+    return train_ds.map_batches(hits, batch_format="pyarrow")

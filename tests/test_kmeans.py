@@ -77,3 +77,32 @@ def test_kmeans_seed_changes_init_and_guard(ray_session):
     )
     with pytest.raises(Exception, match="overflow guard"):
         kmeans(big, k=2, iters=1)  # materialize inside raises eagerly
+
+
+def test_semantic_decontam_finds_paraphrase_leak(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.similarity import semantic_decontam
+
+    rng = np.random.RandomState(5)
+    base = rng.randn(50, 16).astype(np.float32)
+    train = pd.DataFrame(
+        {
+            "vec_id": np.arange(50, dtype=np.int64),
+            "embedding": list(base),
+        }
+    )
+    # eval: two vectors — one a tiny perturbation of train row 7 (leak),
+    # one orthogonal-ish fresh vector (clean)
+    leak = base[7] + rng.randn(16).astype(np.float32) * 0.01
+    clean = rng.randn(16).astype(np.float32) * 10
+    ev = pd.DataFrame(
+        {"vec_id": np.array([100, 101], dtype=np.int64),
+         "embedding": [leak, clean]}
+    )
+    out = semantic_decontam(
+        rd.from_pandas(train).repartition(4), rd.from_pandas(ev),
+        threshold=0.98,
+    ).to_pandas()
+    assert (7, 100) in set(zip(out["train_id"], out["eval_id"]))
+    assert 101 not in set(out["eval_id"])
