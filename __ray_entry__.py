@@ -128,6 +128,19 @@ def _q_dedup_exact_docs(sf_dir: str):
     return out
 
 
+def _q_latest_order(sf_dir: str):
+    """CDC / upsert compaction: each customer's latest order (max
+    o_orderdate, ties broken by max o_orderkey)."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.table_ops import latest_by_key
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet")
+    return latest_by_key(
+        ds, "o_custkey", "o_orderdate", tie_col="o_orderkey"
+    )
+
+
 def _q_ann_topk(sf_dir: str):
     import pyarrow.parquet as pq
 
@@ -1143,6 +1156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_docs": _q_repetition,
         "pii_docs": _q_pii,
         "quantiles_orders": _q_quantiles,
+        "latest_order_per_customer": _q_latest_order,
         "approx_distinct_orders": _q_approx_distinct,
         "countmin_orders": _q_countmin,
         "quantile_filter_docs": _q_quantile_filter,
@@ -2509,6 +2523,16 @@ def oracle_sql() -> dict[str, str]:
              AND p.ts < s.ts + INTERVAL 10 MINUTE
             WHERE p.event_type <> 'signup'
             GROUP BY 1
+        """,
+        "latest_order_per_customer": """
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                   o_orderdate, o_orderpriority
+            FROM (
+              SELECT *, row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+              FROM orders
+            ) WHERE rn = 1
         """,
         "quantiles_orders": """
             SELECT o_orderstatus,

@@ -348,3 +348,71 @@ def grouped_quantiles(
         .groupby("__qb__")
         .map_groups(bucket_quantiles, batch_format="pandas")
     )
+
+
+def latest_by_key(
+    ds: ray.data.Dataset,
+    key_cols: str | list[str],
+    order_col: str,
+    tie_col: str | None = None,
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """CDC / upsert compaction: keep, per key, the single row with the
+    maximum ``order_col`` (latest version), ties broken by maximum
+    ``tie_col``. Deterministic iff (order, tie) is unique per key — pass a
+    unique row id as ``tie_col`` when versions can collide.
+
+    Scale shape: each input block is pre-reduced LOCALLY to one winner per
+    key (vectorized lexsort + group-boundary scan — no per-key Python)
+    BEFORE the exchange, so at most one row per (key, block) rides the
+    shuffle regardless of how many stale versions a block holds. The
+    shuffle key is a ≤``n_buckets`` hash bucket of the key tuple — never
+    the raw (potentially billion-cardinality) key — and each bucket
+    re-runs the same vectorized winner pass over its pre-reduced rows.
+    """
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+
+    def winners(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t
+        kcodes = [
+            pd.factorize(t[c].to_numpy(zero_copy_only=False))[0]
+            for c in key_cols
+        ]
+        sort_keys: list[np.ndarray] = []
+        if tie_col is not None:
+            sort_keys.append(t[tie_col].to_numpy(zero_copy_only=False))
+        sort_keys.append(t[order_col].to_numpy(zero_copy_only=False))
+        sort_keys.extend(kcodes)  # last key is primary in np.lexsort
+        idx = np.lexsort(tuple(sort_keys))
+        diff = np.zeros(len(idx) - 1, bool)
+        for kc in kcodes:
+            s = kc[idx]
+            diff |= s[1:] != s[:-1]
+        last = np.concatenate([diff, [True]])  # max (order, tie) per key
+        return t.take(pa.array(idx[last]))
+
+    def prereduce(t: pa.Table) -> pa.Table:
+        from record_matcher_ray.core.hashkernels import column_hash64, mix64
+
+        w = winners(t)
+        h = np.zeros(len(w), np.uint64)
+        with np.errstate(over="ignore"):
+            for c in key_cols:
+                h = mix64(
+                    h * np.uint64(0x9E3779B97F4A7C15) ^ column_hash64(w[c])
+                )
+        return w.append_column(
+            "__kb__", pa.array((h % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    def bucket_winners(t: pa.Table) -> pa.Table:
+        return winners(t.drop_columns(["__kb__"]))
+
+    return (
+        ds.map_batches(prereduce, batch_format="pyarrow")
+        .groupby("__kb__")
+        .map_groups(bucket_winners, batch_format="pyarrow")
+    )

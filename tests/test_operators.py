@@ -1078,3 +1078,64 @@ def test_filter_by_quantile_global_and_grouped(ray_session):
 
     with pytest.raises(ValueError):
         filter_by_quantile(ds, "v", 0.9, 0.1)
+
+
+def test_latest_by_key_single_key(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.table_ops import latest_by_key
+
+    rng = np.random.RandomState(7)
+    n = 4_000
+    df = pd.DataFrame(
+        {
+            "rid": np.arange(n, dtype=np.int64),
+            "key": rng.randint(0, 300, size=n).astype(np.int64),
+            "version": rng.randint(0, 50, size=n).astype(np.int64),
+            "payload": rng.randn(n),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(9)
+    out = latest_by_key(ds, "key", "version", tie_col="rid").to_pandas()
+
+    expect = df.sort_values(["key", "version", "rid"]).groupby("key").tail(1)
+    out = out.sort_values("key").reset_index(drop=True)
+    expect = expect.sort_values("key").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out[["rid", "key", "version", "payload"]],
+        expect[["rid", "key", "version", "payload"]],
+    )
+    assert set(out.columns) == {"rid", "key", "version", "payload"}
+
+
+def test_latest_by_key_string_multikey(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.table_ops import latest_by_key
+
+    rng = np.random.RandomState(11)
+    n = 2_000
+    df = pd.DataFrame(
+        {
+            "rid": np.arange(n, dtype=np.int64),
+            "ka": rng.choice(["x", "y", "z"], size=n),
+            "kb": rng.randint(0, 40, size=n).astype(np.int64),
+            "ts": rng.randint(0, 10, size=n).astype(np.int64),
+        }
+    )
+    ds = rd.from_pandas(df).repartition(5)
+    out = latest_by_key(ds, ["ka", "kb"], "ts", tie_col="rid").to_pandas()
+
+    expect = (
+        df.sort_values(["ka", "kb", "ts", "rid"])
+        .groupby(["ka", "kb"])
+        .tail(1)
+    )
+    out = out.sort_values(["ka", "kb"]).reset_index(drop=True)
+    expect = expect.sort_values(["ka", "kb"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        out[["rid", "ka", "kb", "ts"]], expect[["rid", "ka", "kb", "ts"]]
+    )
+
+    with pytest.raises(ValueError):
+        latest_by_key(ds, [], "ts")
