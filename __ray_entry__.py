@@ -161,6 +161,85 @@ def _q_ann_topk(sf_dir: str):
     return out
 
 
+def _q_lsh_topk(sf_dir: str):
+    """Random-hyperplane LSH ANN: same 5 queries as ann_topk, but only
+    bucket-colliding candidates are scored (the LSH-bucketed scale path)."""
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from record_matcher_ray.pipelines.similarity import lsh_topk
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    head = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).slice(0, 5)
+    q = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in head["embedding"].to_pylist()]
+    )
+    out = lsh_topk(
+        ds, q, k=10, n_tables=4, n_bits=6, seed=0,
+        query_ids=head["vec_id"].to_numpy(),
+    )
+    out = out[["query_id", "vec_id", "cos_sim"]].copy()
+    out["cos_sim"] = out["cos_sim"].round(4)
+    return out
+
+
+def _lsh_topk_oracle() -> str:
+    """Bit-exact DuckDB replay of the LSH bucketing: the engine's sign
+    matrix is embedded as literals, components quantized by the same
+    floor(x * 2^20) (exact in float64 both sides), dots summed as exact
+    integers (list_sum → HUGEINT), candidates = any-table code equality,
+    then the ann_topk cosine-rank recipe."""
+    from record_matcher_ray.pipelines.similarity import lsh_sign_matrix
+
+    n_tables, n_bits, dim, seed, k = 4, 6, 64, 0, 10
+    signs = lsh_sign_matrix(dim, n_tables, n_bits, seed)
+
+    def code_expr(t: int) -> str:
+        terms = []
+        for i in range(n_bits):
+            lit = "[" + ",".join(str(int(s)) for s in signs[t, i]) + "]"
+            dot = (
+                f"list_sum(list_transform(list_zip(qv, {lit}), "
+                f"z -> z[1] * z[2]))"
+            )
+            terms.append(f"CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END")
+        return "(" + " + ".join(terms) + ")"
+
+    codes = ",\n                 ".join(
+        f"{code_expr(t)} AS c{t}" for t in range(n_tables)
+    )
+    onexpr = " OR ".join(f"q.c{t} = v.c{t}" for t in range(n_tables))
+    return f"""
+        WITH qz AS (
+          SELECT vec_id, embedding,
+                 list_transform(embedding::DOUBLE[],
+                                x -> CAST(floor(x * 1048576.0) AS BIGINT))
+                   AS qv
+          FROM embeddings
+        ), codes AS (
+          SELECT vec_id, embedding,
+                 {codes}
+          FROM qz
+        ), cand AS (
+          SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+                 list_cosine_similarity(q.embedding::DOUBLE[],
+                                        v.embedding::DOUBLE[]) AS sim
+          FROM codes q JOIN codes v ON ({onexpr})
+          WHERE q.vec_id < 5
+        ), ranked AS (
+          SELECT query_id, vec_id, sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, vec_id) AS rnk
+          FROM cand
+        )
+        SELECT query_id, vec_id, round(sim, 4) AS cos_sim
+        FROM ranked WHERE rnk <= {k}
+    """
+
+
 def _q_docmatch(sf_dir: str):
     """North-star pipeline over a deterministic interleaved corpus sized by
     sf (rows-only check: blocking + scoring + clustering are not SQL)."""
@@ -1144,6 +1223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_docs": _q_pack_docs,
         # similarity search
         "ann_topk": _q_ann_topk,
+        "lsh_topk": _q_lsh_topk,
         "embedding_near_dups": _q_embedding_near_dups,
         "kmeans_embeddings": _q_kmeans,
         "semantic_decontam_embeddings": _q_semantic_decontam,
@@ -2483,6 +2563,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(t.embedding::DOUBLE[],
                                          e.embedding::DOUBLE[]) >= 0.9
         """,
+        "lsh_topk": _lsh_topk_oracle(),
         "ann_topk": """
             WITH sims AS (
               -- DOUBLE[] cast: DuckDB would otherwise compute in float32

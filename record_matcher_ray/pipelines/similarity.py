@@ -178,6 +178,106 @@ def ivf_topk(
     return _merge_topk(parts, k, np.asarray(query_ids))
 
 
+def lsh_sign_matrix(
+    dim: int, n_tables: int = 4, n_bits: int = 6, seed: int = 0
+) -> np.ndarray:
+    """(n_tables, n_bits, dim) ±1 int64 random-hyperplane sign projections,
+    derived deterministically from splitmix64 so the SQL oracle can embed
+    the exact same constants as literals."""
+    from record_matcher_ray.core.hashkernels import mix64
+
+    n = n_tables * n_bits * dim
+    with np.errstate(over="ignore"):
+        h = mix64(
+            np.arange(n, dtype=np.uint64)
+            + np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15)
+        )
+    signs = np.where((h & np.uint64(1)).astype(bool), 1, -1).astype(np.int64)
+    return signs.reshape(n_tables, n_bits, dim)
+
+
+_LSH_QUANT = float(2**20)  # power of two ⇒ float64 multiply is EXACT
+
+
+def lsh_codes(vecs: np.ndarray, signs: np.ndarray) -> np.ndarray:
+    """(n, n_tables) int64 bucket codes. Bit i of table t = (sign-projection
+    dot > 0), computed in EXACT integer math: each component is quantized
+    once as floor(float64(v) * 2**20) — a bit-exact operation both here and
+    in DuckDB (``floor(x * 1048576.0)::BIGINT``) — so the bucket assignment
+    is partitioning- and engine-invariant (same recipe as kmeans)."""
+    q = np.floor(vecs.astype(np.float64) * _LSH_QUANT).astype(np.int64)
+    dots = np.einsum("nd,tbd->ntb", q, signs)  # exact int64, |dot| << 2**63
+    bits = (dots > 0).astype(np.int64)
+    weights = np.int64(1) << np.arange(signs.shape[1], dtype=np.int64)
+    return (bits * weights).sum(axis=2)
+
+
+def lsh_topk(
+    ds: ray.data.Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    n_tables: int = 4,
+    n_bits: int = 6,
+    seed: int = 0,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_ids: np.ndarray | None = None,
+) -> pd.DataFrame:
+    """Approximate cosine top-k via random-hyperplane LSH (SimHash-style
+    multi-table bucketing — Charikar, STOC 2002): a vector is a candidate
+    for a query iff they share a bucket code in ANY of the ``n_tables``
+    tables; only candidates are scored exactly.
+
+    Scale shape: queries + sign matrix broadcast once (``ray.put``); each
+    batch computes its own codes, intersects with the query codes, scores
+    only the colliding pairs and emits a per-batch partial top-k — one data
+    pass, zero shuffle, candidate count bounded by bucket occupancy instead
+    of the corpus size. Same output schema as :func:`brute_force_topk`.
+    """
+    q = np.asarray(queries, dtype=np.float64)
+    if query_ids is None:
+        query_ids = np.arange(len(q))
+    signs = lsh_sign_matrix(q.shape[1], n_tables, n_bits, seed)
+    qcodes = lsh_codes(q, signs)  # (nq, T)
+    ref = ray.put((_unit(q), qcodes, signs))
+
+    def partial(t: pa.Table) -> pa.Table:
+        qm, qc, sg = ray.get(ref)
+        raw = _batch_vecs(t, vec_col)
+        vm = _unit(raw)
+        ids = t[id_col].to_numpy()
+        vc = lsh_codes(raw, sg)  # (nb, T)
+        # (nq, nb): collide in any table
+        hit = (qc[:, None, :] == vc[None, :, :]).any(axis=2)
+        qi, vi = np.nonzero(hit)
+        empty = pa.table(
+            {"qi": pa.array([], pa.int64()),
+             "vec_id": pa.array([], pa.int64()),
+             "sim": pa.array([], pa.float64())}
+        )
+        if len(qi) == 0:
+            return empty
+        sims = (qm[qi] * vm[vi]).sum(axis=1)
+        # per-batch partial top-k per query (ties by vec_id)
+        order = np.lexsort((ids[vi], -sims, qi))
+        qi_s = qi[order]
+        first = np.concatenate(([True], qi_s[1:] != qi_s[:-1]))
+        starts = np.nonzero(first)[0]
+        rank = np.arange(len(qi_s)) - np.repeat(
+            starts, np.diff(np.append(starts, len(qi_s)))
+        )
+        keep = order[rank < k]
+        return pa.table(
+            {"qi": pa.array(qi[keep].astype(np.int64)),
+             "vec_id": pa.array(ids[vi[keep]].astype(np.int64)),
+             "sim": pa.array(sims[keep].astype(np.float64))}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    return _merge_topk(parts, k, np.asarray(query_ids))
+
+
 def embedding_near_dups_exact(
     ds: ray.data.Dataset,
     threshold: float = 0.95,

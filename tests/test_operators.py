@@ -142,6 +142,53 @@ def test_ivf_topk_high_recall(ray_session):
     assert np.mean(recalls) >= 0.6, recalls
 
 
+def test_lsh_topk_matches_local_replay(ray_session):
+    """lsh_topk is fully deterministic (integer-quantized sign projections)
+    — the distributed result must equal a local numpy replay exactly, and
+    be invariant to partitioning."""
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.similarity import (
+        lsh_codes,
+        lsh_sign_matrix,
+        lsh_topk,
+    )
+
+    rng = np.random.RandomState(3)
+    vecs = rng.standard_normal((400, 16))
+    df = pd.DataFrame({"vec_id": np.arange(400), "embedding": list(vecs)})
+    q = vecs[:4]
+
+    # local replay
+    signs = lsh_sign_matrix(16, n_tables=4, n_bits=5, seed=7)
+    qc, vc = lsh_codes(q, signs), lsh_codes(vecs, signs)
+    u = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    rows = []
+    for qi in range(len(q)):
+        cand = np.nonzero((qc[qi][None, :] == vc).any(axis=1))[0]
+        sims = u[cand] @ u[qi]
+        order = np.lexsort((cand, -sims))[:6]
+        for r, j in enumerate(order):
+            rows.append((qi, r + 1, int(cand[j]), round(float(sims[j]), 6)))
+    want = pd.DataFrame(rows, columns=["query_id", "rank", "vec_id", "cos_sim"])
+
+    for parts in (1, 9):
+        out = lsh_topk(
+            rd.from_pandas(df).repartition(parts),
+            q, k=6, n_tables=4, n_bits=5, seed=7,
+        ).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            out.astype({"query_id": np.int64, "rank": np.int64,
+                        "vec_id": np.int64}),
+            want.astype({"query_id": np.int64, "rank": np.int64,
+                         "vec_id": np.int64}),
+        )
+    # each query's top hit is itself (identical codes in every table)
+    top = want[want["rank"] == 1]
+    assert list(top["vec_id"]) == [0, 1, 2, 3]
+    assert all(top["cos_sim"] == 1.0)
+
+
 def test_embedding_near_dups(ray_session):
     """Planted near-dups: the IVF multi-probe path must recover (nearly)
     all of them despite centroid-boundary splits; the exact path must
