@@ -618,6 +618,98 @@ def _q_top_terms(sf_dir: str):
     return top_terms(ds, k=100)
 
 
+def _q_hashed_tfidf(sf_dir: str):
+    """Feature-hashing TF-IDF vectors (32 dims), flattened to long format
+    (doc_id, dim, tfidf) for the hash compare."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from record_matcher_ray.pipelines.terms import hashed_tfidf
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = hashed_tfidf(ds, n_dims=32)
+
+    def flat(t: pa.Table) -> pa.Table:
+        feats = t["features"].combine_chunks()
+        vals = feats.flatten().to_numpy(zero_copy_only=False)
+        ids = np.repeat(t["doc_id"].to_numpy(), 32)
+        dims = np.tile(np.arange(32, dtype=np.int64), len(t))
+        return pa.table(
+            {"doc_id": pa.array(ids), "dim": pa.array(dims),
+             "tfidf": pa.array(vals, pa.float64())}
+        )
+
+    return out.map_batches(flat, batch_format="pyarrow")
+
+
+def _hashed_tfidf_oracle(n_dims: int = 32) -> str:
+    """Hash-exact replay of terms.hashed_tfidf: token → Horner polynomial
+    over the first ≤8 chars (mod 2^64, HUGEINT-reduced every 3rd step) →
+    splitmix64 → dim/sign bits; signed tf and df are exact integers, the
+    single ln((N+1)/(df+1))+1 double matches libm (CLAUDE.md recipe)."""
+    M = _SQL_M
+    branches = []
+    for length in range(1, 9):
+        expr = "ascii(substr(w,1,1))::HUGEINT"
+        for kk in range(2, length + 1):
+            expr = f"({expr} * 1000003 + ascii(substr(w,{kk},1)))"
+            if kk % 3 == 0:
+                expr = f"({expr} % {M})"
+        branches.append(f"WHEN {length} THEN ({expr}) % {M}")
+    poly = "CASE length(w) " + " ".join(branches) + " ELSE 0 END"
+    m1 = _sql_mulmod(_sql_xorshift("p", 30), 0xBF58476D1CE4E5B9)
+    m2 = _sql_mulmod(_sql_xorshift("h", 27), 0x94D049BB133111EB)
+    return f"""
+        WITH t AS (
+          SELECT doc_id,
+                 trim(regexp_replace(lower(coalesce(text, '')),
+                                     '[^a-z0-9]+', ' ', 'g')) AS nt
+          FROM documents
+        ), tok AS (
+          SELECT doc_id, unnest(string_split(nt, ' ')) AS term
+          FROM t WHERE len(nt) > 0
+        ), tokw AS (
+          SELECT doc_id, substr(term, 1, 8) AS w FROM tok
+        ), poly AS (
+          SELECT doc_id, ({poly}) AS p FROM tokw
+        ), m1 AS (
+          SELECT doc_id, {m1} AS h FROM poly
+        ), m2 AS (
+          SELECT doc_id, {m2} AS h FROM m1
+        ), dims AS (
+          SELECT doc_id,
+                 (xor(h::UBIGINT, h::UBIGINT >> 31) % {n_dims})::BIGINT
+                   AS dim,
+                 CASE WHEN (xor(h::UBIGINT, h::UBIGINT >> 31) >> 33) & 1 = 1
+                      THEN 1 ELSE -1 END AS sgn
+          FROM m2
+        ), stf AS (
+          SELECT doc_id, dim, sum(sgn)::DOUBLE AS stf
+          FROM dims GROUP BY 1, 2
+        ), dfd AS (
+          SELECT dim, count(DISTINCT doc_id)::BIGINT AS dfd
+          FROM dims GROUP BY 1
+        ), n AS (SELECT count(*)::BIGINT AS nd FROM documents),
+        grid AS (
+          SELECT d.doc_id, gs.dim
+          FROM documents d,
+               (SELECT unnest(generate_series(0, {n_dims - 1}))::BIGINT
+                  AS dim) gs
+        )
+        SELECT g.doc_id, g.dim,
+               round(coalesce(s.stf, 0.0)
+                     * (ln((n.nd + 1.0) / (coalesce(f.dfd, 0) + 1.0)) + 1.0),
+                     6) AS tfidf
+        FROM grid g
+        LEFT JOIN stf s ON s.doc_id = g.doc_id AND s.dim = g.dim
+        LEFT JOIN dfd f ON f.dim = g.dim
+        CROSS JOIN n
+    """
+
+
 def _q_bm25(sf_dir: str):
     """BM25 lexical relevance to a fixed query — broadcast idf table from
     one O(|query|)-rows-per-block aggregate pass, zero-shuffle scoring."""
@@ -1245,6 +1337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_docs": _q_redact,
         "chunk_docs": _q_chunks,
         "top_terms_docs": _q_top_terms,
+        "hashed_tfidf_docs": _q_hashed_tfidf,
         "bm25_docs": _q_bm25,
         "decontam_near_docs": _q_decontam_near,
         "minhash_decontam_docs": _q_minhash_decontam,
@@ -2635,6 +2728,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_docs": __import__(
             "record_matcher_ray.pipelines.chunking", fromlist=["x"]
         ).sql_chunk_documents(size=64, overlap=16),
+        "hashed_tfidf_docs": _hashed_tfidf_oracle(),
         "top_terms_docs": """
             WITH t AS (
               SELECT doc_id,

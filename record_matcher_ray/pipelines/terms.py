@@ -86,6 +86,102 @@ def top_terms(
     return agg.sort(["n_occ", "term"], descending=[True, False]).limit(k)
 
 
+_TFIDF_PREFIX = 8  # chars hashed per token (fixed so SQL can replay it)
+
+
+def token_dims(
+    toks: np.ndarray, n_dims: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(dim, sign) per token for the hashing trick: splitmix-finalized
+    polynomial hash of the token's first ``_TFIDF_PREFIX`` chars (the
+    hashkernels.column_hash64 chain — identical constants to the simhash
+    SQL oracle), dim = h mod n_dims, sign from bit 33 (independent of the
+    low dim bits)."""
+    from record_matcher_ray.core.hashkernels import column_hash64
+
+    arr = pc.utf8_slice_codeunits(
+        pa.array(toks, pa.string()), 0, _TFIDF_PREFIX
+    )
+    h = column_hash64(arr)
+    dim = (h % np.uint64(n_dims)).astype(np.int64)
+    sgn = ((h >> np.uint64(33)) & np.uint64(1)).astype(np.int64) * 2 - 1
+    return dim, sgn
+
+
+def hashed_tfidf(
+    ds: ray.data.Dataset,
+    n_dims: int = 32,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ndigits: int = 6,
+) -> ray.data.Dataset:
+    """Feature-hashing TF-IDF document vectors (Weinberger et al., ICML
+    2009 "hashing trick"): every token maps to a fixed dimension by hash,
+    with a ±1 sign hash to de-bias collisions; feature[d] = signed-tf[d] ×
+    idf[d], idf[d] = ln((N+1)/(df[d]+1)) + 1, df[d] = number of documents
+    with ≥1 token in dimension d. → rows (id_col, features:
+    fixed_size_list<double>[n_dims]).
+
+    Scale shape: same two streaming passes as :func:`bm25_scores` — pass 1
+    emits an O(``n_dims``)-row partial per block merged by a fixed-width
+    ``groupby`` (raw tokens never shuffle; unlike a vocabulary-sized df
+    table, the partial width is constant), the idf vector (``n_dims``
+    doubles) rides the task closure, and pass 2 is a zero-shuffle
+    vectorized scoring pass. Exchange volume is independent of corpus size
+    AND vocabulary size — the point of the hashing trick at 100 TB.
+    """
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        toks, doc_idx, n_per_doc = _block_tokens(batch[text_col])
+        df = np.zeros(n_dims, dtype=np.int64)
+        if len(toks):
+            dim, _ = token_dims(toks, n_dims)
+            uk = np.unique(doc_idx * np.int64(n_dims) + dim)
+            df = np.bincount(
+                uk % np.int64(n_dims), minlength=n_dims
+            ).astype(np.int64)
+        return pa.table(
+            {"dim": pa.array(
+                np.concatenate([np.arange(n_dims, dtype=np.int64), [-1]])),
+             "df": pa.array(np.concatenate([df, [0]])),
+             "n_docs": pa.array([0] * n_dims + [len(n_per_doc)],
+                                pa.int64())}
+        )
+
+    stats = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("dim")
+        .aggregate(Sum("df", alias_name="df"),
+                   Sum("n_docs", alias_name="n_docs"))
+        .to_pandas()
+    )
+    n_corpus = int(stats["n_docs"].sum())
+    df_vec = np.zeros(n_dims, dtype=np.int64)
+    real = stats[stats["dim"] >= 0]
+    df_vec[real["dim"].to_numpy()] = real["df"].to_numpy()
+    idf = np.log((n_corpus + 1.0) / (df_vec + 1.0)) + 1.0
+
+    def score(batch: pa.Table) -> pa.Table:
+        toks, doc_idx, n_per_doc = _block_tokens(batch[text_col])
+        n = len(n_per_doc)
+        stf = np.zeros((n, n_dims), dtype=np.float64)
+        if len(toks):
+            dim, sgn = token_dims(toks, n_dims)
+            stf = np.bincount(
+                doc_idx * np.int64(n_dims) + dim,
+                weights=sgn.astype(np.float64),
+                minlength=n * n_dims,
+            ).reshape(n, n_dims)
+        vals = np.round(stf * idf[None, :], ndigits) + 0.0  # -0.0 → 0.0
+        feats = pa.FixedSizeListArray.from_arrays(
+            pa.array(vals.ravel(), pa.float64()), n_dims
+        )
+        return pa.table({id_col: batch[id_col], "features": feats})
+
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
 def bm25_scores(
     ds: ray.data.Dataset,
     query: str,

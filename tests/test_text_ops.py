@@ -5,6 +5,7 @@ from __future__ import annotations
 import re
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 import ray.data
@@ -259,3 +260,49 @@ class TestBM25TopK:
         ).head(7)
         assert top["doc_id"].tolist() == want["doc_id"].tolist()
         assert top["bm25"].tolist() == want["bm25"].tolist()
+
+
+class TestHashedTfidf:
+    def test_local_replay_and_partition_invariance(self, ray_session):
+        import ray.data as rd
+
+        from record_matcher_ray.pipelines.terms import (
+            _block_tokens,
+            hashed_tfidf,
+            token_dims,
+        )
+
+        texts = [
+            "Alpha beta BETA gamma!",
+            "",
+            "alpha alpha delta epsilon-zeta",
+            "beta beta beta",
+            "unique singleton tokens only here",
+        ]
+        df = pd.DataFrame({"doc_id": np.arange(5, dtype=np.int64),
+                           "text": texts})
+        D = 16
+
+        # local replay with the engine's own hash helpers
+        toks, doc_idx, n_per_doc = _block_tokens(pa.array(texts))
+        dim, sgn = token_dims(toks, D)
+        stf = np.bincount(doc_idx * D + dim, weights=sgn.astype(float),
+                          minlength=5 * D).reshape(5, D)
+        uk = np.unique(doc_idx * D + dim)
+        dfv = np.bincount(uk % D, minlength=D)
+        idf = np.log((5 + 1.0) / (dfv + 1.0)) + 1.0
+        want = np.round(stf * idf[None, :], 6) + 0.0
+
+        for parts in (1, 4):
+            out = (
+                hashed_tfidf(rd.from_pandas(df).repartition(parts), n_dims=D)
+                .to_pandas()
+                .sort_values("doc_id")
+                .reset_index(drop=True)
+            )
+            got = np.stack(out["features"].to_numpy())
+            np.testing.assert_array_equal(got, want)
+
+        # empty doc → all-zero vector; sign hash actually mixes signs
+        assert (want[1] == 0.0).all()
+        assert (sgn == 1).any() and (sgn == -1).any()
