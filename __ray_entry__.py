@@ -578,6 +578,21 @@ def _q_pii(sf_dir: str):
     return pii_counts(ds)
 
 
+def _q_approx_quantiles(sf_dir: str):
+    """Mergeable histogram quantile sketch over order totals — constant
+    per-block partials, pinned-order IEEE float math (bit-replayable)."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.sketches import approx_quantiles
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_totalprice"]
+    )
+    return approx_quantiles(
+        ds, "o_totalprice", qs=(0.1, 0.5, 0.9, 0.99), n_bins=1024
+    )
+
+
 def _q_redact(sf_dir: str):
     """PII redaction pass — text rewritten with ordered pattern masking;
     oracle is the same nested regexp_replace chain."""
@@ -1328,6 +1343,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_docs": _q_repetition,
         "pii_docs": _q_pii,
         "quantiles_orders": _q_quantiles,
+        "approx_quantiles_orders": _q_approx_quantiles,
         "latest_order_per_customer": _q_latest_order,
         "approx_distinct_orders": _q_approx_distinct,
         "countmin_orders": _q_countmin,
@@ -2697,6 +2713,36 @@ def oracle_sql() -> dict[str, str]:
              AND p.ts < s.ts + INTERVAL 10 MINUTE
             WHERE p.event_type <> 'signup'
             GROUP BY 1
+        """,
+        "approx_quantiles_orders": """
+            WITH v AS (
+              SELECT o_totalprice::DOUBLE AS x
+              FROM orders WHERE o_totalprice IS NOT NULL
+            ), s AS (
+              SELECT min(x) AS mn, max(x) AS mx, count(*)::BIGINT AS n
+              FROM v
+            ), bins AS (
+              SELECT least(CAST(floor((x - s.mn) * 1024.0 / (s.mx - s.mn))
+                                AS BIGINT), 1023) AS bin
+              FROM v, s
+            ), h AS (
+              SELECT bin, count(*)::BIGINT AS c FROM bins GROUP BY bin
+            ), cumt AS (
+              SELECT bin, sum(c) OVER (ORDER BY bin) AS cum FROM h
+            ), qq AS (
+              SELECT unnest([0.1::DOUBLE, 0.5::DOUBLE,
+                             0.9::DOUBLE, 0.99::DOUBLE]) AS q
+            ), sel AS (
+              SELECT q.q,
+                     (SELECT min(bin) FROM cumt
+                      WHERE cum > CAST(floor(q.q * (s.n - 1)) AS BIGINT))
+                       AS bin
+              FROM qq q, s
+            )
+            SELECT sel.q AS q,
+                   round(s.mn + ((sel.bin + 0.5) * (s.mx - s.mn) / 1024.0),
+                         6) AS est
+            FROM sel, s
         """,
         "latest_order_per_customer": """
             SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,

@@ -190,3 +190,76 @@ def cm_estimate(
     pos = cm_hash_rows(keys.astype(np.int64), depth, width, seed)
     ests = np.stack([counters[i, pos[i]] for i in range(depth)])
     return ests.min(axis=0)
+
+
+def approx_quantiles(
+    ds: ray.data.Dataset,
+    col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+    n_bins: int = 4096,
+) -> pd.DataFrame:
+    """Approximate quantiles via a mergeable fixed-width histogram sketch
+    — the unbounded-stream scale path grouped_quantiles' docstring points
+    at: two streaming passes, per-block partials of CONSTANT size
+    (min/max/count, then an ``n_bins`` int64 histogram), merged by
+    elementwise addition, so the exchange volume is independent of row
+    count and the result is partitioning-invariant. Error ≤ one bin width
+    of the value range. → DataFrame (q, est), est = midpoint of the bin
+    holding rank floor(q·(n−1)), rounded to 6dp.
+
+    Every float step (bin index ``floor((x−mn)·B/(mx−mn))``, estimate
+    ``mn + (bin+0.5)·(mx−mn)/B``) is a pinned-order IEEE-double expression
+    replayed bit-for-bit by the DuckDB oracle.
+    """
+    qs = tuple(float(q) for q in qs)
+    if any(not 0.0 <= q <= 1.0 for q in qs):
+        raise ValueError(f"quantiles must be in [0, 1], got {qs}")
+
+    def mmc(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        v = pc.drop_null(pc.cast(t[col], pa.float64()))
+        n = len(v)
+        return pa.table(
+            {"mn": pa.array([pc.min(v).as_py() if n else None],
+                            pa.float64()),
+             "mx": pa.array([pc.max(v).as_py() if n else None],
+                            pa.float64()),
+             "n": pa.array([n], pa.int64())}
+        )
+
+    s = ds.map_batches(mmc, batch_format="pyarrow").to_pandas()
+    n_total = int(s["n"].sum())
+    if n_total == 0:
+        return pd.DataFrame({"q": list(qs), "est": [np.nan] * len(qs)})
+    mn = float(s["mn"].min())
+    mx = float(s["mx"].max())
+    if mx == mn:
+        return pd.DataFrame({"q": list(qs), "est": [round(mn, 6)] * len(qs)})
+
+    def hist(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        v = pc.drop_null(pc.cast(t[col], pa.float64())).to_numpy()
+        bins = np.minimum(
+            np.floor((v - mn) * float(n_bins) / (mx - mn)).astype(np.int64),
+            n_bins - 1,
+        )
+        h = np.bincount(bins, minlength=n_bins)
+        return pa.table({"h": pa.array([h], pa.list_(pa.int64()))})
+
+    total = np.zeros(n_bins, dtype=np.int64)
+    for b in (
+        ds.map_batches(hist, batch_format="pyarrow")
+        .iter_batches(batch_size=256, batch_format="pyarrow")
+    ):
+        for row in b["h"]:
+            total += np.asarray(row.as_py(), dtype=np.int64)
+
+    cum = np.cumsum(total)
+    ests = []
+    for q in qs:
+        rank = int(np.floor(q * (n_total - 1)))
+        b = int(np.searchsorted(cum, rank + 1))
+        ests.append(round(mn + ((b + 0.5) * (mx - mn) / float(n_bins)), 6))
+    return pd.DataFrame({"q": list(qs), "est": ests})

@@ -143,3 +143,50 @@ def test_empty_input_edges(ray_session):
     assert cm.shape == (2, 64) and cm.sum() == 0
     fq = filter_by_quantile(empty, "v", 0.1, 0.9).to_pandas()
     assert len(fq) == 0
+
+
+def test_approx_quantiles_accuracy_and_invariance(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.sketches import approx_quantiles
+
+    rng = np.random.RandomState(5)
+    vals = np.concatenate([rng.lognormal(3, 1, 20_000), [0.0, 1e4]])
+    df = pd.DataFrame({"v": vals})
+    qs = (0.1, 0.5, 0.9, 0.99)
+
+    outs = []
+    for parts in (1, 13):
+        out = approx_quantiles(
+            rd.from_pandas(df).repartition(parts), "v", qs=qs, n_bins=4096
+        )
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])  # partition-invariant
+
+    bin_w = (vals.max() - vals.min()) / 4096
+    for q, est in zip(outs[0]["q"], outs[0]["est"]):
+        exact = np.quantile(vals, q)
+        assert abs(est - exact) <= bin_w + 1e-9, (q, est, exact)
+
+
+def test_approx_quantiles_edges(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.sketches import approx_quantiles
+
+    const = approx_quantiles(
+        rd.from_pandas(pd.DataFrame({"v": [7.5] * 100})), "v", qs=(0.5,)
+    )
+    assert list(const["est"]) == [7.5]
+
+    empty = approx_quantiles(
+        rd.from_pandas(pd.DataFrame({"v": pd.array([None, None],
+                                                   dtype="Float64")})),
+        "v", qs=(0.5,),
+    )
+    assert np.isnan(empty["est"]).all()
+
+    with pytest.raises(ValueError):
+        approx_quantiles(
+            rd.from_pandas(pd.DataFrame({"v": [1.0]})), "v", qs=(1.5,)
+        )
