@@ -578,6 +578,114 @@ def _q_pii(sf_dir: str):
     return pii_counts(ds)
 
 
+_PR_OFF = 1_000_000  # supplier node-id offset in the bipartite graph
+
+
+def _q_pagerank(sf_dir: str):
+    """Fixed-point integer PageRank (4 iterations, d=0.85) over the
+    bidirectional part↔supplier graph of lineitem — the engine's second
+    iterative distributed algorithm, bit-replayed by chained CTEs like
+    kmeans."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from record_matcher_ray.pipelines.graph import pagerank
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    )
+
+    def edges(t: pa.Table) -> pa.Table:
+        p = t["l_partkey"].to_numpy().astype(np.int64)
+        s = t["l_suppkey"].to_numpy().astype(np.int64) + _PR_OFF
+        return pa.table(
+            {"src": pa.array(np.concatenate([p, s])),
+             "dst": pa.array(np.concatenate([s, p]))}
+        )
+
+    return pagerank(li.map_batches(edges, batch_format="pyarrow"), iters=4)
+
+
+def _pagerank_oracle(iters: int = 4, total_bits: int = 40,
+                     d_num: int = 85, d_den: int = 100) -> str:
+    """Bit-exact replay of pipelines/graph.pagerank: every iteration is a
+    chained CTE; all arithmetic is non-negative HUGEINT so DuckDB's `//`
+    truncation equals Python's floor."""
+    total = 1 << total_bits
+    tele = f"(({d_den - d_num} * (SELECT init FROM consts)) // {d_den})"
+    sql = [f"""
+        WITH edges AS (
+          SELECT l_partkey::BIGINT AS src,
+                 l_suppkey::BIGINT + {_PR_OFF} AS dst
+          FROM lineitem
+          UNION ALL
+          SELECT l_suppkey::BIGINT + {_PR_OFF} AS src,
+                 l_partkey::BIGINT AS dst
+          FROM lineitem
+        ), deg AS (
+          SELECT src AS node, count(*)::HUGEINT AS outd
+          FROM edges GROUP BY src
+        ), nodes AS (
+          SELECT DISTINCT node FROM (
+            SELECT src AS node FROM edges
+            UNION ALL SELECT dst FROM edges)
+        ), consts AS (
+          SELECT count(*)::HUGEINT AS n,
+                 ({total}::HUGEINT // count(*)) AS init
+          FROM nodes
+        ), pr0 AS (
+          SELECT node, (SELECT init FROM consts) AS pr FROM nodes
+        )"""]
+    for i in range(1, iters + 1):
+        sql.append(f""",
+        pr{i} AS (
+          SELECT nd.node,
+                 {tele} + ({d_num} * coalesce(f.s, 0)) // {d_den} AS pr
+          FROM nodes nd LEFT JOIN (
+            SELECT e.dst AS node, sum(p.pr // g.outd) AS s
+            FROM edges e
+            JOIN pr{i - 1} p ON p.node = e.src
+            JOIN deg g ON g.node = e.src
+            GROUP BY e.dst
+          ) f ON f.node = nd.node
+        )""")
+    sql.append(f"""
+        SELECT node, pr::BIGINT AS pr FROM pr{iters}
+    """)
+    return "".join(sql)
+
+
+def _q_orders_anti_building(sf_dir: str):
+    """Anti-join: orders whose customer is NOT in the BUILDING segment
+    (broadcast key-set filter with anti=True — no shuffle; the anti twin
+    of building_orders_semi)."""
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from record_matcher_ray.pipelines.joins import semi_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    keys = cust.map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")).select(
+            ["c_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    out = semi_join(
+        orders, keys, on="o_custkey", key_col="c_custkey", anti=True
+    ).to_pandas()
+    out["o_totalprice"] = out["o_totalprice"].round(2)
+    return out
+
+
 def _q_approx_quantiles(sf_dir: str):
     """Mergeable histogram quantile sketch over order totals — constant
     per-block partials, pinned-order IEEE float math (bit-replayable)."""
@@ -1310,6 +1418,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_jaro": relational.supplier_nation_jaro,
         # joins
         "orders_customer_full": _q_orders_customer_full,
+        "orders_anti_building": _q_orders_anti_building,
+        "pagerank_lineitem": _q_pagerank,
         # dedup family
         "dedup_exact_docs": _q_dedup_exact_docs,
         "dup_span_stats_docs": _q_dup_span_stats,
@@ -2713,6 +2823,15 @@ def oracle_sql() -> dict[str, str]:
              AND p.ts < s.ts + INTERVAL 10 MINUTE
             WHERE p.event_type <> 'signup'
             GROUP BY 1
+        """,
+        "pagerank_lineitem": _pagerank_oracle(),
+        "orders_anti_building": """
+            SELECT o_orderkey, o_custkey, round(o_totalprice, 2)
+                     AS o_totalprice
+            FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey
+                                AND c.c_mktsegment = 'BUILDING')
         """,
         "approx_quantiles_orders": """
             WITH v AS (
