@@ -656,6 +656,80 @@ def _pagerank_oracle(iters: int = 4, total_bits: int = 40,
     return "".join(sql)
 
 
+def _q_snapshot_diff(sf_dir: str):
+    """Incremental corpus diff: a deterministic 'previous snapshot' is
+    derived from documents (drop ids %17==0 → added; stale text for
+    %13==0 → changed; ghost ids %19==0 → removed) and diffed against the
+    current table. Only (id, content-hash, side) ride the exchange."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from record_matcher_ray.pipelines.table_ops import snapshot_diff
+
+    new = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def build_old(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy()
+        txt = pc.cast(t["text"], pa.string())
+        stale = pc.binary_join_element_wise(txt, " [stale]", "")
+        base_txt = pc.if_else(
+            pa.array(did % 13 == 0), stale, txt
+        )
+        keep = pa.array(did % 17 != 0)
+        base = pa.table(
+            {"doc_id": t["doc_id"].filter(keep),
+             "text": base_txt.filter(keep)}
+        )
+        gmask = did % 19 == 0
+        ghosts = pa.table(
+            {"doc_id": pa.array(did[gmask] + 1_000_000),
+             "text": pc.binary_join_element_wise(
+                 "ghost ",
+                 pc.cast(pa.array(did[gmask]), pa.string()), ""
+             )}
+        )
+        return pa.concat_tables([base, ghosts])
+
+    old = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(build_old, batch_format="pyarrow")
+    return snapshot_diff(old, new)
+
+
+def _q_building_orders_bloom(sf_dir: str):
+    """Same semi join as building_orders_semi, but through the
+    Bloom-prefilter + bucketed-verify scale path (key side never
+    broadcast raw) — exact result, so the oracle is the plain semi SQL."""
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from record_matcher_ray.pipelines.joins import bloom_semi_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    keys = cust.map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")).select(
+            ["c_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    out = bloom_semi_join(
+        orders, keys, on="o_custkey", key_col="c_custkey", bits_log2=18
+    ).to_pandas()
+    out["o_totalprice"] = out["o_totalprice"].round(2)
+    return out
+
+
 def _q_orders_anti_building(sf_dir: str):
     """Anti-join: orders whose customer is NOT in the BUILDING segment
     (broadcast key-set filter with anti=True — no shuffle; the anti twin
@@ -1419,7 +1493,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # joins
         "orders_customer_full": _q_orders_customer_full,
         "orders_anti_building": _q_orders_anti_building,
+        "building_orders_bloom": _q_building_orders_bloom,
         "pagerank_lineitem": _q_pagerank,
+        "snapshot_diff_docs": _q_snapshot_diff,
         # dedup family
         "dedup_exact_docs": _q_dedup_exact_docs,
         "dup_span_stats_docs": _q_dup_span_stats,
@@ -2263,6 +2339,12 @@ def oracle_sql() -> dict[str, str]:
             WHERE o_custkey IN (SELECT c_custkey FROM customer
                                 WHERE c_mktsegment = 'BUILDING')
         """,
+        "building_orders_bloom": """
+            SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+            FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer
+                                WHERE c_mktsegment = 'BUILDING')
+        """,
         "events_props_extract": """
             SELECT event_id,
                    CAST(json_extract(props, '$.k') AS BIGINT) AS k
@@ -2825,6 +2907,24 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "pagerank_lineitem": _pagerank_oracle(),
+        "snapshot_diff_docs": """
+            WITH old AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 13 = 0 THEN text || ' [stale]'
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 17 <> 0
+              UNION ALL
+              SELECT doc_id + 1000000, 'ghost ' || doc_id
+              FROM documents WHERE doc_id % 19 = 0
+            )
+            SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        WHEN o.text = n.text THEN 'unchanged'
+                        ELSE 'changed' END AS status
+            FROM old o FULL OUTER JOIN documents n
+              ON o.doc_id = n.doc_id
+        """,
         "orders_anti_building": """
             SELECT o_orderkey, o_custkey, round(o_totalprice, 2)
                      AS o_totalprice

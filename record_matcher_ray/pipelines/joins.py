@@ -494,3 +494,76 @@ def broadcast_lookup(
         return df.merge(s, how=how, left_on=left_on, right_on=right_on)
 
     return ds.map_batches(merge, batch_format="pandas")
+
+
+def bloom_semi_join(
+    ds: ray.data.Dataset,
+    keys: ray.data.Dataset,
+    on: str,
+    key_col: str | None = None,
+    *,
+    bits_log2: int = 22,
+    k: int = 6,
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """EXACT semi join for key sides too large to broadcast raw (the
+    :func:`semi_join` cap): (1) each key block folds into a fixed-size
+    Bloom partial — ``2**bits_log2`` bits regardless of key cardinality —
+    merged by bitwise OR (order-invariant); (2) the merged bitset is
+    broadcast once; (3) the big side streams through the membership
+    prefilter with zero shuffle (no false negatives); (4) the surviving
+    superset (~fp-rate extra rows) is verified exactly by a bucketed
+    :func:`hash_join` against the DISTINCT key set. The Bloom pass shrinks
+    the verify exchange to survivors only — at 100 TB that is the
+    difference between shuffling the whole corpus and shuffling the hits.
+    """
+    from record_matcher_ray.core.hashkernels import column_hash64
+    from record_matcher_ray.functions.sketches import BloomFilter
+
+    key_col = key_col or on
+
+    def bloom_partial(t: pa.Table) -> pa.Table:
+        bf = BloomFilter(bits_log2, k)
+        bf.add_hashes(column_hash64(t[key_col]))
+        return pa.table(
+            {"words": pa.array([bf.words], pa.list_(pa.uint64()))}
+        )
+
+    merged = BloomFilter(bits_log2, k)
+    for b in keys.map_batches(
+        bloom_partial, batch_format="pyarrow"
+    ).iter_batches(batch_size=64, batch_format="pyarrow"):
+        col = b["words"]
+        for i in range(len(col)):
+            merged.words |= np.asarray(col[i].as_py(), dtype=np.uint64)
+    words_ref = ray.put(merged.words)
+
+    def prefilter(t: pa.Table) -> pa.Table:
+        bf = BloomFilter(bits_log2, k)
+        bf.words = ray.get(words_ref)
+        return t.filter(pa.array(bf.contains(column_hash64(t[on]))))
+
+    survivors = ds.map_batches(prefilter, batch_format="pyarrow")
+
+    # distinct key values via a bounded-bucket exchange (never groupby the
+    # raw key), then an exact bucketed hash_join over the small superset
+    def kb(t: pa.Table) -> pa.Table:
+        b = column_hash64(t[key_col]) % np.uint64(n_buckets)
+        return pa.table(
+            {key_col: t[key_col],
+             "__sb__": pa.array(b.astype(np.int64))}
+        )
+
+    def uniq(t: pa.Table) -> pa.Table:
+        col = t[key_col]
+        u = pc.unique(col.combine_chunks() if isinstance(
+            col, pa.ChunkedArray) else col)
+        return pa.table({"__key__": u})
+
+    distinct_keys = (
+        keys.map_batches(kb, batch_format="pyarrow")
+        .groupby("__sb__")
+        .map_groups(uniq, batch_format="pyarrow")
+    )
+    return hash_join(survivors, distinct_keys, on, "__key__",
+                     how="inner", n_buckets=n_buckets)

@@ -416,3 +416,75 @@ def latest_by_key(
         .groupby("__kb__")
         .map_groups(bucket_winners, batch_format="pyarrow")
     )
+
+
+def snapshot_diff(
+    old_ds: ray.data.Dataset,
+    new_ds: ray.data.Dataset,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Incremental corpus diff between two snapshots → one row per id:
+    (id_col, status ∈ {added, removed, changed, unchanged}) — the
+    what-changed pass an iterative 100-TB ingest runs before reprocessing.
+
+    Scale shape: content is hashed LOCALLY (mix64-finalized 64-bit) and
+    dropped before the exchange, so only (id, hash, side) ≈ 17 B/row ride
+    the shuffle regardless of document size; the shuffle key is a
+    ≤``n_buckets`` hash bucket of the id, and each bucket resolves all its
+    ids in one vectorized pass. Hash equality stands in for content
+    equality (collision odds ~n²/2⁶⁵ — the same contract as exact_dedup).
+    Ids must be unique per snapshot; duplicates are represented by their
+    min content hash (deterministic).
+    """
+    from record_matcher_ray.core.hashkernels import column_hash64
+
+    def prep(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            h = column_hash64(t[content_col]).view(np.int64)
+            b = column_hash64(t[id_col]) % np.uint64(n_buckets)
+            return pa.table(
+                {id_col: t[id_col],
+                 "__h__": pa.array(h),
+                 "__side__": pa.array(
+                     np.full(len(t), side, dtype=np.int64)),
+                 "__db__": pa.array(b.astype(np.int64))}
+            )
+
+        return f
+
+    u = old_ds.map_batches(prep(0), batch_format="pyarrow").union(
+        new_ds.map_batches(prep(1), batch_format="pyarrow")
+    )
+
+    _STATUS = np.array(["added", "removed", "changed", "unchanged"],
+                       dtype=object)
+
+    def resolve(t: pa.Table) -> pa.Table:
+        ids = t[id_col]
+        codes, _ = pd.factorize(ids.to_numpy(zero_copy_only=False))
+        side = t["__side__"].to_numpy()
+        h = t["__h__"].to_numpy()
+        key = codes.astype(np.int64) * 2 + side
+        order = np.lexsort((h, key))
+        k_s = key[order]
+        first = np.concatenate(([True], k_s[1:] != k_s[:-1]))
+        sel = order[first]  # one row per (id, side), min hash
+        n = int(codes.max()) + 1
+        has = np.zeros((n, 2), dtype=bool)
+        hv = np.zeros((n, 2), dtype=np.int64)
+        has[key[sel] // 2, key[sel] % 2] = True
+        hv[key[sel] // 2, key[sel] % 2] = h[sel]
+        st = np.where(
+            ~has[:, 0], 0,
+            np.where(~has[:, 1], 1,
+                     np.where(hv[:, 0] == hv[:, 1], 3, 2)),
+        )
+        _, rep = np.unique(codes, return_index=True)
+        return pa.table(
+            {id_col: ids.take(pa.array(rep)),
+             "status": pa.array(_STATUS[st], pa.string())}
+        )
+
+    return u.groupby("__db__").map_groups(resolve, batch_format="pyarrow")

@@ -1186,3 +1186,60 @@ def test_latest_by_key_string_multikey(ray_session):
 
     with pytest.raises(ValueError):
         latest_by_key(ds, [], "ts")
+
+
+def test_bloom_semi_join_exact(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.joins import bloom_semi_join, semi_join
+
+    rng = np.random.RandomState(17)
+    big = pd.DataFrame(
+        {"k": rng.randint(0, 5_000, size=20_000).astype(np.int64),
+         "payload": np.arange(20_000, dtype=np.int64)}
+    )
+    # key side with duplicates (must not duplicate output rows)
+    keyvals = np.concatenate([rng.choice(5_000, 800, replace=False)] * 2)
+    keys = pd.DataFrame({"kk": keyvals.astype(np.int64)})
+
+    ds = rd.from_pandas(big).repartition(7)
+    kds = rd.from_pandas(keys).repartition(3)
+    out = (
+        bloom_semi_join(ds, kds, on="k", key_col="kk", bits_log2=14)
+        .to_pandas()
+        .sort_values("payload")
+        .reset_index(drop=True)
+    )
+    want = (
+        semi_join(ds, kds, on="k", key_col="kk")
+        .to_pandas()
+        .sort_values("payload")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out[["k", "payload"]],
+                                  want[["k", "payload"]])
+    assert len(out) > 0
+
+
+def test_snapshot_diff_statuses(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.table_ops import snapshot_diff
+
+    old = pd.DataFrame(
+        {"doc_id": np.array([1, 2, 3, 4], np.int64),
+         "text": ["same", "will change", "gone", "also same"]}
+    )
+    new = pd.DataFrame(
+        {"doc_id": np.array([1, 2, 4, 5], np.int64),
+         "text": ["same", "changed!", "also same", "brand new"]}
+    )
+    out = (
+        snapshot_diff(rd.from_pandas(old).repartition(2),
+                      rd.from_pandas(new).repartition(3))
+        .to_pandas()
+        .set_index("doc_id")["status"]
+        .to_dict()
+    )
+    assert out == {1: "unchanged", 2: "changed", 3: "removed",
+                   4: "unchanged", 5: "added"}
