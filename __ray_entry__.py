@@ -656,6 +656,44 @@ def _pagerank_oracle(iters: int = 4, total_bits: int = 40,
     return "".join(sql)
 
 
+def _q_linear_fit(sf_dir: str):
+    """Distributed OLS: lineitem extendedprice vs quantity — one-pass
+    integer-moment partials, closed form on the driver."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.stats import linear_fit
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice"],
+    )
+    return linear_fit(ds, "l_quantity", "l_extendedprice")
+
+
+def _q_connected_components(sf_dir: str):
+    """Transitive clustering (M6) on a deterministic chain graph derived
+    from documents: edge (d, d+1) whenever d % 7 != 6 — components are
+    ≤7-node chains. Upgrades the clustering surface from rows-only to a
+    SQL-checked row (recursive-CTE reachability replay)."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from record_matcher_ray.pipelines.cluster import connected_components
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+
+    def edges(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy().astype(np.int64)
+        m = did % 7 != 6
+        return pa.table({"u": pa.array(did[m]), "v": pa.array(did[m] + 1)})
+
+    return connected_components(docs.map_batches(edges,
+                                                 batch_format="pyarrow"))
+
+
 def _q_snapshot_diff(sf_dir: str):
     """Incremental corpus diff: a deterministic 'previous snapshot' is
     derived from documents (drop ids %17==0 → added; stale text for
@@ -1496,6 +1534,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "building_orders_bloom": _q_building_orders_bloom,
         "pagerank_lineitem": _q_pagerank,
         "snapshot_diff_docs": _q_snapshot_diff,
+        "connected_components_docs": _q_connected_components,
+        "linear_fit_lineitem": _q_linear_fit,
         # dedup family
         "dedup_exact_docs": _q_dedup_exact_docs,
         "dup_span_stats_docs": _q_dup_span_stats,
@@ -2907,6 +2947,50 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "pagerank_lineitem": _pagerank_oracle(),
+        "linear_fit_lineitem": """
+            WITH q AS (
+              SELECT CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS x,
+                     CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                       AS y
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+            ), s AS (
+              SELECT count(*)::HUGEINT AS n,
+                     sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+                     sum(x::HUGEINT * y) AS sxy,
+                     sum(x::HUGEINT * x) AS sxx,
+                     sum(y::HUGEINT * y) AS syy
+              FROM q
+            ), d AS (
+              SELECT n::BIGINT AS n,
+                     (n * sxy - sx * sy)::DOUBLE AS num,
+                     (n * sxx - sx * sx)::DOUBLE AS denx,
+                     (n * syy - sy * sy)::DOUBLE AS deny,
+                     sx::DOUBLE AS sxd, sy::DOUBLE AS syd,
+                     n::DOUBLE AS nd
+              FROM s
+            )
+            SELECT n,
+                   round(num / denx, 9) AS slope,
+                   round((syd - (num / denx) * sxd) / nd, 9) AS intercept,
+                   round((num * num) / (denx * deny), 9) AS r2
+            FROM d
+        """,
+        "connected_components_docs": """
+            WITH RECURSIVE e AS (
+              SELECT doc_id AS a, doc_id + 1 AS b
+              FROM documents WHERE doc_id % 7 <> 6
+            ), nodes AS (
+              SELECT DISTINCT node FROM (
+                SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+            ), walk(node, r) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT w.node, e.a FROM walk w JOIN e ON e.b = w.r
+            )
+            SELECT node, min(r)::BIGINT AS component
+            FROM walk GROUP BY node
+        """,
         "snapshot_diff_docs": """
             WITH old AS (
               SELECT doc_id,

@@ -190,3 +190,49 @@ def test_approx_quantiles_edges(ray_session):
         approx_quantiles(
             rd.from_pandas(pd.DataFrame({"v": [1.0]})), "v", qs=(1.5,)
         )
+
+
+def test_linear_fit_matches_closed_form_and_invariance(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.stats import linear_fit
+
+    rng = np.random.RandomState(23)
+    x = rng.uniform(1, 50, size=8_000)
+    y = 3.5 * x + 10 + rng.standard_normal(8_000)
+    df = pd.DataFrame({"x": x, "y": y})
+
+    outs = [
+        linear_fit(rd.from_pandas(df).repartition(p), "x", "y")
+        for p in (1, 9)
+    ]
+    pd.testing.assert_frame_equal(outs[0], outs[1])  # partition-invariant
+
+    # against numpy lstsq on the SAME quantized values (cents scale)
+    qx = np.floor(x * 100.0 + 0.5)
+    qy = np.floor(y * 100.0 + 0.5)
+    slope, intercept = np.polyfit(qx, qy, 1)
+    assert outs[0]["slope"].iloc[0] == pytest.approx(slope, rel=1e-6)
+    assert outs[0]["intercept"].iloc[0] == pytest.approx(intercept, rel=1e-4)
+    assert outs[0]["r2"].iloc[0] > 0.99
+    assert int(outs[0]["n"].iloc[0]) == 8_000
+
+
+def test_linear_fit_edges(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.stats import linear_fit
+
+    # constant x → undefined slope
+    const = linear_fit(
+        rd.from_pandas(pd.DataFrame({"x": [2.0] * 10,
+                                     "y": np.arange(10.0)})), "x", "y"
+    )
+    assert np.isnan(const["slope"].iloc[0])
+
+    # out-of-range values refuse loudly instead of overflowing
+    with pytest.raises(Exception):
+        linear_fit(
+            rd.from_pandas(pd.DataFrame({"x": [1e9], "y": [1.0]})),
+            "x", "y",
+        ).to_string()
