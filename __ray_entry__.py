@@ -945,6 +945,33 @@ def _hashed_tfidf_oracle(n_dims: int = 32) -> str:
     """
 
 
+def _q_inverted_index(sf_dir: str):
+    """Inverted-index build (min_df=2, postings capped at 20), exploded to
+    (term, df, doc_id) long rows for the hash compare."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from record_matcher_ray.pipelines.terms import inverted_index
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = inverted_index(ds, min_df=2, max_postings=20)
+
+    def explode(t: pa.Table) -> pa.Table:
+        p = t["postings"].combine_chunks()
+        lens = np.diff(p.offsets.to_numpy().astype(np.int64))
+        rep = pa.array(np.repeat(np.arange(len(t)), lens))
+        return pa.table(
+            {"term": t["term"].take(rep),
+             "df": t["df"].take(rep),
+             "doc_id": p.flatten()}
+        )
+
+    return out.map_batches(explode, batch_format="pyarrow")
+
+
 def _q_bm25(sf_dir: str):
     """BM25 lexical relevance to a fixed query — broadcast idf table from
     one O(|query|)-rows-per-block aggregate pass, zero-shuffle scoring."""
@@ -1580,6 +1607,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": _q_chunks,
         "top_terms_docs": _q_top_terms,
         "hashed_tfidf_docs": _q_hashed_tfidf,
+        "inverted_index_docs": _q_inverted_index,
         "bm25_docs": _q_bm25,
         "decontam_near_docs": _q_decontam_near,
         "minhash_decontam_docs": _q_minhash_decontam,
@@ -3078,6 +3106,27 @@ def oracle_sql() -> dict[str, str]:
             "record_matcher_ray.pipelines.chunking", fromlist=["x"]
         ).sql_chunk_documents(size=64, overlap=16),
         "hashed_tfidf_docs": _hashed_tfidf_oracle(),
+        "inverted_index_docs": """
+            WITH t AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(coalesce(text, '')),
+                                         '[^a-z0-9]+', ' ', 'g')) AS nt
+              FROM documents
+            ), tok AS (
+              SELECT doc_id, unnest(string_split(nt, ' ')) AS term
+              FROM t WHERE len(nt) > 0
+            ), pairs AS (
+              SELECT DISTINCT doc_id, term FROM tok
+            ), r AS (
+              SELECT term, doc_id,
+                     row_number() OVER (PARTITION BY term
+                                        ORDER BY doc_id) AS rn,
+                     count(*) OVER (PARTITION BY term) AS df
+              FROM pairs
+            )
+            SELECT term, df::BIGINT AS df, doc_id
+            FROM r WHERE df >= 2 AND rn <= 20
+        """,
         "top_terms_docs": """
             WITH t AS (
               SELECT doc_id,

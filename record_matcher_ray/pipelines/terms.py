@@ -182,6 +182,94 @@ def hashed_tfidf(
     return ds.map_batches(score, batch_format="pyarrow")
 
 
+def inverted_index(
+    ds: ray.data.Dataset,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_df: int = 1,
+    max_postings: int = 1_000,
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Build an inverted index: → rows (term, df, postings:list<int64>)
+    with postings = the first ``max_postings`` doc ids ascending (df stays
+    EXACT — the cap only bounds the stored list, so a stopword posting
+    row can't blow a block).
+
+    Scale shape: each block emits its DISTINCT (term, doc) pairs (local
+    dedupe — a block's output is bounded by its vocabulary × docs, not its
+    token count); the exchange key is a ≤``n_buckets`` hash bucket of the
+    term, never the raw term; each bucket assembles all its posting lists
+    in one vectorized pass (factorize + lexsort + offset slicing — no
+    per-term Python). The distinct pair stream IS the index, so exchange
+    volume is the information-theoretic minimum for exact postings.
+    """
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        from record_matcher_ray.core.hashkernels import column_hash64
+
+        toks, doc_idx, _ = _block_tokens(batch[text_col])
+        ids = batch[id_col].to_numpy()
+        if len(toks) == 0:
+            return pa.table(
+                {"term": pa.array([], pa.string()),
+                 "doc": pa.array([], pa.int64()),
+                 "__tb__": pa.array([], pa.int64())}
+            )
+        codes, uniq = pd.factorize(toks)
+        key = codes.astype(np.int64) * np.int64(len(ids)) + doc_idx
+        sel = np.unique(key)
+        t_codes = (sel // len(ids)).astype(np.int64)
+        d_idx = (sel % len(ids)).astype(np.int64)
+        term_arr = pa.array(uniq.astype(object), pa.string()).take(
+            pa.array(t_codes)
+        )
+        b = column_hash64(term_arr) % np.uint64(n_buckets)
+        return pa.table(
+            {"term": term_arr,
+             "doc": pa.array(ids[d_idx].astype(np.int64)),
+             "__tb__": pa.array(b.astype(np.int64))}
+        )
+
+    def assemble(t: pa.Table) -> pa.Table:
+        terms = t["term"].to_numpy(zero_copy_only=False)
+        docs = t["doc"].to_numpy()
+        codes, uniq = pd.factorize(terms)
+        order = np.lexsort((docs, codes))
+        c_s, d_s = codes[order], docs[order]
+        first = np.concatenate(([True], c_s[1:] != c_s[:-1]))
+        starts = np.nonzero(first)[0]
+        ends = np.append(starts[1:], len(c_s))
+        df = (ends - starts).astype(np.int64)
+        keep = df >= min_df
+        starts, ends, df = starts[keep], ends[keep], df[keep]
+        capped_ends = np.minimum(ends, starts + max_postings)
+        # gather capped postings + build list offsets
+        lens = capped_ends - starts
+        take = np.concatenate(
+            [np.arange(s, e) for s, e in zip(starts, capped_ends)]
+        ) if len(starts) else np.array([], np.int64)
+        offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+        postings = pa.ListArray.from_arrays(
+            pa.array(offsets), pa.array(d_s[take].astype(np.int64))
+        )
+        return pa.table(
+            {"term": pa.array(uniq[c_s[starts]].astype(object),
+                              pa.string()),
+             "df": pa.array(df),
+             "postings": postings}
+        )
+
+    return (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby("__tb__")
+        .map_groups(
+            lambda t: assemble(t.drop_columns(["__tb__"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def bm25_scores(
     ds: ray.data.Dataset,
     query: str,

@@ -306,3 +306,41 @@ class TestHashedTfidf:
         # empty doc → all-zero vector; sign hash actually mixes signs
         assert (want[1] == 0.0).all()
         assert (sgn == 1).any() and (sgn == -1).any()
+
+
+class TestInvertedIndex:
+    def test_postings_exact_and_capped(self, ray_session):
+        import ray.data as rd
+
+        from record_matcher_ray.pipelines.terms import inverted_index
+
+        docs = ["cat dog", "cat bird", "cat", "dog!", "unique"]
+        df = pd.DataFrame({"doc_id": np.arange(5, dtype=np.int64),
+                           "text": docs})
+        out = (
+            inverted_index(rd.from_pandas(df).repartition(3),
+                           min_df=2, max_postings=2)
+            .to_pandas()
+            .set_index("term")
+        )
+        assert set(out.index) == {"cat", "dog"}
+        assert out.loc["cat", "df"] == 3          # df exact despite cap
+        assert list(out.loc["cat", "postings"]) == [0, 1]  # capped at 2
+        assert out.loc["dog", "df"] == 2
+        assert list(out.loc["dog", "postings"]) == [0, 3]
+
+    def test_dedup_within_doc(self, ray_session):
+        import ray.data as rd
+
+        from record_matcher_ray.pipelines.terms import inverted_index
+
+        df = pd.DataFrame({"doc_id": np.array([7, 8], np.int64),
+                           "text": ["spam spam spam", "spam ham"]})
+        out = (
+            inverted_index(rd.from_pandas(df))
+            .to_pandas()
+            .set_index("term")
+        )
+        # repeated token in one doc contributes ONE posting
+        assert out.loc["spam", "df"] == 2
+        assert list(out.loc["spam", "postings"]) == [7, 8]
