@@ -1108,6 +1108,23 @@ def _q_split_docs(sf_dir: str):
     ).to_pandas()[["doc_id", "rep", "split"]]
 
 
+def _q_winsorize(sf_dir: str):
+    """Per-source winsorization of document lengths at [0.05, 0.95] —
+    clip-to-band twin of quantile_filter_docs (rows kept, values
+    clamped)."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.table_ops import winsorize_by_quantile
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "n_chars"],
+    )
+    return winsorize_by_quantile(
+        ds, "n_chars", q_lo=0.05, q_hi=0.95, group_cols=["source"]
+    )
+
+
 def _q_quantile_filter(sf_dir: str):
     """Per-source [0.1, 0.9] length-quantile band filter over documents —
     the quality-curation primitive (trim per-source outliers); exact
@@ -1601,6 +1618,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_orders": _q_approx_distinct,
         "countmin_orders": _q_countmin,
         "quantile_filter_docs": _q_quantile_filter,
+        "winsorize_docs": _q_winsorize,
         "split_docs": _q_split_docs,
         "events_in_order_window": _q_events_in_window,
         "redact_docs": _q_redact,
@@ -3101,6 +3119,17 @@ def oracle_sql() -> dict[str, str]:
                       OVER (PARTITION BY source), 6) AS hi
               FROM documents)
             WHERE n_chars >= lo AND n_chars <= hi
+        """,
+        "winsorize_docs": """
+            SELECT doc_id, source,
+                   least(greatest(n_chars::DOUBLE, lo), hi) AS n_chars
+            FROM (
+              SELECT doc_id, source, n_chars,
+                round(quantile_cont(n_chars, 0.05)
+                      OVER (PARTITION BY source), 6) AS lo,
+                round(quantile_cont(n_chars, 0.95)
+                      OVER (PARTITION BY source), 6) AS hi
+              FROM documents)
         """,
         "chunk_docs": __import__(
             "record_matcher_ray.pipelines.chunking", fromlist=["x"]

@@ -218,6 +218,85 @@ def filter_by_quantile(
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def winsorize_by_quantile(
+    ds: ray.data.Dataset,
+    value_col: str,
+    q_lo: float = 0.01,
+    q_hi: float = 0.99,
+    group_cols: list[str] | None = None,
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Clip instead of drop: values outside the exact [``q_lo``, ``q_hi``]
+    quantile band are clamped to the band edge — the outlier-taming twin
+    of :func:`filter_by_quantile` (cap the top 1% lengths per source
+    without losing the rows). Same two-pass scale shape: exact
+    interpolated thresholds via :func:`grouped_quantiles` (bounded-bucket
+    exchange, rounded to 6 decimals so the clamp decision is
+    deterministic), broadcast as a tiny dict, then one zero-shuffle
+    vectorized clip pass. ``value_col`` is replaced in place (float64).
+    """
+    if not (0.0 <= q_lo <= q_hi <= 1.0):
+        raise ValueError(f"need 0 <= q_lo <= q_hi <= 1, got {q_lo}, {q_hi}")
+    gcols = list(group_cols or [])
+    if gcols:
+        thr_ds = grouped_quantiles(
+            ds, gcols, value_col, qs=(q_lo, q_hi), n_buckets=n_buckets
+        )
+    else:
+        with_all = ds.map_batches(
+            lambda t: t.append_column(
+                "__all__", pa.array(np.zeros(len(t), np.int64))
+            ),
+            batch_format="pyarrow",
+        )
+        thr_ds = grouped_quantiles(
+            with_all, ["__all__"], value_col, qs=(q_lo, q_hi), n_buckets=1
+        )
+    lo_name = f"q_{int(round(q_lo * 100))}"
+    hi_name = f"q_{int(round(q_hi * 100))}"
+    thr = thr_ds.to_pandas()  # one row per group — tiny
+    if len(thr) == 0:
+        return ds
+    if lo_name == hi_name:
+        hi_vals = lo_vals = thr[lo_name].to_numpy(np.float64)
+    else:
+        lo_vals = thr[lo_name].to_numpy(np.float64)
+        hi_vals = thr[hi_name].to_numpy(np.float64)
+    if gcols:
+        keys = [
+            "\x1f".join(vals)
+            for vals in zip(*[thr[c].astype(str).to_numpy() for c in gcols])
+        ]
+        table = {k: (lo, hi) for k, lo, hi in zip(keys, lo_vals, hi_vals)}
+    else:
+        table = {"": (float(lo_vals[0]), float(hi_vals[0]))}
+
+    import ray as _ray
+
+    thr_ref = _ray.put(table)
+
+    def clip(t: pa.Table) -> pa.Table:
+        tbl = _ray.get(thr_ref)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        if gcols:
+            joined = pc.binary_join_element_wise(
+                *[pc.cast(t[c], pa.string()) for c in gcols], "\x1f"
+            ).to_numpy(zero_copy_only=False)
+            codes, uniques = pd.factorize(joined, sort=False)
+            lo_u = np.empty(len(uniques))
+            hi_u = np.empty(len(uniques))
+            for ui, key in enumerate(uniques):
+                lo_u[ui], hi_u[ui] = tbl.get(key, (-np.inf, np.inf))
+            lo, hi = lo_u[codes], hi_u[codes]
+        else:
+            lo, hi = tbl[""]
+        out = np.minimum(np.maximum(v, lo), hi)
+        i = t.schema.get_field_index(value_col)
+        return t.set_column(i, value_col, pa.array(out, pa.float64()))
+
+    return ds.map_batches(clip, batch_format="pyarrow")
+
+
 def group_by(ds: ray.data.Dataset, column_map: dict[str, str]) -> ray.data.Dataset:
     """O4 — conjunctive equality filter (records.py:106-132): keep rows where
     each column equals the given literal; missing column ⇒ "" semantics.

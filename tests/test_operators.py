@@ -1243,3 +1243,35 @@ def test_snapshot_diff_statuses(ray_session):
     )
     assert out == {1: "unchanged", 2: "changed", 3: "removed",
                    4: "unchanged", 5: "added"}
+
+
+def test_winsorize_by_quantile(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.table_ops import winsorize_by_quantile
+
+    rng = np.random.RandomState(29)
+    df = pd.DataFrame(
+        {"id": np.arange(3_000, dtype=np.int64),
+         "g": rng.choice(["a", "b"], size=3_000),
+         "v": rng.randn(3_000) * 10}
+    )
+    ds = rd.from_pandas(df).repartition(5)
+    out = (
+        winsorize_by_quantile(ds, "v", 0.1, 0.9, group_cols=["g"])
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    for g, sub in df.groupby("g"):
+        lo = round(np.quantile(sub["v"], 0.1, method="linear"), 6)
+        hi = round(np.quantile(sub["v"], 0.9, method="linear"), 6)
+        want = np.minimum(np.maximum(sub.sort_values("id")["v"].to_numpy(),
+                                     lo), hi)
+        got = out[out["g"] == g].sort_values("id")["v"].to_numpy()
+        np.testing.assert_allclose(got, want, rtol=0, atol=0)
+    # row count preserved (clip, not filter) and band respected
+    assert len(out) == len(df)
+
+    with pytest.raises(ValueError):
+        winsorize_by_quantile(ds, "v", 0.9, 0.1)
