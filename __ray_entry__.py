@@ -1108,6 +1108,32 @@ def _q_split_docs(sf_dir: str):
     ).to_pandas()[["doc_id", "rep", "split"]]
 
 
+def _q_rolling_mean(sf_dir: str):
+    """Trailing 4-row mean of event value per user — exact integer window
+    sums, pinned-order double mean."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.relational import rolling_mean
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    return rolling_mean(ds, frame_rows=3)
+
+
+def _q_interarrival(sf_dir: str):
+    """Per-user inter-event gaps (lag delta in μs; first event null)."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.relational import interarrival
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    return interarrival(ds)
+
+
 def _q_winsorize(sf_dir: str):
     """Per-source winsorization of document lengths at [0.05, 0.95] —
     clip-to-band twin of quantile_filter_docs (rows kept, values
@@ -1634,6 +1660,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_docs": _q_bm25_topk,
         "funnel_events": _q_funnel,
         "retention_events": _q_retention,
+        "rolling_mean_events": _q_rolling_mean,
+        "interarrival_events": _q_interarrival,
         # north-star document pipeline + multimodal plumbing
         "docmatch_corpus": _q_docmatch,
         "media_features": _q_media_features,
@@ -3119,6 +3147,23 @@ def oracle_sql() -> dict[str, str]:
                       OVER (PARTITION BY source), 6) AS hi
               FROM documents)
             WHERE n_chars >= lo AND n_chars <= hi
+        """,
+        "rolling_mean_events": """
+            SELECT event_id,
+                   round(((sum(c) OVER w)::DOUBLE / (count(*) OVER w))
+                         / 100.0, 6) AS roll_mean
+            FROM (SELECT event_id, user_id, ts,
+                         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+                  FROM events)
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        """,
+        "interarrival_events": """
+            SELECT event_id,
+                   epoch_us(ts) - lag(epoch_us(ts))
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     AS delta_us
+            FROM events
         """,
         "winsorize_docs": """
             SELECT doc_id, source,

@@ -494,6 +494,136 @@ def funnel_steps(
     )
 
 
+def _per_key_sorted(
+    t: pa.Table, key_col: str, ts_col: str, id_col: str
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(sort order, segment-start flags, sorted segment codes) for
+    per-key row-frame windows: deterministic order (ts, id) within each
+    key (ties on ts broken by id so both engines frame identically)."""
+    kc, _ = pd.factorize(t[key_col].to_numpy(zero_copy_only=False))
+    ts = pc.cast(t[ts_col], pa.int64()).to_numpy()
+    idv = t[id_col].to_numpy()
+    order = np.lexsort((idv, ts, kc))
+    k_s = kc[order]
+    first = np.concatenate(([True], k_s[1:] != k_s[:-1]))
+    return order, first, k_s
+
+
+def rolling_mean(
+    ds: ray.data.Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    frame_rows: int = 3,
+    cents_scale: float = 100.0,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Trailing row-frame mean per key (SQL ``ROWS BETWEEN frame_rows
+    PRECEDING AND CURRENT ROW`` ordered by (ts, id)) → rows
+    (id_col, roll_mean rounded to 6dp) — the smoothing / feature-window
+    primitive for event streams.
+
+    Scale shape: the shuffle key is a ≤``n_buckets`` hash bucket of the
+    key, each bucket computes every key's windows in one vectorized pass
+    (lexsort + segment-clamped prefix sums); values are quantized once to
+    integer units so the window sum is EXACT (order-invariant), and the
+    mean is two pinned-order double ops — bit-replayable by the DuckDB
+    window oracle.
+    """
+
+    def prep(t: pa.Table) -> pa.Table:
+        from record_matcher_ray.core.hashkernels import column_hash64
+
+        b = column_hash64(t[key_col]) % np.uint64(n_buckets)
+        c = np.floor(
+            pc.cast(t[val_col], pa.float64()).to_numpy() * cents_scale + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {id_col: t[id_col], key_col: t[key_col],
+             ts_col: pc.cast(t[ts_col], pa.int64()),
+             "__c__": pa.array(c),
+             "__wb__": pa.array(b.astype(np.int64))}
+        )
+
+    def windows(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "roll_mean": pa.array([], pa.float64())})
+        order, first, _ = _per_key_sorted(t, key_col, ts_col, id_col)
+        c_s = t["__c__"].to_numpy()[order]
+        n = len(c_s)
+        starts = np.nonzero(first)[0]
+        seg_start = np.repeat(starts, np.diff(np.append(starts, n)))
+        i = np.arange(n)
+        win_start = np.maximum(i - frame_rows, seg_start)
+        csum = np.concatenate(([0], np.cumsum(c_s, dtype=np.int64)))
+        s = csum[i + 1] - csum[win_start]
+        cnt = (i + 1 - win_start).astype(np.float64)
+        mean = np.round((s.astype(np.float64) / cnt) / cents_scale, 6)
+        return pa.table(
+            {id_col: t[id_col].take(pa.array(order)),
+             "roll_mean": pa.array(mean)}
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("__wb__")
+        .map_groups(
+            lambda t: windows(t.drop_columns(["__wb__"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def interarrival(
+    ds: ray.data.Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-key lag delta: for each event, microseconds since the key's
+    previous event (ordered by (ts, id); a key's first event → null) —
+    the SQL ``ts - lag(ts) OVER (PARTITION BY key ORDER BY ts, id)``
+    shape. Same bounded-bucket + vectorized-segment scale shape as
+    :func:`rolling_mean`; deltas are exact int64 arithmetic.
+    """
+
+    def prep(t: pa.Table) -> pa.Table:
+        from record_matcher_ray.core.hashkernels import column_hash64
+
+        b = column_hash64(t[key_col]) % np.uint64(n_buckets)
+        return pa.table(
+            {id_col: t[id_col], key_col: t[key_col],
+             ts_col: pc.cast(t[ts_col], pa.int64()),
+             "__wb__": pa.array(b.astype(np.int64))}
+        )
+
+    def deltas(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "delta_us": pa.array([], pa.int64())})
+        order, first, _ = _per_key_sorted(t, key_col, ts_col, id_col)
+        ts_s = t[ts_col].to_numpy()[order]
+        d = np.empty(len(ts_s), np.int64)
+        d[1:] = ts_s[1:] - ts_s[:-1]
+        d[0] = 0
+        return pa.table(
+            {id_col: t[id_col].take(pa.array(order)),
+             "delta_us": pa.array(d, pa.int64(), mask=first)}
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("__wb__")
+        .map_groups(
+            lambda t: deltas(t.drop_columns(["__wb__"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def retention_cohorts(
     ds: ray.data.Dataset,
     user_col: str = "user_id",

@@ -1275,3 +1275,53 @@ def test_winsorize_by_quantile(ray_session):
 
     with pytest.raises(ValueError):
         winsorize_by_quantile(ds, "v", 0.9, 0.1)
+
+
+def test_rolling_mean_and_interarrival(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.relational import (
+        interarrival,
+        rolling_mean,
+    )
+
+    rng = np.random.RandomState(31)
+    n = 2_000
+    df = pd.DataFrame(
+        {"event_id": np.arange(n, dtype=np.int64),
+         "user_id": rng.randint(0, 50, size=n).astype(np.int64),
+         "ts": rng.randint(0, 10**9, size=n).astype(np.int64),
+         "value": rng.uniform(0, 100, size=n)}
+    )
+    ds = rd.from_pandas(df).repartition(6)
+
+    out = (
+        rolling_mean(ds, frame_rows=2)
+        .to_pandas()
+        .set_index("event_id")["roll_mean"]
+    )
+    gaps = (
+        interarrival(ds).to_pandas().set_index("event_id")["delta_us"]
+    )
+
+    # pandas replay with the same cents quantization + (ts, id) order
+    rep = df.copy()
+    rep["c"] = np.floor(rep["value"] * 100.0 + 0.5).astype(np.int64)
+    rep = rep.sort_values(["user_id", "ts", "event_id"])
+    want_mean = (
+        rep.groupby("user_id")["c"]
+        .rolling(3, min_periods=1).mean().reset_index(level=0, drop=True)
+        / 100.0
+    ).round(6)
+    want_gap = rep.groupby("user_id")["ts"].diff()
+    for eid in rep["event_id"]:
+        assert out[eid] == pytest.approx(want_mean[rep["event_id"] == eid
+                                                   ].index.map(
+            lambda i: want_mean.loc[i]).to_numpy()[0], abs=1e-9)
+    got_gap = gaps[rep["event_id"]].to_numpy(dtype=float)
+    np.testing.assert_array_equal(
+        np.isnan(got_gap), want_gap.isna().to_numpy()
+    )
+    m = ~want_gap.isna().to_numpy()
+    np.testing.assert_array_equal(got_gap[m],
+                                  want_gap.to_numpy(dtype=float)[m])
