@@ -1134,6 +1134,35 @@ def _q_interarrival(sf_dir: str):
     return interarrival(ds)
 
 
+def _q_transitions(sf_dir: str):
+    """Per-user ordered event-type bigram (Markov transition) counts."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.relational import transition_counts
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    return transition_counts(ds)
+
+
+def _q_rollup(sf_dir: str):
+    """ROLLUP(status, priority) counts + exact-cents price sums over
+    orders — all three granularities, collapsed dims labelled 'ALL'."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.relational import rollup_aggregate
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
+    )
+    return rollup_aggregate(
+        ds, ["o_orderstatus", "o_orderpriority"], "o_totalprice"
+    )
+
+
 def _q_winsorize(sf_dir: str):
     """Per-source winsorization of document lengths at [0.05, 0.95] —
     clip-to-band twin of quantile_filter_docs (rows kept, values
@@ -1662,6 +1691,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_events": _q_retention,
         "rolling_mean_events": _q_rolling_mean,
         "interarrival_events": _q_interarrival,
+        "transitions_events": _q_transitions,
+        "rollup_orders": _q_rollup,
         # north-star document pipeline + multimodal plumbing
         "docmatch_corpus": _q_docmatch,
         "media_features": _q_media_features,
@@ -3164,6 +3195,26 @@ def oracle_sql() -> dict[str, str]:
                      OVER (PARTITION BY user_id ORDER BY ts, event_id)
                      AS delta_us
             FROM events
+        """,
+        "transitions_events": """
+            SELECT src, dst, count(*)::BIGINT AS n
+            FROM (SELECT lag(event_type)
+                           OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS src,
+                         event_type AS dst
+                  FROM events)
+            WHERE src IS NOT NULL
+            GROUP BY src, dst
+        """,
+        "rollup_orders": """
+            SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+                   coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+                   count(*)::BIGINT AS n,
+                   round((sum(CAST(floor(o_totalprice * 100.0 + 0.5)
+                                   AS BIGINT)))::DOUBLE / 100.0, 6)
+                     AS sum_val
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         """,
         "winsorize_docs": """
             SELECT doc_id, source,

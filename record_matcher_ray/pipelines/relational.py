@@ -684,3 +684,158 @@ def retention_cohorts(
         return t.rename_columns(["cohort_day", "day_offset", "n_users"])
 
     return out.map_batches(rename, batch_format="pyarrow")
+
+
+def transition_counts(
+    ds: ray.data.Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-key ordered bigram (Markov transition) counts: for each key's
+    event sequence ordered by (ts, id), count global (src_type →
+    dst_type) transitions → rows (src, dst, n). The sequence-statistics
+    primitive behind session Markov models / next-event features.
+
+    Scale shape: the shuffle key is a ≤``n_buckets`` hash bucket of the
+    key (every row of a key lands in ONE bucket, so each bucket sees
+    complete sequences); inside a bucket one lexsort orders (key, ts,
+    id) and transitions reduce to a bincount over factorized type-pair
+    codes — the bucket's partial is bounded by its TYPE VOCABULARY
+    squared, not its row count. The final exchange merges tiny (src,
+    dst, n) partials, so cross-wire volume is independent of corpus
+    size. Ties on ts are broken by id so the oracle's ``ORDER BY ts,
+    event_id`` LAG window frames identically.
+    """
+
+    def prep(t: pa.Table) -> pa.Table:
+        from record_matcher_ray.core.hashkernels import column_hash64
+
+        b = column_hash64(t[key_col]) % np.uint64(n_buckets)
+        return pa.table(
+            {key_col: t[key_col],
+             ts_col: pc.cast(t[ts_col], pa.int64()),
+             id_col: t[id_col],
+             type_col: t[type_col],
+             "__tb__": pa.array(b.astype(np.int64))}
+        )
+
+    empty = pa.table({"src": pa.array([], pa.string()),
+                      "dst": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+
+    def local(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return empty
+        order, first, _ = _per_key_sorted(t, key_col, ts_col, id_col)
+        types = t[type_col].to_numpy(zero_copy_only=False)[order]
+        codes, uniq = pd.factorize(types)
+        src = codes[:-1]
+        dst = codes[1:]
+        ok = ~first[1:]  # transition stays inside one key's segment
+        src, dst = src[ok], dst[ok]
+        if len(src) == 0:
+            return empty
+        v = len(uniq)
+        cnt = np.bincount(src * v + dst, minlength=v * v)
+        nz = np.nonzero(cnt)[0]
+        terms = uniq.astype(object)
+        return pa.table(
+            {"src": pa.array(terms[nz // v], pa.string()),
+             "dst": pa.array(terms[nz % v], pa.string()),
+             "n": pa.array(cnt[nz].astype(np.int64))}
+        )
+
+    parts = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("__tb__")
+        .map_groups(lambda t: local(t.drop_columns(["__tb__"])),
+                    batch_format="pyarrow")
+    )
+    return parts.groupby(["src", "dst"]).aggregate(Sum("n", alias_name="n"))
+
+
+def rollup_aggregate(
+    ds: ray.data.Dataset,
+    dims: list[str],
+    val_col: str,
+    cents_scale: float = 100.0,
+    all_label: str = "ALL",
+) -> pa.Table:
+    """GROUP BY ROLLUP(dims): counts and exact-cents value sums at every
+    prefix granularity ((d1..dk), (d1..dk-1), …, ()) with collapsed
+    dimensions labelled ``all_label`` → columns (*dims, n, sum_val).
+    The OLAP cube-slice primitive for bounded-cardinality dimensions.
+
+    Scale shape: each block pre-aggregates to one row per distinct
+    finest-level tuple (value quantized once to integer units, so the
+    sum is EXACT and order-invariant), one small ``groupby(dims)``
+    exchange merges partials, and the rollup levels are derived from
+    the materialized finest level — legitimately driver-side because a
+    rollup is only meaningful over bounded-cardinality dims (the finest
+    table is vocabulary-sized, never corpus-sized). The one double op
+    (cents → value) is pinned-order, so the DuckDB ROLLUP oracle
+    replays it bit-for-bit.
+    """
+    if not dims:
+        raise ValueError("dims must be a non-empty list")
+    sch = ds.schema()
+    for name, typ in zip(sch.names, sch.types):
+        if name not in dims:
+            continue
+        if isinstance(typ, pa.DataType):  # Arrow-backed blocks
+            ok = pa.types.is_string(typ) or pa.types.is_large_string(typ)
+        else:  # pandas-backed blocks report numpy dtypes / `object`
+            kind = getattr(np.dtype(typ), "kind", "?") if typ is not object \
+                else "O"
+            ok = kind in ("O", "U")
+        if not ok:
+            raise ValueError(
+                f"rollup dim {name!r} must be a string column (the "
+                f"all_label sentinel replaces collapsed levels)"
+            )
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = np.floor(
+            pc.cast(t[val_col], pa.float64()).to_numpy() * cents_scale + 0.5
+        ).astype(np.int64)
+        df = pd.DataFrame(
+            {d: t[d].to_numpy(zero_copy_only=False) for d in dims}
+        )
+        df["__cents__"] = c
+        g = df.groupby(dims, sort=False, dropna=False).agg(
+            n=("__cents__", "size"), cents=("__cents__", "sum")
+        ).reset_index()
+        return pa.table(
+            {**{d: pa.array(g[d].to_numpy(), pa.string()) for d in dims},
+             "n": pa.array(g["n"].to_numpy().astype(np.int64)),
+             "cents": pa.array(g["cents"].to_numpy().astype(np.int64))}
+        )
+
+    finest = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(dims)
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("cents", alias_name="cents"))
+    ).to_pandas()
+
+    levels = [finest]
+    for k in range(len(dims) - 1, -1, -1):
+        lv = finest.groupby(dims[:k], sort=False).agg(
+            n=("n", "sum"), cents=("cents", "sum")
+        ).reset_index() if k else pd.DataFrame(
+            {"n": [int(finest["n"].sum())],
+             "cents": [int(finest["cents"].sum())]}
+        )
+        for d in dims[k:]:
+            lv[d] = all_label
+        levels.append(lv[dims + ["n", "cents"]])
+    out = pd.concat(levels, ignore_index=True)
+    out["sum_val"] = np.round(
+        out["cents"].to_numpy().astype(np.float64) / cents_scale, 6
+    )
+    out = out.drop(columns=["cents"])
+    out["n"] = out["n"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -1325,3 +1325,101 @@ def test_rolling_mean_and_interarrival(ray_session):
     m = ~want_gap.isna().to_numpy()
     np.testing.assert_array_equal(got_gap[m],
                                   want_gap.to_numpy(dtype=float)[m])
+
+
+def test_transition_counts_vs_pandas(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.relational import transition_counts
+
+    rng = np.random.RandomState(47)
+    n = 3_000
+    df = pd.DataFrame(
+        {"event_id": np.arange(n, dtype=np.int64),
+         "user_id": rng.randint(0, 80, size=n).astype(np.int64),
+         "ts": rng.randint(0, 10**6, size=n).astype(np.int64),
+         "event_type": rng.choice(["view", "click", "buy", "err"], size=n)}
+    )
+    ds = rd.from_pandas(df).repartition(7)
+    got = (
+        transition_counts(ds, n_buckets=16)
+        .to_pandas()
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+
+    rep = df.sort_values(["user_id", "ts", "event_id"])
+    src = rep.groupby("user_id")["event_type"].shift()
+    want = (
+        pd.DataFrame({"src": src, "dst": rep["event_type"]})
+        .dropna()
+        .groupby(["src", "dst"], as_index=False)
+        .size()
+        .rename(columns={"size": "n"})
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got, want, check_dtype=False, check_like=True
+    )
+
+
+def test_transition_counts_string_keys(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.relational import transition_counts
+
+    df = pd.DataFrame(
+        {"event_id": [1, 2, 3, 4, 5],
+         "user_id": ["a", "a", "b", "b", "a"],
+         "ts": [10, 20, 5, 6, 30],
+         "event_type": ["x", "y", "x", "x", "y"]}
+    )
+    got = (
+        transition_counts(rd.from_pandas(df), n_buckets=4)
+        .to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    )
+    want = pd.DataFrame(
+        {"src": ["x", "x", "y"], "dst": ["x", "y", "y"], "n": [1, 1, 1]}
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_rollup_aggregate_vs_pandas(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.relational import rollup_aggregate
+
+    rng = np.random.RandomState(53)
+    n = 5_000
+    df = pd.DataFrame(
+        {"s": rng.choice(["O", "F", "P"], size=n),
+         "p": rng.choice(["1-URGENT", "2-HIGH", "3-MEDIUM"], size=n),
+         "v": rng.uniform(1, 1000, size=n)}
+    )
+    out = rollup_aggregate(
+        rd.from_pandas(df).repartition(9), ["s", "p"], "v"
+    ).to_pandas().sort_values(["s", "p"]).reset_index(drop=True)
+
+    cents = np.floor(df["v"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    rep = df.assign(c=cents)
+    fine = rep.groupby(["s", "p"], as_index=False).agg(
+        n=("c", "size"), c=("c", "sum"))
+    lv1 = fine.groupby("s", as_index=False).agg(
+        n=("n", "sum"), c=("c", "sum")).assign(p="ALL")
+    lv0 = pd.DataFrame({"s": ["ALL"], "p": ["ALL"],
+                        "n": [fine["n"].sum()], "c": [fine["c"].sum()]})
+    want = pd.concat([fine, lv1, lv0], ignore_index=True)
+    want["sum_val"] = np.round(want["c"].to_numpy().astype(float) / 100.0, 6)
+    want = want.drop(columns=["c"]).sort_values(["s", "p"]).reset_index(
+        drop=True)[["s", "p", "n", "sum_val"]]
+    pd.testing.assert_frame_equal(
+        out[["s", "p", "n", "sum_val"]], want, check_dtype=False
+    )
+
+    with pytest.raises(ValueError):
+        rollup_aggregate(rd.from_pandas(df), [], "v")
+    with pytest.raises(ValueError):
+        bad = rd.from_pandas(pd.DataFrame({"k": [1, 2], "v": [1.0, 2.0]}))
+        rollup_aggregate(bad, ["k"], "v")
