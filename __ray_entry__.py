@@ -1163,6 +1163,18 @@ def _q_rollup(sf_dir: str):
     )
 
 
+def _q_pmi(sf_dir: str):
+    """Top-vocab PMI co-occurrence over documents (V=48)."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.terms import pmi_cooccurrence
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return pmi_cooccurrence(ds, vocab_k=48)
+
+
 def _q_winsorize(sf_dir: str):
     """Per-source winsorization of document lengths at [0.05, 0.95] —
     clip-to-band twin of quantile_filter_docs (rows kept, values
@@ -1693,6 +1705,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interarrival_events": _q_interarrival,
         "transitions_events": _q_transitions,
         "rollup_orders": _q_rollup,
+        "pmi_cooccurrence_docs": _q_pmi,
         # north-star document pipeline + multimodal plumbing
         "docmatch_corpus": _q_docmatch,
         "media_features": _q_media_features,
@@ -3205,6 +3218,43 @@ def oracle_sql() -> dict[str, str]:
                   FROM events)
             WHERE src IS NOT NULL
             GROUP BY src, dst
+        """,
+        "pmi_cooccurrence_docs": """
+            WITH t AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(coalesce(text, '')),
+                                         '[^a-z0-9]+', ' ', 'g')) AS nt
+              FROM documents
+            ), tokall AS (
+              SELECT doc_id, unnest(string_split(nt, ' ')) AS term
+              FROM t WHERE len(nt) > 0
+            ), tok AS (
+              SELECT DISTINCT doc_id, term FROM tokall
+            ), occ AS (
+              SELECT term, count(*) AS n_occ FROM tokall GROUP BY term
+            ), dfc AS (
+              SELECT term, count(*) AS df FROM tok GROUP BY term
+            ), top AS (
+              SELECT d.term, d.df
+              FROM occ o JOIN dfc d USING (term)
+              ORDER BY o.n_occ DESC, d.term LIMIT 48
+            ), nd AS (
+              SELECT count(*) AS n FROM documents
+            ), pairs AS (
+              SELECT a.term AS x, b.term AS y, count(*)::BIGINT AS n_xy
+              FROM tok a JOIN tok b
+                ON a.doc_id = b.doc_id AND a.term < b.term
+              WHERE a.term IN (SELECT term FROM top)
+                AND b.term IN (SELECT term FROM top)
+              GROUP BY 1, 2
+            )
+            SELECT p.x, p.y, p.n_xy,
+                   round(ln(((nd.n * p.n_xy))::DOUBLE
+                            / ((dx.df * dy.df))::DOUBLE), 6) AS pmi
+            FROM pairs p
+            CROSS JOIN nd
+            JOIN top dx ON p.x = dx.term
+            JOIN top dy ON p.y = dy.term
         """,
         "rollup_orders": """
             SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,

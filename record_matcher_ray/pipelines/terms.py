@@ -392,3 +392,103 @@ def bm25_topk(
     id_col = kw.get("id_col", "doc_id")
     scored = bm25_scores(ds, query, **kw)
     return scored.sort(["bm25", id_col], descending=[True, False]).limit(k)
+
+
+def pmi_cooccurrence(
+    ds: ray.data.Dataset,
+    vocab_k: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Pointwise mutual information of top-vocabulary term pairs:
+    restrict to the ``vocab_k`` most frequent terms (by occurrence,
+    ties term-asc — the :func:`top_terms` cut), count documents where
+    both terms of a pair appear, and score
+
+        pmi(x, y) = ln( (N · n_xy) / (df_x · df_y) )
+
+    → columns (x, y, n_xy, pmi) with x < y lexicographic, one row per
+    co-occurring pair. The word-association primitive behind phrase
+    mining / embedding-corpus diagnostics.
+
+    Scale shape: two streaming passes. Pass 1 is :func:`top_terms`
+    (vocabulary-bounded partials); the materialized vocab (≤ vocab_k
+    rows) rides into pass 2 in the task closure. Pass 2 reduces each
+    block to distinct per-doc vocab terms and a bincount over ≤ V²
+    pair codes — the block partial is vocabulary²-bounded, never
+    row-bounded — and one tiny ``groupby((x, y))`` merges partials.
+    All counts are exact integers; PMI is int→double casts, ONE
+    division, libm log, round(6) — bit-replayable by the DuckDB
+    oracle. ``ds`` is consumed twice plus a count: pass a cheap
+    re-readable source (a parquet read) or materialize it first.
+    """
+    vocab = top_terms(ds, k=vocab_k, text_col=text_col, id_col=id_col
+                      ).to_pandas()
+    n_docs_total = int(ds.count())
+    # tid in sorted-term order so tid_x < tid_y ⇔ term_x < term_y (the
+    # oracle's `a.term < b.term` on ASCII-normalized tokens)
+    terms_sorted = np.sort(vocab["term"].to_numpy())
+    df_by_term = dict(zip(vocab["term"], vocab["n_docs"].astype(np.int64)))
+    dfs = np.array([df_by_term[t] for t in terms_sorted], dtype=np.int64)
+    index = pd.Index(terms_sorted)
+    v = len(terms_sorted)
+
+    empty = pa.table({"xi": pa.array([], pa.int64()),
+                      "yi": pa.array([], pa.int64()),
+                      "n_xy": pa.array([], pa.int64())})
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        toks, doc_idx, _ = _block_tokens(batch[text_col])
+        if not len(toks):
+            return empty
+        tid = index.get_indexer(toks)
+        keep = tid >= 0
+        if not keep.any():
+            return empty
+        tid, d = tid[keep], doc_idx[keep]
+        # distinct (doc, tid), sorted by (doc, tid)
+        order = np.lexsort((tid, d))
+        tid, d = tid[order], d[order]
+        new = np.concatenate(
+            ([True], (tid[1:] != tid[:-1]) | (d[1:] != d[:-1]))
+        )
+        tid, d = tid[new], d[new]
+        n = len(tid)
+        starts = np.nonzero(
+            np.concatenate(([True], d[1:] != d[:-1]))
+        )[0]
+        m = np.diff(np.append(starts, n))
+        seg_start = np.repeat(starts, m)
+        loc = np.arange(n) - seg_start
+        reps = np.repeat(m, m) - 1 - loc  # pairs (p, p+1..m-1)
+        total = int(reps.sum())
+        if total == 0:
+            return empty
+        x_idx = np.repeat(np.arange(n), reps)
+        csum = np.concatenate(([0], np.cumsum(reps)))
+        y_idx = x_idx + (np.arange(total) - csum[x_idx]) + 1
+        cnt = np.bincount(tid[x_idx] * v + tid[y_idx], minlength=v * v)
+        nz = np.nonzero(cnt)[0]
+        return pa.table(
+            {"xi": pa.array((nz // v).astype(np.int64)),
+             "yi": pa.array((nz % v).astype(np.int64)),
+             "n_xy": pa.array(cnt[nz].astype(np.int64))}
+        )
+
+    pairs = (
+        ds.map_batches(pair_partial, batch_format="pyarrow")
+        .groupby(["xi", "yi"])
+        .aggregate(Sum("n_xy", alias_name="n_xy"))
+    ).to_pandas()
+    xi = pairs["xi"].to_numpy().astype(np.int64)
+    yi = pairs["yi"].to_numpy().astype(np.int64)
+    n_xy = pairs["n_xy"].to_numpy().astype(np.int64)
+    num = (n_docs_total * n_xy).astype(np.float64)
+    den = (dfs[xi] * dfs[yi]).astype(np.float64)
+    pmi = np.round(np.log(num / den), 6)
+    return pa.table(
+        {"x": pa.array(terms_sorted[xi].astype(object), pa.string()),
+         "y": pa.array(terms_sorted[yi].astype(object), pa.string()),
+         "n_xy": pa.array(n_xy),
+         "pmi": pa.array(pmi)}
+    )

@@ -344,3 +344,62 @@ class TestInvertedIndex:
         # repeated token in one doc contributes ONE posting
         assert out.loc["spam", "df"] == 2
         assert list(out.loc["spam", "postings"]) == [7, 8]
+
+
+class TestPMICooccurrence:
+    def test_matches_brute_force(self, ray_session):
+        import itertools
+        import math
+
+        import ray.data as rd
+
+        from record_matcher_ray.pipelines.terms import pmi_cooccurrence
+
+        rng = np.random.RandomState(61)
+        words = ["apple", "banana", "cherry", "date", "elder", "fig",
+                 "grape", "kiwi"]
+        docs = []
+        for i in range(300):
+            k = rng.randint(1, 6)
+            docs.append(" ".join(rng.choice(words, size=k)))
+        df = pd.DataFrame({"doc_id": np.arange(300), "text": docs})
+        ds = rd.from_pandas(df).repartition(5)
+        out = pmi_cooccurrence(ds, vocab_k=5).to_pandas()
+
+        # brute-force replay with the same normalization (already clean)
+        occ, dfc, dsets = {}, {}, []
+        for t in docs:
+            toks = t.split()
+            for w in toks:
+                occ[w] = occ.get(w, 0) + 1
+            s = set(toks)
+            dsets.append(s)
+            for w in s:
+                dfc[w] = dfc.get(w, 0) + 1
+        top = sorted(occ, key=lambda w: (-occ[w], w))[:5]
+        n = len(docs)
+        want = {}
+        for x, y in itertools.combinations(sorted(top), 2):
+            c = sum(1 for s in dsets if x in s and y in s)
+            if c:
+                want[(x, y)] = (c, round(math.log((n * c)
+                                                  / (dfc[x] * dfc[y])), 6))
+        got = {(r.x, r.y): (r.n_xy, r.pmi) for r in out.itertuples()}
+        assert got.keys() == want.keys()
+        for k2 in want:
+            assert got[k2][0] == want[k2][0]
+            assert got[k2][1] == pytest.approx(want[k2][1], abs=1e-9)
+
+    def test_pair_order_and_no_self_pairs(self, ray_session):
+        import ray.data as rd
+
+        from record_matcher_ray.pipelines.terms import pmi_cooccurrence
+
+        df = pd.DataFrame(
+            {"doc_id": [0, 1, 2],
+             "text": ["b a b a", "a c", "c b a"]}
+        )
+        out = pmi_cooccurrence(rd.from_pandas(df), vocab_k=3).to_pandas()
+        assert (out["x"] < out["y"]).all()
+        got = dict(zip(zip(out["x"], out["y"]), out["n_xy"]))
+        assert got == {("a", "b"): 2, ("a", "c"): 2, ("b", "c"): 1}
