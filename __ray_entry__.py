@@ -1175,6 +1175,69 @@ def _q_pmi(sf_dir: str):
     return pmi_cooccurrence(ds, vocab_k=48)
 
 
+def _q_pca(sf_dir: str):
+    """Top principal direction of the embeddings Gram matrix — fixed-point
+    power iteration, bit-replayed by a chained-CTE oracle."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.stats import top_component
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["embedding"]
+    )
+    return top_component(ds, scale_bits=12, iters=6)
+
+
+def _pca_oracle(d: int = 64, scale_bits: int = 12, iters: int = 6,
+                x_scale_bits: int = 20) -> str:
+    """Replay of stats.top_component: integer Gram cells, power iteration
+    as chained CTEs (floor-div CASE emulates Python // on negatives), one
+    pinned-order double readout (HUGEINT casts, IEEE sqrt is exactly
+    rounded so loading replays bit-for-bit)."""
+    Q = 1 << scale_bits
+    S = 1 << x_scale_bits
+    sql = [f"""
+        WITH q AS (
+          SELECT list_transform(embedding,
+                   v -> CAST(floor(v::DOUBLE * {float(Q)!r} + 0.5)
+                             AS BIGINT)) AS qv
+          FROM embeddings
+        ), cell AS (
+          SELECT r.j AS i, s.j AS j, sum(qv[r.j] * qv[s.j]) AS a
+          FROM q
+          CROSS JOIN range(1, {d + 1}) r(j)
+          CROSS JOIN range(1, {d + 1}) s(j)
+          GROUP BY 1, 2
+        ), x0 AS (
+          SELECT r.j AS j, {S}::HUGEINT AS x FROM range(1, {d + 1}) r(j)
+        )"""]
+    for t in range(iters):
+        sql.append(f""", y{t} AS (
+          SELECT c.i AS j, sum(c.a * x.x) AS y
+          FROM cell c JOIN x{t} x ON c.j = x.j GROUP BY 1
+        ), m{t} AS (SELECT max(abs(y)) AS m FROM y{t}
+        ), x{t + 1} AS (
+          SELECT j, CASE WHEN (y * {S}) % m <> 0 AND y < 0
+                         THEN (y * {S}) // m - 1
+                         ELSE (y * {S}) // m END AS x
+          FROM y{t}, m{t}
+        )""")
+    sql.append(f""", den AS (SELECT sum(x * x) AS d2 FROM x{iters}
+        ), num AS (
+          SELECT sum(c.a * xa.x * xb.x) AS nu
+          FROM cell c
+          JOIN x{iters} xa ON c.i = xa.j
+          JOIN x{iters} xb ON c.j = xb.j
+        )
+        SELECT t.j,
+               round((t.x)::DOUBLE / sqrt((d2)::DOUBLE), 6) AS loading,
+               round(((nu)::DOUBLE / (d2)::DOUBLE)
+                     / {float(Q * Q)!r}, 6) AS eigval
+        FROM x{iters} t CROSS JOIN den CROSS JOIN num
+        ORDER BY t.j""")
+    return "".join(sql)
+
+
 def _q_winsorize(sf_dir: str):
     """Per-source winsorization of document lengths at [0.05, 0.95] —
     clip-to-band twin of quantile_filter_docs (rows kept, values
@@ -1706,6 +1769,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transitions_events": _q_transitions,
         "rollup_orders": _q_rollup,
         "pmi_cooccurrence_docs": _q_pmi,
+        "pca_embeddings": _q_pca,
         # north-star document pipeline + multimodal plumbing
         "docmatch_corpus": _q_docmatch,
         "media_features": _q_media_features,
@@ -3219,6 +3283,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE src IS NOT NULL
             GROUP BY src, dst
         """,
+        "pca_embeddings": _pca_oracle(),
         "pmi_cooccurrence_docs": """
             WITH t AS (
               SELECT doc_id,

@@ -103,3 +103,112 @@ def linear_fit(
          "intercept": [round(intercept, ndigits)],
          "r2": [round(r2, ndigits)]}
     )
+
+
+_PCA_QMAX = 10_000_000  # |q| bound so an 8192-row int64 Gram chunk is exact
+
+
+def top_component(
+    ds: "ray.data.Dataset",
+    vec_col: str = "embedding",
+    scale_bits: int = 12,
+    iters: int = 6,
+    x_scale_bits: int = 20,
+    ndigits: int = 6,
+) -> pa.Table:
+    """Top principal direction of the UNCENTERED second-moment (Gram)
+    matrix of an embedding column, by power iteration run entirely in
+    exact integer arithmetic → rows (j, loading, eigval): the unit
+    eigenvector component per 1-based dimension and the Rayleigh-quotient
+    eigenvalue in original (dequantized) units.
+
+    Fixed-point recipe (the kmeans / linear_fit pattern): vectors are
+    quantized once to ``q = floor(v·2^scale_bits + 0.5)``; each block
+    emits its EXACT integer Gram partial ``Σ q qᵀ`` as decimal128 cells
+    (int64-safe 8192-row chunks merged in Python arbitrary precision);
+    the driver sums partials exactly, then iterates
+    ``x ← floor(A·x · 2^x_scale_bits / max|A·x|)`` in Python big ints —
+    floor-division keeps every iterate integral, so the whole recursion
+    is partition-invariant AND bit-replayable by a chained-CTE DuckDB
+    oracle (`//` truncation emulated to floor via CASE). The only float
+    surface is the final pinned-order (cast → divide → sqrt → round)
+    readout; IEEE sqrt is exactly rounded, so it replays bit-for-bit.
+
+    Scale shape: ONE streaming pass; a block's partial is d² numbers
+    regardless of its row count, the driver holds d² big ints and the
+    d-vector iteration — nothing scales with the corpus. Uncentered on
+    purpose: centering would add a rational mean into the fixed-point
+    recursion; callers who need centered PCA can pre-subtract a
+    broadcast mean (documented deviation from textbook PCA).
+    """
+    Q = 1 << scale_bits
+    S = 1 << x_scale_bits
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t[vec_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.cast(col.flatten(), pa.float64()).to_numpy()
+        off = col.offsets.to_numpy().astype(np.int64)
+        widths = np.diff(off)
+        if len(widths) == 0:
+            return pa.table({"i": pa.array([], pa.int64()),
+                             "j": pa.array([], pa.int64()),
+                             "a": pa.array([], pa.decimal128(38, 0))})
+        d = int(widths[0])
+        if not (widths == d).all():
+            raise ValueError("top_component: ragged vector column")
+        q = np.floor(flat * float(Q) + 0.5).astype(np.int64).reshape(-1, d)
+        if np.abs(q).max(initial=0) > _PCA_QMAX:
+            raise ValueError(
+                f"top_component quantized values exceed |{_PCA_QMAX}|; "
+                f"lower scale_bits so Gram chunks stay int64-exact."
+            )
+        acc = [[0] * d for _ in range(d)]
+        CH = 8192  # 8192 · _PCA_QMAX² < 2**63
+        for s in range(0, len(q), CH):
+            g = q[s:s + CH].T @ q[s:s + CH]  # exact int64 by the bound
+            for i in range(d):
+                gi = g[i]
+                ai = acc[i]
+                for j in range(d):
+                    ai[j] += int(gi[j])
+        ii = np.repeat(np.arange(1, d + 1, dtype=np.int64), d)
+        jj = np.tile(np.arange(1, d + 1, dtype=np.int64), d)
+        vals = [acc[i][j] for i in range(d) for j in range(d)]
+        return pa.table(
+            {"i": pa.array(ii), "j": pa.array(jj),
+             "a": pa.array(vals, pa.decimal128(38, 0))}
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow"
+    ).to_pandas()
+    if len(parts) == 0:
+        return pa.table({"j": pa.array([], pa.int64()),
+                         "loading": pa.array([], pa.float64()),
+                         "eigval": pa.array([], pa.float64())})
+    d = int(parts["i"].max())
+    A = [[0] * d for _ in range(d)]
+    for i_, j_, a_ in zip(parts["i"], parts["j"], parts["a"]):
+        A[int(i_) - 1][int(j_) - 1] += int(a_)
+
+    x = [S] * d
+    for _ in range(iters):
+        y = [sum(A[i][j] * x[j] for j in range(d)) for i in range(d)]
+        m = max(abs(v) for v in y)
+        if m == 0:
+            break
+        x = [(v * S) // m for v in y]  # Python // floors (oracle CASE)
+
+    den = sum(v * v for v in x)
+    num = sum(A[i][j] * x[i] * x[j] for i in range(d) for j in range(d))
+    den_d = float(den)
+    norm = float(np.sqrt(den_d))
+    eig = round((float(num) / den_d) / float(Q * Q), ndigits)
+    loadings = [round(float(v) / norm, ndigits) for v in x]
+    return pa.table(
+        {"j": pa.array(np.arange(1, d + 1, dtype=np.int64)),
+         "loading": pa.array(loadings, pa.float64()),
+         "eigval": pa.array([eig] * d, pa.float64())}
+    )

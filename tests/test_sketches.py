@@ -236,3 +236,52 @@ def test_linear_fit_edges(ray_session):
             rd.from_pandas(pd.DataFrame({"x": [1e9], "y": [1.0]})),
             "x", "y",
         ).to_string()
+
+
+def test_top_component_matches_numpy_and_invariance(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.stats import top_component
+
+    rng = np.random.RandomState(71)
+    d, n = 16, 800
+    # planted dominant direction so power iteration converges fast
+    u = rng.randn(d)
+    u /= np.linalg.norm(u)
+    V = 0.2 * rng.randn(n, d) + np.outer(rng.randn(n) * 3.0, u)
+    df = pd.DataFrame({"embedding": [row.astype(np.float32).tolist()
+                                     for row in V]})
+
+    outs = []
+    for p in (1, 4, 13):
+        t = top_component(
+            rd.from_pandas(df).repartition(p), scale_bits=12, iters=8
+        ).to_pandas()
+        outs.append(t)
+    # exact partition invariance (integer recursion, pinned readout)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    pd.testing.assert_frame_equal(outs[0], outs[2])
+
+    got = outs[0]["loading"].to_numpy()
+    # numpy ground truth: top eigvec of the uncentered Gram matrix
+    G = V.T @ V
+    w, vecs = np.linalg.eigh(G)
+    top = vecs[:, -1]
+    cos = abs(float(np.dot(got, top)))  # both unit-norm up to rounding
+    assert cos > 0.999
+    eig = outs[0]["eigval"].iloc[0]
+    assert eig == pytest.approx(w[-1], rel=0.01)
+
+
+def test_top_component_guards(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.stats import top_component
+
+    big = pd.DataFrame({"embedding": [[1e7, 0.0], [0.0, 1e7]]})
+    with pytest.raises(Exception):  # Ray wraps the worker ValueError
+        top_component(rd.from_pandas(big), scale_bits=12)
+
+    ragged = pd.DataFrame({"embedding": [[1.0, 2.0], [1.0]]})
+    with pytest.raises(Exception):
+        top_component(rd.from_pandas(ragged), scale_bits=12)
