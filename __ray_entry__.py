@@ -1238,6 +1238,20 @@ def _pca_oracle(d: int = 64, scale_bits: int = 12, iters: int = 6,
     return "".join(sql)
 
 
+def _q_zscore(sf_dir: str):
+    """Per-event-type z-score of value — exact integer moments broadcast,
+    pinned-order double readout."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.stats import zscore_by_group
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"],
+    )
+    return zscore_by_group(ds, "event_type", "value", "event_id")
+
+
 def _q_winsorize(sf_dir: str):
     """Per-source winsorization of document lengths at [0.05, 0.95] —
     clip-to-band twin of quantile_filter_docs (rows kept, values
@@ -1487,6 +1501,19 @@ def _q_sample_docs(sf_dir: str):
     return hash_sample(ds, "doc_id", 0.1, seed=42)
 
 
+def _q_weighted_sample(sf_dir: str):
+    """Length-proportional importance sample (p = min(n_chars, 800)/800)
+    — exact integer predicate, hash-replayed bit-exactly in SQL."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.sampling import importance_sample
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+    return importance_sample(ds, "doc_id", "n_chars", denom=800, seed=13)
+
+
 def _q_stratified_docs(sf_dir: str):
     """At most 20 docs per language, chosen by deterministic hash order
     (row_number over sample_hash in the SQL oracle)."""
@@ -1724,6 +1751,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # decontamination + deterministic sampling / mixing
         "decontam_docs": _q_decontam,
         "sample_docs": _q_sample_docs,
+        "weighted_sample_docs": _q_weighted_sample,
         "shuffle_docs": _q_shuffle_docs,
         "stratified_docs": _q_stratified_docs,
         "mix_docs": _q_mix_docs,
@@ -1770,6 +1798,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_orders": _q_rollup,
         "pmi_cooccurrence_docs": _q_pmi,
         "pca_embeddings": _q_pca,
+        "zscore_events": _q_zscore,
         # north-star document pipeline + multimodal plumbing
         "docmatch_corpus": _q_docmatch,
         "media_features": _q_media_features,
@@ -1820,7 +1849,15 @@ def _sampling_oracles() -> dict[str, str]:
     cte42, _ = sql_sample_hash_cte("doc_id", seed=42)
     cte7, _ = sql_sample_hash_cte("doc_id", seed=7)
     cte3, _ = sql_sample_hash_cte("doc_id", seed=3)
+    cte13, _ = sql_sample_hash_cte("doc_id", seed=13)
     return {
+        "weighted_sample_docs": f"""
+            WITH t0 AS (SELECT doc_id, source, n_chars FROM documents),{cte13}
+            SELECT doc_id, source, n_chars FROM s5
+            WHERE (e)::HUGEINT * 800
+                  < (least(greatest(n_chars, 0), 800))::HUGEINT
+                    * 18446744073709551616::HUGEINT
+        """,
         "sample_docs": f"""
             WITH t0 AS (SELECT doc_id, source, n_chars FROM documents),{cte42}
             SELECT doc_id, source, n_chars FROM s5
@@ -3284,6 +3321,26 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY src, dst
         """,
         "pca_embeddings": _pca_oracle(),
+        "zscore_events": """
+            WITH c AS (
+              SELECT event_id, event_type,
+                     CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+              FROM events
+            ), m AS (
+              SELECT event_type, count(*) AS n,
+                     sum(c) AS s1, sum(c * c) AS s2
+              FROM c GROUP BY 1
+            )
+            SELECT event_id, c.event_type,
+                   CASE WHEN n < 2 OR n * s2 - s1 * s1 = 0 THEN NULL
+                        ELSE round(((c.c)::DOUBLE
+                                    - (s1)::DOUBLE / (n)::DOUBLE)
+                                   / sqrt(((n * s2 - s1 * s1))::DOUBLE
+                                          / ((n)::DOUBLE * (n)::DOUBLE)),
+                                   6)
+                   END AS z
+            FROM c JOIN m USING (event_type)
+        """,
         "pmi_cooccurrence_docs": """
             WITH t AS (
               SELECT doc_id,

@@ -235,3 +235,47 @@ s3 AS (SELECT *, xor(h2, h2 >> 27) AS h3 FROM s2),
 s4 AS (SELECT *, {modmul('h3', 0x94D049BB133111EB)} AS h4 FROM s3),
 s5 AS (SELECT *, xor(h4, h4 >> 31) AS e FROM s4)"""
     return cte, "e"
+
+
+def importance_sample(
+    ds: ray.data.Dataset,
+    id_col: str,
+    weight_col: str,
+    denom: int,
+    seed: int = 0,
+) -> ray.data.Dataset:
+    """Weighted (importance) sampling: keep each row with probability
+    ``min(weight, denom) / denom`` where ``weight`` is a non-negative
+    integer column — e.g. length-proportional document sampling with
+    ``weight_col="n_chars", denom=800`` (rows at or above the cap are
+    always kept). The up-/down-weighting primitive for mixture tuning.
+
+    Deterministic and EXACT: keep ⇔ ``hash·denom < clamp(w)·2^64`` in
+    integer arithmetic (engine compares against per-unique-weight
+    ``ceil(w·2^64/denom)`` thresholds, the oracle compares the HUGEINT
+    products directly — same predicate, no float surface). Per-row,
+    zero shuffle; re-running with a larger ``denom`` keeps a superset
+    ⊂-relationship per row like hash_sample's rate monotonicity.
+    """
+    if denom <= 0:
+        raise ValueError(f"denom must be positive, got {denom}")
+    s = seed
+    TWO64 = 1 << 64
+
+    def fn(t: pa.Table) -> pa.Table:
+        h = sample_hash(t[id_col].to_numpy(), s)
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        wc = np.clip(w, 0, denom)
+        codes, uniq = pd.factorize(wc)
+        thr = np.empty(len(uniq), np.uint64)
+        full = np.zeros(len(uniq), bool)
+        for k, u in enumerate(uniq):
+            if u >= denom:
+                full[k] = True
+                thr[k] = 0
+            else:
+                thr[k] = np.uint64(-(-(int(u) * TWO64) // denom))  # ceil
+        keep = full[codes] | (h < thr[codes])
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

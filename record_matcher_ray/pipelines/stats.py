@@ -212,3 +212,99 @@ def top_component(
          "loading": pa.array(loadings, pa.float64()),
          "eigval": pa.array([eig] * d, pa.float64())}
     )
+
+
+_ZSCORE_MAX_GROUPS = 100_000  # broadcast-moments cap (driver dict)
+
+
+def zscore_by_group(
+    ds: ray.data.Dataset,
+    group_col: str,
+    val_col: str,
+    id_col: str,
+    *,
+    scale: float = 100.0,
+    ndigits: int = 6,
+) -> ray.data.Dataset:
+    """Per-group z-score normalization (population std) → rows
+    (id_col, group_col, z) — the feature-normalization primitive.
+    Groups with zero variance (or a single row) get NULL z.
+
+    Scale shape: pass 1 reduces each block to exact integer moment
+    partials (n, Σc, Σc²) per group (decimal128 — the linear_fit
+    recipe), one vocabulary-sized ``groupby(group)`` merges them, and
+    the merged moments (bounded by ``_ZSCORE_MAX_GROUPS``) broadcast
+    into pass 2's task closures — the big table never shuffles. The
+    per-row readout is pinned-order IEEE doubles
+    ``(c − Σc/n) / sqrt((n·Σc² − (Σc)²) / n²)`` so the DuckDB oracle
+    replays it bit-for-bit. ``ds`` is consumed twice: pass a cheap
+    re-readable source or materialize it first.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = np.floor(
+            pc.cast(t[val_col], pa.float64()).to_numpy() * scale + 0.5
+        ).astype(np.int64)
+        if len(c) and np.abs(c).max() > _QMAX:
+            raise ValueError(
+                f"zscore quantized values exceed |{_QMAX}|; lower `scale`."
+            )
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(g)
+        order = np.argsort(codes, kind="stable")
+        cs = c[order]
+        bounds = np.searchsorted(codes[order], np.arange(len(uniq) + 1))
+        rows = {"g": [], "n": [], "s1": [], "s2": []}
+        for k in range(len(uniq)):
+            seg = cs[bounds[k]:bounds[k + 1]]
+            rows["g"].append(uniq[k])
+            rows["n"].append(len(seg))
+            rows["s1"].append(_exact_sum(seg))
+            rows["s2"].append(_exact_sum(seg * seg))
+        return pa.table(
+            {group_col: pa.array(rows["g"]),
+             "n": pa.array(rows["n"], pa.decimal128(38, 0)),
+             "s1": pa.array(rows["s1"], pa.decimal128(38, 0)),
+             "s2": pa.array(rows["s2"], pa.decimal128(38, 0))}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    moments: dict = {}
+    for g, n_, s1_, s2_ in zip(parts[group_col], parts["n"],
+                               parts["s1"], parts["s2"]):
+        n0, a0, b0 = moments.get(g, (0, 0, 0))
+        moments[g] = (n0 + int(n_), a0 + int(s1_), b0 + int(s2_))
+    if len(moments) > _ZSCORE_MAX_GROUPS:
+        raise ValueError(
+            f"zscore_by_group: {len(moments)} groups exceed the broadcast "
+            f"cap {_ZSCORE_MAX_GROUPS}; use a bucketed exchange instead."
+        )
+    stats = {}
+    for g, (n, s1, s2) in moments.items():
+        num2 = n * s2 - s1 * s1
+        if n < 2 or num2 == 0:
+            stats[g] = (0.0, float("nan"))
+            continue
+        mean = float(s1) / float(n)
+        std = float(np.sqrt(float(num2) / (float(n) * float(n))))
+        stats[g] = (mean, std)
+
+    def transform(t: pa.Table) -> pa.Table:
+        c = np.floor(
+            pc.cast(t[val_col], pa.float64()).to_numpy() * scale + 0.5
+        )
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(g)
+        lm = np.array([stats.get(u, (0.0, np.nan))[0] for u in uniq]
+                      or [0.0])
+        ls = np.array([stats.get(u, (0.0, np.nan))[1] for u in uniq]
+                      or [np.nan])
+        with np.errstate(invalid="ignore"):
+            z = np.round((c - lm[codes]) / ls[codes], ndigits)
+        return pa.table(
+            {id_col: t[id_col], group_col: t[group_col],
+             "z": pa.array(np.where(np.isnan(z), None, z),
+                           pa.float64(), from_pandas=True)}
+        )
+
+    return ds.map_batches(transform, batch_format="pyarrow")

@@ -4,6 +4,7 @@ weighted source mixing."""
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 import ray.data
@@ -199,3 +200,39 @@ class TestLeakageSafeSplit:
 
         with pytest.raises(ValueError):
             leakage_safe_split(reps, {"a": -1.0}, key_col="rep")
+
+
+def test_importance_sample_monotone_and_exact(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.sampling import (
+        importance_sample,
+        sample_hash,
+    )
+
+    rng = np.random.RandomState(29)
+    n = 4_000
+    df = pd.DataFrame(
+        {"doc_id": np.arange(n, dtype=np.int64),
+         "w": rng.randint(0, 1200, size=n).astype(np.int64)}
+    )
+    ds = rd.from_pandas(df).repartition(6)
+    kept = importance_sample(ds, "doc_id", "w", denom=800, seed=5
+                             ).to_pandas()
+
+    # exact integer predicate replay: h*denom < clamp(w)*2^64
+    h = sample_hash(df["doc_id"].to_numpy(), 5)
+    wc = np.clip(df["w"].to_numpy(), 0, 800)
+    want = {i for i, (hv, wv) in enumerate(zip(h, wc))
+            if int(hv) * 800 < int(wv) * (1 << 64)}
+    assert set(kept["doc_id"]) == want
+    # rows at/above the cap are always kept
+    assert set(df.loc[df["w"] >= 800, "doc_id"]) <= set(kept["doc_id"])
+    # larger denom keeps a subset (downweights everything below cap)
+    kept2 = importance_sample(ds, "doc_id", "w", denom=1600, seed=5
+                              ).to_pandas()
+    below = set(df.loc[df["w"] < 800, "doc_id"])
+    assert (set(kept2["doc_id"]) & below) <= (set(kept["doc_id"]) & below)
+
+    with pytest.raises(ValueError):
+        importance_sample(ds, "doc_id", "w", denom=0)

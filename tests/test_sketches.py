@@ -285,3 +285,46 @@ def test_top_component_guards(ray_session):
     ragged = pd.DataFrame({"embedding": [[1.0, 2.0], [1.0]]})
     with pytest.raises(Exception):
         top_component(rd.from_pandas(ragged), scale_bits=12)
+
+
+def test_zscore_by_group_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.stats import zscore_by_group
+
+    rng = np.random.RandomState(83)
+    n = 3_000
+    df = pd.DataFrame(
+        {"event_id": np.arange(n, dtype=np.int64),
+         "g": rng.choice(["a", "b", "c"], size=n),
+         "v": rng.uniform(-50, 50, size=n)}
+    )
+    # a constant group and a singleton group → NULL z
+    df.loc[df.index[:5], ["g", "v"]] = ["const", 7.0]
+    df = pd.concat(
+        [df, pd.DataFrame({"event_id": [n], "g": ["solo"], "v": [1.0]})],
+        ignore_index=True,
+    )
+    out = (
+        zscore_by_group(rd.from_pandas(df).repartition(7), "g", "v",
+                        "event_id")
+        .to_pandas().set_index("event_id")
+    )
+    c = np.floor(df["v"].to_numpy() * 100.0 + 0.5)
+    for g in ["a", "b", "c"]:
+        m = (df["g"] == g).to_numpy()
+        mu, sd = c[m].mean(), c[m].std()
+        want = (c[m] - mu) / sd
+        got = out.loc[df.loc[m, "event_id"], "z"].to_numpy()
+        np.testing.assert_allclose(got, np.round(want, 6), atol=2e-6)
+    assert out.loc[df.loc[(df["g"] == "const"), "event_id"], "z"
+                   ].isna().all()
+    assert np.isnan(out.loc[n, "z"])
+
+    # partition invariance: identical output across block layouts
+    out2 = (
+        zscore_by_group(rd.from_pandas(df).repartition(2), "g", "v",
+                        "event_id")
+        .to_pandas().set_index("event_id").sort_index()
+    )
+    pd.testing.assert_frame_equal(out.sort_index(), out2)
