@@ -1252,6 +1252,95 @@ def _q_zscore(sf_dir: str):
     return zscore_by_group(ds, "event_type", "value", "event_id")
 
 
+def _q_profile(sf_dir: str):
+    """Per-column profile of orders: counts, null counts, HLL distinct
+    for ints, exact distinct for strings."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.sketches import profile_table
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet")
+    return profile_table(ds)
+
+
+def _hll_value_sql(value_expr: str, table: str, p: int = 12) -> str:
+    """Scalar HLL-estimate subquery for one integer expression — the
+    same splitmix64→(bucket,rho)→register-max→estimator chain as
+    `_sketch_oracles` (sketches.py semantics), single implicit group."""
+    m = 1 << p
+    C264 = "18446744073709551616.0"
+    hu = _sql_splitmix64(
+        f"(({value_expr})::HUGEINT % {_SQL_M} + {_SQL_M}) % {_SQL_M}"
+    )
+    alpha = f"(0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / {m}.0))"
+    raw = f"(((({alpha} * {m}) * {m}) * {C264}) / (s::DOUBLE))"
+    return f"""(
+        WITH hf AS (SELECT ({hu}) AS hu FROM {table}),
+        br AS (
+          SELECT (hu >> {64 - p})::BIGINT AS bucket,
+                 ({_sql_mulmod("hu::HUGEINT", m)})::UBIGINT AS rest
+          FROM hf
+        ), s1 AS (SELECT bucket, rest, (rest | (rest >> 1)) AS x FROM br
+        ), s2 AS (SELECT bucket, rest, (x | (x >> 2)) AS x FROM s1
+        ), s3 AS (SELECT bucket, rest, (x | (x >> 4)) AS x FROM s2
+        ), s4 AS (SELECT bucket, rest, (x | (x >> 8)) AS x FROM s3
+        ), s5 AS (SELECT bucket, rest, (x | (x >> 16)) AS x FROM s4
+        ), s6 AS (SELECT bucket, rest, (x | (x >> 32)) AS x FROM s5
+        ), rt AS (
+          SELECT bucket,
+                 CASE WHEN rest = 0 THEN {64 - p + 1}
+                      ELSE 65 - bit_count(x)::BIGINT END AS rho
+          FROM s6
+        ), regs AS (SELECT bucket, max(rho) AS reg FROM rt GROUP BY bucket
+        ), sums AS (
+          SELECT sum(1::HUGEINT << (64 - reg)) AS s_present,
+                 count(*) AS n_present
+          FROM regs
+        ), est AS (
+          SELECT s_present + ({m} - n_present)::HUGEINT
+                   * (1::HUGEINT << 64) AS s,
+                 ({m} - n_present) AS zeros
+          FROM sums
+        )
+        SELECT round(CASE WHEN {raw} <= 2.5::DOUBLE * {m}.0 AND zeros > 0
+                          THEN {m} * ln({m}.0 / zeros)
+                          ELSE {raw} END, 6)
+        FROM est
+    )"""
+
+
+def _profile_orders_oracle() -> str:
+    """Replay of sketches.profile_table over the orders table: HLL
+    estimates for int columns (nulls hash as 0 — column_hash64
+    contract), exact distinct for strings (nulls read ''), counts only
+    for double/timestamp columns."""
+    int_cols = ["o_orderkey", "o_custkey"]
+    str_cols = ["o_orderstatus", "o_orderpriority"]
+    none_cols = ["o_totalprice", "o_orderdate"]
+    rows = []
+    for c in int_cols:
+        rows.append(
+            f"SELECT '{c}' AS col_name, count(*)::BIGINT AS n, "
+            f"(count(*) - count({c}))::BIGINT AS n_null, "
+            f"({_hll_value_sql(f'coalesce({c}, 0)', 'orders')})::DOUBLE "
+            f"AS n_distinct, 'hll' AS method FROM orders"
+        )
+    for c in str_cols:
+        rows.append(
+            f"SELECT '{c}' AS col_name, count(*)::BIGINT AS n, "
+            f"(count(*) - count({c}))::BIGINT AS n_null, "
+            f"count(DISTINCT coalesce({c}, ''))::DOUBLE AS n_distinct, "
+            f"'exact' AS method FROM orders"
+        )
+    for c in none_cols:
+        rows.append(
+            f"SELECT '{c}' AS col_name, count(*)::BIGINT AS n, "
+            f"(count(*) - count({c}))::BIGINT AS n_null, "
+            f"NULL::DOUBLE AS n_distinct, 'none' AS method FROM orders"
+        )
+    return " UNION ALL ".join(rows)
+
+
 def _q_winsorize(sf_dir: str):
     """Per-source winsorization of document lengths at [0.05, 0.95] —
     clip-to-band twin of quantile_filter_docs (rows kept, values
@@ -1799,6 +1888,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_cooccurrence_docs": _q_pmi,
         "pca_embeddings": _q_pca,
         "zscore_events": _q_zscore,
+        "profile_orders": _q_profile,
         # north-star document pipeline + multimodal plumbing
         "docmatch_corpus": _q_docmatch,
         "media_features": _q_media_features,
@@ -3321,6 +3411,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY src, dst
         """,
         "pca_embeddings": _pca_oracle(),
+        "profile_orders": _profile_orders_oracle(),
         "zscore_events": """
             WITH c AS (
               SELECT event_id, event_type,

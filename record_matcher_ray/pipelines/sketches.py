@@ -21,6 +21,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -263,3 +264,113 @@ def approx_quantiles(
         b = int(np.searchsorted(cum, rank + 1))
         ests.append(round(mn + ((b + 0.5) * (mx - mn) / float(n_bins)), 6))
     return pd.DataFrame({"q": list(qs), "est": ests})
+
+
+_PROFILE_MAX_DISTINCT = 200_000  # exact string-distinct partial cap
+
+
+def profile_table(ds: ray.data.Dataset, p: int = 12) -> pd.DataFrame:
+    """One-pass per-column data profile → DataFrame (col_name, n,
+    n_null, n_distinct, method) sorted by col_name — the ingest-audit
+    primitive (row counts, null rates, cardinalities at a glance).
+
+    Per-column strategy: integer columns estimate distincts by
+    HyperLogLog (``method='hll'`` — nulls hash as 0, the
+    ``column_hash64`` contract); string columns count EXACT distincts
+    (``method='exact'`` — nulls read as ``''``), partial-capped at
+    ``_PROFILE_MAX_DISTINCT`` block-distinct values with an actionable
+    error (an id-like string column should profile via HLL on a hash
+    column instead); other types get counts only (``method='none'``).
+
+    Scale shape: ONE streaming pass; every block reduces to one row per
+    column (counts + a 2^p-byte register array or a block-distinct
+    value list), merged on the driver — merge volume is
+    O(blocks · columns · 2^p), independent of row count. Estimates are
+    the same splitmix64→registers→estimator chain as
+    :func:`approx_distinct`, so the DuckDB oracle replays them
+    bit-exactly; exact counts are plain ``count(DISTINCT …)``.
+    """
+    from record_matcher_ray.core.hashkernels import column_hash64
+
+    sch = ds.schema()
+
+    def kind_of(t) -> str:
+        if isinstance(t, pa.DataType):
+            if pa.types.is_integer(t):
+                return "hll"
+            if pa.types.is_string(t) or pa.types.is_large_string(t):
+                return "exact"
+            return "none"
+        k = getattr(np.dtype(t), "kind", "?") if t is not object else "O"
+        return {"i": "hll", "u": "hll", "O": "exact", "U": "exact"
+                }.get(k, "none")
+
+    kinds = {n: kind_of(t) for n, t in zip(sch.names, sch.types)}
+
+    def partial(t: pa.Table) -> pa.Table:
+        names, ks, ns, nnull, regs, vals = [], [], [], [], [], []
+        for c, k in kinds.items():
+            arr = t[c]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            names.append(c)
+            ks.append(k)
+            ns.append(len(arr))
+            nnull.append(arr.null_count)
+            if k == "hll":
+                regs.append(hll_registers(column_hash64(arr), p).tobytes())
+                vals.append([])
+            elif k == "exact":
+                u = pc.unique(pc.fill_null(pc.cast(arr, pa.string()), ""))
+                if len(u) > _PROFILE_MAX_DISTINCT:
+                    raise ValueError(
+                        f"profile_table: column {c!r} exceeds "
+                        f"{_PROFILE_MAX_DISTINCT} block-distinct values; "
+                        f"profile a hash of it via HLL instead."
+                    )
+                regs.append(b"")
+                vals.append(u.to_pylist())
+            else:
+                regs.append(b"")
+                vals.append([])
+        return pa.table(
+            {"col_name": pa.array(names, pa.string()),
+             "kind": pa.array(ks, pa.string()),
+             "n": pa.array(ns, pa.int64()),
+             "n_null": pa.array(nnull, pa.int64()),
+             "regs": pa.array(regs, pa.binary()),
+             "vals": pa.array(vals, pa.list_(pa.string()))}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out = []
+    for c in sorted(kinds):
+        sel = parts[parts["col_name"] == c]
+        k = kinds[c]
+        n = int(sel["n"].sum())
+        n_null = int(sel["n_null"].sum())
+        if k == "hll" and len(sel):
+            stack = np.stack(
+                [np.frombuffer(r, np.uint8) for r in sel["regs"]]
+            )
+            nd = round(hll_estimate(stack.max(axis=0)), 6)
+        elif k == "exact" and len(sel):
+            seen: set = set()
+            for v in sel["vals"]:
+                seen.update(v)
+                if len(seen) > _PROFILE_MAX_DISTINCT:
+                    raise ValueError(
+                        f"profile_table: column {c!r} exceeds "
+                        f"{_PROFILE_MAX_DISTINCT} distinct values; "
+                        f"profile a hash of it via HLL instead."
+                    )
+            nd = float(len(seen))
+        else:
+            nd = None
+        out.append({"col_name": c, "n": n, "n_null": n_null,
+                    "n_distinct": nd, "method": k})
+    df = pd.DataFrame(out)
+    df["n"] = df["n"].astype(np.int64)
+    df["n_null"] = df["n_null"].astype(np.int64)
+    df["n_distinct"] = df["n_distinct"].astype(np.float64)
+    return df

@@ -328,3 +328,39 @@ def test_zscore_by_group_matches_numpy(ray_session):
         .to_pandas().set_index("event_id").sort_index()
     )
     pd.testing.assert_frame_equal(out.sort_index(), out2)
+
+
+def test_profile_table(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    rng = np.random.RandomState(97)
+    n = 2_000
+    t = pa.table(
+        {"k": pa.array(rng.randint(0, 500, size=n), pa.int64()),
+         "s": pa.array(
+             np.where(rng.rand(n) < 0.1, None,
+                      rng.choice(["x", "y", "z"], size=n)),
+             pa.string(), from_pandas=True),
+         "f": pa.array(rng.rand(n), pa.float64())}
+    )
+    from record_matcher_ray.pipelines.sketches import profile_table
+
+    out = profile_table(rd.from_arrow(t).repartition(5)).set_index(
+        "col_name")
+    assert out.loc["k", "method"] == "hll"
+    assert out.loc["s", "method"] == "exact"
+    assert out.loc["f", "method"] == "none"
+    assert (out["n"] == n).all()
+    assert out.loc["s", "n_null"] == t["s"].null_count
+    # exact distinct: 3 values + '' for nulls
+    assert out.loc["s", "n_distinct"] == 4.0
+    # HLL within 5% of truth at p=12
+    true_k = len(np.unique(t["k"].to_numpy()))
+    assert abs(out.loc["k", "n_distinct"] - true_k) / true_k < 0.05
+    assert np.isnan(out.loc["f", "n_distinct"])
+
+    # partition invariance of the merged estimate
+    out2 = profile_table(rd.from_arrow(t).repartition(2)).set_index(
+        "col_name")
+    assert out.loc["k", "n_distinct"] == out2.loc["k", "n_distinct"]
