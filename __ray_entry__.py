@@ -1341,6 +1341,45 @@ def _profile_orders_oracle() -> str:
     return " UNION ALL ".join(rows)
 
 
+def _q_distinct_by(sf_dir: str):
+    """Exact distinct users per event type (pre-reduced pair exchange)."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.table_ops import distinct_count_by
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    return distinct_count_by(ds, "event_type", "user_id")
+
+
+def _q_histogram(sf_dir: str):
+    """Fixed-width ($20k) histogram of order totals."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.table_ops import histogram
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_totalprice"]
+    )
+    return histogram(ds, "o_totalprice", width_cents=2_000_000)
+
+
+def _q_ntile(sf_dir: str):
+    """Quartile band per order within its status (SQL ntile replay)."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.relational import ntile_by_group
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+    )
+    return ntile_by_group(
+        ds, "o_orderstatus", "o_totalprice", "o_orderkey", k=4
+    )
+
+
 def _q_winsorize(sf_dir: str):
     """Per-source winsorization of document lengths at [0.05, 0.95] —
     clip-to-band twin of quantile_filter_docs (rows kept, values
@@ -1889,6 +1928,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_embeddings": _q_pca,
         "zscore_events": _q_zscore,
         "profile_orders": _q_profile,
+        "distinct_users_by_type": _q_distinct_by,
+        "histogram_orders": _q_histogram,
+        "ntile_orders": _q_ntile,
         # north-star document pipeline + multimodal plumbing
         "docmatch_corpus": _q_docmatch,
         "media_features": _q_media_features,
@@ -3412,6 +3454,35 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pca_embeddings": _pca_oracle(),
         "profile_orders": _profile_orders_oracle(),
+        "distinct_users_by_type": """
+            SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_distinct
+            FROM events GROUP BY event_type
+        """,
+        "histogram_orders": """
+            WITH c AS (
+              SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c
+              FROM orders
+            ), b AS (
+              SELECT CASE WHEN c % 2000000 <> 0 AND c < 0
+                          THEN c // 2000000 - 1
+                          ELSE c // 2000000 END AS bin
+              FROM c
+            )
+            SELECT bin, round((bin * 2000000)::DOUBLE / 100.0, 6) AS lo,
+                   count(*)::BIGINT AS n
+            FROM b GROUP BY bin
+        """,
+        "ntile_orders": """
+            WITH c AS (
+              SELECT o_orderkey, o_orderstatus,
+                     CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c
+              FROM orders
+            )
+            SELECT o_orderkey,
+                   ntile(4) OVER (PARTITION BY o_orderstatus
+                                  ORDER BY c, o_orderkey)::BIGINT AS tile
+            FROM c
+        """,
         "zscore_events": """
             WITH c AS (
               SELECT event_id, event_type,

@@ -839,3 +839,73 @@ def rollup_aggregate(
     out = out.drop(columns=["cents"])
     out["n"] = out["n"].astype(np.int64)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def ntile_by_group(
+    ds: ray.data.Dataset,
+    group_col: str,
+    val_col: str,
+    id_col: str,
+    k: int = 4,
+    cents_scale: float = 100.0,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """SQL ``ntile(k) OVER (PARTITION BY group ORDER BY val, id)`` →
+    rows (id_col, tile): equal-frequency banding per group (quartiles /
+    deciles), ties broken by id so both engines band identically. The
+    stratification primitive for balanced eval splits.
+
+    Scale shape: one hash-bucketed exchange on the group key (≤
+    ``n_buckets`` groups — CLAUDE.md rule), one lexsort per bucket,
+    then the ntile formula is pure vectorized index math (the first
+    ``n % k`` tiles get ``n//k + 1`` rows — the SQL distribution).
+    Values are quantized to integer units for a total order identical
+    to the oracle's (floats that differ below half a unit tie and fall
+    to the id tiebreak in BOTH engines)."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+
+    def prep(t: pa.Table) -> pa.Table:
+        from record_matcher_ray.core.hashkernels import column_hash64
+
+        b = column_hash64(t[group_col]) % np.uint64(n_buckets)
+        c = np.floor(
+            pc.cast(t[val_col], pa.float64()).to_numpy() * cents_scale + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {id_col: t[id_col], group_col: t[group_col],
+             "__c__": pa.array(c),
+             "__nb__": pa.array(b.astype(np.int64))}
+        )
+
+    def local(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "tile": pa.array([], pa.int64())})
+        order, first, _ = _per_key_sorted(t, group_col, "__c__", id_col)
+        n = len(order)
+        starts = np.nonzero(first)[0]
+        sizes = np.diff(np.append(starts, n))
+        seg_start = np.repeat(starts, sizes)
+        seg_n = np.repeat(sizes, sizes)
+        r = np.arange(n) - seg_start  # 0-based rank within group
+        q, rem = seg_n // k, seg_n % k
+        big_span = rem * (q + 1)  # rows covered by the larger tiles
+        in_big = r < big_span
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tile = np.where(
+                in_big,
+                r // np.maximum(q + 1, 1),
+                rem + np.where(q > 0, (r - big_span) // np.maximum(q, 1), 0),
+            ) + 1
+        return pa.table(
+            {id_col: t[id_col].take(pa.array(order)),
+             "tile": pa.array(tile.astype(np.int64))}
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("__nb__")
+        .map_groups(lambda t: local(t.drop_columns(["__nb__"])),
+                    batch_format="pyarrow")
+    )

@@ -567,3 +567,90 @@ def snapshot_diff(
         )
 
     return u.groupby("__db__").map_groups(resolve, batch_format="pyarrow")
+
+
+def distinct_count_by(
+    ds: ray.data.Dataset, group_col: str, val_col: str
+) -> ray.data.Dataset:
+    """EXACT distinct-value count per group → rows (group_col,
+    n_distinct) — ``count(DISTINCT val) GROUP BY group`` semantics, the
+    audience/cardinality primitive where HLL's ~1% error won't do.
+
+    Scale shape: each block first reduces to its DISTINCT (group, val)
+    pairs (an Arrow group_by — the partial is bounded by the block's
+    pair vocabulary, not its row count), one ``groupby((group, val))``
+    exchange dedupes globally, and the count-per-group is a second tiny
+    exchange over one row per distinct pair. Raw duplicate rows never
+    cross the wire; skew lives in the pair shuffle, which hashes on the
+    composite key so hot groups still spread."""
+
+    def pairs(t: pa.Table) -> pa.Table:
+        return t.select([group_col, val_col]).group_by(
+            [group_col, val_col]
+        ).aggregate([])
+
+    dedup = (
+        ds.map_batches(pairs, batch_format="pyarrow")
+        .groupby([group_col, val_col])
+        .count()
+        .drop_columns(["count()"])
+    )
+    out = dedup.groupby(group_col).count()
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns([group_col, "n_distinct"])
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
+def histogram(
+    ds: ray.data.Dataset,
+    val_col: str,
+    width_cents: int,
+    cents_scale: float = 100.0,
+) -> ray.data.Dataset:
+    """Fixed-width histogram of a numeric column → rows (bin, lo, n):
+    bin = floor(quantized_value / width_cents) (floor semantics — the
+    DuckDB oracle emulates `//` truncation to floor with a CASE),
+    ``lo`` the bin's inclusive lower edge in original units (one
+    pinned-order double division). Empty bins are absent.
+
+    Scale shape: one streaming pass; each block reduces to (bin, n)
+    partials via bincount over its own bin range, and a tiny
+    ``groupby(bin)`` merges them — exchange volume is bounded by the
+    number of OCCUPIED bins per block, never rows."""
+    if width_cents <= 0:
+        raise ValueError(f"width_cents must be positive, got {width_cents}")
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = np.floor(
+            pc.cast(t[val_col], pa.float64()).to_numpy() * cents_scale + 0.5
+        ).astype(np.int64)
+        if len(c) == 0:
+            return pa.table({"bin": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        b = c // width_cents  # numpy // floors (matches Python)
+        lo_b = b.min()
+        cnt = np.bincount(b - lo_b)
+        nz = np.nonzero(cnt)[0]
+        return pa.table(
+            {"bin": pa.array(nz + lo_b),
+             "n": pa.array(cnt[nz].astype(np.int64))}
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def edges(t: pa.Table) -> pa.Table:
+        b = t["bin"].to_numpy()
+        lo = np.round(
+            (b * width_cents).astype(np.float64) / cents_scale, 6
+        )
+        return pa.table({"bin": t["bin"], "lo": pa.array(lo),
+                         "n": t["n"]})
+
+    return agg.map_batches(edges, batch_format="pyarrow")

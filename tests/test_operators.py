@@ -1423,3 +1423,88 @@ def test_rollup_aggregate_vs_pandas(ray_session):
     with pytest.raises(ValueError):
         bad = rd.from_pandas(pd.DataFrame({"k": [1, 2], "v": [1.0, 2.0]}))
         rollup_aggregate(bad, ["k"], "v")
+
+
+def test_distinct_count_by_exact(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.table_ops import distinct_count_by
+
+    rng = np.random.RandomState(11)
+    n = 4_000
+    df = pd.DataFrame(
+        {"g": rng.choice(["a", "b", "c", "d"], size=n),
+         "v": rng.randint(0, 300, size=n).astype(np.int64)}
+    )
+    got = (
+        distinct_count_by(rd.from_pandas(df).repartition(8), "g", "v")
+        .to_pandas().set_index("g")["n_distinct"]
+    )
+    want = df.groupby("g")["v"].nunique()
+    for g in want.index:
+        assert got[g] == want[g]
+
+
+def test_histogram_matches_numpy(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.table_ops import histogram
+
+    rng = np.random.RandomState(13)
+    vals = np.concatenate([rng.uniform(-50, 200, 3_000), [-0.004, 0.004]])
+    df = pd.DataFrame({"v": vals})
+    got = (
+        histogram(rd.from_pandas(df).repartition(6), "v", width_cents=700)
+        .to_pandas().set_index("bin").sort_index()
+    )
+    c = np.floor(vals * 100.0 + 0.5).astype(np.int64)
+    b = c // 700  # numpy floor-div (negatives round toward -inf)
+    want = pd.Series(b).value_counts().sort_index()
+    assert list(got.index) == list(want.index)
+    np.testing.assert_array_equal(got["n"].to_numpy(), want.to_numpy())
+    np.testing.assert_allclose(
+        got["lo"].to_numpy(),
+        np.round((want.index.to_numpy() * 700).astype(float) / 100.0, 6),
+    )
+    with pytest.raises(ValueError):
+        histogram(rd.from_pandas(df), "v", width_cents=0)
+
+
+def test_ntile_by_group_distribution(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.relational import ntile_by_group
+
+    rng = np.random.RandomState(17)
+    n = 2_500
+    df = pd.DataFrame(
+        {"id": np.arange(n, dtype=np.int64),
+         "g": rng.choice(["x", "y", "z"], size=n),
+         "v": rng.uniform(0, 100, size=n)}
+    )
+    # a tiny group (n < k) exercises the q == 0 branch
+    df = pd.concat(
+        [df, pd.DataFrame({"id": [n, n + 1], "g": ["tiny"] * 2,
+                           "v": [1.0, 2.0]})],
+        ignore_index=True,
+    )
+    got = (
+        ntile_by_group(rd.from_pandas(df).repartition(7), "g", "v", "id",
+                       k=4)
+        .to_pandas().set_index("id")["tile"]
+    )
+    c = np.floor(df["v"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    rep = df.assign(c=c).sort_values(["g", "c", "id"])
+    for g, grp in rep.groupby("g"):
+        m = len(grp)
+        q, rem = divmod(m, 4)
+        want = []
+        for r in range(m):
+            if r < rem * (q + 1):
+                want.append(r // (q + 1) + 1)
+            else:
+                want.append(rem + (r - rem * (q + 1)) // q + 1)
+        np.testing.assert_array_equal(
+            got[grp["id"]].to_numpy(), np.array(want)
+        )
+    assert sorted(got[df.loc[df["g"] == "tiny", "id"]].tolist()) == [1, 2]
