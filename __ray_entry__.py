@@ -1380,6 +1380,35 @@ def _q_ntile(sf_dir: str):
     )
 
 
+def _q_intervals(sf_dir: str):
+    """SCD2 validity intervals of each user's event_type runs."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.relational import value_intervals
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    return value_intervals(ds)
+
+
+def _q_pivot(sf_dir: str):
+    """Crosstab: order counts per status × priority (wide columns)."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.relational import pivot_counts
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_orderpriority"],
+    )
+    return pivot_counts(
+        ds, "o_orderstatus", "o_orderpriority",
+        ["1-URGENT", "2-HIGH", "3-MEDIUM"],
+    )
+
+
 def _q_winsorize(sf_dir: str):
     """Per-source winsorization of document lengths at [0.05, 0.95] —
     clip-to-band twin of quantile_filter_docs (rows kept, values
@@ -1931,6 +1960,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_by_type": _q_distinct_by,
         "histogram_orders": _q_histogram,
         "ntile_orders": _q_ntile,
+        "intervals_events": _q_intervals,
+        "pivot_orders": _q_pivot,
         # north-star document pipeline + multimodal plumbing
         "docmatch_corpus": _q_docmatch,
         "media_features": _q_media_features,
@@ -3471,6 +3502,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT bin, round((bin * 2000000)::DOUBLE / 100.0, 6) AS lo,
                    count(*)::BIGINT AS n
             FROM b GROUP BY bin
+        """,
+        "intervals_events": """
+            WITH o AS (
+              SELECT user_id, event_id, epoch_us(ts) AS ts, event_type,
+                     lag(event_type)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS prev
+              FROM events
+            ), runs AS (
+              SELECT user_id, event_id, ts, event_type
+              FROM o WHERE prev IS DISTINCT FROM event_type
+            )
+            SELECT user_id, event_type AS val, ts AS valid_from,
+                   lead(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS valid_to
+            FROM runs
+        """,
+        "pivot_orders": """
+            SELECT o_orderstatus,
+                   count(*) FILTER (WHERE o_orderpriority = '1-URGENT'
+                                    )::BIGINT AS n_1_urgent,
+                   count(*) FILTER (WHERE o_orderpriority = '2-HIGH'
+                                    )::BIGINT AS n_2_high,
+                   count(*) FILTER (WHERE o_orderpriority = '3-MEDIUM'
+                                    )::BIGINT AS n_3_medium,
+                   count(*) FILTER (WHERE o_orderpriority IS NULL OR
+                                    o_orderpriority NOT IN
+                                    ('1-URGENT', '2-HIGH', '3-MEDIUM')
+                                    )::BIGINT AS n_other
+            FROM orders GROUP BY o_orderstatus
         """,
         "ntile_orders": """
             WITH c AS (

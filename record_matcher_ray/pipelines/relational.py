@@ -909,3 +909,132 @@ def ntile_by_group(
         .map_groups(lambda t: local(t.drop_columns(["__nb__"])),
                     batch_format="pyarrow")
     )
+
+
+def value_intervals(
+    ds: ray.data.Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "event_type",
+    id_col: str = "event_id",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """SCD2-style history build: per key ordered by (ts, id), collapse
+    consecutive runs of equal ``val_col`` into validity intervals →
+    rows (key, val, valid_from, valid_to) with ``valid_from`` the run's
+    first timestamp (μs), ``valid_to`` the next run's first timestamp,
+    NULL for the open (current) run. The slowly-changing-dimension
+    primitive for attribute timelines.
+
+    Scale shape: one hash-bucketed exchange on the key (complete
+    per-key sequences per bucket); inside a bucket one lexsort, one
+    factorized run-boundary diff and one shift produce every interval
+    vectorized — no per-key Python. Ties on ts break by id so the
+    oracle's LAG/LEAD windows frame identically."""
+
+    def prep(t: pa.Table) -> pa.Table:
+        from record_matcher_ray.core.hashkernels import column_hash64
+
+        b = column_hash64(t[key_col]) % np.uint64(n_buckets)
+        return pa.table(
+            {key_col: t[key_col],
+             ts_col: pc.cast(t[ts_col], pa.int64()),
+             id_col: t[id_col],
+             val_col: t[val_col],
+             "__vb__": pa.array(b.astype(np.int64))}
+        )
+
+    def local(t: pa.Table) -> pa.Table:
+        ktype = t.schema.field(key_col).type
+        vtype = t.schema.field(val_col).type
+        empty = pa.table(
+            {key_col: pa.array([], ktype),
+             "val": pa.array([], vtype),
+             "valid_from": pa.array([], pa.int64()),
+             "valid_to": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return empty
+        order, first, _ = _per_key_sorted(t, key_col, ts_col, id_col)
+        ts = t[ts_col].to_numpy()[order]
+        vals = t[val_col].to_numpy(zero_copy_only=False)[order]
+        codes, _uniq = pd.factorize(vals)
+        run_start = first | np.concatenate(([True], codes[1:] != codes[:-1]))
+        starts = np.nonzero(run_start)[0]
+        # next run start within the same key, else open-ended (vectorized:
+        # shift run-start timestamps, null where the next run changes key)
+        key_of_run = np.cumsum(first)[starts]  # key ordinal per run
+        nxt = np.zeros(len(starts), np.int64)
+        same_key = np.zeros(len(starts), bool)
+        if len(starts) > 1:
+            nxt[:-1] = ts[starts[1:]]
+            same_key[:-1] = key_of_run[1:] == key_of_run[:-1]
+        oidx = pa.array(order[starts])
+        return pa.table(
+            {key_col: t[key_col].take(oidx),
+             "val": t[val_col].take(oidx),
+             "valid_from": pa.array(ts[starts]),
+             "valid_to": pa.array(nxt, mask=~same_key)}
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("__vb__")
+        .map_groups(lambda t: local(t.drop_columns(["__vb__"])),
+                    batch_format="pyarrow")
+    )
+
+
+def pivot_counts(
+    ds: ray.data.Dataset,
+    row_col: str,
+    col_col: str,
+    values: list[str],
+) -> pa.Table:
+    """Crosstab: one output row per ``row_col`` value with a count
+    column per entry of ``values`` (``n_<slug>``, slugged to SQL-safe
+    lowercase identifiers) plus ``n_other`` for unlisted values —
+    ``count(*) FILTER (WHERE col = v)`` semantics, the wide-report
+    primitive over bounded-cardinality dimensions.
+
+    Scale shape: each block reduces to a ≤(rows-vocab × len(values)+2)
+    count partial via factorize+bincount, one vocabulary-sized
+    ``groupby(row_col)`` merges partials, and the driver emits the
+    (tiny) wide table."""
+    if not values:
+        raise ValueError("values must be a non-empty list")
+    slugs = []
+    for v in values:
+        s = "n_" + "".join(ch if ch.isalnum() else "_" for ch in v).lower()
+        slugs.append(s)
+    if len(set(slugs)) != len(slugs):
+        raise ValueError(f"values slug to colliding column names: {slugs}")
+    vindex = pd.Index(values)
+    W = len(values)
+
+    def partial(t: pa.Table) -> pa.Table:
+        r = t[row_col].to_numpy(zero_copy_only=False)
+        c = t[col_col].to_numpy(zero_copy_only=False)
+        rcodes, runiq = pd.factorize(r)
+        vcodes = vindex.get_indexer(c)  # -1 → other
+        flat = rcodes * (W + 1) + np.where(vcodes < 0, W, vcodes)
+        cnt = np.bincount(flat, minlength=len(runiq) * (W + 1)).reshape(
+            len(runiq), W + 1
+        )
+        cols = {row_col: pa.array(runiq.astype(object), pa.string())}
+        for k, s in enumerate(slugs):
+            cols[s] = pa.array(cnt[:, k].astype(np.int64))
+        cols["n_other"] = pa.array(cnt[:, W].astype(np.int64))
+        return pa.table(cols)
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(row_col)
+        .aggregate(*(Sum(s, alias_name=s) for s in slugs + ["n_other"]))
+    )
+    out = agg.to_pandas()
+    for s in slugs + ["n_other"]:
+        out[s] = out[s].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -1508,3 +1508,104 @@ def test_ntile_by_group_distribution(ray_session):
             got[grp["id"]].to_numpy(), np.array(want)
         )
     assert sorted(got[df.loc[df["g"] == "tiny", "id"]].tolist()) == [1, 2]
+
+
+def test_value_intervals_runs(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.relational import value_intervals
+
+    df = pd.DataFrame(
+        {"event_id": [1, 2, 3, 4, 5, 6, 7],
+         "user_id": [10, 10, 10, 10, 20, 20, 30],
+         "ts": [100, 200, 300, 400, 50, 60, 5],
+         "event_type": ["a", "a", "b", "a", "x", "x", "z"]}
+    )
+    out = (
+        value_intervals(rd.from_pandas(df).repartition(3), n_buckets=4)
+        .to_pandas()
+        .sort_values(["user_id", "valid_from"])
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame(
+        {"user_id": [10, 10, 10, 20, 30],
+         "val": ["a", "b", "a", "x", "z"],
+         "valid_from": [100, 300, 400, 50, 5],
+         "valid_to": [300.0, 400.0, None, None, None]}
+    )
+    assert out["user_id"].tolist() == want["user_id"].tolist()
+    assert out["val"].tolist() == want["val"].tolist()
+    assert out["valid_from"].tolist() == want["valid_from"].tolist()
+    got_to = out["valid_to"].to_numpy(dtype=float)
+    np.testing.assert_array_equal(np.isnan(got_to),
+                                  want["valid_to"].isna().to_numpy())
+    m = ~want["valid_to"].isna().to_numpy()
+    np.testing.assert_array_equal(
+        got_to[m], want["valid_to"].to_numpy(dtype=float)[m]
+    )
+
+
+def test_value_intervals_vs_pandas_random(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.relational import value_intervals
+
+    rng = np.random.RandomState(23)
+    n = 3_000
+    df = pd.DataFrame(
+        {"event_id": np.arange(n, dtype=np.int64),
+         "user_id": rng.randint(0, 60, size=n).astype(np.int64),
+         "ts": rng.randint(0, 10**6, size=n).astype(np.int64),
+         "event_type": rng.choice(["a", "b", "c"], size=n)}
+    )
+    out = (
+        value_intervals(rd.from_pandas(df).repartition(6))
+        .to_pandas().sort_values(["user_id", "valid_from", "val"])
+        .reset_index(drop=True)
+    )
+    rep = df.sort_values(["user_id", "ts", "event_id"])
+    new = (rep["user_id"].ne(rep["user_id"].shift())
+           | rep["event_type"].ne(rep["event_type"].shift()))
+    runs = rep[new].copy()
+    nxt = runs.groupby("user_id")["ts"].shift(-1)
+    want = pd.DataFrame(
+        {"user_id": runs["user_id"], "val": runs["event_type"],
+         "valid_from": runs["ts"], "valid_to": nxt}
+    ).sort_values(["user_id", "valid_from", "val"]).reset_index(drop=True)
+    assert len(out) == len(want)
+    np.testing.assert_array_equal(out["user_id"], want["user_id"])
+    np.testing.assert_array_equal(out["val"], want["val"])
+    np.testing.assert_array_equal(out["valid_from"], want["valid_from"])
+    np.testing.assert_array_equal(
+        out["valid_to"].isna(), want["valid_to"].isna()
+    )
+    m = ~want["valid_to"].isna()
+    np.testing.assert_array_equal(
+        out.loc[m, "valid_to"].to_numpy(dtype=float),
+        want.loc[m, "valid_to"].to_numpy(dtype=float),
+    )
+
+
+def test_pivot_counts(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.relational import pivot_counts
+
+    rng = np.random.RandomState(31)
+    n = 2_000
+    df = pd.DataFrame(
+        {"r": rng.choice(["x", "y"], size=n),
+         "c": rng.choice(["p", "q", "zz"], size=n)}
+    )
+    out = pivot_counts(
+        rd.from_pandas(df).repartition(5), "r", "c", ["p", "q"]
+    ).to_pandas().set_index("r").sort_index()
+    ct = pd.crosstab(df["r"], df["c"])
+    for r in ["x", "y"]:
+        assert out.loc[r, "n_p"] == ct.loc[r, "p"]
+        assert out.loc[r, "n_q"] == ct.loc[r, "q"]
+        assert out.loc[r, "n_other"] == ct.loc[r, "zz"]
+    with pytest.raises(ValueError):
+        pivot_counts(rd.from_pandas(df), "r", "c", [])
+    with pytest.raises(ValueError):
+        pivot_counts(rd.from_pandas(df), "r", "c", ["a-b", "a_b"])
