@@ -1409,6 +1409,20 @@ def _q_pivot(sf_dir: str):
     )
 
 
+def _q_twap(sf_dir: str):
+    """Time-weighted average event value per user (left-continuous
+    holding intervals, exact integer weighted sums)."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.relational import time_weighted_avg
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    return time_weighted_avg(ds)
+
+
 def _q_winsorize(sf_dir: str):
     """Per-source winsorization of document lengths at [0.05, 0.95] —
     clip-to-band twin of quantile_filter_docs (rows kept, values
@@ -1962,6 +1976,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ntile_orders": _q_ntile,
         "intervals_events": _q_intervals,
         "pivot_orders": _q_pivot,
+        "twap_events": _q_twap,
         # north-star document pipeline + multimodal plumbing
         "docmatch_corpus": _q_docmatch,
         "media_features": _q_media_features,
@@ -3502,6 +3517,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT bin, round((bin * 2000000)::DOUBLE / 100.0, 6) AS lo,
                    count(*)::BIGINT AS n
             FROM b GROUP BY bin
+        """,
+        "twap_events": """
+            WITH c AS (
+              SELECT user_id, event_id, epoch_us(ts) AS ts,
+                     CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+              FROM events
+            ), g AS (
+              SELECT user_id, c,
+                     lead(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) - ts AS gap
+              FROM c
+            ), s AS (
+              SELECT user_id, sum(c::HUGEINT * gap) AS s
+              FROM g WHERE gap IS NOT NULL GROUP BY user_id
+            ), t AS (
+              SELECT user_id, max(ts) - min(ts) AS t, count(*) AS n
+              FROM c GROUP BY user_id
+            )
+            SELECT t.user_id,
+                   CASE WHEN t.t = 0 THEN NULL
+                        ELSE round(((s.s)::DOUBLE / (t.t)::DOUBLE)
+                                   / 100.0, 6) END AS twap
+            FROM t JOIN s USING (user_id) WHERE t.n >= 2
         """,
         "intervals_events": """
             WITH o AS (

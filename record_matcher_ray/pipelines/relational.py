@@ -1038,3 +1038,101 @@ def pivot_counts(
     for s in slugs + ["n_other"]:
         out[s] = out[s].astype(np.int64)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def time_weighted_avg(
+    ds: ray.data.Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    cents_scale: float = 100.0,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Time-weighted average per key (TWAP): each value holds from its
+    event until the next (left-continuous step function), so
+    ``twap = Σ cᵢ·(tsᵢ₊₁−tsᵢ) / (ts_last − ts_first)`` → rows (key,
+    twap), NULL when every event shares one timestamp; single-event
+    keys are omitted (no holding interval — the SQL inner-join
+    semantics). The stream-analytics primitive for sensor/price data.
+
+    Scale shape: one ≤``n_buckets`` key-hash exchange; inside a bucket
+    one lexsort + shifted diffs produce every holding interval, and the
+    weighted sums are EXACT integers: an int64 ``reduceat`` fast path
+    guarded by a float overflow probe (Σ|c·gap| < 2⁶² per key), with a
+    Python big-int fallback per oversized key — never silently wrong.
+    Readout is pinned-order ``(Σ / T) / cents_scale`` doubles, so the
+    DuckDB HUGEINT oracle replays it bit-for-bit."""
+
+    def prep(t: pa.Table) -> pa.Table:
+        from record_matcher_ray.core.hashkernels import column_hash64
+
+        b = column_hash64(t[key_col]) % np.uint64(n_buckets)
+        c = np.floor(
+            pc.cast(t[val_col], pa.float64()).to_numpy() * cents_scale + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {key_col: t[key_col], id_col: t[id_col],
+             ts_col: pc.cast(t[ts_col], pa.int64()),
+             "__c__": pa.array(c),
+             "__tb__": pa.array(b.astype(np.int64))}
+        )
+
+    def local(t: pa.Table) -> pa.Table:
+        ktype = t.schema.field(key_col).type
+        empty = pa.table({key_col: pa.array([], ktype),
+                          "twap": pa.array([], pa.float64())})
+        if len(t) == 0:
+            return empty
+        order, first, _ = _per_key_sorted(t, key_col, ts_col, id_col)
+        n = len(order)
+        ts = t[ts_col].to_numpy()[order]
+        c = t["__c__"].to_numpy()[order]
+        starts = np.nonzero(first)[0]
+        sizes = np.diff(np.append(starts, n))
+        multi = sizes >= 2
+        if not multi.any():
+            return empty
+        # holding gap per non-last row of each key
+        gap = np.zeros(n, np.int64)
+        gap[:-1] = ts[1:] - ts[:-1]
+        last = np.zeros(n, bool)
+        last[starts + sizes - 1] = True
+        gap[last] = 0
+        # exact Σ c·gap per key: int64 reduceat when the float probe
+        # says no prefix can overflow, else big-int fallback per key
+        absf = np.abs(c.astype(np.float64)) * gap.astype(np.float64)
+        seg_abs = np.add.reduceat(absf, starts)
+        T = ts[starts + sizes - 1] - ts[starts]
+        s_obj = np.empty(len(starts), dtype=object)
+        safe = seg_abs < float(2 ** 62)
+        if safe.any():
+            prod = c * gap  # may wrap only for unsafe keys
+            seg_sum = np.add.reduceat(prod, starts)
+            s_obj[safe] = seg_sum[safe].astype(object)
+        for k in np.nonzero(~safe)[0]:
+            lo, hi = starts[k], starts[k] + sizes[k]
+            s_obj[k] = sum(int(a) * int(b)
+                           for a, b in zip(c[lo:hi], gap[lo:hi]))
+        twap = np.full(len(starts), np.nan)
+        nz = multi & (T != 0)
+        if nz.any():
+            s_f = s_obj[nz].astype(np.float64)
+            twap[nz] = np.round(
+                (s_f / T[nz].astype(np.float64)) / cents_scale, 6
+            )
+        keep = multi
+        oidx = pa.array(order[starts[keep]])
+        tw = twap[keep]
+        return pa.table(
+            {key_col: t[key_col].take(oidx),
+             "twap": pa.array(np.where(np.isnan(tw), None, tw),
+                              pa.float64(), from_pandas=True)}
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("__tb__")
+        .map_groups(lambda t: local(t.drop_columns(["__tb__"])),
+                    batch_format="pyarrow")
+    )

@@ -1609,3 +1609,63 @@ def test_pivot_counts(ray_session):
         pivot_counts(rd.from_pandas(df), "r", "c", [])
     with pytest.raises(ValueError):
         pivot_counts(rd.from_pandas(df), "r", "c", ["a-b", "a_b"])
+
+
+def test_time_weighted_avg(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.relational import time_weighted_avg
+
+    rng = np.random.RandomState(37)
+    n = 2_000
+    df = pd.DataFrame(
+        {"event_id": np.arange(n, dtype=np.int64),
+         "user_id": rng.randint(0, 40, size=n).astype(np.int64),
+         "ts": rng.randint(0, 10**9, size=n).astype(np.int64),
+         "value": rng.uniform(-20, 100, size=n)}
+    )
+    # a single-event key (omitted) and a zero-duration key (NULL twap)
+    df = pd.concat(
+        [df,
+         pd.DataFrame({"event_id": [n, n + 1, n + 2],
+                       "user_id": [900, 901, 901],
+                       "ts": [5, 7, 7], "value": [1.0, 2.0, 3.0]})],
+        ignore_index=True,
+    )
+    out = (
+        time_weighted_avg(rd.from_pandas(df).repartition(7))
+        .to_pandas().set_index("user_id")["twap"]
+    )
+    assert 900 not in out.index
+    assert np.isnan(out[901])
+
+    c = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    rep = df.assign(c=c).sort_values(["user_id", "ts", "event_id"])
+    for u, grp in rep.groupby("user_id"):
+        if len(grp) < 2 or u == 901 or u == 900:
+            continue
+        ts = grp["ts"].to_numpy()
+        cc = grp["c"].to_numpy()
+        s = int(np.sum(cc[:-1].astype(object) * (ts[1:] - ts[:-1])))
+        t = int(ts[-1] - ts[0])
+        want = round((float(s) / float(t)) / 100.0, 6)
+        assert out[u] == pytest.approx(want, abs=1e-12)
+
+
+def test_time_weighted_avg_bigint_fallback(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.relational import time_weighted_avg
+
+    # huge gaps × large cents force the per-key big-int fallback:
+    # |c·gap| ≈ 3e5 cents · 4e12 µs = 1.2e18 per term × 8 terms > 2^62
+    n = 9
+    df = pd.DataFrame(
+        {"event_id": np.arange(n, dtype=np.int64),
+         "user_id": np.zeros(n, dtype=np.int64),
+         "ts": (np.arange(n, dtype=np.int64) * 4 * 10**12),
+         "value": np.full(n, 3000.0)}
+    )
+    out = time_weighted_avg(rd.from_pandas(df)).to_pandas()
+    # constant value → twap equals the value exactly
+    assert out["twap"].iloc[0] == pytest.approx(3000.0, abs=1e-9)
