@@ -1440,6 +1440,49 @@ def _q_winsorize(sf_dir: str):
     )
 
 
+_BLOCKLIST = ["spark", "slow query", "vector", "forbidden phrase"]
+
+
+def _q_normalize_text(sf_dir: str):
+    """Unicode NFC + lowercase + whitespace canonicalization over the
+    document corpus — utf8proc/RE2 on both sides is what makes the oracle
+    hash-exact."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.analysis import normalize_text
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return normalize_text(ds)
+
+
+def _q_blocklist(sf_dir: str):
+    """Broadcast phrase-blocklist screening: per doc the number of listed
+    phrases present and a keep flag (rows flagged, not dropped)."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.analysis import blocklist_filter
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return blocklist_filter(ds, _BLOCKLIST)
+
+
+def _q_char_entropy(sf_dir: str):
+    """Per-document Shannon character entropy (gibberish / single-char-
+    spam quality signal) with the ordered-fold float recipe."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.analysis import char_entropy
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return char_entropy(ds)
+
+
 def _q_quantile_filter(sf_dir: str):
     """Per-source [0.1, 0.9] length-quantile band filter over documents —
     the quality-curation primitive (trim per-source outliers); exact
@@ -1977,12 +2020,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "intervals_events": _q_intervals,
         "pivot_orders": _q_pivot,
         "twap_events": _q_twap,
+        "normalize_docs": _q_normalize_text,
+        "blocklist_docs": _q_blocklist,
+        "char_entropy_docs": _q_char_entropy,
         # north-star document pipeline + multimodal plumbing
         "docmatch_corpus": _q_docmatch,
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
         "media_real": _q_media_real,
     }
+
+
+def _blocklist_oracle() -> str:
+    """Blocklist replay: one `contains` term per phrase (lowercased both
+    sides, same as the engine's case_insensitive=True path)."""
+    terms = " + ".join(
+        "CASE WHEN contains(lower(coalesce(text, '')), '"
+        + p.lower().replace("'", "''")
+        + "') THEN 1 ELSE 0 END"
+        for p in _BLOCKLIST
+    )
+    return f"""
+        SELECT doc_id, text, ({terms})::BIGINT AS n_hits,
+               ({terms}) = 0 AS keep
+        FROM documents
+    """
 
 
 def _split_docs_oracle() -> str:
@@ -3540,6 +3602,45 @@ def oracle_sql() -> dict[str, str]:
                         ELSE round(((s.s)::DOUBLE / (t.t)::DOUBLE)
                                    / 100.0, 6) END AS twap
             FROM t JOIN s USING (user_id) WHERE t.n >= 2
+        """,
+        "normalize_docs": r"""
+            WITH n AS (
+              SELECT doc_id,
+                     regexp_replace(
+                       regexp_replace(
+                         lower(nfc_normalize(coalesce(text, ''))),
+                         '\s+', ' ', 'g'),
+                       '^ | $', '', 'g') AS text
+              FROM documents
+            )
+            SELECT doc_id, text, length(text)::BIGINT AS n_chars_norm
+            FROM n
+        """,
+        "blocklist_docs": _blocklist_oracle(),
+        "char_entropy_docs": r"""
+            WITH base AS (
+              SELECT doc_id, coalesce(text, '') AS t FROM documents
+            ), ch AS (
+              SELECT doc_id, unnest(regexp_split_to_array(t, '')) AS c
+              FROM base WHERE length(t) > 0
+            ), cnt AS (
+              SELECT doc_id, c, count(*)::BIGINT AS k
+              FROM ch GROUP BY doc_id, c
+            ), agg AS (
+              SELECT doc_id, (sum(k))::BIGINT AS n,
+                     count(*)::BIGINT AS n_distinct,
+                     list_sum(list((k::DOUBLE) * ln(k::DOUBLE) ORDER BY c))
+                       AS s
+              FROM cnt GROUP BY doc_id
+            )
+            SELECT b.doc_id,
+                   coalesce(a.n, 0)::BIGINT AS n_chars_obs,
+                   coalesce(a.n_distinct, 0)::BIGINT AS n_distinct_chars,
+                   CASE WHEN a.n IS NULL THEN NULL
+                        ELSE floor((ln((a.n)::DOUBLE)
+                                    - a.s / (a.n)::DOUBLE) * 1e6 + 0.5)
+                             / 1e6 END AS char_entropy
+            FROM base b LEFT JOIN agg a USING (doc_id)
         """,
         "intervals_events": """
             WITH o AS (

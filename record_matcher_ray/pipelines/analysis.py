@@ -470,3 +470,196 @@ def compression_metrics(
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def normalize_text(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    *,
+    form: str = "NFC",
+    lowercase: bool = True,
+    collapse_ws: bool = True,
+) -> ray.data.Dataset:
+    """Canonical text normalization (the first stage of every web-scale
+    training-data pipeline — CCNet/RefinedWeb-style): Unicode normal form
+    ``form`` → optional full-Unicode lowercase → optional whitespace
+    canonicalization (every ``\\s+`` run to one space, leading/trailing
+    space stripped). Nulls become empty strings.
+
+    → input columns with ``text_col`` replaced by the normalized text plus
+    ``n_chars_norm`` (post-normalization codepoint count).
+
+    Scale shape: zero shuffle; Arrow C++ kernels (utf8proc lower + RE2
+    regex replace — the same libraries DuckDB's ``lower`` /
+    ``regexp_replace`` bind, which is what makes the oracle hash-exact).
+    Unicode normal-form composition uses ``unicodedata.normalize`` but
+    ONLY on rows detected non-ASCII (char length ≠ byte length — ASCII is
+    normal-form invariant), so the common web-text path stays fully
+    vectorized. (pyarrow 16's ``utf8_normalize`` does not compose on this
+    build — probed 2026-08-19 — hence the stdlib fallback.)
+    """
+    import unicodedata
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(pc.cast(batch[text_col], pa.string()), "")
+        bl = pc.binary_length(text).to_numpy(zero_copy_only=False)
+        cl = pc.utf8_length(text).to_numpy(zero_copy_only=False)
+        nonascii = np.flatnonzero(bl != cl)
+        if len(nonascii):
+            vals = text.take(pa.array(nonascii)).to_pylist()
+            py = text.to_pylist()
+            for i, v in zip(nonascii, vals):
+                py[i] = unicodedata.normalize(form, v)
+            out = pa.array(py, pa.string())
+        else:
+            out = text
+        if lowercase:
+            out = pc.utf8_lower(out)
+        if collapse_ws:
+            out = pc.replace_substring_regex(out, pattern=r"\s+", replacement=" ")
+            out = pc.replace_substring_regex(out, pattern=r"^ | $", replacement="")
+        i = batch.schema.get_field_index(text_col)
+        t = batch.set_column(i, text_col, out)
+        return t.append_column(
+            "n_chars_norm", pc.cast(pc.utf8_length(out), pa.int64())
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def blocklist_filter(
+    ds: ray.data.Dataset,
+    phrases: list[str],
+    text_col: str = "text",
+    *,
+    case_insensitive: bool = True,
+) -> ray.data.Dataset:
+    """Broadcast-blocklist screening (toxicity / spam / boilerplate phrase
+    lists): → input columns + ``n_hits`` (how many of the ``phrases``
+    occur as substrings) + ``keep`` (n_hits == 0). Rows are FLAGGED, not
+    dropped, so the caller can route (keep / quarantine) downstream.
+
+    Scale shape: the phrase list rides the task closure (tiny — for
+    100k+-phrase lists switch to one RE2 alternation or an Aho-Corasick
+    actor pool); the scan itself is a zero-shuffle pass of vectorized
+    Arrow ``match_substring`` kernels, one per phrase.
+    """
+    if not phrases:
+        raise ValueError("blocklist_filter needs at least one phrase")
+    probe = [p.lower() for p in phrases] if case_insensitive else list(phrases)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(pc.cast(batch[text_col], pa.string()), "")
+        hay = pc.utf8_lower(text) if case_insensitive else text
+        hits = np.zeros(len(batch), np.int64)
+        for p in probe:
+            hits += pc.match_substring(hay, p).to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "n_hits", pa.array(hits)
+        ).append_column("keep", pa.array(hits == 0))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _chunk_codepoints(arr: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """(codepoints uint32 concat, per-row char lengths int64) for one
+    non-null utf8/large_utf8 chunk — zero-copy buffer views except ONE
+    utf8→utf32 transcode of the chunk's byte range (C speed, no per-row
+    Python). Sliced arrays are handled via ``arr.offset``."""
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    off_all = np.frombuffer(arr.buffers()[1], off_dtype)
+    off = off_all[arr.offset: arr.offset + len(arr) + 1].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], np.uint8)
+    lo, hi = int(off[0]), int(off[-1])
+    b = data[lo:hi]
+    if hi == lo:
+        return np.empty(0, np.uint32), np.zeros(len(arr), np.int64)
+    # char index of each byte boundary: count of non-continuation bytes
+    noncont = (b & 0xC0) != 0x80
+    char_prefix = np.concatenate([[0], np.cumsum(noncont, dtype=np.int64)])
+    co = char_prefix[off - lo]
+    cp = np.frombuffer(
+        b.tobytes().decode("utf-8").encode("utf-32-le"), np.uint32
+    )
+    return cp, np.diff(co)
+
+
+def char_entropy(
+    ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Per-document Shannon character entropy (nats) — the cheap gibberish
+    / encoding-noise / single-char-spam quality signal: random bytes score
+    high, "aaaa..." scores 0. → (id_col, n_chars_obs, n_distinct_chars,
+    char_entropy) with entropy NULL for empty (or null) text.
+
+    entropy = ln(n) − (Σ_c k_c·ln(k_c)) / n over codepoint counts k_c,
+    the Σ accumulated in ASCENDING codepoint order (== DuckDB's binary
+    string order, which makes the `list_sum(list(... ORDER BY c))` oracle
+    replay hash-exact; DuckDB list_sum is a sequential left fold and
+    adding 0.0 padding is an IEEE identity for non-negative terms).
+
+    Scale shape: zero shuffle, one vectorized pass; per batch the text is
+    transcoded ONCE to utf-32 (no per-row Python), (doc, codepoint) keys
+    are radix-packed into uint64 and sorted, and the per-doc ordered float
+    fold is a gather loop over at most alphabet-size iterations.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(pc.cast(batch[text_col], pa.string()), "")
+        n = len(batch)
+        # never combine_chunks (it copies even single-chunk columns —
+        # CLAUDE.md); transcode each chunk's byte range independently
+        if isinstance(text, pa.ChunkedArray):
+            chunks = list(text.chunks) or [pa.array([], pa.string())]
+        else:
+            chunks = [text]
+        parts = [_chunk_codepoints(c) for c in chunks]
+        cp = np.concatenate([p[0] for p in parts])
+        lens = np.concatenate([p[1] for p in parts])
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        # 21 bits fit any Unicode codepoint (≤ 0x10FFFF)
+        key = (doc_idx.astype(np.uint64) << np.uint64(21)) | cp.astype(np.uint64)
+        key = np.sort(key)
+        if len(key):
+            first = np.empty(len(key), bool)
+            first[0] = True
+            np.not_equal(key[1:], key[:-1], out=first[1:])
+            uidx = np.flatnonzero(first)
+            counts = np.diff(np.append(uidx, len(key)))
+            udoc = (key[uidx] >> np.uint64(21)).astype(np.int64)
+        else:
+            uidx = np.empty(0, np.int64)
+            counts = np.empty(0, np.int64)
+            udoc = np.empty(0, np.int64)
+        cf = counts.astype(np.float64)
+        terms = cf * np.log(cf)
+        # per-doc boundaries in the (sorted) unique-key stream
+        dmask = np.empty(len(udoc), bool)
+        if len(udoc):
+            dmask[0] = True
+            np.not_equal(udoc[1:], udoc[:-1], out=dmask[1:])
+        dstart = np.flatnonzero(dmask)
+        k_per = np.diff(np.append(dstart, len(udoc)))
+        docs_present = udoc[dstart]
+        s = np.zeros(len(dstart), np.float64)
+        for j in range(int(k_per.max()) if len(k_per) else 0):
+            act = k_per > j
+            s[act] += terms[dstart[act] + j]
+        n_distinct = np.zeros(n, np.int64)
+        n_distinct[docs_present] = k_per
+        ent = np.zeros(n, np.float64)
+        lf = lens.astype(np.float64)
+        nz = lens > 0
+        s_full = np.zeros(n, np.float64)
+        s_full[docs_present] = s
+        ent[nz] = _round_half_away6(np.log(lf[nz]) - s_full[nz] / lf[nz])
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "n_chars_obs": pa.array(lens),
+                "n_distinct_chars": pa.array(n_distinct),
+                "char_entropy": pa.array(ent, mask=~nz),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -403,3 +403,131 @@ class TestPMICooccurrence:
         assert (out["x"] < out["y"]).all()
         got = dict(zip(zip(out["x"], out["y"]), out["n_xy"]))
         assert got == {("a", "b"): 2, ("a", "c"): 2, ("b", "c"): 1}
+
+
+class TestNormalizeText:
+    def test_nfc_lower_ws(self, ray_session):
+        from record_matcher_ray.pipelines.analysis import normalize_text
+
+        # "Ång" in decomposed form (A + combining ring) must NFC-compose
+        decomposed = "Ångström"
+        ds = ray.data.from_items(
+            [
+                {"doc_id": 0, "text": "  Hello   WORLD \t\n"},
+                {"doc_id": 1, "text": decomposed},
+                {"doc_id": 2, "text": None},
+                {"doc_id": 3, "text": ""},
+            ]
+        )
+        out = normalize_text(ds).to_pandas().set_index("doc_id")
+        assert out.loc[0, "text"] == "hello world"
+        assert out.loc[1, "text"] == "ångström"
+        assert out.loc[1, "n_chars_norm"] == 8
+        assert out.loc[2, "text"] == ""
+        assert out.loc[3, "n_chars_norm"] == 0
+
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+
+        from record_matcher_ray.pipelines.analysis import normalize_text
+
+        texts = ["  a  B ", "Café  Été", "x́y", "", "MiXeD CaSe"]
+        ds = ray.data.from_items(
+            [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+        )
+        got = (
+            normalize_text(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        exp = con.execute(
+            r"""
+            SELECT i AS doc_id,
+                   regexp_replace(regexp_replace(lower(nfc_normalize(t)),
+                     '\s+', ' ', 'g'), '^ | $', '', 'g') AS text
+            FROM (SELECT unnest(range(5)) AS i, unnest(?) AS t)
+            ORDER BY i
+            """,
+            [texts],
+        ).df()
+        assert list(got["text"]) == list(exp["text"])
+
+
+class TestBlocklistFilter:
+    def test_hits_and_keep(self, ray_session):
+        from record_matcher_ray.pipelines.analysis import blocklist_filter
+
+        ds = ray.data.from_items(
+            [
+                {"doc_id": 0, "text": "BUY NOW and click here twice"},
+                {"doc_id": 1, "text": "a perfectly fine document"},
+                {"doc_id": 2, "text": None},
+            ]
+        )
+        out = (
+            blocklist_filter(ds, ["buy now", "click here"])
+            .to_pandas()
+            .set_index("doc_id")
+        )
+        assert out.loc[0, "n_hits"] == 2 and not out.loc[0, "keep"]
+        assert out.loc[1, "n_hits"] == 0 and out.loc[1, "keep"]
+        assert out.loc[2, "n_hits"] == 0 and out.loc[2, "keep"]
+
+    def test_case_sensitive_and_validation(self, ray_session):
+        import pytest as _pytest
+
+        from record_matcher_ray.pipelines.analysis import blocklist_filter
+
+        ds = ray.data.from_items([{"doc_id": 0, "text": "Spam"}])
+        out = blocklist_filter(ds, ["spam"], case_insensitive=False).to_pandas()
+        assert out["n_hits"][0] == 0
+        with _pytest.raises(ValueError):
+            blocklist_filter(ds, [])
+
+
+class TestCharEntropy:
+    def test_known_values(self, ray_session):
+        import math
+
+        from record_matcher_ray.pipelines.analysis import char_entropy
+
+        ds = ray.data.from_items(
+            [
+                {"doc_id": 0, "text": "aaaa"},
+                {"doc_id": 1, "text": "ab"},
+                {"doc_id": 2, "text": ""},
+                {"doc_id": 3, "text": None},
+                {"doc_id": 4, "text": "éaé"},  # unicode multi-byte
+            ]
+        )
+        out = char_entropy(ds).to_pandas().set_index("doc_id")
+        assert out.loc[0, "char_entropy"] == 0.0
+        assert out.loc[0, "n_distinct_chars"] == 1
+        assert abs(out.loc[1, "char_entropy"] - math.log(2)) < 1e-6
+        assert pd.isna(out.loc[2, "char_entropy"])
+        assert pd.isna(out.loc[3, "char_entropy"])
+        assert out.loc[4, "n_chars_obs"] == 3
+        assert out.loc[4, "n_distinct_chars"] == 2
+        # 2×é + 1×a: ln(3) - (2ln2 + 0)/3
+        exp = math.log(3) - 2 * math.log(2) / 3
+        assert abs(out.loc[4, "char_entropy"] - exp) < 1e-6
+
+    def test_partition_invariance(self, ray_session):
+        from record_matcher_ray.pipelines.analysis import char_entropy
+
+        rows = [
+            {"doc_id": i, "text": ("abcde" * (i % 7)) + "zz" * (i % 3)}
+            for i in range(60)
+        ]
+        a = (
+            char_entropy(ray.data.from_items(rows, override_num_blocks=1))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        b = (
+            char_entropy(ray.data.from_items(rows, override_num_blocks=13))
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
