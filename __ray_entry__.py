@@ -1483,6 +1483,29 @@ def _q_char_entropy(sf_dir: str):
     return char_entropy(ds)
 
 
+def _q_triangles(sf_dir: str):
+    """Exact triangle count of the order↔customer mod-512 contact graph
+    (degree-oriented wedge counting — each triangle counted once at its
+    rank-minimal vertex)."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from record_matcher_ray.pipelines.graph import triangle_count
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+
+    def edges(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"src": pa.array(t["o_orderkey"].to_numpy() % 512),
+             "dst": pa.array(t["o_custkey"].to_numpy() % 512)}
+        )
+
+    return triangle_count(ds.map_batches(edges, batch_format="pyarrow"))
+
+
 def _q_quantile_filter(sf_dir: str):
     """Per-source [0.1, 0.9] length-quantile band filter over documents —
     the quality-curation primitive (trim per-source outliers); exact
@@ -2023,6 +2046,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_docs": _q_normalize_text,
         "blocklist_docs": _q_blocklist,
         "char_entropy_docs": _q_char_entropy,
+        "triangles_orders": _q_triangles,
         # north-star document pipeline + multimodal plumbing
         "docmatch_corpus": _q_docmatch,
         "media_features": _q_media_features,
@@ -3617,6 +3641,25 @@ def oracle_sql() -> dict[str, str]:
             FROM n
         """,
         "blocklist_docs": _blocklist_oracle(),
+        "triangles_orders": """
+            WITH raw AS (
+              SELECT (o_orderkey % 512) AS u, (o_custkey % 512) AS v
+              FROM orders
+            ), e AS (
+              SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+              FROM raw WHERE u <> v
+            )
+            SELECT
+              (SELECT count(DISTINCT x) FROM
+                 (SELECT a AS x FROM e UNION ALL SELECT b FROM e)
+              )::BIGINT AS n_nodes,
+              (SELECT count(*) FROM e)::BIGINT AS n_edges,
+              (SELECT count(*)
+               FROM e e1
+               JOIN e e2 ON e2.a = e1.b
+               JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+              )::BIGINT AS n_triangles
+        """,
         "char_entropy_docs": r"""
             WITH base AS (
               SELECT doc_id, coalesce(text, '') AS t FROM documents

@@ -132,3 +132,212 @@ def pagerank(
         pr = teleport + (d_num * total) // d_den
 
     return pd.DataFrame({"node": nodes, "pr": pr})
+
+
+def triangle_count(
+    ds: ray.data.Dataset,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    *,
+    n_buckets: int = 64,
+    max_broadcast_nodes: int = 50_000_000,
+    max_pairs_per_bucket: int = 50_000_000,
+) -> pd.DataFrame:
+    """Exact triangle count of the UNDIRECTED SIMPLE graph induced by the
+    edge list (self-loops dropped, duplicate/reverse edges collapsed) →
+    one row (n_nodes, n_edges, n_triangles). The clustering / community
+    primitive next to `pagerank` and `cluster.connected_components`.
+
+    Algorithm (Chiba–Nishizeki degree orientation, the MapReduce triangle
+    layout of Suri & Vassilvitskii, WWW 2011): orient every edge from its
+    lower (degree, id) endpoint to the higher, so each triangle is
+    counted EXACTLY once at its rank-minimal vertex and the wedge fan-out
+    per node is bounded (Σ outdeg² = O(E^1.5) total, not Σ deg²).
+
+    Scale shape: three bounded exchanges — (1) distinct-edge dedupe via a
+    `groupby(packed_key).count()` hash aggregate (block-local np.unique
+    first, so raw duplicates never shuffle), (2) wedge generation grouped
+    by a ≤``n_buckets`` hash bucket of the oriented source (in-bucket:
+    one lexsort, vectorized neighbor-pair expansion by rank offset), (3)
+    closure check: wedge candidates pre-counted per pair, unioned with
+    the (materialized-once) edge keys and resolved per key-hash bucket by
+    sorted membership (np.searchsorted). The node table broadcasts once
+    (``max_broadcast_nodes`` guard); wedge volume is guarded per bucket
+    with an actionable error.
+    """
+    from record_matcher_ray.core.hashkernels import mix64
+
+    def node_partial(t: pa.Table) -> pa.Table:
+        s = t[src_col].to_numpy().astype(np.int64)
+        d = t[dst_col].to_numpy().astype(np.int64)
+        m = s != d
+        u = np.unique(np.concatenate([s[m], d[m]]))
+        return pa.table({"node": pa.array(u)})
+
+    parts = ds.map_batches(node_partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:  # schemaless when every block was empty
+        nodes = np.empty(0, np.int64)
+    else:
+        nodes = np.unique(parts["node"].to_numpy(dtype=np.int64))
+    n = len(nodes)
+    empty = pd.DataFrame(
+        {"n_nodes": pd.array([n], dtype=np.int64),
+         "n_edges": pd.array([0], dtype=np.int64),
+         "n_triangles": pd.array([0], dtype=np.int64)}
+    )
+    if n == 0:
+        return empty
+    if n > max_broadcast_nodes or n >= 2**31:
+        raise ValueError(
+            f"triangle_count broadcasts the node table and this graph has "
+            f"{n} nodes (> max_broadcast_nodes={max_broadcast_nodes} or ≥ "
+            f"2**31 key-packing bound); shard the node index (two-level "
+            f"bucketed lookup) at this scale."
+        )
+    nodes_ref = ray.put(nodes)
+    nu = np.uint64(n)
+
+    def to_key(t: pa.Table) -> pa.Table:
+        nd = ray.get(nodes_ref)
+        a = np.searchsorted(nd, t[src_col].to_numpy().astype(np.int64))
+        b = np.searchsorted(nd, t[dst_col].to_numpy().astype(np.int64))
+        m = a != b
+        lo = np.minimum(a[m], b[m]).astype(np.uint64)
+        hi = np.maximum(a[m], b[m]).astype(np.uint64)
+        ek = np.unique(lo * nu + hi)  # block-local dedupe before the wire
+        return pa.table({"ek": pa.array(ek.astype(np.int64))})
+
+    edges = (
+        ds.map_batches(to_key, batch_format="pyarrow")
+        .groupby("ek")
+        .count()
+        .drop_columns(["count()"])
+        .materialize()  # 3 consumers (degree, wedges, closure) — CLAUDE.md
+    )
+    n_edges = edges.count()
+    if n_edges == 0:
+        return empty
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        ek = t["ek"].to_numpy().astype(np.uint64)
+        both = np.concatenate([(ek // nu), (ek % nu)]).astype(np.int64)
+        un, cn = np.unique(both, return_counts=True)
+        return pa.table({"i": pa.array(un), "d": pa.array(cn.astype(np.int64))})
+
+    dp = edges.map_batches(deg_partial, batch_format="pyarrow").to_pandas()
+    deg = np.zeros(n, dtype=np.int64)
+    agg = dp.groupby("i")["d"].sum()
+    deg[agg.index.to_numpy(dtype=np.int64)] = agg.to_numpy(dtype=np.int64)
+    deg_ref = ray.put(deg)
+
+    def orient(t: pa.Table) -> pa.Table:
+        dg = ray.get(deg_ref).astype(np.uint64)
+        ek = t["ek"].to_numpy().astype(np.uint64)
+        a, b = ek // nu, ek % nu
+        # rank = (deg << 32) | idx: ties impossible (idx unique)
+        ra = (dg[a] << np.uint64(32)) | a
+        rb = (dg[b] << np.uint64(32)) | b
+        sw = rb < ra
+        src = np.where(sw, b, a)
+        dst = np.where(sw, a, b)
+        bucket = (mix64(src) % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table(
+            {"s": pa.array(src.astype(np.int64)),
+             "t": pa.array(dst.astype(np.int64)),
+             "bucket": pa.array(bucket)}
+        )
+
+    def wedge_group(df: pd.DataFrame) -> pd.DataFrame:
+        dg = ray.get(deg_ref).astype(np.uint64)
+        s = df["s"].to_numpy(dtype=np.int64)
+        t = df["t"].to_numpy(dtype=np.uint64)
+        rank_t = (dg[t] << np.uint64(32)) | t
+        order = np.lexsort((rank_t, s))
+        s, t = s[order], t[order]
+        first = np.empty(len(s), bool)
+        first[0] = True
+        np.not_equal(s[1:], s[:-1], out=first[1:])
+        start = np.flatnonzero(first)
+        g = np.diff(np.append(start, len(s)))
+        total = int((g.astype(np.int64) * (g - 1) // 2).sum())
+        if total > max_pairs_per_bucket:
+            raise ValueError(
+                f"wedge bucket would expand to {total} candidate pairs "
+                f"(> max_pairs_per_bucket={max_pairs_per_bucket}); raise "
+                f"n_buckets or the cap, or pre-filter hub nodes."
+            )
+        vs, ws = [], []
+        gmax = int(g.max()) if len(g) else 0
+        for k in range(1, gmax):  # rank offset within the neighbor list
+            act = g > k
+            if not act.any():
+                break
+            st, gg = start[act], g[act]
+            cnt = (gg - k).astype(np.int64)
+            # multi-arange: positions st[j] .. st[j]+cnt[j]-1, vectorized
+            i0 = np.repeat(st, cnt) + (
+                np.arange(int(cnt.sum()), dtype=np.int64)
+                - np.repeat(np.cumsum(cnt) - cnt, cnt)
+            )
+            vs.append(i0)
+            ws.append(i0 + k)
+        if vs:
+            vi = t[np.concatenate(vs)]
+            wi = t[np.concatenate(ws)]
+            lo = np.minimum(vi, wi)
+            hi = np.maximum(vi, wi)
+            ck, m = np.unique(lo * nu + hi, return_counts=True)
+        else:
+            ck = np.empty(0, np.uint64)
+            m = np.empty(0, np.int64)
+        return pd.DataFrame(
+            {"ck": ck.astype(np.int64), "m": m.astype(np.int64)}
+        )
+
+    wedges = (
+        edges.map_batches(orient, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(wedge_group)
+    )
+
+    def tag_edge(t: pa.Table) -> pa.Table:
+        ek = t["ek"].to_numpy().astype(np.uint64)
+        return pa.table(
+            {"ck": t["ek"],
+             "m": pa.array(np.zeros(len(t), np.int64)),
+             "kb": pa.array((mix64(ek) % np.uint64(n_buckets)).astype(np.int64))}
+        )
+
+    def tag_wedge(t: pa.Table) -> pa.Table:
+        ck = t["ck"].to_numpy().astype(np.uint64)
+        return pa.table(
+            {"ck": t["ck"], "m": t["m"],
+             "kb": pa.array((mix64(ck) % np.uint64(n_buckets)).astype(np.int64))}
+        )
+
+    def close_group(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["m"].to_numpy(dtype=np.int64)
+        ck = df["ck"].to_numpy(dtype=np.int64)
+        ekeys = np.sort(ck[m == 0])
+        cand = ck[m > 0]
+        cm = m[m > 0]
+        if len(ekeys):
+            pos = np.minimum(
+                np.searchsorted(ekeys, cand), len(ekeys) - 1
+            )
+            tot = int(cm[ekeys[pos] == cand].sum())
+        else:
+            tot = 0
+        return pd.DataFrame({"tri": pd.array([tot], dtype=np.int64)})
+
+    tagged = edges.map_batches(tag_edge, batch_format="pyarrow").union(
+        wedges.map_batches(tag_wedge, batch_format="pyarrow")
+    )
+    tri = int(
+        tagged.groupby("kb").map_groups(close_group).to_pandas()["tri"].sum()
+    )
+    return pd.DataFrame(
+        {"n_nodes": pd.array([n], dtype=np.int64),
+         "n_edges": pd.array([n_edges], dtype=np.int64),
+         "n_triangles": pd.array([tri], dtype=np.int64)}
+    )

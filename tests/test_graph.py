@@ -90,3 +90,58 @@ def test_pagerank_dangling_and_empty(ray_session):
             rd.from_pandas(pd.DataFrame({"src": [1], "dst": [2]})),
             total_bits=60,
         )
+
+
+class TestTriangleCount:
+    def _brute(self, edges):
+        import itertools
+
+        adj = {}
+        for u, v in edges:
+            if u == v:
+                continue
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        tri = 0
+        for a, b, c in itertools.combinations(sorted(adj), 3):
+            if b in adj[a] and c in adj[a] and c in adj[b]:
+                tri += 1
+        n_edges = len({(min(u, v), max(u, v)) for u, v in edges if u != v})
+        return len(adj), n_edges, tri
+
+    def _run(self, edges, **kw):
+        import ray.data
+
+        from record_matcher_ray.pipelines.graph import triangle_count
+
+        ds = ray.data.from_items(
+            [{"src": u, "dst": v} for u, v in edges], override_num_blocks=5
+        )
+        out = triangle_count(ds, **kw)
+        return (
+            int(out["n_nodes"][0]),
+            int(out["n_edges"][0]),
+            int(out["n_triangles"][0]),
+        )
+
+    def test_known_shapes(self, ray_session):
+        # K4 has 4 triangles; duplicates / reversals / self-loops ignored
+        k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+        noisy = k4 + [(1, 0), (2, 2), (0, 1), (3, 1)]
+        assert self._run(noisy) == (4, 6, 4)
+        # star graph: no triangles
+        star = [(0, i) for i in range(1, 8)]
+        assert self._run(star) == (8, 7, 0)
+
+    def test_random_vs_brute(self, ray_session):
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        edges = [
+            (int(a), int(b))
+            for a, b in rng.randint(0, 40, size=(400, 2))
+        ]
+        assert self._run(edges) == self._brute(edges)
+
+    def test_empty(self, ray_session):
+        assert self._run([(3, 3)]) == (0, 0, 0)
