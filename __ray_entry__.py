@@ -1506,6 +1506,33 @@ def _q_triangles(sf_dir: str):
     return triangle_count(ds.map_batches(edges, batch_format="pyarrow"))
 
 
+def _q_resample(sf_dir: str):
+    """Per-user daily event counts with empty days gap-filled to 0
+    between each user's first and last event."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.relational import resample_counts
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return resample_counts(ds)
+
+
+def _q_robust_z(sf_dir: str):
+    """Median/MAD robust z-score of event values within each event type
+    (cents-quantized so every median/MAD is an exact dyadic double)."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.stats import robust_zscore
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"],
+    )
+    return robust_zscore(ds, "event_type", "value", "event_id")
+
+
 def _q_quantile_filter(sf_dir: str):
     """Per-source [0.1, 0.9] length-quantile band filter over documents —
     the quality-curation primitive (trim per-source outliers); exact
@@ -2047,6 +2074,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blocklist_docs": _q_blocklist,
         "char_entropy_docs": _q_char_entropy,
         "triangles_orders": _q_triangles,
+        "resample_events": _q_resample,
+        "robust_z_events": _q_robust_z,
         # north-star document pipeline + multimodal plumbing
         "docmatch_corpus": _q_docmatch,
         "media_features": _q_media_features,
@@ -3641,6 +3670,49 @@ def oracle_sql() -> dict[str, str]:
             FROM n
         """,
         "blocklist_docs": _blocklist_oracle(),
+        "resample_events": """
+            WITH d AS (
+              SELECT user_id,
+                     CASE WHEN epoch_us(ts) >= 0
+                          THEN epoch_us(ts) // 86400000000
+                          ELSE -((-epoch_us(ts) + 86400000000 - 1)
+                                 // 86400000000) END AS win
+              FROM events
+            ), b AS (
+              SELECT user_id, min(win) AS lo, max(win) AS hi
+              FROM d GROUP BY user_id
+            ), g AS (
+              SELECT user_id, unnest(generate_series(lo, hi)) AS win
+              FROM b
+            ), c AS (
+              SELECT user_id, win, count(*)::BIGINT AS n_events
+              FROM d GROUP BY user_id, win
+            )
+            SELECT g.user_id, g.win,
+                   coalesce(c.n_events, 0)::BIGINT AS n_events
+            FROM g LEFT JOIN c USING (user_id, win)
+        """,
+        "robust_z_events": """
+            WITH c AS (
+              SELECT event_id, event_type,
+                     floor(value * 100.0 + 0.5) AS c
+              FROM events
+            ), m AS (
+              SELECT event_type, quantile_cont(c, 0.5) AS med
+              FROM c GROUP BY event_type
+            ), a AS (
+              SELECT c.event_id, c.event_type, c.c, m.med
+              FROM c JOIN m USING (event_type)
+            ), s AS (
+              SELECT event_type, quantile_cont(abs(c - med), 0.5) AS mad
+              FROM a GROUP BY event_type
+            )
+            SELECT a.event_id, a.event_type,
+                   CASE WHEN s.mad = 0 THEN NULL
+                        ELSE round((a.c - a.med) / s.mad, 6) END
+                     AS robust_z
+            FROM a JOIN s USING (event_type)
+        """,
         "triangles_orders": """
             WITH raw AS (
               SELECT (o_orderkey % 512) AS u, (o_custkey % 512) AS v

@@ -1136,3 +1136,122 @@ def time_weighted_avg(
         .map_groups(lambda t: local(t.drop_columns(["__tb__"])),
                     batch_format="pyarrow")
     )
+
+
+def resample_counts(
+    ds: ray.data.Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    *,
+    window_us: int = 86_400_000_000,
+    n_buckets: int = 64,
+    max_rows_per_bucket: int = 50_000_000,
+) -> ray.data.Dataset:
+    """Per-key time-series gap-fill (resample): → rows (key_col, win,
+    n_events) for EVERY ``window_us`` window between each key's first and
+    last event — empty windows emitted with n_events = 0 (the
+    dashboard/feature-engineering primitive a plain groupby can't give
+    you; win = floor(epoch_us / window_us), floor semantics for pre-epoch
+    timestamps).
+
+    Scale shape: each block pre-reduces to (key, win, n) partials (one
+    lexsort — raw events never shuffle), the exchange key is a
+    ≤``n_buckets`` hash bucket of the key, and inside a bucket the full
+    window range is expanded vectorized (multi-arange + scatter of the
+    observed counts). Expansion volume = Σ spans is guarded per bucket
+    with an actionable error — a single sensor with a 10-year gap at 1 ms
+    windows is a data bug, not a reason to OOM.
+    """
+    from record_matcher_ray.core.hashkernels import column_hash64, mix64
+
+    if window_us <= 0:
+        raise ValueError(f"window_us must be positive, got {window_us}")
+    wu = np.int64(window_us)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:  # keep key type stable for the exchange schema
+            return pa.table(
+                {key_col: t[key_col],
+                 "win": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64()),
+                 "__rb__": pa.array([], pa.int64())}
+            )
+        # normalize the unit first — from_items/pandas sources may carry
+        # s/ms/ns timestamps; the SQL mirror is epoch_us
+        ts = pc.cast(
+            pc.cast(t[ts_col], pa.timestamp("us")), pa.int64()
+        ).to_numpy()
+        win = np.floor_divide(ts, wu)  # numpy // floors (SQL CASE mirrors)
+        key = t[key_col].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(key)
+        order = np.lexsort((win, codes))
+        cs, ws = codes[order], win[order]
+        first = np.empty(len(cs), bool)
+        if len(cs):
+            first[0] = True
+            first[1:] = (cs[1:] != cs[:-1]) | (ws[1:] != ws[:-1])
+        idx = np.flatnonzero(first)
+        cnt = np.diff(np.append(idx, len(cs)))
+        ku = pa.array(uniq).take(pa.array(cs[idx]))
+        h = column_hash64(pa.chunked_array([pa.array(uniq)]))
+        bucket = (mix64(h) % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table(
+            {key_col: ku,
+             "win": pa.array(ws[idx]),
+             "n": pa.array(cnt.astype(np.int64)),
+             "__rb__": pa.array(bucket[cs[idx]])}
+        )
+
+    def expand(df: pd.DataFrame) -> pd.DataFrame:
+        key = df[key_col].to_numpy()
+        win = df["win"].to_numpy(dtype=np.int64)
+        n = df["n"].to_numpy(dtype=np.int64)
+        codes, uniq = pd.factorize(key)
+        order = np.lexsort((win, codes))
+        cs, ws, ns = codes[order], win[order], n[order]
+        first = np.empty(len(cs), bool)
+        first[0] = True
+        first[1:] = (cs[1:] != cs[:-1]) | (ws[1:] != ws[:-1])
+        idx = np.flatnonzero(first)
+        # merge per-block partials of the same (key, win)
+        grp = np.cumsum(first) - 1
+        ns = np.bincount(grp, weights=ns).astype(np.int64)
+        cs, ws = cs[idx], ws[idx]
+        kfirst = np.empty(len(cs), bool)
+        kfirst[0] = True
+        kfirst[1:] = cs[1:] != cs[:-1]
+        kidx = np.flatnonzero(kfirst)
+        kend = np.append(kidx[1:], len(cs))
+        lo = ws[kidx]
+        hi = ws[kend - 1]
+        span = (hi - lo + 1).astype(np.int64)
+        total = int(span.sum())
+        if total > max_rows_per_bucket:
+            raise ValueError(
+                f"resample_counts bucket would expand to {total} rows "
+                f"(> max_rows_per_bucket={max_rows_per_bucket}); widen "
+                f"window_us or raise the cap."
+            )
+        off = np.cumsum(span) - span
+        # multi-arange of every key's full window range
+        full_win = np.repeat(lo, span) + (
+            np.arange(total, dtype=np.int64) - np.repeat(off, span)
+        )
+        full_n = np.zeros(total, np.int64)
+        krank = np.cumsum(kfirst) - 1
+        full_n[off[krank] + (ws - lo[krank])] = ns
+        out_key = pd.Series(uniq).iloc[cs[kidx]].reset_index(drop=True)
+        return pd.DataFrame(
+            {key_col: np.repeat(out_key.to_numpy(), span),
+             "win": full_win,
+             "n_events": full_n}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__rb__")
+        .map_groups(
+            lambda df: expand(df.drop(columns=["__rb__"])),
+            batch_format="pandas",
+        )
+    )

@@ -308,3 +308,88 @@ def zscore_by_group(
         )
 
     return ds.map_batches(transform, batch_format="pyarrow")
+
+
+def robust_zscore(
+    ds: ray.data.Dataset,
+    group_col: str,
+    val_col: str,
+    id_col: str,
+    *,
+    scale: float = 100.0,
+    ndigits: int = 6,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Median/MAD robust z-score — the outlier-resistant twin of
+    ``zscore_by_group`` (a single extreme value drags mean/std but not
+    median/MAD): → rows (id_col, group_col, robust_z) with
+
+        robust_z = round((c − median_g(c)) / MAD_g(c), ndigits)
+
+    over values quantized to integer ``scale`` units (c = ⌊v·scale+0.5⌋).
+    NULL when the group's MAD is 0 (constant-majority group) or the
+    group is unseen. Quantization is what makes the float surface exact:
+    medians of integers and MADs of dyadic-half deviations are exact
+    dyadic doubles, so DuckDB's `lo + (hi−lo)·frac` and the engine's
+    `lo·(1−frac) + hi·frac` interpolations agree BIT-for-bit and the one
+    final division is pinned-order.
+
+    Scale shape: two exact ``grouped_quantiles`` passes (≤``n_buckets``
+    hash-bucket exchanges carrying only (group, value)), each group-stat
+    table broadcast (``_ZSCORE_MAX_GROUPS`` cap) into a zero-shuffle
+    readout. Exact quantiles are not mergeable — for unbounded streams
+    swap in the histogram sketch (`sketches.approx_quantiles`). ``ds`` is
+    consumed three times: give it a cheap re-readable lineage or
+    materialize it first.
+    """
+    from record_matcher_ray.pipelines.table_ops import grouped_quantiles
+
+    def _cents(t: pa.Table) -> np.ndarray:
+        return np.floor(
+            pc.cast(t[val_col], pa.float64()).to_numpy() * scale + 0.5
+        )
+
+    def quant(t: pa.Table) -> pa.Table:
+        return pa.table({group_col: t[group_col],
+                         "__c__": pa.array(_cents(t))})
+
+    med_df = grouped_quantiles(
+        ds.map_batches(quant, batch_format="pyarrow"),
+        [group_col], "__c__", (0.5,), n_buckets=n_buckets,
+    ).to_pandas()
+    med = dict(zip(med_df[group_col], med_df["q_50"]))
+    if len(med) > _ZSCORE_MAX_GROUPS:
+        raise ValueError(
+            f"robust_zscore: {len(med)} groups exceed the broadcast cap "
+            f"{_ZSCORE_MAX_GROUPS}; use a bucketed exchange instead."
+        )
+
+    def absdev(t: pa.Table) -> pa.Table:
+        c = _cents(t)
+        codes, uniq = pd.factorize(t[group_col].to_numpy(zero_copy_only=False))
+        lm = np.array([med.get(u, np.nan) for u in uniq] or [np.nan])
+        return pa.table({group_col: t[group_col],
+                         "__a__": pa.array(np.abs(c - lm[codes]))})
+
+    mad_df = grouped_quantiles(
+        ds.map_batches(absdev, batch_format="pyarrow"),
+        [group_col], "__a__", (0.5,), n_buckets=n_buckets,
+    ).to_pandas()
+    mad = dict(zip(mad_df[group_col], mad_df["q_50"]))
+
+    def transform(t: pa.Table) -> pa.Table:
+        c = _cents(t)
+        codes, uniq = pd.factorize(t[group_col].to_numpy(zero_copy_only=False))
+        lm = np.array([med.get(u, np.nan) for u in uniq] or [np.nan])
+        ls = np.array([mad.get(u, np.nan) for u in uniq] or [np.nan])
+        sd = ls[codes]
+        sd = np.where(sd == 0.0, np.nan, sd)
+        with np.errstate(invalid="ignore"):
+            rz = np.round((c - lm[codes]) / sd, ndigits)
+        return pa.table(
+            {id_col: t[id_col], group_col: t[group_col],
+             "robust_z": pa.array(np.where(np.isnan(rz), None, rz),
+                                  pa.float64(), from_pandas=True)}
+        )
+
+    return ds.map_batches(transform, batch_format="pyarrow")

@@ -1669,3 +1669,148 @@ def test_time_weighted_avg_bigint_fallback(ray_session):
     out = time_weighted_avg(rd.from_pandas(df)).to_pandas()
     # constant value → twap equals the value exactly
     assert out["twap"].iloc[0] == pytest.approx(3000.0, abs=1e-9)
+
+
+class TestResampleCounts:
+    def test_gap_fill_manual(self, ray_session):
+        import datetime as dt
+
+        import ray
+        import ray.data
+
+        from record_matcher_ray.pipelines.relational import resample_counts
+
+        day = 86_400_000_000
+        base = dt.datetime(2024, 1, 10)
+        rows = [
+            {"user_id": 1, "ts": base},
+            {"user_id": 1, "ts": base + dt.timedelta(hours=3)},
+            {"user_id": 1, "ts": base + dt.timedelta(days=3)},  # gap of 2
+            {"user_id": 2, "ts": base + dt.timedelta(days=5)},
+        ]
+        out = (
+            resample_counts(
+                ray.data.from_items(rows, override_num_blocks=3),
+                window_us=day,
+            )
+            .to_pandas()
+            .sort_values(["user_id", "win"])
+            .reset_index(drop=True)
+        )
+        u1 = out[out.user_id == 1]
+        assert list(u1["n_events"]) == [2, 0, 0, 1]  # 4 consecutive days
+        assert list(u1["win"].diff().dropna()) == [1, 1, 1]
+        u2 = out[out.user_id == 2]
+        assert len(u2) == 1 and u2["n_events"].iloc[0] == 1
+
+    def test_partition_invariance_and_validation(self, ray_session):
+        import datetime as dt
+
+        import pytest as _pytest
+
+        import ray
+        import ray.data
+
+        from record_matcher_ray.pipelines.relational import resample_counts
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            {"user_id": i % 7, "ts": base + dt.timedelta(hours=5 * i)}
+            for i in range(300)
+        ]
+        outs = []
+        for blocks in (1, 11):
+            outs.append(
+                resample_counts(
+                    ray.data.from_items(rows, override_num_blocks=blocks)
+                )
+                .to_pandas()
+                .sort_values(["user_id", "win"])
+                .reset_index(drop=True)
+            )
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        with _pytest.raises(ValueError):
+            resample_counts(ray.data.from_items(rows), window_us=0)
+
+    def test_expansion_cap(self, ray_session):
+        import datetime as dt
+
+        import pytest as _pytest
+
+        import ray
+        import ray.data
+
+        from record_matcher_ray.pipelines.relational import resample_counts
+
+        rows = [
+            {"user_id": 1, "ts": dt.datetime(2020, 1, 1)},
+            {"user_id": 1, "ts": dt.datetime(2024, 1, 1)},
+        ]
+        with _pytest.raises(Exception, match="max_rows_per_bucket"):
+            resample_counts(
+                ray.data.from_items(rows),
+                window_us=1_000_000,  # ~126M seconds span
+                max_rows_per_bucket=1000,
+            ).to_pandas()
+
+
+class TestRobustZscore:
+    def test_manual_and_outlier_resistance(self, ray_session):
+        import ray
+        import ray.data
+
+        from record_matcher_ray.pipelines.stats import robust_zscore
+
+        # group a: values 1..7 plus a huge outlier; med=4.5c=450,
+        # deviations in cents: [350,250,150,50,50,150,250,99996550]
+        # sorted -> MAD = (150+250)/2 = 200 cents
+        vals = [1, 2, 3, 4, 5, 6, 7, 1_000_000]
+        rows = [
+            {"event_id": i, "event_type": "a", "value": float(v)}
+            for i, v in enumerate(vals)
+        ]
+        rows += [
+            {"event_id": 100 + i, "event_type": "b", "value": 5.0}
+            for i in range(3)
+        ]
+        out = (
+            robust_zscore(
+                ray.data.from_items(rows, override_num_blocks=4),
+                "event_type", "value", "event_id",
+            )
+            .to_pandas()
+            .set_index("event_id")
+        )
+        # med = 450 cents, mad = 200 cents
+        assert out.loc[0, "robust_z"] == (100 - 450) / 200
+        assert out.loc[3, "robust_z"] == (400 - 450) / 200
+        # outlier itself is huge but finite
+        assert out.loc[7, "robust_z"] == (100_000_000 - 450) / 200
+        # constant group: MAD == 0 -> NULL
+        assert out.loc[100:102, "robust_z"].isna().all()
+
+    def test_partition_invariance(self, ray_session):
+        import numpy as np
+        import ray
+        import ray.data
+
+        from record_matcher_ray.pipelines.stats import robust_zscore
+
+        rng = np.random.RandomState(3)
+        rows = [
+            {"event_id": i, "event_type": ["x", "y", "z"][i % 3],
+             "value": float(np.round(rng.uniform(-50, 50), 2))}
+            for i in range(400)
+        ]
+        outs = []
+        for blocks in (1, 13):
+            outs.append(
+                robust_zscore(
+                    ray.data.from_items(rows, override_num_blocks=blocks),
+                    "event_type", "value", "event_id",
+                )
+                .to_pandas()
+                .sort_values("event_id")
+                .reset_index(drop=True)
+            )
+        pd.testing.assert_frame_equal(outs[0], outs[1])
