@@ -1533,6 +1533,50 @@ def _q_robust_z(sf_dir: str):
     return robust_zscore(ds, "event_type", "value", "event_id")
 
 
+def _q_running_total(sf_dir: str):
+    """Per-user cumulative event-value sum (exact integer prefix sums,
+    one pinned-order division)."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.relational import running_total
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    return running_total(ds)
+
+
+def _q_pct_rank(sf_dir: str):
+    """percent_rank of each order's total within its status (min-rank
+    ties; bit-identical small-integer division)."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.relational import percent_rank_by_group
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+    )
+    return percent_rank_by_group(
+        ds, "o_orderstatus", "o_totalprice", "o_orderkey"
+    )
+
+
+def _q_mode(sf_dir: str):
+    """Dominant order priority per status (count desc, value asc
+    tie-break)."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.table_ops import mode_by_group
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_orderpriority"],
+    )
+    return mode_by_group(ds, "o_orderstatus", "o_orderpriority")
+
+
 def _q_quantile_filter(sf_dir: str):
     """Per-source [0.1, 0.9] length-quantile band filter over documents —
     the quality-curation primitive (trim per-source outliers); exact
@@ -2076,6 +2120,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangles_orders": _q_triangles,
         "resample_events": _q_resample,
         "robust_z_events": _q_robust_z,
+        "running_total_events": _q_running_total,
+        "pct_rank_orders": _q_pct_rank,
+        "mode_orders": _q_mode,
         # north-star document pipeline + multimodal plumbing
         "docmatch_corpus": _q_docmatch,
         "media_features": _q_media_features,
@@ -3712,6 +3759,42 @@ def oracle_sql() -> dict[str, str]:
                         ELSE round((a.c - a.med) / s.mad, 6) END
                      AS robust_z
             FROM a JOIN s USING (event_type)
+        """,
+        "running_total_events": """
+            WITH c AS (
+              SELECT event_id, user_id, ts,
+                     CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+              FROM events
+            )
+            SELECT event_id,
+                   round((sum(c) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING))::DOUBLE
+                         / 100.0, 6) AS run_total
+            FROM c
+        """,
+        "pct_rank_orders": """
+            SELECT o_orderkey, o_orderstatus,
+                   percent_rank() OVER (PARTITION BY o_orderstatus
+                                        ORDER BY o_totalprice)
+                     AS pct_rank
+            FROM orders
+        """,
+        "mode_orders": """
+            WITH c AS (
+              SELECT o_orderstatus, o_orderpriority,
+                     count(*)::BIGINT AS n
+              FROM orders GROUP BY 1, 2
+            ), r AS (
+              SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+                                           ORDER BY n DESC,
+                                                    o_orderpriority ASC)
+                          AS rn
+              FROM c
+            )
+            SELECT o_orderstatus, o_orderpriority AS mode_val,
+                   n AS n_mode
+            FROM r WHERE rn = 1
         """,
         "triangles_orders": """
             WITH raw AS (

@@ -1255,3 +1255,131 @@ def resample_counts(
             batch_format="pandas",
         )
     )
+
+
+def running_total(
+    ds: ray.data.Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    cents_scale: float = 100.0,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-key cumulative sum (SQL ``SUM(v) OVER (PARTITION BY key ORDER
+    BY ts, id ROWS UNBOUNDED PRECEDING)``) → rows (id_col, run_total
+    rounded to 6dp) — the balance / lifetime-value primitive.
+
+    Scale shape: same as ``rolling_mean`` — ≤``n_buckets`` key-hash
+    exchange, one lexsort per bucket, values quantized once to integer
+    units so the prefix sum is EXACT, one pinned-order double division.
+    """
+
+    def prep(t: pa.Table) -> pa.Table:
+        from record_matcher_ray.core.hashkernels import column_hash64
+
+        b = column_hash64(t[key_col]) % np.uint64(n_buckets)
+        c = np.floor(
+            pc.cast(t[val_col], pa.float64()).to_numpy() * cents_scale + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {id_col: t[id_col], key_col: t[key_col],
+             ts_col: pc.cast(pc.cast(t[ts_col], pa.timestamp("us")),
+                             pa.int64()),
+             "__c__": pa.array(c),
+             "__wb__": pa.array(b.astype(np.int64))}
+        )
+
+    def windows(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "run_total": pa.array([], pa.float64())})
+        order, first, _ = _per_key_sorted(t, key_col, ts_col, id_col)
+        c_s = t["__c__"].to_numpy()[order]
+        n = len(c_s)
+        starts = np.nonzero(first)[0]
+        seg_start = np.repeat(starts, np.diff(np.append(starts, n)))
+        csum = np.concatenate(([0], np.cumsum(c_s, dtype=np.int64)))
+        s = csum[np.arange(n) + 1] - csum[seg_start]
+        tot = np.round(s.astype(np.float64) / cents_scale, 6)
+        return pa.table(
+            {id_col: t[id_col].take(pa.array(order)),
+             "run_total": pa.array(tot)}
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("__wb__")
+        .map_groups(
+            lambda t: windows(t.drop_columns(["__wb__"])),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def percent_rank_by_group(
+    ds: ray.data.Dataset,
+    group_col: str,
+    val_col: str,
+    id_col: str,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """SQL ``percent_rank() OVER (PARTITION BY group ORDER BY val)`` per
+    row → (id_col, group_col, pct_rank): (min_rank − 1) / (n_group − 1),
+    ties share the rank of their first occurrence, single-row groups get
+    0.0. No rounding needed — both sides divide the same two small exact
+    integers, so the doubles are bit-identical.
+
+    Scale shape: ≤``n_buckets`` group-hash exchange; inside a bucket one
+    lexsort resolves every group (boundary flags give segment sizes and
+    tie-run min-ranks via a running maximum — no per-group Python).
+    """
+
+    def prep(t: pa.Table) -> pa.Table:
+        from record_matcher_ray.core.hashkernels import column_hash64
+
+        b = column_hash64(t[group_col]) % np.uint64(n_buckets)
+        return t.select([id_col, group_col, val_col]).append_column(
+            "__pb__", pa.array(b.astype(np.int64))
+        )
+
+    def local(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             group_col: t[group_col],
+                             "pct_rank": pa.array([], pa.float64())})
+        kc, _ = pd.factorize(t[group_col].to_numpy(zero_copy_only=False))
+        v = pc.cast(t[val_col], pa.float64()).to_numpy()
+        idv = t[id_col].to_numpy()
+        order = np.lexsort((idv, v, kc))
+        k_s, v_s = kc[order], v[order]
+        n = len(k_s)
+        first = np.concatenate(([True], k_s[1:] != k_s[:-1]))
+        starts = np.nonzero(first)[0]
+        seg_len = np.diff(np.append(starts, n))
+        seg_start = np.repeat(starts, seg_len)
+        seg_n = np.repeat(seg_len, seg_len)
+        vfirst = first.copy()
+        vfirst[1:] |= v_s[1:] != v_s[:-1]
+        idxs = np.arange(n)
+        run_first = np.maximum.accumulate(np.where(vfirst, idxs, -1))
+        rank = run_first - seg_start  # 0-based min rank
+        pr = np.zeros(n, np.float64)
+        multi = seg_n > 1
+        pr[multi] = rank[multi].astype(np.float64) / (
+            seg_n[multi] - 1
+        ).astype(np.float64)
+        return pa.table(
+            {id_col: t[id_col].take(pa.array(order)),
+             group_col: t[group_col].take(pa.array(order)),
+             "pct_rank": pa.array(pr)}
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("__pb__")
+        .map_groups(
+            lambda t: local(t.drop_columns(["__pb__"])),
+            batch_format="pyarrow",
+        )
+    )

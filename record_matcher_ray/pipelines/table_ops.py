@@ -654,3 +654,81 @@ def histogram(
                          "n": t["n"]})
 
     return agg.map_batches(edges, batch_format="pyarrow")
+
+
+def mode_by_group(
+    ds: ray.data.Dataset,
+    group_col: str,
+    val_col: str,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Most frequent value per group → rows (group_col, mode_val,
+    n_mode), ties broken by the SMALLEST value (binary/codepoint order —
+    identical in numpy and DuckDB, so the row_number() oracle replays
+    exactly). The categorical-imputation / dominant-label primitive.
+
+    Scale shape: each block pre-reduces to its (group, val, n) counts
+    (factorize + bincount — raw rows never shuffle), the exchange key is
+    a ≤``n_buckets`` hash bucket of the group, and inside a bucket one
+    lexsort merges partial counts and picks every group's winner
+    vectorized.
+    """
+    from record_matcher_ray.core.hashkernels import column_hash64, mix64
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {group_col: t[group_col], val_col: t[val_col],
+                 "n": pa.array([], pa.int64()),
+                 "__mb__": pa.array([], pa.int64())}
+            )
+        gc, gu = pd.factorize(t[group_col].to_numpy(zero_copy_only=False))
+        vc, vu = pd.factorize(t[val_col].to_numpy(zero_copy_only=False))
+        key = gc.astype(np.int64) * len(vu) + vc
+        uk, n = np.unique(key, return_counts=True)
+        gi = (uk // len(vu)).astype(np.int64)
+        vi = (uk % len(vu)).astype(np.int64)
+        h = column_hash64(pa.chunked_array([pa.array(gu)]))
+        bucket = (mix64(h) % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table(
+            {group_col: pa.array(gu).take(pa.array(gi)),
+             val_col: pa.array(vu).take(pa.array(vi)),
+             "n": pa.array(n.astype(np.int64)),
+             "__mb__": pa.array(bucket[gi])}
+        )
+
+    def winner(df: pd.DataFrame) -> pd.DataFrame:
+        g = df[group_col].to_numpy()
+        v = df[val_col].to_numpy()
+        n = df["n"].to_numpy(dtype=np.int64)
+        gc, gu = pd.factorize(g)
+        vc, vu = pd.factorize(v)
+        key = gc.astype(np.int64) * len(vu) + vc
+        order = np.argsort(key, kind="stable")
+        k_s, n_s = key[order], n[order]
+        first = np.concatenate(([True], k_s[1:] != k_s[:-1]))
+        grp = np.cumsum(first) - 1
+        tot = np.bincount(grp, weights=n_s).astype(np.int64)
+        uk = k_s[first]
+        gi = (uk // len(vu)).astype(np.int64)
+        vi = (uk % len(vu)).astype(np.int64)
+        # rank (count desc, value asc) within each group; vu order is
+        # arbitrary so sort by the actual values
+        vs = vu[vi]
+        vorder = np.lexsort((vs, -tot, gi))
+        gfirst = np.concatenate(([True], gi[vorder][1:] != gi[vorder][:-1]))
+        win = vorder[gfirst]
+        return pd.DataFrame(
+            {group_col: gu[gi[win]],
+             "mode_val": vs[win],
+             "n_mode": tot[win]}
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__mb__")
+        .map_groups(
+            lambda df: winner(df.drop(columns=["__mb__"])),
+            batch_format="pandas",
+        )
+    )

@@ -1814,3 +1814,99 @@ class TestRobustZscore:
                 .reset_index(drop=True)
             )
         pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+class TestRunningTotal:
+    def test_manual_and_invariance(self, ray_session):
+        import datetime as dt
+
+        import ray.data
+
+        from record_matcher_ray.pipelines.relational import running_total
+
+        base = dt.datetime(2024, 1, 1)
+        rows = [
+            {"event_id": i, "user_id": i % 2,
+             "ts": base + dt.timedelta(minutes=i), "value": float(i) + 0.25}
+            for i in range(10)
+        ]
+        out = (
+            running_total(ray.data.from_items(rows, override_num_blocks=4))
+            .to_pandas()
+            .set_index("event_id")
+        )
+        # user 0 gets events 0,2,4,...: totals 0.25, 2.5, 6.75, ...
+        assert out.loc[0, "run_total"] == 0.25
+        assert out.loc[2, "run_total"] == 0.25 + 2.25
+        assert out.loc[4, "run_total"] == 0.25 + 2.25 + 4.25
+        assert out.loc[1, "run_total"] == 1.25
+        assert out.loc[3, "run_total"] == 1.25 + 3.25
+        a = (
+            running_total(ray.data.from_items(rows, override_num_blocks=1))
+            .to_pandas().sort_values("event_id").reset_index(drop=True)
+        )
+        b = (
+            running_total(ray.data.from_items(rows, override_num_blocks=7))
+            .to_pandas().sort_values("event_id").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)
+
+
+class TestPercentRank:
+    def test_matches_duckdb(self, ray_session):
+        import duckdb
+
+        import ray.data
+
+        from record_matcher_ray.pipelines.relational import percent_rank_by_group
+
+        rng = np.random.RandomState(5)
+        rows = [
+            {"id": i, "g": ["a", "b", "c"][i % 3],
+             "v": float(rng.randint(0, 8))}  # plenty of ties
+            for i in range(100)
+        ] + [{"id": 1000, "g": "solo", "v": 42.0}]
+        out = (
+            percent_rank_by_group(
+                ray.data.from_items(rows, override_num_blocks=6),
+                "g", "v", "id",
+            )
+            .to_pandas().sort_values("id").reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        exp = con.execute(
+            """
+            SELECT id, g,
+                   percent_rank() OVER (PARTITION BY g ORDER BY v)
+                     AS pct_rank
+            FROM (SELECT unnest(?) AS id, unnest(?) AS g, unnest(?) AS v)
+            ORDER BY id
+            """,
+            [[r["id"] for r in rows], [r["g"] for r in rows],
+             [r["v"] for r in rows]],
+        ).df()
+        assert list(out["pct_rank"]) == list(exp["pct_rank"])
+        assert out[out.id == 1000]["pct_rank"].iloc[0] == 0.0
+
+
+class TestModeByGroup:
+    def test_tie_break_and_merge(self, ray_session):
+        import ray.data
+
+        from record_matcher_ray.pipelines.table_ops import mode_by_group
+
+        rows = (
+            [{"g": "x", "v": "b"}] * 3
+            + [{"g": "x", "v": "a"}] * 3  # tie -> 'a' (smaller)
+            + [{"g": "x", "v": "z"}]
+            + [{"g": "y", "v": "q"}] * 2
+            + [{"g": "y", "v": "p"}]
+        )
+        out = (
+            mode_by_group(
+                ray.data.from_items(rows, override_num_blocks=5), "g", "v"
+            )
+            .to_pandas().set_index("g")
+        )
+        assert out.loc["x", "mode_val"] == "a" and out.loc["x", "n_mode"] == 3
+        assert out.loc["y", "mode_val"] == "q" and out.loc["y", "n_mode"] == 2
