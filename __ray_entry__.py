@@ -1577,6 +1577,32 @@ def _q_mode(sf_dir: str):
     return mode_by_group(ds, "o_orderstatus", "o_orderpriority")
 
 
+def _q_rolling_active(sf_dir: str):
+    """Trailing-7-day distinct active users per day (WAU curve) via the
+    interval-stab prefix-sum layout — exact, no per-window re-scan."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.relational import rolling_active
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"]
+    )
+    return rolling_active(ds, window_days=7)
+
+
+def _q_script_profile(sf_dir: str):
+    """Per-document Unicode-script census (latin/digit/space/cyrillic/
+    cjk/other counts) — multilingual routing signal."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.analysis import script_profile
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return script_profile(ds)
+
+
 def _q_quantile_filter(sf_dir: str):
     """Per-source [0.1, 0.9] length-quantile band filter over documents —
     the quality-curation primitive (trim per-source outliers); exact
@@ -2123,6 +2149,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_total_events": _q_running_total,
         "pct_rank_orders": _q_pct_rank,
         "mode_orders": _q_mode,
+        "rolling_active_events": _q_rolling_active,
+        "script_profile_docs": _q_script_profile,
         # north-star document pipeline + multimodal plumbing
         "docmatch_corpus": _q_docmatch,
         "media_features": _q_media_features,
@@ -3795,6 +3823,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderstatus, o_orderpriority AS mode_val,
                    n AS n_mode
             FROM r WHERE rn = 1
+        """,
+        "rolling_active_events": """
+            WITH d AS (
+              SELECT DISTINCT user_id,
+                     CASE WHEN epoch_us(ts) >= 0
+                          THEN epoch_us(ts) // 86400000000
+                          ELSE -((-epoch_us(ts) + 86400000000 - 1)
+                                 // 86400000000) END AS d
+              FROM events
+            ), b AS (
+              SELECT min(d) AS lo, max(d) AS hi FROM d
+            ), w AS (
+              SELECT unnest(generate_series(lo, hi)) AS day FROM b
+            )
+            SELECT w.day,
+                   (SELECT count(DISTINCT user_id) FROM d
+                    WHERE d.d BETWEEN w.day - 6 AND w.day)::BIGINT
+                     AS n_active
+            FROM w
+        """,
+        "script_profile_docs": r"""
+            WITH b AS (
+              SELECT doc_id, coalesce(text, '') AS t FROM documents
+            ), c AS (
+              SELECT doc_id, length(t)::BIGINT AS n_chars_obs,
+                length(regexp_replace(t, '[^A-Za-z]', '', 'g'))::BIGINT
+                  AS n_latin,
+                length(regexp_replace(t, '[^0-9]', '', 'g'))::BIGINT
+                  AS n_digit,
+                length(regexp_replace(t, '[^\t\n\x0B\x0C\r ]', '', 'g')
+                  )::BIGINT AS n_space,
+                length(regexp_replace(t, '[^\x{0400}-\x{04FF}]', '', 'g')
+                  )::BIGINT AS n_cyrillic,
+                length(regexp_replace(t, '[^\x{4E00}-\x{9FFF}]', '', 'g')
+                  )::BIGINT AS n_cjk
+              FROM b
+            )
+            SELECT doc_id, n_chars_obs, n_latin, n_digit, n_space,
+                   n_cyrillic, n_cjk,
+                   (n_chars_obs - n_latin - n_digit - n_space
+                    - n_cyrillic - n_cjk)::BIGINT AS n_other
+            FROM c
         """,
         "triangles_orders": """
             WITH raw AS (

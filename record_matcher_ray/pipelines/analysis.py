@@ -663,3 +663,60 @@ def char_entropy(
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# (name, lo, hi) inclusive codepoint ranges; each is also RE2-expressible
+# as [\x{lo}-\x{hi}] so the DuckDB oracle counts the same classes
+_SCRIPT_CLASSES: list[tuple[str, list[tuple[int, int]]]] = [
+    ("latin", [(0x41, 0x5A), (0x61, 0x7A)]),
+    ("digit", [(0x30, 0x39)]),
+    ("space", [(0x09, 0x0D), (0x20, 0x20)]),  # RE2 \s
+    ("cyrillic", [(0x0400, 0x04FF)]),
+    ("cjk", [(0x4E00, 0x9FFF)]),
+]
+
+
+def script_profile(
+    ds: ray.data.Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> ray.data.Dataset:
+    """Per-document Unicode-script census — the multilingual routing /
+    mojibake-detection signal (a "Latin" doc that is 40% Cyrillic is an
+    encoding accident): → (id_col, n_chars_obs, n_latin, n_digit,
+    n_space, n_cyrillic, n_cjk, n_other). Pure integer counts — the
+    oracle is trivially exact.
+
+    Scale shape: zero shuffle; one utf8→utf32 transcode per batch (the
+    ``char_entropy`` machinery) then vectorized range masks — no per-row
+    Python, no regex engine in the hot path.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(pc.cast(batch[text_col], pa.string()), "")
+        n = len(batch)
+        if isinstance(text, pa.ChunkedArray):
+            chunks = list(text.chunks) or [pa.array([], pa.string())]
+        else:
+            chunks = [text]
+        parts = [_chunk_codepoints(c) for c in chunks]
+        cp = np.concatenate([p[0] for p in parts]).astype(np.int64)
+        lens = np.concatenate([p[1] for p in parts])
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        cols: dict[str, pa.Array] = {
+            id_col: batch[id_col],
+            "n_chars_obs": pa.array(lens),
+        }
+        covered = np.zeros(len(cp), bool)
+        for name, ranges in _SCRIPT_CLASSES:
+            m = np.zeros(len(cp), bool)
+            for lo, hi in ranges:
+                m |= (cp >= lo) & (cp <= hi)
+            covered |= m
+            cols[f"n_{name}"] = pa.array(
+                np.bincount(doc_idx[m], minlength=n).astype(np.int64)
+            )
+        cols["n_other"] = pa.array(
+            np.bincount(doc_idx[~covered], minlength=n).astype(np.int64)
+        )
+        return pa.table(cols)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -1910,3 +1910,90 @@ class TestModeByGroup:
         )
         assert out.loc["x", "mode_val"] == "a" and out.loc["x", "n_mode"] == 3
         assert out.loc["y", "mode_val"] == "q" and out.loc["y", "n_mode"] == 2
+
+
+class TestRollingActive:
+    def test_manual_wau(self, ray_session):
+        import datetime as dt
+
+        import ray.data
+
+        from record_matcher_ray.pipelines.relational import rolling_active
+
+        base = dt.datetime(2024, 1, 1)
+
+        def ev(user, day):
+            return {"user_id": user, "ts": base + dt.timedelta(days=day)}
+
+        # user 1 active days 0 and 10; user 2 active day 2
+        rows = [ev(1, 0), ev(1, 0), ev(1, 10), ev(2, 2)]
+        out = rolling_active(
+            ray.data.from_items(rows, override_num_blocks=3), window_days=3
+        ).set_index("day")
+        d0 = out.index.min()
+        # window [day-2, day] — day 0: {1}; day 1: {1}; day 2: {1,2};
+        # day 3: {2}; day 4: {2}; day 5..9: {}; day 10: {1}
+        assert list(out["n_active"]) == [1, 1, 2, 1, 1, 0, 0, 0, 0, 0, 1]
+        assert len(out) == 11 and out.loc[d0 + 10, "n_active"] == 1
+
+    def test_window1_is_dau_and_invariance(self, ray_session):
+        import datetime as dt
+
+        import ray.data
+
+        from record_matcher_ray.pipelines.relational import rolling_active
+
+        rng = np.random.RandomState(11)
+        base = dt.datetime(2024, 3, 1)
+        rows = [
+            {"user_id": int(rng.randint(0, 9)),
+             "ts": base + dt.timedelta(hours=int(rng.randint(0, 24 * 14)))}
+            for _ in range(300)
+        ]
+        outs = []
+        for blocks in (1, 9):
+            outs.append(
+                rolling_active(
+                    ray.data.from_items(rows, override_num_blocks=blocks),
+                    window_days=1,
+                )
+            )
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        # window=1 == plain distinct users per day
+        df = pd.DataFrame(rows)
+        day = (df["ts"].astype("int64") // (86_400_000_000 * 1000)).astype(
+            "int64"
+        )
+        dau = (
+            pd.DataFrame({"day": day, "u": df["user_id"]})
+            .groupby("day")["u"].nunique()
+        )
+        got = outs[0].set_index("day")["n_active"]
+        for d, v in dau.items():
+            assert got.loc[d] == v
+
+
+class TestScriptProfile:
+    def test_mixed_scripts(self, ray_session):
+        import ray.data
+
+        from record_matcher_ray.pipelines.analysis import script_profile
+
+        rows = [
+            {"doc_id": 0, "text": "abc XYZ 123\tпривет 漢字 !"},
+            {"doc_id": 1, "text": ""},
+            {"doc_id": 2, "text": None},
+        ]
+        out = (
+            script_profile(ray.data.from_items(rows))
+            .to_pandas().set_index("doc_id")
+        )
+        r = out.loc[0]
+        assert r["n_latin"] == 6
+        assert r["n_digit"] == 3
+        assert r["n_space"] == 5  # 4 spaces + 1 tab
+        assert r["n_cyrillic"] == 6
+        assert r["n_cjk"] == 2
+        assert r["n_other"] == 1  # the '!'
+        assert r["n_chars_obs"] == 23
+        assert (out.loc[1] == 0).all() and (out.loc[2] == 0).all()
