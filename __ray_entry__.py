@@ -1603,6 +1603,37 @@ def _q_script_profile(sf_dir: str):
     return script_profile(ds)
 
 
+def _q_row_number(sf_dir: str):
+    """Dense global row numbers over orders by (totalprice, orderkey) —
+    one sort exchange + broadcast block offsets, no second shuffle."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.relational import global_row_number
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    return global_row_number(ds, ["o_totalprice", "o_orderkey"])
+
+
+def _q_seq_pattern(sf_dir: str):
+    """MATCH_RECOGNIZE-lite: per user, count click+→purchase arcs in the
+    (ts, id)-ordered event-type sequence."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.relational import sequence_pattern_counts
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    return sequence_pattern_counts(
+        ds, "c+p",
+        {"click": "c", "error": "e", "purchase": "p",
+         "signup": "s", "view": "v"},
+    )
+
+
 def _q_quantile_filter(sf_dir: str):
     """Per-source [0.1, 0.9] length-quantile band filter over documents —
     the quality-curation primitive (trim per-source outliers); exact
@@ -2151,6 +2182,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mode_orders": _q_mode,
         "rolling_active_events": _q_rolling_active,
         "script_profile_docs": _q_script_profile,
+        "row_number_orders": _q_row_number,
+        "seq_pattern_events": _q_seq_pattern,
         # north-star document pipeline + multimodal plumbing
         "docmatch_corpus": _q_docmatch,
         "media_features": _q_media_features,
@@ -3865,6 +3898,32 @@ def oracle_sql() -> dict[str, str]:
                    (n_chars_obs - n_latin - n_digit - n_space
                     - n_cyrillic - n_cjk)::BIGINT AS n_other
             FROM c
+        """,
+        "row_number_orders": """
+            SELECT o_orderkey, o_totalprice,
+                   row_number() OVER (ORDER BY o_totalprice, o_orderkey)
+                     AS rn
+            FROM orders
+        """,
+        "seq_pattern_events": """
+            WITH c AS (
+              SELECT user_id, ts, event_id,
+                     CASE event_type
+                          WHEN 'click' THEN 'c' WHEN 'error' THEN 'e'
+                          WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                          WHEN 'view' THEN 'v' END AS ch
+              FROM events
+              WHERE event_type IN
+                    ('click', 'error', 'purchase', 'signup', 'view')
+            ), s AS (
+              SELECT user_id,
+                     string_agg(ch, '' ORDER BY ts, event_id) AS seq
+              FROM c GROUP BY user_id
+            )
+            SELECT user_id, length(seq)::BIGINT AS seq_len,
+                   len(regexp_extract_all(seq, 'c+p'))::BIGINT
+                     AS n_matches
+            FROM s
         """,
         "triangles_orders": """
             WITH raw AS (

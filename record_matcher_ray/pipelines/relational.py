@@ -1501,3 +1501,148 @@ def rolling_active(
     idx = np.searchsorted(days, full, side="right") - 1
     n_active = cum[idx]
     return pd.DataFrame({"day": full, "n_active": n_active.astype(np.int64)})
+
+
+def global_row_number(
+    ds: ray.data.Dataset,
+    order_cols: list[str],
+    rn_col: str = "rn",
+) -> ray.data.Dataset:
+    """Dense global row numbers (SQL ``row_number() OVER (ORDER BY
+    order_cols)``) → input columns + ``rn_col`` (1-based int64). The
+    composite ``order_cols`` MUST be unique per row (include a unique id
+    as the last column) — that is what makes the numbering well-defined
+    and partition-invariant.
+
+    Scale shape: ONE sort exchange (Ray's range-partitioned sort), then a
+    two-pass offset assignment that never moves data again: pass 1 reads
+    each sorted block's (first-key, row-count) — a few bytes per block —
+    the driver prefix-sums them into an offset per block, and pass 2
+    adds the broadcast offset to a local arange. No driver-side data
+    pull, no second shuffle.
+    """
+    if not order_cols:
+        raise ValueError("order_cols must be non-empty")
+
+    m = ds.sort(order_cols).materialize()  # consumed by both passes
+
+    def head(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t.slice(0, 0).append_column(
+                "__n__", pa.array([], pa.int64())
+            )
+        return t.slice(0, 1).append_column(
+            "__n__", pa.array([len(t)], pa.int64())
+        )
+
+    # batch_size=None → one batch per materialized block, both passes
+    heads = m.map_batches(head, batch_size=None,
+                          batch_format="pyarrow").to_pandas()
+    # typed sort — the block order, NOT a stringified key order
+    heads = heads.sort_values(order_cols).reset_index(drop=True)
+    if heads.duplicated(subset=order_cols).any():
+        raise ValueError(
+            "global_row_number: two sorted blocks share a first-row key — "
+            "order_cols is not unique per row; append a unique id column."
+        )
+    counts = heads["__n__"].to_numpy(dtype=np.int64)
+    offsets = {
+        tuple(row): off
+        for row, off in zip(
+            heads[order_cols].itertuples(index=False, name=None),
+            (np.cumsum(counts) - counts).astype(np.int64),
+        )
+    }
+
+    def assign(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t.append_column(rn_col, pa.array([], pa.int64()))
+        key = tuple(t[c][0].as_py() for c in order_cols)
+        off = offsets[key]
+        return t.append_column(
+            rn_col, pa.array(off + 1 + np.arange(len(t), dtype=np.int64))
+        )
+
+    return m.map_batches(assign, batch_size=None, batch_format="pyarrow")
+
+
+def sequence_pattern_counts(
+    ds: ray.data.Dataset,
+    pattern: str,
+    codes: dict[str, str],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """MATCH_RECOGNIZE-lite sequence mining: per key, order events by
+    (ts, id), encode each event type to one ASCII char via ``codes``
+    (rows with unlisted types are dropped — a restricted alphabet), and
+    count non-overlapping regex ``pattern`` matches over the resulting
+    string → (key_col, seq_len, n_matches). The funnel generalization:
+    'l(e+)p' finds login→errors→purchase arcs a step-funnel can't.
+
+    Scale shape: rows shrink to (key, ts, id, char) before the single
+    ≤``n_buckets`` key-hash exchange; inside a bucket one lexsort orders
+    every key and the per-key strings are zero-copy byte-slices of one
+    uint8 array; the regex engine (C) runs once per key. Both Python
+    ``re`` and DuckDB's RE2 count non-overlapping leftmost matches, so
+    the oracle replays exactly for backtracking-free patterns.
+    """
+    if any(len(c) != 1 or ord(c) > 127 for c in codes.values()):
+        raise ValueError("codes must map to single ASCII characters")
+    import re as _re
+
+    prog = _re.compile(pattern.encode("ascii"))
+    code_items = sorted(codes.items())
+
+    def prep(t: pa.Table) -> pa.Table:
+        from record_matcher_ray.core.hashkernels import column_hash64
+
+        tv = t[type_col].to_numpy(zero_copy_only=False)
+        ch = np.zeros(len(tv), np.uint8)
+        keep = np.zeros(len(tv), bool)
+        for name, c in code_items:
+            m = tv == name
+            ch[m] = ord(c)
+            keep |= m
+        b = column_hash64(t[key_col]) % np.uint64(n_buckets)
+        out = pa.table(
+            {key_col: t[key_col],
+             ts_col: pc.cast(pc.cast(t[ts_col], pa.timestamp("us")),
+                             pa.int64()),
+             id_col: t[id_col],
+             "__ch__": pa.array(ch),
+             "__sb__": pa.array(b.astype(np.int64))}
+        )
+        return out.filter(pa.array(keep))
+
+    def scan(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({key_col: t[key_col],
+                             "seq_len": pa.array([], pa.int64()),
+                             "n_matches": pa.array([], pa.int64())})
+        order, first, _ = _per_key_sorted(t, key_col, ts_col, id_col)
+        ch = t["__ch__"].to_numpy()[order]
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], len(ch))
+        buf = ch.tobytes()
+        n_m = np.fromiter(
+            (len(prog.findall(buf[s:e])) for s, e in zip(starts, ends)),
+            dtype=np.int64, count=len(starts),
+        )
+        return pa.table(
+            {key_col: t[key_col].take(pa.array(order[starts])),
+             "seq_len": pa.array((ends - starts).astype(np.int64)),
+             "n_matches": pa.array(n_m)}
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("__sb__")
+        .map_groups(
+            lambda t: scan(t.drop_columns(["__sb__"])),
+            batch_format="pyarrow",
+        )
+    )

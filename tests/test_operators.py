@@ -1997,3 +1997,90 @@ class TestScriptProfile:
         assert r["n_other"] == 1  # the '!'
         assert r["n_chars_obs"] == 23
         assert (out.loc[1] == 0).all() and (out.loc[2] == 0).all()
+
+
+class TestGlobalRowNumber:
+    def test_dense_and_invariance(self, ray_session):
+        import ray.data
+
+        from record_matcher_ray.pipelines.relational import global_row_number
+
+        rng = np.random.RandomState(2)
+        rows = [
+            {"id": i, "v": float(rng.randint(0, 20))} for i in range(500)
+        ]
+        for blocks in (1, 16):
+            out = (
+                global_row_number(
+                    ray.data.from_items(rows, override_num_blocks=blocks),
+                    ["v", "id"],
+                )
+                .to_pandas().sort_values("rn").reset_index(drop=True)
+            )
+            # dense 1..n, and ordered by (v, id)
+            assert list(out["rn"]) == list(range(1, 501))
+            assert (
+                out[["v", "id"]].apply(tuple, axis=1).is_monotonic_increasing
+            )
+
+    def test_validation(self, ray_session):
+        import pytest as _pytest
+
+        import ray.data
+
+        from record_matcher_ray.pipelines.relational import global_row_number
+
+        with _pytest.raises(ValueError):
+            global_row_number(ray.data.from_items([{"a": 1}]), [])
+
+
+class TestSequencePatternCounts:
+    def test_manual(self, ray_session):
+        import datetime as dt
+
+        import ray.data
+
+        from record_matcher_ray.pipelines.relational import (
+            sequence_pattern_counts,
+        )
+
+        base = dt.datetime(2024, 1, 1)
+        seqs = {1: "ccpvcp", 2: "pcc", 3: "vvv"}
+        rows = []
+        names = {"c": "click", "p": "purchase", "v": "view"}
+        eid = 0
+        for u, s in seqs.items():
+            for i, ch in enumerate(s):
+                rows.append(
+                    {"event_id": eid, "user_id": u,
+                     "ts": base + dt.timedelta(minutes=i),
+                     "event_type": names[ch]}
+                )
+                eid += 1
+        # also an unmapped type that must be dropped from sequences
+        rows.append({"event_id": eid, "user_id": 1, "ts": base,
+                     "event_type": "signup"})
+        out = (
+            sequence_pattern_counts(
+                ray.data.from_items(rows, override_num_blocks=4),
+                "c+p", {"click": "c", "purchase": "p", "view": "v"},
+            )
+            .to_pandas().set_index("user_id")
+        )
+        assert out.loc[1, "n_matches"] == 2 and out.loc[1, "seq_len"] == 6
+        assert out.loc[2, "n_matches"] == 0
+        assert out.loc[3, "n_matches"] == 0
+
+    def test_validation(self, ray_session):
+        import pytest as _pytest
+
+        import ray.data
+
+        from record_matcher_ray.pipelines.relational import (
+            sequence_pattern_counts,
+        )
+
+        with _pytest.raises(ValueError):
+            sequence_pattern_counts(
+                ray.data.from_items([{"a": 1}]), "x", {"t": "xy"}
+            )
