@@ -1634,6 +1634,40 @@ def _q_seq_pattern(sf_dir: str):
     )
 
 
+def _q_explode(sf_dir: str):
+    """posexplode of embedding vectors → (vec_id, pos, val::DOUBLE)."""
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+
+    import ray.data
+
+    from record_matcher_ray.pipelines.table_ops import explode_list
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    out = explode_list(ds, "embedding", "vec_id")
+
+    def widen(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("val")
+        return t.set_column(i, "val", _pc.cast(t["val"], pa.float64()))
+
+    return out.map_batches(widen, batch_format="pyarrow")
+
+
+def _q_centroid_cosine(sf_dir: str):
+    """Pairwise cosine between per-label embedding centroids (exact
+    integer sums; one division + two IEEE sqrts per pair)."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.similarity import label_centroid_cosine
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]
+    )
+    return label_centroid_cosine(ds)
+
+
 def _q_quantile_filter(sf_dir: str):
     """Per-source [0.1, 0.9] length-quantile band filter over documents —
     the quality-curation primitive (trim per-source outliers); exact
@@ -2184,6 +2218,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "script_profile_docs": _q_script_profile,
         "row_number_orders": _q_row_number,
         "seq_pattern_events": _q_seq_pattern,
+        "explode_embeddings": _q_explode,
+        "centroid_cosine_embeddings": _q_centroid_cosine,
         # north-star document pipeline + multimodal plumbing
         "docmatch_corpus": _q_docmatch,
         "media_features": _q_media_features,
@@ -3924,6 +3960,40 @@ def oracle_sql() -> dict[str, str]:
                    len(regexp_extract_all(seq, 'c+p'))::BIGINT
                      AS n_matches
             FROM s
+        """,
+        "explode_embeddings": """
+            SELECT vec_id, i - 1 AS pos, (embedding[i])::DOUBLE AS val
+            FROM embeddings,
+                 unnest(generate_series(1, len(embedding))) AS u(i)
+        """,
+        "centroid_cosine_embeddings": """
+            WITH q AS (
+              SELECT label, i AS dim,
+                     CAST(floor((embedding[i])::DOUBLE * 1048576.0 + 0.5)
+                          AS HUGEINT) AS qv
+              FROM embeddings,
+                   unnest(generate_series(1, len(embedding))) AS u(i)
+            ), s AS (
+              SELECT label, dim, sum(qv) AS sv FROM q GROUP BY label, dim
+            ), d AS (
+              SELECT a.label AS label_a, b.label AS label_b,
+                     sum(a.sv * b.sv) AS dot
+              FROM s a JOIN s b ON a.dim = b.dim AND a.label <= b.label
+              GROUP BY 1, 2
+            ), n AS (
+              SELECT label, sum(sv * sv) AS nrm FROM s GROUP BY label
+            ), x AS (
+              SELECT d.label_a, d.label_b,
+                     (d.dot)::DOUBLE / (sqrt((na.nrm)::DOUBLE)
+                                        * sqrt((nb.nrm)::DOUBLE)) AS c
+              FROM d
+              JOIN n na ON na.label = d.label_a
+              JOIN n nb ON nb.label = d.label_b
+            )
+            SELECT label_a, label_b,
+                   CASE WHEN c >= 0 THEN floor(c * 1e6 + 0.5) / 1e6
+                        ELSE -floor(-c * 1e6 + 0.5) / 1e6 END AS cos_sim
+            FROM x
         """,
         "triangles_orders": """
             WITH raw AS (

@@ -641,3 +641,98 @@ def semantic_decontam(
         )
 
     return train_ds.map_batches(hits, batch_format="pyarrow")
+
+
+def label_centroid_cosine(
+    ds: ray.data.Dataset,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    *,
+    qscale: int = 1 << 20,
+    ndigits: int = 6,
+    max_labels: int = 10_000,
+) -> pd.DataFrame:
+    """Pairwise cosine similarity between per-label embedding CENTROIDS →
+    DataFrame (label_a ≤ label_b, cos_sim) — the domain-drift / cluster-
+    overlap diagnostic ("how close are my sources in embedding space").
+
+    Cosine is scale-invariant, so centroids never need the division by n:
+    cos(mean_i, mean_j) == cos(sum_i, sum_j). Vectors quantize ONCE to
+    integers (⌊x·qscale + 0.5⌋ — the `kmeans` recipe), per-block partial
+    SUMS per label ride the exchange (d int64s per (label, block) — never
+    the vectors), and the driver finishes in EXACT Python big-int
+    arithmetic: dot products and norms are integers, and the only doubles
+    are one division and two IEEE-exact sqrts per pair, in pinned order —
+    replayed bit-for-bit by the DuckDB oracle (including the half-away
+    rounding, written as the same floor expression on both sides).
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t[vec_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.chunk(0) if col.num_chunks == 1 else col.combine_chunks()
+        offs = col.offsets.to_numpy().astype(np.int64)
+        flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        lens = np.diff(offs)
+        if len(lens) and (lens != lens[0]).any():
+            raise ValueError("label_centroid_cosine needs equal-length vectors")
+        d = int(lens[0]) if len(lens) else 0
+        q = np.floor(flat * float(qscale) + 0.5).astype(np.int64)
+        q = q[offs[0]:offs[-1]] if len(offs) else q[:0]
+        qmat = q.reshape(len(lens), d) if d else q.reshape(len(lens), 0)
+        labels = t[label_col].to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(labels)
+        k = len(uniq)
+        # per-dim bincount (buffered, exact: |partial| < 2**53) — not the
+        # unbuffered np.add.at scatter (CLAUDE.md: ~20× slower)
+        sums = np.empty((k, d), np.int64)
+        for j in range(d):
+            sums[:, j] = np.bincount(
+                codes, weights=qmat[:, j].astype(np.float64), minlength=k
+            ).astype(np.int64)
+        cnt = np.bincount(codes, minlength=k).astype(np.int64)
+        return pa.table(
+            {label_col: pa.array(uniq),
+             "n": pa.array(cnt),
+             "s": pa.array(list(sums), pa.list_(pa.int64()))}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    acc: dict = {}
+    for lab, n_, s_ in zip(parts[label_col], parts["n"], parts["s"]):
+        n0, s0 = acc.get(lab, (0, None))
+        sv = [int(x) for x in s_]
+        if s0 is None:
+            acc[lab] = (n0 + int(n_), sv)
+        else:
+            acc[lab] = (n0 + int(n_), [a + b for a, b in zip(s0, sv)])
+    if len(acc) > max_labels:
+        raise ValueError(
+            f"label_centroid_cosine: {len(acc)} labels exceed max_labels="
+            f"{max_labels}; bucket the pair computation at this scale."
+        )
+    labs = sorted(acc)
+    scale = 10.0 ** ndigits
+    rows_a, rows_b, rows_c = [], [], []
+    import math
+
+    for i, la in enumerate(labs):
+        _, sa = acc[la]
+        na = sum(x * x for x in sa)  # exact int norm²
+        for lb in labs[i:]:
+            _, sb = acc[lb]
+            nb = sum(x * x for x in sb)
+            dot = sum(x * y for x, y in zip(sa, sb))  # exact int
+            if na == 0 or nb == 0:
+                c = None
+            else:
+                x = float(dot) / (math.sqrt(float(na)) * math.sqrt(float(nb)))
+                c = (math.floor(x * scale + 0.5) / scale if x >= 0
+                     else -math.floor(-x * scale + 0.5) / scale)
+            rows_a.append(la)
+            rows_b.append(lb)
+            rows_c.append(c)
+    return pd.DataFrame(
+        {"label_a": rows_a, "label_b": rows_b,
+         "cos_sim": pd.array(rows_c, dtype="float64")}
+    )

@@ -732,3 +732,64 @@ def mode_by_group(
             batch_format="pandas",
         )
     )
+
+
+def explode_list(
+    ds: ray.data.Dataset,
+    list_col: str,
+    id_col: str,
+    pos_name: str = "pos",
+    val_name: str = "val",
+) -> ray.data.Dataset:
+    """posexplode: one row per list element → (id_col, pos_name 0-based,
+    val_name) — the list→relational bridge (embedding dims, token lists,
+    span lists). Empty/null lists emit no rows.
+
+    Scale shape: zero shuffle; pure offset arithmetic per batch —
+    np.repeat of ids by list length, a multi-arange for positions, one
+    ``take`` on the flat child array. No per-row Python, no copy of the
+    child values beyond the gather.
+    """
+
+    def fn(t: pa.Table) -> pa.Table:
+        col = t[list_col]
+        ids = t[id_col]
+        chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+        id_parts, pos_parts, val_parts = [], [], []
+        row0 = 0
+        for ch in chunks:
+            n = len(ch)
+            offs = ch.offsets.to_numpy().astype(np.int64)
+            lens = np.diff(offs)
+            lens = np.where(np.asarray(ch.is_null()), 0, lens)
+            total = int(lens.sum())
+            if total:
+                within = np.arange(total, dtype=np.int64) - np.repeat(
+                    np.cumsum(lens) - lens, lens
+                )
+                flat_idx = np.repeat(offs[:-1], lens) + within
+                id_parts.append(
+                    ids.take(pa.array(row0 + np.repeat(
+                        np.arange(n, dtype=np.int64), lens)))
+                )
+                pos_parts.append(pa.array(within))
+                val_parts.append(ch.values.take(pa.array(flat_idx)))
+            row0 += n
+        if not id_parts:
+            child = (col.type.value_type
+                     if not isinstance(col, pa.ChunkedArray)
+                     else col.type.value_type)
+            return pa.table(
+                {id_col: ids.slice(0, 0),
+                 pos_name: pa.array([], pa.int64()),
+                 val_name: pa.array([], child)}
+            )
+        return pa.table(
+            {id_col: pa.concat_arrays(
+                [p.combine_chunks() if isinstance(p, pa.ChunkedArray) else p
+                 for p in id_parts]),
+             pos_name: pa.concat_arrays(pos_parts),
+             val_name: pa.concat_arrays(val_parts)}
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -2084,3 +2084,83 @@ class TestSequencePatternCounts:
             sequence_pattern_counts(
                 ray.data.from_items([{"a": 1}]), "x", {"t": "xy"}
             )
+
+
+class TestExplodeList:
+    def test_manual(self, ray_session):
+        import pyarrow as pa
+
+        import ray.data
+
+        from record_matcher_ray.pipelines.table_ops import explode_list
+
+        t = pa.table(
+            {"id": [1, 2, 3, 4],
+             "l": pa.array([[10, 20], [], None, [7]],
+                           pa.list_(pa.int64()))}
+        )
+        out = (
+            explode_list(ray.data.from_arrow(t), "l", "id")
+            .to_pandas().sort_values(["id", "pos"]).reset_index(drop=True)
+        )
+        assert list(out["id"]) == [1, 1, 4]
+        assert list(out["pos"]) == [0, 1, 0]
+        assert list(out["val"]) == [10, 20, 7]
+
+    def test_partition_invariance(self, ray_session):
+        import ray.data
+
+        from record_matcher_ray.pipelines.table_ops import explode_list
+
+        rows = [{"id": i, "l": list(range(i % 5))} for i in range(100)]
+        outs = []
+        for blocks in (1, 9):
+            outs.append(
+                explode_list(
+                    ray.data.from_items(rows, override_num_blocks=blocks),
+                    "l", "id",
+                )
+                .to_pandas().sort_values(["id", "pos"])
+                .reset_index(drop=True)
+            )
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+class TestLabelCentroidCosine:
+    def test_matches_numpy_and_invariance(self, ray_session):
+        import ray.data
+
+        from record_matcher_ray.pipelines.similarity import (
+            label_centroid_cosine,
+        )
+
+        rng = np.random.RandomState(9)
+        rows = [
+            {"label": int(i % 4),
+             "embedding": [float(x) for x in rng.uniform(-1, 1, 8)]}
+            for i in range(120)
+        ]
+        outs = []
+        for blocks in (1, 7):
+            outs.append(
+                label_centroid_cosine(
+                    ray.data.from_items(rows, override_num_blocks=blocks)
+                )
+            )
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+        out = outs[0].set_index(["label_a", "label_b"])
+        # self-similarity is exactly 1
+        for lab in range(4):
+            assert out.loc[(lab, lab), "cos_sim"] == 1.0
+        # numpy cross-check (quantized, tolerance for the rounding)
+        q = {lab: np.zeros(8) for lab in range(4)}
+        for r in rows:
+            q[r["label"]] += np.floor(
+                np.asarray(r["embedding"]) * (1 << 20) + 0.5
+            )
+        for a in range(4):
+            for b in range(a, 4):
+                exp = q[a] @ q[b] / (
+                    np.linalg.norm(q[a]) * np.linalg.norm(q[b])
+                )
+                assert abs(out.loc[(a, b), "cos_sim"] - exp) < 1e-5
