@@ -1538,6 +1538,11 @@ def global_row_number(
     # batch_size=None → one batch per materialized block, both passes
     heads = m.map_batches(head, batch_size=None,
                           batch_format="pyarrow").to_pandas()
+    if heads.empty:  # empty input: column-less frame, nothing to offset
+        return m.map_batches(
+            lambda t: t.append_column(rn_col, pa.array([], pa.int64())),
+            batch_format="pyarrow",
+        )
     # typed sort — the block order, NOT a stringified key order
     heads = heads.sort_values(order_cols).reset_index(drop=True)
     if heads.duplicated(subset=order_cols).any():

@@ -699,6 +699,8 @@ def label_centroid_cosine(
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     acc: dict = {}
+    if parts.empty:  # empty input yields a column-less partials frame
+        parts = pd.DataFrame({label_col: [], "n": [], "s": []})
     for lab, n_, s_ in zip(parts[label_col], parts["n"], parts["s"]):
         n0, s0 = acc.get(lab, (0, None))
         sv = [int(x) for x in s_]

@@ -357,7 +357,9 @@ def robust_zscore(
         ds.map_batches(quant, batch_format="pyarrow"),
         [group_col], "__c__", (0.5,), n_buckets=n_buckets,
     ).to_pandas()
-    med = dict(zip(med_df[group_col], med_df["q_50"]))
+    # Empty input: the quantile pass yields a column-less frame.
+    med = ({} if med_df.empty
+           else dict(zip(med_df[group_col], med_df["q_50"])))
     if len(med) > _ZSCORE_MAX_GROUPS:
         raise ValueError(
             f"robust_zscore: {len(med)} groups exceed the broadcast cap "
@@ -375,7 +377,8 @@ def robust_zscore(
         ds.map_batches(absdev, batch_format="pyarrow"),
         [group_col], "__a__", (0.5,), n_buckets=n_buckets,
     ).to_pandas()
-    mad = dict(zip(mad_df[group_col], mad_df["q_50"]))
+    mad = ({} if mad_df.empty
+           else dict(zip(mad_df[group_col], mad_df["q_50"])))
 
     def transform(t: pa.Table) -> pa.Table:
         c = _cents(t)

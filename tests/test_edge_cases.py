@@ -132,3 +132,74 @@ def test_token_set_ratio():
     assert sc.token_set_ratio("big data systems", "systems data big") == 100.0
     assert sc.token_set_ratio("alpha beta", "beta gamma") < 100.0
     assert sc.token_set_ratio("", "") == 100.0
+
+
+def test_session4_operators_empty_inputs(ray_session):
+    """Every session-4 operator must survive an empty (but typed) input
+    without schema crashes."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.analysis import (
+        blocklist_filter,
+        char_entropy,
+        normalize_text,
+        script_profile,
+    )
+    from record_matcher_ray.pipelines.graph import triangle_count
+    from record_matcher_ray.pipelines.relational import (
+        global_row_number,
+        percent_rank_by_group,
+        resample_counts,
+        rolling_active,
+        running_total,
+        sequence_pattern_counts,
+    )
+    from record_matcher_ray.pipelines.similarity import label_centroid_cosine
+    from record_matcher_ray.pipelines.stats import robust_zscore
+    from record_matcher_ray.pipelines.table_ops import (
+        explode_list,
+        mode_by_group,
+    )
+
+    docs = rd.from_arrow(
+        pa.table({"doc_id": pa.array([], pa.int64()),
+                  "text": pa.array([], pa.string())})
+    )
+    events = rd.from_arrow(
+        pa.table({"event_id": pa.array([], pa.int64()),
+                  "user_id": pa.array([], pa.int64()),
+                  "ts": pa.array([], pa.timestamp("us")),
+                  "event_type": pa.array([], pa.string()),
+                  "value": pa.array([], pa.float64())})
+    )
+    emb = rd.from_arrow(
+        pa.table({"vec_id": pa.array([], pa.int64()),
+                  "label": pa.array([], pa.int32()),
+                  "embedding": pa.array([], pa.list_(pa.float32()))})
+    )
+    edges = rd.from_arrow(
+        pa.table({"src": pa.array([], pa.int64()),
+                  "dst": pa.array([], pa.int64())})
+    )
+
+    assert normalize_text(docs).count() == 0
+    assert blocklist_filter(docs, ["x"]).count() == 0
+    assert char_entropy(docs).count() == 0
+    assert script_profile(docs).count() == 0
+    assert resample_counts(events).count() == 0
+    assert running_total(events).count() == 0
+    assert percent_rank_by_group(events, "event_type", "value",
+                                 "event_id").count() == 0
+    assert sequence_pattern_counts(events, "c+p",
+                                   {"click": "c", "purchase": "p"}
+                                   ).count() == 0
+    assert robust_zscore(events, "event_type", "value",
+                         "event_id").count() == 0
+    assert mode_by_group(events, "event_type", "user_id").count() == 0
+    assert global_row_number(events, ["event_id"]).count() == 0
+    assert explode_list(emb, "embedding", "vec_id").count() == 0
+    assert len(rolling_active(events)) == 0
+    assert len(label_centroid_cosine(emb)) == 0
+    tri = triangle_count(edges)
+    assert int(tri["n_triangles"][0]) == 0
