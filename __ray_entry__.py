@@ -1634,6 +1634,23 @@ def _q_seq_pattern(sf_dir: str):
     )
 
 
+def _q_snm_pairs(sf_dir: str):
+    """Sorted-neighborhood blocking over customers ordered by
+    (c_name, c_custkey), window 5 → candidate pairs (x_id, y_id, gap)."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.relational import (
+        sorted_neighborhood_pairs,
+    )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    return sorted_neighborhood_pairs(
+        ds, ["c_name", "c_custkey"], "c_custkey", window=5
+    )
+
+
 def _q_explode(sf_dir: str):
     """posexplode of embedding vectors → (vec_id, pos, val::DOUBLE)."""
     import pyarrow as pa
@@ -2218,6 +2235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "script_profile_docs": _q_script_profile,
         "row_number_orders": _q_row_number,
         "seq_pattern_events": _q_seq_pattern,
+        "snm_pairs_customer": _q_snm_pairs,
         "explode_embeddings": _q_explode,
         "centroid_cosine_embeddings": _q_centroid_cosine,
         # north-star document pipeline + multimodal plumbing
@@ -3940,6 +3958,16 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (ORDER BY o_totalprice, o_orderkey)
                      AS rn
             FROM orders
+        """,
+        "snm_pairs_customer": """
+            WITH r AS (
+              SELECT c_custkey AS id,
+                     row_number() OVER (ORDER BY c_name, c_custkey) AS rn
+              FROM customer
+            )
+            SELECT a.id AS x_id, b.id AS y_id,
+                   (b.rn - a.rn)::BIGINT AS gap
+            FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 4
         """,
         "seq_pattern_events": """
             WITH c AS (

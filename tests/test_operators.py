@@ -2164,3 +2164,73 @@ class TestLabelCentroidCosine:
                     np.linalg.norm(q[a]) * np.linalg.norm(q[b])
                 )
                 assert abs(out.loc[(a, b), "cos_sim"] - exp) < 1e-5
+
+
+class TestSortedNeighborhoodPairs:
+    @staticmethod
+    def _brute(rows, window):
+        srt = sorted(rows, key=lambda r: (r["v"], r["id"]))
+        out = set()
+        for i in range(len(srt)):
+            for j in range(i + 1, min(i + window, len(srt))):
+                out.add((srt[i]["id"], srt[j]["id"], j - i))
+        return out
+
+    def test_matches_brute_force_and_partition_invariant(self, ray_session):
+        import ray.data
+
+        from record_matcher_ray.pipelines.relational import (
+            sorted_neighborhood_pairs,
+        )
+
+        rng = np.random.RandomState(7)
+        rows = [
+            {"id": i, "v": float(rng.randint(0, 30))} for i in range(300)
+        ]
+        want = self._brute(rows, 6)
+        for blocks in (1, 16):
+            out = sorted_neighborhood_pairs(
+                ray.data.from_items(rows, override_num_blocks=blocks),
+                ["v", "id"], "id", window=6, n_buckets=7,
+            ).to_pandas()
+            got = set(
+                zip(out["x_id"], out["y_id"], out["gap"])
+            )
+            assert got == want
+            assert len(out) == len(want)  # each pair exactly once
+
+    def test_window_larger_than_input(self, ray_session):
+        import ray.data
+
+        from record_matcher_ray.pipelines.relational import (
+            sorted_neighborhood_pairs,
+        )
+
+        rows = [{"id": i, "v": i} for i in range(3)]
+        out = sorted_neighborhood_pairs(
+            ray.data.from_items(rows), ["v", "id"], "id", window=10,
+        ).to_pandas()
+        assert len(out) == 3  # C(3,2)
+        assert set(out["gap"]) == {1, 2}
+
+    def test_validation_and_empty(self, ray_session):
+        import pytest as _pytest
+
+        import ray.data
+
+        from record_matcher_ray.pipelines.relational import (
+            sorted_neighborhood_pairs,
+        )
+
+        with _pytest.raises(ValueError):
+            sorted_neighborhood_pairs(
+                ray.data.from_items([{"id": 1}]), ["id"], "id", window=1
+            )
+        empty = ray.data.from_items(
+            [{"id": 1, "v": 2}]
+        ).filter(lambda r: False)
+        out = sorted_neighborhood_pairs(empty, ["v", "id"], "id", window=3)
+        # stable schema even for zero rows (to_pandas drops columns on an
+        # empty from_arrow dataset — assert on the Dataset schema)
+        assert out.schema().names == ["x_id", "y_id", "gap"]
+        assert out.count() == 0
