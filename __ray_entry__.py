@@ -1651,6 +1651,19 @@ def _q_snm_pairs(sf_dir: str):
     )
 
 
+def _q_soundex(sf_dir: str):
+    """Simplified-Soundex phonetic blocking keys over part names —
+    zero-shuffle vectorized byte pass, (p_partkey, soundex)."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.analysis import soundex_codes
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    )
+    return soundex_codes(ds, "p_name", "p_partkey")
+
+
 def _q_explode(sf_dir: str):
     """posexplode of embedding vectors → (vec_id, pos, val::DOUBLE)."""
     import pyarrow as pa
@@ -2236,6 +2249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "row_number_orders": _q_row_number,
         "seq_pattern_events": _q_seq_pattern,
         "snm_pairs_customer": _q_snm_pairs,
+        "soundex_part": _q_soundex,
         "explode_embeddings": _q_explode,
         "centroid_cosine_embeddings": _q_centroid_cosine,
         # north-star document pipeline + multimodal plumbing
@@ -3958,6 +3972,36 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (ORDER BY o_totalprice, o_orderkey)
                      AS rn
             FROM orders
+        """,
+        "soundex_part": """
+            WITH l AS (
+              SELECT p_partkey,
+                     upper(regexp_replace(coalesce(p_name, ''),
+                                          '[^A-Za-z]', '', 'g')) AS ls
+              FROM part
+            ), d AS (
+              SELECT p_partkey, ls,
+                     translate(ls, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                               '01230120022455012623010202') AS dg
+              FROM l
+            ), c AS (
+              -- collapse runs per digit (RE2 has no backreferences)
+              SELECT p_partkey, ls,
+                regexp_replace(regexp_replace(regexp_replace(
+                regexp_replace(regexp_replace(regexp_replace(
+                regexp_replace(dg,
+                  '0+', '0', 'g'), '1+', '1', 'g'), '2+', '2', 'g'),
+                  '3+', '3', 'g'), '4+', '4', 'g'), '5+', '5', 'g'),
+                  '6+', '6', 'g') AS cs
+              FROM d
+            )
+            SELECT p_partkey,
+                   CASE WHEN ls = '' THEN ''
+                        ELSE substr(ls, 1, 1) ||
+                             rpad(substr(replace(substr(cs, 2), '0', ''),
+                                         1, 3), 3, '0')
+                   END AS soundex
+            FROM c
         """,
         "snm_pairs_customer": """
             WITH r AS (

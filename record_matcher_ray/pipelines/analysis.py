@@ -720,3 +720,83 @@ def script_profile(
         return pa.table(cols)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# letter→code table for American Soundex (simplified: H and W code to 0
+# like vowels, i.e. they BREAK runs rather than being transparent — the
+# one deviation from the archival NARA rule, chosen because it is exactly
+# replayable as translate()+run-collapse in ANSI SQL)
+_SOUNDEX_LUT = np.frombuffer(b"01230120022455012623010202", dtype=np.uint8)
+
+
+def soundex_codes(
+    ds: ray.data.Dataset, text_col: str, id_col: str,
+    out_col: str = "soundex",
+) -> ray.data.Dataset:
+    """Phonetic blocking keys (simplified American Soundex): uppercase
+    ASCII letters only (every other codepoint dropped), first letter +
+    three digits from the code table B F P V→1, C G J K Q S X Z→2,
+    D T→3, L→4, M N→5, R→6 (vowels, H, W, Y→0) with adjacent equal
+    codes collapsed BEFORE the first letter's code is removed and the
+    zeros dropped, right-padded with '0' → e.g. "Robert"→"R163",
+    "Rupert"→"R163", "Ashcraft"→"A226". Null/letter-free text → "".
+    The classic cheap ER blocking key for misspelled name columns —
+    complements ``sorted_neighborhood_pairs`` (rank-distance blocking)
+    and the equi-blocking ``columns_to_group`` path (reference
+    records.py:106 semantics need EXACT keys; soundex keys make them
+    typo-tolerant). → (id_col, out_col).
+
+    Scale shape: zero shuffle, one utf8→utf32 transcode per batch, then
+    pure vectorized masks / run-collapse / scatter into a fixed (n, 4)
+    byte matrix — no per-row Python, no regex.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(pc.cast(batch[text_col], pa.string()), "")
+        n = len(batch)
+        if isinstance(text, pa.ChunkedArray):
+            chunks = list(text.chunks) or [pa.array([], pa.string())]
+        else:
+            chunks = [text]
+        parts = [_chunk_codepoints(c) for c in chunks]
+        cp = np.concatenate([p[0] for p in parts])
+        lens = np.concatenate([p[1] for p in parts])
+        row = np.repeat(np.arange(n, dtype=np.int64), lens)
+        # uppercase ASCII letters, drop everything else
+        up = np.where((cp >= 97) & (cp <= 122), cp - 32, cp)
+        m = (up >= 65) & (up <= 90)
+        up, row = up[m], row[m]
+        out = np.full((n, 4), ord("0"), np.uint8)
+        has = np.zeros(n, bool)
+        if len(up):
+            d = _SOUNDEX_LUT[up - 65]  # ASCII '0'..'6' per letter
+            first = np.empty(len(row), bool)
+            first[0] = True
+            first[1:] = row[1:] != row[:-1]
+            out[row[first], 0] = up[first].astype(np.uint8)
+            has[row[first]] = True
+            # collapse adjacent equal codes within a row
+            keep = first.copy()
+            keep[1:] |= d[1:] != d[:-1]
+            d2, row2, first2 = d[keep], row[keep], first[keep]
+            # position within the collapsed row
+            seg_start = np.flatnonzero(first2)
+            seg_len = np.diff(np.append(seg_start, len(d2)))
+            pos = np.arange(len(d2), dtype=np.int64) - np.repeat(
+                seg_start, seg_len
+            )
+            # digits after the first letter's code, zeros dropped
+            sel = (pos > 0) & (d2 != ord("0"))
+            cs = np.cumsum(sel.astype(np.int64))
+            excl = cs - sel  # exclusive prefix count
+            rank = excl - np.repeat(excl[seg_start], seg_len)
+            hit = sel & (rank < 3)
+            out[row2[hit], rank[hit] + 1] = d2[hit]
+        codes = out.view("S4").ravel().astype("U4").astype(object)
+        codes[~has] = ""
+        return pa.table({
+            id_col: batch[id_col],
+            out_col: pa.array(codes, pa.string()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")

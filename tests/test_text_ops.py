@@ -531,3 +531,47 @@ class TestCharEntropy:
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestSoundex:
+    def test_classic_names_and_edges(self, ray_session):
+        from record_matcher_ray.pipelines.analysis import soundex_codes
+
+        names = [
+            ("Robert", "R163"), ("Rupert", "R163"), ("Tymczak", "T522"),
+            ("Pfister", "P236"), ("Honeyman", "H555"),
+            # simplified variant: H/W break runs (NARA would give A261)
+            ("Ashcraft", "A226"),
+            ("", ""), (None, ""), ("12 3!", ""),
+            # non-ASCII codepoints drop before coding: Müller -> MLLR
+            ("Müller", "M460"),
+            ("alice smith", "A422"),  # full-string key, spaces dropped
+            ("a", "A000"), ("AAAA", "A000"),
+        ]
+        t = pa.table({
+            "i": list(range(len(names))),
+            "t": pa.array([n for n, _ in names], pa.string()),
+        })
+        out = (
+            soundex_codes(ray.data.from_arrow(t), "t", "i")
+            .to_pandas().sort_values("i")
+        )
+        assert out["soundex"].tolist() == [c for _, c in names]
+
+    def test_partition_invariant(self, ray_session):
+        from record_matcher_ray.pipelines.analysis import soundex_codes
+
+        rows = [{"i": k, "t": f"name{k} variant {k % 7}"} for k in range(200)]
+        ref = None
+        for blocks in (1, 13):
+            out = (
+                soundex_codes(
+                    ray.data.from_items(rows, override_num_blocks=blocks),
+                    "t", "i",
+                )
+                .to_pandas().sort_values("i").reset_index(drop=True)
+            )
+            if ref is None:
+                ref = out
+            else:
+                assert out.equals(ref)
