@@ -1739,6 +1739,19 @@ def _q_countmin(sf_dir: str):
     )
 
 
+def _q_kmv(sf_dir: str):
+    """KMV bottom-k distinct sketch over o_custkey (k=256): per-block
+    bottom-k hash partials, driver merge, (k-1)·2^64/h_k estimator."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.sketches import kmv_distinct
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    )
+    return kmv_distinct(ds, "o_custkey", k=256)
+
+
 def _q_approx_distinct(sf_dir: str):
     """HyperLogLog approximate distinct o_custkey per o_orderstatus plus
     a global 'ALL' row (p=12) — fixed-size mergeable partials, raw
@@ -2203,6 +2216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_quantiles_orders": _q_approx_quantiles,
         "latest_order_per_customer": _q_latest_order,
         "approx_distinct_orders": _q_approx_distinct,
+        "kmv_orders": _q_kmv,
         "countmin_orders": _q_countmin,
         "quantile_filter_docs": _q_quantile_filter,
         "winsorize_docs": _q_winsorize,
@@ -2558,10 +2572,33 @@ def _sketch_oracles() -> dict[str, str]:
         FROM probe k LEFT JOIN pos c ON k.i = c.i AND k.p = c.p
         GROUP BY k.custkey ORDER BY k.custkey
     """
+    # KMV bottom-k replay (sketches.kmv_distinct): distinct splitmix64
+    # hashes, k smallest, estimator (k-1)*2^64/h_k in one pinned double
+    # division ((k-1)*2^64 is a power-of-two product — exact double).
+    kmv_k = 256
+    kmv = f"""
+        WITH h AS (
+          SELECT DISTINCT ({hu}) AS hu
+          FROM (SELECT o_custkey AS v FROM orders)
+        ), bk AS (SELECT hu FROM h ORDER BY hu LIMIT {kmv_k}),
+        agg AS (
+          SELECT count(*)::BIGINT AS n_kept,
+                 coalesce(max(hu), 0)::UBIGINT AS kth,
+                 (SELECT count(*) FROM h)::BIGINT AS n_all
+          FROM bk
+        )
+        SELECT {kmv_k}::BIGINT AS k, n_kept, kth AS kth_hash,
+               CASE WHEN n_all < {kmv_k} THEN n_all::DOUBLE
+                    ELSE round({kmv_k - 1}.0::DOUBLE
+                               * {C264} / kth::DOUBLE, 6)
+               END AS est_distinct
+        FROM agg
+    """
     return {
         "approx_distinct_orders": hll,
         "kmeans_embeddings": _kmeans_oracle(),
         "countmin_orders": cm,
+        "kmv_orders": kmv,
     }
 
 

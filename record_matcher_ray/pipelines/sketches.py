@@ -193,6 +193,65 @@ def cm_estimate(
     return ests.min(axis=0)
 
 
+def kmv_partials(
+    ds: ray.data.Dataset, col: str, k: int = 256
+) -> ray.data.Dataset:
+    """Per-block KMV (bottom-k / k-minimum-values) partials: the ``k``
+    smallest distinct ``column_hash64`` values of each block, one
+    list<uint64> row per block. Union-of-bottom-k == bottom-k-of-union,
+    so the merge is partitioning- and merge-order-invariant (set
+    semantics, like the HLL register max)."""
+    from record_matcher_ray.core.hashkernels import column_hash64, mix64
+
+    def partial(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"hs": pa.array([], pa.list_(pa.uint64()))})
+        col_arr = t[col]
+        h = column_hash64(col_arr)
+        if pa.types.is_string(col_arr.type):
+            h = mix64(h)
+        u = np.unique(h)  # sorted distinct
+        return pa.table({"hs": pa.array([u[:k]], pa.list_(pa.uint64()))})
+
+    return ds.map_batches(partial, batch_format="pyarrow")
+
+
+def kmv_distinct(
+    ds: ray.data.Dataset, col: str, k: int = 256
+) -> pd.DataFrame:
+    """Approximate distinct count via the KMV estimator — the sketch
+    whose state is a SAMPLE of the distinct values (unlike HLL's
+    registers), which is what makes set-operation estimates and
+    distinct-value sampling possible downstream. Per-block bottom-k
+    partials (``k``×8 bytes each) merge on the driver; if the union
+    holds fewer than ``k`` hashes nothing was truncated anywhere, so the
+    count is EXACT; otherwise est = (k−1)·2⁶⁴ / h₍ₖ₎ (one double
+    division — pinned order, SQL-replayable; (k−1)·2⁶⁴ is a power-of-two
+    product, exact in a double for k ≤ 2⁵³).
+    → DataFrame(k, n_kept, kth_hash, est_distinct) — one row.
+    """
+    parts = kmv_partials(ds, col, k=k).to_pandas()
+    if len(parts) == 0:
+        u = np.empty(0, np.uint64)
+    else:
+        u = np.unique(np.concatenate(
+            [np.asarray(r, dtype=np.uint64) for r in parts["hs"]]
+        ))
+    u = u[:k]
+    n_kept = len(u)
+    kth = int(u[-1]) if n_kept else 0  # 0 sentinel for empty input
+    if n_kept < k:
+        est = float(n_kept)  # exact — no partial ever truncated
+    else:
+        est = round((k - 1) * 18446744073709551616.0 / float(u[k - 1]), 6)
+    return pd.DataFrame({
+        "k": pd.Series([k], dtype=np.int64),
+        "n_kept": pd.Series([n_kept], dtype=np.int64),
+        "kth_hash": pd.Series([kth], dtype=np.uint64),
+        "est_distinct": pd.Series([est], dtype=np.float64),
+    })
+
+
 def approx_quantiles(
     ds: ray.data.Dataset,
     col: str,

@@ -364,3 +364,46 @@ def test_profile_table(ray_session):
     out2 = profile_table(rd.from_arrow(t).repartition(2)).set_index(
         "col_name")
     assert out.loc["k", "n_distinct"] == out2.loc["k", "n_distinct"]
+
+
+class TestKMV:
+    def test_exact_below_k_and_estimate_above(self, ray_session):
+        import ray.data
+
+        from record_matcher_ray.pipelines.sketches import kmv_distinct
+
+        # distinct < k → exact count, no estimator involved
+        rows = [{"v": i % 100} for i in range(1000)]
+        out = kmv_distinct(ray.data.from_items(rows), "v", k=256)
+        assert out["n_kept"].iloc[0] == 100
+        assert out["est_distinct"].iloc[0] == 100.0
+
+        # distinct >> k → estimator within ~12% (k=256 → σ≈1/√k≈6%)
+        rows = [{"v": i} for i in range(5000)]
+        out = kmv_distinct(ray.data.from_items(rows), "v", k=256)
+        est = out["est_distinct"].iloc[0]
+        assert abs(est - 5000) / 5000 < 0.12
+
+    def test_partition_invariant(self, ray_session):
+        import ray.data
+
+        from record_matcher_ray.pipelines.sketches import kmv_distinct
+
+        rows = [{"v": f"user-{i % 777}"} for i in range(3000)]
+        outs = [
+            kmv_distinct(
+                ray.data.from_items(rows, override_num_blocks=b), "v", k=64
+            )
+            for b in (1, 16)
+        ]
+        assert outs[0].equals(outs[1])
+
+    def test_empty(self, ray_session):
+        import ray.data
+
+        from record_matcher_ray.pipelines.sketches import kmv_distinct
+
+        empty = ray.data.from_items([{"v": 1}]).filter(lambda r: False)
+        out = kmv_distinct(empty, "v", k=8)
+        assert out["n_kept"].iloc[0] == 0
+        assert out["est_distinct"].iloc[0] == 0.0
