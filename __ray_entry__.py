@@ -1664,6 +1664,19 @@ def _q_soundex(sf_dir: str):
     return soundex_codes(ds, "p_name", "p_partkey")
 
 
+def _q_pareto(sf_dir: str):
+    """2-D Pareto frontier (anti-dominance skyline) of orders maximizing
+    (o_totalprice, o_orderdate) — per-block local frontiers via one
+    lexsort + prefix max, tiny driver merge, zero shuffle
+    (table_ops.pareto_frontier)."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.table_ops import pareto_frontier
+
+    ds = ray.data.read_parquet(f"{sf_dir}/orders.parquet")
+    return pareto_frontier(ds, "o_totalprice", "o_orderdate")
+
+
 def _q_explode(sf_dir: str):
     """posexplode of embedding vectors → (vec_id, pos, val::DOUBLE)."""
     import pyarrow as pa
@@ -2264,6 +2277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_pattern_events": _q_seq_pattern,
         "snm_pairs_customer": _q_snm_pairs,
         "soundex_part": _q_soundex,
+        "pareto_orders": _q_pareto,
         "explode_embeddings": _q_explode,
         "centroid_cosine_embeddings": _q_centroid_cosine,
         # north-star document pipeline + multimodal plumbing
@@ -4039,6 +4053,26 @@ def oracle_sql() -> dict[str, str]:
                                          1, 3), 3, '0')
                    END AS soundex
             FROM c
+        """,
+        "pareto_orders": """
+            -- skyline replay of the engine's own algorithm: per-x max y,
+            -- survive iff y == group max AND y > max over strictly
+            -- greater x (equivalent to WHERE NOT EXISTS dominating row)
+            WITH g AS (
+              SELECT o_totalprice AS x, max(o_orderdate) AS gy
+              FROM orders
+              WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL
+              GROUP BY x
+            ), p AS (
+              SELECT x, gy,
+                     max(gy) OVER (ORDER BY x DESC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS prev
+              FROM g
+            )
+            SELECT a.* FROM orders a JOIN p ON a.o_totalprice = p.x
+            WHERE a.o_orderdate = p.gy
+              AND (p.prev IS NULL OR a.o_orderdate > p.prev)
         """,
         "snm_pairs_customer": """
             WITH r AS (

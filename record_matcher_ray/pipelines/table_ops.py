@@ -793,3 +793,99 @@ def explode_list(
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _skyline_mask(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Boolean survive-mask of the 2-D maximize-both Pareto frontier:
+    row a is dominated iff some b has b.x ≥ a.x, b.y ≥ a.y and is
+    strictly greater in at least one (duplicate points survive
+    together). One lexsort + two prefix scans — no pairwise loop."""
+    n = len(x)
+    if n == 0:
+        return np.zeros(0, bool)
+    order = np.lexsort((-y, -x))  # x desc, then y desc
+    xs, ys = x[order], y[order]
+    first = np.empty(n, bool)
+    first[0] = True
+    first[1:] = xs[1:] != xs[:-1]
+    gidx = np.cumsum(first) - 1  # x-group id per row
+    gmax = ys[first]             # max y per x-group (y desc inside group)
+    # max y over all STRICTLY greater x = prefix max of previous groups
+    mprev = np.empty(len(gmax), dtype=gmax.dtype)
+    mprev[0] = (-np.inf if gmax.dtype.kind == "f"
+                else np.iinfo(gmax.dtype).min)
+    np.maximum.accumulate(gmax[:-1], out=mprev[1:])
+    survive_sorted = (ys == gmax[gidx]) & (ys > mprev[gidx])
+    out = np.zeros(n, bool)
+    out[order] = survive_sorted
+    return out
+
+
+def pareto_frontier(
+    ds: ray.data.Dataset,
+    x_col: str,
+    y_col: str,
+    maximize: tuple[bool, bool] = (True, True),
+    max_partial_rows: int = 5_000_000,
+) -> ray.data.Dataset:
+    """2-D Pareto frontier (SQL anti-dominance skyline): the rows no
+    other row weakly dominates in (``x_col``, ``y_col``) with strict
+    improvement somewhere. ``maximize`` flips either axis to minimize.
+    Rows with a null/NaN in either column are dropped (SQL dominance
+    comparisons would make them vacuous survivors — a footgun, not a
+    frontier). Equivalent SQL: ``WHERE NOT EXISTS (dominating b)``.
+
+    Scale shape: skyline(A ∪ B) = skyline(skyline(A) ∪ skyline(B)), so
+    each block reduces to its LOCAL frontier first (vectorized — one
+    lexsort, two prefix scans) and only those survivors reach the
+    driver's final identical pass; zero shuffle. The union of partial
+    frontiers is guarded by ``max_partial_rows`` with an actionable
+    error (frontier size is data-dependent: anti-correlated axes can
+    make it O(n))."""
+    sgn_x = 1.0 if maximize[0] else -1.0
+    sgn_y = 1.0 if maximize[1] else -1.0
+
+    def _keys(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        def axis(col: str, sgn: float) -> np.ndarray:
+            a = t[col]
+            if pa.types.is_timestamp(a.type) or pa.types.is_date(a.type):
+                a = pc.cast(pc.cast(a, pa.timestamp("us")), pa.int64())
+            v = a.to_numpy(zero_copy_only=False)
+            if v.dtype.kind in "iu":  # exact — no 2^53 double rounding
+                v = v.astype(np.int64)
+                return -v if sgn < 0 else v
+            return sgn * v.astype(np.float64)
+
+        return axis(x_col, sgn_x), axis(y_col, sgn_y)
+
+    def local(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t
+        ok = pc.and_(pc.is_valid(t[x_col]), pc.is_valid(t[y_col]))
+        t = t.filter(ok)
+        if len(t) == 0:
+            return t
+        x, y = _keys(t)
+        fin = np.isfinite(x) & np.isfinite(y)
+        if not fin.all():
+            t = t.filter(pa.array(fin))
+            x, y = x[fin], y[fin]
+        return t.filter(pa.array(_skyline_mask(x, y)))
+
+    parts = ds.map_batches(local, batch_format="pyarrow").materialize()
+    n = parts.count()
+    if n > max_partial_rows:
+        raise ValueError(
+            f"pareto_frontier: union of per-block frontiers has {n} rows "
+            f"(> max_partial_rows={max_partial_rows}) — the frontier "
+            "itself is near-linear in the data (anti-correlated axes). "
+            "Pre-aggregate or bucket one axis before taking a skyline."
+        )
+    refs = parts.to_arrow_refs()
+    tables = [tb for tb in ray.get(refs) if tb.num_rows > 0]
+    if not tables:
+        return parts  # empty, schema preserved
+    allt = pa.concat_tables([t.combine_chunks() for t in tables])
+    x, y = _keys(allt)
+    final = allt.filter(pa.array(_skyline_mask(x, y)))
+    return ray.data.from_arrow(final)

@@ -2234,3 +2234,83 @@ class TestSortedNeighborhoodPairs:
         # empty from_arrow dataset — assert on the Dataset schema)
         assert out.schema().names == ["x_id", "y_id", "gap"]
         assert out.count() == 0
+
+
+class TestParetoFrontier:
+    @staticmethod
+    def _brute(df, maximize=(True, True)):
+        sx = 1 if maximize[0] else -1
+        sy = 1 if maximize[1] else -1
+        x = sx * df["x"].to_numpy()
+        y = sy * df["y"].to_numpy()
+        keep = []
+        for i in range(len(df)):
+            dominated = (
+                (x >= x[i]) & (y >= y[i]) & ((x > x[i]) | (y > y[i]))
+            ).any()
+            if not dominated:
+                keep.append(df["id"].iloc[i])
+        return sorted(keep)
+
+    def test_matches_bruteforce_with_ties(self, ray_session):
+        import ray.data as rd
+
+        from record_matcher_ray.pipelines.table_ops import pareto_frontier
+
+        rng = np.random.RandomState(7)
+        df = pd.DataFrame(
+            {
+                "id": np.arange(800, dtype=np.int64),
+                # small integer grid → lots of ties and duplicate points
+                "x": rng.randint(0, 25, 800).astype(np.int64),
+                "y": rng.randint(0, 25, 800).astype(np.int64),
+            }
+        )
+        ds = rd.from_pandas(df).repartition(9)
+        for mx in [(True, True), (True, False), (False, True),
+                   (False, False)]:
+            out = pareto_frontier(ds, "x", "y", maximize=mx).to_pandas()
+            assert sorted(out["id"]) == self._brute(df, mx), mx
+
+    def test_nulls_dropped_and_floats(self, ray_session):
+        import ray.data as rd
+
+        from record_matcher_ray.pipelines.table_ops import pareto_frontier
+
+        rng = np.random.RandomState(11)
+        df = pd.DataFrame(
+            {
+                "id": np.arange(400, dtype=np.int64),
+                "x": rng.randn(400),
+                "y": rng.randn(400),
+            }
+        )
+        df.loc[::17, "x"] = np.nan
+        ds = rd.from_pandas(df).repartition(5)
+        out = pareto_frontier(ds, "x", "y").to_pandas()
+        clean = df[df["x"].notna()].reset_index(drop=True)
+        assert sorted(out["id"]) == self._brute(clean)
+
+    def test_empty_and_cap(self, ray_session):
+        import pytest as _pytest
+
+        import ray.data as rd
+
+        from record_matcher_ray.pipelines.table_ops import pareto_frontier
+
+        empty = rd.from_items([{"id": 1, "x": 1.0, "y": 2.0}]).filter(
+            lambda r: False
+        )
+        assert pareto_frontier(empty, "x", "y").count() == 0
+
+        # anti-correlated line: every point survives → cap trips
+        df = pd.DataFrame(
+            {
+                "id": np.arange(100, dtype=np.int64),
+                "x": np.arange(100, dtype=np.int64),
+                "y": -np.arange(100, dtype=np.int64),
+            }
+        )
+        ds = rd.from_pandas(df).repartition(4)
+        with _pytest.raises(ValueError, match="max_partial_rows"):
+            pareto_frontier(ds, "x", "y", max_partial_rows=50)
