@@ -2145,6 +2145,70 @@ def _q_orders_customer_full(sf_dir: str):
     return out.map_batches(fin, batch_format="pyarrow")
 
 
+def _q_edjoin(sf_dir: str):
+    """Exact edit-distance similarity self-join over part names (Ed-Join
+    family: q-gram count-filter candidates + Myers bit-parallel verify +
+    dup-group expansion) → (x_id, y_id, dist) for dist ≤ 2."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.linkage import edit_distance_self_join
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    )
+    return edit_distance_self_join(
+        ds, "p_name", "p_partkey", max_dist=2, q=2
+    )
+
+
+def _q_fellegi_sunter(sf_dir: str):
+    """Fellegi-Sunter probabilistic linkage over nation-blocked customer
+    pairs, comparing (mktsegment, acctbal-band-of-100): u-probabilities
+    from exact value-frequency sums of squares, log-likelihood weights,
+    match/possible/nonmatch at (4.0, 0.0)."""
+    import numpy as np
+    import ray.data
+
+    from record_matcher_ray.pipelines.linkage import fellegi_sunter_link
+
+    ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet")
+
+    def add_band(t):
+        import numpy as np
+        import pyarrow as pa
+
+        b = np.floor(
+            t["c_acctbal"].to_numpy(zero_copy_only=False) / 100.0
+        ).astype(np.int64)
+        return t.append_column("band", pa.array(b))
+
+    return fellegi_sunter_link(
+        ds.map_batches(add_band, batch_format="pyarrow"),
+        "c_custkey",
+        "c_nationkey",
+        ["c_mktsegment", "band"],
+        t_upper=4.0,
+        t_lower=0.0,
+    )
+
+
+def _q_metablock(sf_dir: str):
+    """Token blocking + meta-blocking with Weighted Edge Pruning over
+    part (name, brand, type) tokens → candidate pairs with CBS weight
+    strictly above the global mean weight."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.linkage import metablock_wep_pairs
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_name", "p_brand", "p_type"],
+    )
+    return metablock_wep_pairs(
+        ds, "p_partkey", ["p_name", "p_brand", "p_type"]
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from record_matcher_ray.pipelines import analysis, relational
 
@@ -2277,6 +2341,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seq_pattern_events": _q_seq_pattern,
         "snm_pairs_customer": _q_snm_pairs,
         "soundex_part": _q_soundex,
+        "edjoin_part": _q_edjoin,
+        "fs_score_customer": _q_fellegi_sunter,
+        "metablock_part": _q_metablock,
         "pareto_orders": _q_pareto,
         "explode_embeddings": _q_explode,
         "centroid_cosine_embeddings": _q_centroid_cosine,
@@ -4023,6 +4090,80 @@ def oracle_sql() -> dict[str, str]:
                    row_number() OVER (ORDER BY o_totalprice, o_orderkey)
                      AS rn
             FROM orders
+        """,
+        "edjoin_part": """
+            WITH c AS (
+              SELECT a.p_partkey AS x_id, b.p_partkey AS y_id,
+                     levenshtein(a.p_name, b.p_name) AS d
+              FROM part a JOIN part b
+                ON a.p_partkey < b.p_partkey
+               AND abs(length(a.p_name) - length(b.p_name)) <= 2
+            )
+            SELECT x_id, y_id, (d)::BIGINT AS dist FROM c WHERE d <= 2
+        """,
+        "fs_score_customer": """
+            WITH f AS (
+              SELECT c_custkey AS id, c_nationkey AS blk,
+                     c_mktsegment AS f1,
+                     CAST(floor(c_acctbal / (100.0)::DOUBLE) AS BIGINT)
+                       AS f2
+              FROM customer
+            ), nn AS (SELECT count(*) AS n FROM f),
+            u1 AS (
+              SELECT sum(c*c) AS ssq FROM (
+                SELECT count(*) AS c FROM f
+                WHERE f1 IS NOT NULL GROUP BY f1)
+            ), u2 AS (
+              SELECT sum(c*c) AS ssq FROM (
+                SELECT count(*) AS c FROM f
+                WHERE f2 IS NOT NULL GROUP BY f2)
+            ), uv AS (
+              SELECT (u1.ssq)::DOUBLE / ((nn.n * nn.n))::DOUBLE AS u1v,
+                     (u2.ssq)::DOUBLE / ((nn.n * nn.n))::DOUBLE AS u2v
+              FROM u1, u2, nn
+            ), w AS (
+              SELECT ln((0.9)::DOUBLE) - ln(u1v) AS wa1,
+                     ln((1.0)::DOUBLE - (0.9)::DOUBLE)
+                       - ln((1.0)::DOUBLE - u1v) AS wd1,
+                     ln((0.9)::DOUBLE) - ln(u2v) AS wa2,
+                     ln((1.0)::DOUBLE - (0.9)::DOUBLE)
+                       - ln((1.0)::DOUBLE - u2v) AS wd2
+              FROM uv
+            ), s AS (
+              SELECT a.id AS x_id, b.id AS y_id,
+                     (CASE WHEN a.f1 IS NOT NULL AND a.f1 = b.f1
+                           THEN w.wa1 ELSE w.wd1 END)
+                     + (CASE WHEN a.f2 IS NOT NULL AND a.f2 = b.f2
+                             THEN w.wa2 ELSE w.wd2 END) AS sc
+              FROM f a JOIN f b ON a.blk = b.blk AND a.id < b.id, w
+            )
+            SELECT x_id, y_id,
+                   CASE WHEN sc >= 0 THEN floor(sc * 1e6 + 0.5) / 1e6
+                        ELSE -floor(-sc * 1e6 + 0.5) / 1e6 END AS score,
+                   CASE WHEN sc >= (4.0)::DOUBLE THEN 'match'
+                        WHEN sc >= (0.0)::DOUBLE THEN 'possible'
+                        ELSE 'nonmatch' END AS decision
+            FROM s
+        """,
+        "metablock_part": """
+            WITH tok AS (
+              SELECT DISTINCT p_partkey AS id, lower(u.tok) AS tok
+              FROM part,
+                   unnest(string_split(
+                     p_name || ' ' || p_brand || ' ' || p_type, ' '
+                   )) AS u(tok)
+              WHERE length(u.tok) > 0
+            ), e AS (
+              SELECT a.id AS x_id, b.id AS y_id,
+                     (count(*))::BIGINT AS weight
+              FROM tok a JOIN tok b ON a.tok = b.tok AND a.id < b.id
+              GROUP BY 1, 2
+            ), t AS (
+              SELECT (sum(weight))::DOUBLE / (count(*))::DOUBLE AS mw
+              FROM e
+            )
+            SELECT x_id, y_id, weight FROM e, t
+            WHERE (weight)::DOUBLE > t.mw
         """,
         "soundex_part": """
             WITH l AS (

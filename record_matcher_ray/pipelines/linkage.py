@@ -1,0 +1,713 @@
+"""Record-linkage primitives beyond the reference's grouped matcher:
+string-similarity self-join, Fellegi-Sunter probabilistic scoring, and
+meta-blocking — the candidate-generation / pair-classification toolbox a
+100-TB entity-resolution pipeline runs BEFORE a scorer like the
+reference's ``records_match`` (reference matcher.py:92 scores pairs the
+caller already grouped; these operators produce those pairs at scale).
+
+All three follow the repo's bucketed-exchange contract (CLAUDE.md): the
+shuffle key is always a ≤``n_buckets`` hash bucket, never a raw
+high-cardinality key; per-group work is vectorized over np boundaries.
+
+* :func:`edit_distance_self_join` — Ed-Join/PassJoin-style exact
+  similarity join: q-gram candidate generation with the count-filter
+  completeness bound, bit-parallel Myers verification, dup-group
+  expansion. Short-field contract: the TEXT rides the exchange (like
+  simhash_near_dups' fingerprint), so verification is local.
+* :func:`fellegi_sunter_link` — the classic probabilistic record-linkage
+  model (Fellegi & Sunter, JASA 1969): per-field u-probabilities
+  estimated from the data's value-frequency distribution (exact integer
+  sums of squares), fixed m-probabilities, log-likelihood agreement
+  weights, match/possible/nonmatch classification.
+* :func:`metablock_wep_pairs` — token blocking + meta-blocking with
+  Weighted Edge Pruning (Papadakis et al., "Meta-Blocking: Taking Entity
+  Resolution to the Next Level", TKDE 2014): CBS edge weights (number of
+  shared blocks), prune edges at or below the global mean weight.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from record_matcher_ray.core.hashkernels import (
+    column_hash64,
+    mix64,
+    unique_per_doc,
+    utf8_view,
+    whole_hashes,
+    window_hashes,
+)
+from record_matcher_ray.pipelines.dedup import _group_pairs
+
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _bucket_u64(h: np.ndarray, n_buckets: int) -> np.ndarray:
+    """uint64/int64 hash array → int64 bucket ids in [0, n_buckets)."""
+    return (
+        (h.view(np.uint64) * _GOLD >> np.uint64(33))
+        % np.uint64(n_buckets)
+    ).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# edit-distance similarity self-join
+# ---------------------------------------------------------------------------
+
+
+def _lev_dist_elementwise(xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
+    """RAW edit distance of aligned string pairs (the 0-100 similarity
+    wrappers in functions/scorers.py normalize; a similarity join needs
+    the integer distance). Encode unique values once, gather per pair,
+    dispatch to the bit-parallel Myers kernel (≤64-char patterns) or the
+    classic pair-axis DP above that — same uint8 ASCII fast path as
+    scorers._elementwise_dedup."""
+    from record_matcher_ray.functions.scorers import (
+        _PAD_X,
+        _PAD_X8,
+        _PAD_Y,
+        _PAD_Y8,
+        _encode_padded,
+        _factorize,
+        _lev_dist_pairs,
+        _lev_dist_pairs_myers,
+    )
+
+    n = len(xs)
+    if n == 0:
+        return np.empty(0, np.int64)
+    ux, xc = _factorize(xs)
+    uy, yc = _factorize(ys)
+    xmat_u, xlens_u = _encode_padded(list(ux), pad=_PAD_X)
+    ymat_u, ylens_u = _encode_padded(list(uy), pad=_PAD_Y)
+    real_x = xmat_u[xmat_u != _PAD_X]
+    real_y = ymat_u[ymat_u != _PAD_Y]
+    if (
+        (real_x.size == 0 or real_x.max() < _PAD_X8)
+        and (real_y.size == 0 or real_y.max() < _PAD_X8)
+    ):
+        xmat_u = np.where(xmat_u == _PAD_X, _PAD_X8, xmat_u).astype(np.uint8)
+        ymat_u = np.where(ymat_u == _PAD_Y, _PAD_Y8, ymat_u).astype(np.uint8)
+    xmat, xlens = xmat_u[xc], xlens_u[xc]
+    ymat, ylens = ymat_u[yc], ylens_u[yc]
+    out = np.empty(n, np.int64)
+    short = xlens <= 64
+    if short.any():
+        s = np.nonzero(short)[0]
+        # slice matrices to the selection's own max widths — the Myers
+        # word dtype is sized from the PADDED pattern width, so a single
+        # 70-char outlier elsewhere in the batch must not leak in
+        wx = max(int(xlens[s].max()), 1)
+        wy = max(int(ylens[s].max()), 1)
+        out[s] = _lev_dist_pairs_myers(
+            xmat[s][:, :wx], xlens[s], ymat[s][:, :wy], ylens[s]
+        )
+    if (~short).any():
+        l_ = np.nonzero(~short)[0]
+        out[l_] = _lev_dist_pairs(xmat[l_], xlens[l_], ymat[l_], ylens[l_])
+    return out
+
+
+def edit_distance_self_join(
+    ds: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    *,
+    max_dist: int = 2,
+    q: int = 2,
+    n_buckets: int = 256,
+    max_gram_freq: int | None = None,
+) -> ray.data.Dataset:
+    """EXACT edit-distance similarity self-join: every unordered id pair
+    whose ``text_col`` values are within ``max_dist`` Levenshtein edits →
+    (x_id, y_id, dist), x_id < y_id. Raw byte/char distance over the raw
+    strings (no normalization) so a SQL ``levenshtein()`` oracle replays
+    it exactly on ASCII corpora.
+
+    Shape (Ed-Join family — Xiao et al., VLDB 2008, public algorithm):
+
+    1. distinct-value reduction: texts hash-bucket by value, duplicates
+       collapse to one representative per distinct string. Exact-dup id
+       pairs (dist 0) come straight from the member groups — they never
+       enter candidate generation, so value skew (the classic ER corpus
+       has FEW distinct names and MANY ids per name) cannot explode the
+       q-gram index.
+    2. candidate generation over DISTINCT strings: positional-free q-gram
+       set keys. Completeness: ed(x,y) ≤ k implies the q-gram bags share
+       ≥ max(|x|,|y|) − q + 1 − k·q grams, which is ≥ 1 whenever
+       max(|x|,|y|) ≥ q·(k+1); any shared bag gram is a shared set gram,
+       so share-≥1-set-gram candidates lose nothing for long-enough
+       strings. Strings SHORTER than q·(k+1) instead emit length-band
+       keys ℓ ∈ [len, len+k] — two short strings with |Δlen| ≤ k always
+       share the band max(len_x, len_y). Both key families ride one
+       bucketed exchange with the TEXT alongside (short-field contract,
+       like simhash_near_dups' fingerprint-rides-the-exchange), so no
+       second lookup join is needed.
+    3. per-pair dedupe exchange + bit-parallel Myers verification
+       (functions/scorers.py kernels), length filter |Δlen| ≤ k applied
+       before any DP.
+    4. expansion back to id pairs via two bucketed hash joins on the
+       distinct-value hash (pipelines/joins.hash_join) + the intra-group
+       dist-0 pairs from step 1.
+
+    ``max_gram_freq`` drops q-grams seen in more distinct strings than
+    the cap (stop-gram pruning — results then under-count by pairs whose
+    ONLY shared grams are stop grams; off by default so the oracle
+    comparison stays exact; sized like minhash's hot-bucket caps when
+    enabled at corpus scale).
+    """
+    k = int(max_dist)
+    short_cut = q * (k + 1)
+
+    # ---- (uhash, id) membership + per-distinct-string table -------------
+    def add_uhash(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t[text_col], pa.string()), "")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        h = column_hash64(txt).view(np.int64)
+        return pa.table(
+            {
+                "uhash": pa.array(h),
+                "bucket": pa.array(_bucket_u64(h, n_buckets)),
+                "id": pc.cast(t[id_col], pa.int64()),
+                "txt": txt,
+            }
+        )
+
+    members = ds.map_batches(add_uhash, batch_format="pyarrow").materialize()
+    if members.count() == 0:  # free post-materialize; hash_join needs
+        return ray.data.from_arrow(  # a non-empty schema downstream
+            pa.schema(
+                [("x_id", pa.int64()), ("y_id", pa.int64()),
+                 ("dist", pa.int64())]
+            ).empty_table()
+        )
+
+    def distinct_strings(t: pa.Table) -> pa.Table:
+        empty = pa.schema(
+            [("uhash", pa.int64()), ("txt", pa.string())]
+        ).empty_table()
+        if len(t) == 0:
+            return empty
+        u = t["uhash"].to_numpy()
+        order = np.argsort(u, kind="stable")
+        first = np.concatenate(([True], u[order][1:] != u[order][:-1]))
+        sel = order[first]
+        return pa.table(
+            {"uhash": pa.array(u[sel]), "txt": t["txt"].take(pa.array(sel))}
+        )
+
+    uniq = (
+        members.groupby("bucket")
+        .map_groups(distinct_strings, batch_format="pyarrow")
+        .materialize()
+    )
+
+    # ---- intra-group exact-dup pairs (dist 0) ---------------------------
+    def dup_pairs(t: pa.Table) -> pa.Table:
+        empty = pa.schema(
+            [("x_id", pa.int64()), ("y_id", pa.int64()),
+             ("dist", pa.int64())]
+        ).empty_table()
+        if len(t) == 0:
+            return empty
+        a, b = _group_pairs(t["uhash"].to_numpy(), t["id"].to_numpy())
+        if len(a) == 0:
+            return empty
+        return pa.table(
+            {"x_id": pa.array(a), "y_id": pa.array(b),
+             "dist": pa.array(np.zeros(len(a), np.int64))}
+        )
+
+    zero_pairs = members.groupby("bucket").map_groups(
+        dup_pairs, batch_format="pyarrow"
+    )
+
+    # ---- candidate keys over distinct strings ---------------------------
+    def expand_keys(t: pa.Table) -> pa.Table:
+        empty = pa.schema(
+            [("kb", pa.int64()), ("key", pa.int64()),
+             ("uhash", pa.int64()), ("txt", pa.string())]
+        ).empty_table()
+        if len(t) == 0:
+            return empty
+        txt = t["txt"].combine_chunks()
+        flat, starts, lens = utf8_view(txt)
+        gh, n_win = window_hashes(flat, starts, lens, q, 1)
+        # set semantics: one instance per (string, gram)
+        gu, gu_lens = unique_per_doc(gh.view(np.int64), n_win)
+        rows_g = np.repeat(np.arange(len(t), dtype=np.int64), gu_lens)
+        # short strings: length-band keys ℓ in [len, len+k], namespaced
+        # away from the gram domain by a fixed tag mix
+        short = np.nonzero(lens < short_cut)[0].astype(np.int64)
+        band_l = (
+            lens[short][:, None] + np.arange(k + 1, dtype=np.int64)[None, :]
+        ).reshape(-1)
+        band_keys = mix64(
+            band_l.view(np.uint64) ^ np.uint64(0xC2B2AE3D27D4EB4F)
+        ).view(np.int64)
+        rows_s = np.repeat(short, k + 1)
+        keys = np.concatenate([gu, band_keys])
+        rows = np.concatenate([rows_g, rows_s])
+        return pa.table(
+            {
+                "kb": pa.array(_bucket_u64(keys, n_buckets)),
+                "key": pa.array(keys),
+                "uhash": pa.array(t["uhash"].to_numpy()[rows]),
+                "txt": txt.take(pa.array(rows)),
+            }
+        )
+
+    def key_pairs(t: pa.Table) -> pa.Table:
+        """Per key group → candidate (ua, ub) with texts, locally deduped
+        and length-filtered; pair-bucketed for the global dedupe."""
+        empty = pa.schema(
+            [("pb", pa.int64()), ("ua", pa.int64()), ("ub", pa.int64()),
+             ("ta", pa.string()), ("tb", pa.string())]
+        ).empty_table()
+        if len(t) == 0:
+            return empty
+        pa_, pb_ = _group_pairs(
+            t["key"].to_numpy(), t["uhash"].to_numpy(),
+            max_size=max_gram_freq, positions=True,
+        )
+        if len(pa_) == 0:
+            return empty
+        txt = t["txt"].combine_chunks()
+        lens = pc.binary_length(txt).to_numpy().astype(np.int64)
+        keep = np.abs(lens[pa_] - lens[pb_]) <= k
+        pa_, pb_ = pa_[keep], pb_[keep]
+        if len(pa_) == 0:
+            return empty
+        u = t["uhash"].to_numpy()
+        ua, ub = u[pa_], u[pb_]
+        swap = ua > ub
+        ua2 = np.where(swap, ub, ua)
+        ub2 = np.where(swap, ua, ub)
+        pa2 = np.where(swap, pb_, pa_)
+        pb2 = np.where(swap, pa_, pb_)
+        # local partial dedupe (the same pair surfaces once per shared key)
+        order = np.lexsort((ub2, ua2))
+        ua_s, ub_s = ua2[order], ub2[order]
+        first = np.concatenate(
+            ([True], (ua_s[1:] != ua_s[:-1]) | (ub_s[1:] != ub_s[:-1]))
+        )
+        sel = order[first]
+        pairb = _bucket_u64(
+            (ua2[sel].view(np.uint64) * _GOLD) ^ ub2[sel].view(np.uint64),
+            n_buckets,
+        )
+        return pa.table(
+            {
+                "pb": pa.array(pairb),
+                "ua": pa.array(ua2[sel]),
+                "ub": pa.array(ub2[sel]),
+                "ta": txt.take(pa.array(pa2[sel])),
+                "tb": txt.take(pa.array(pb2[sel])),
+            }
+        )
+
+    def verify(t: pa.Table) -> pa.Table:
+        empty = pa.schema(
+            [("ua", pa.int64()), ("ub", pa.int64()), ("dist", pa.int64())]
+        ).empty_table()
+        if len(t) == 0:
+            return empty
+        ua = t["ua"].to_numpy()
+        ub = t["ub"].to_numpy()
+        order = np.lexsort((ub, ua))
+        first = np.concatenate(
+            ([True],
+             (ua[order][1:] != ua[order][:-1])
+             | (ub[order][1:] != ub[order][:-1]))
+        )
+        sel = order[first]
+        ta = np.asarray(t["ta"].take(pa.array(sel)).to_pylist(), dtype=object)
+        tb = np.asarray(t["tb"].take(pa.array(sel)).to_pylist(), dtype=object)
+        d = _lev_dist_elementwise(ta, tb)
+        keep = d <= k
+        return pa.table(
+            {"ua": pa.array(ua[sel][keep]), "ub": pa.array(ub[sel][keep]),
+             "dist": pa.array(d[keep])}
+        )
+
+    accepted = (
+        uniq.map_batches(expand_keys, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(key_pairs, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(verify, batch_format="pyarrow")
+        .materialize()  # small (verified distinct-string pairs); also
+    )  # lets the all-pruned case short-circuit the joins below
+    if accepted.count() == 0:
+        return zero_pairs
+
+    # ---- expand accepted distinct-string pairs to id pairs --------------
+    from record_matcher_ray.pipelines.joins import hash_join
+
+    mem_a = members.map_batches(
+        lambda t: pa.table({"ua": t["uhash"], "x_id": t["id"]}),
+        batch_format="pyarrow",
+    )
+    mem_b = members.map_batches(
+        lambda t: pa.table({"ub": t["uhash"], "y_id": t["id"]}),
+        batch_format="pyarrow",
+    )
+    expanded = hash_join(
+        hash_join(accepted, mem_a, "ua", "ua", n_buckets=n_buckets),
+        mem_b, "ub", "ub", n_buckets=n_buckets,
+    )
+
+    def order_ids(t: pa.Table) -> pa.Table:
+        x = t["x_id"].to_numpy()
+        y = t["y_id"].to_numpy()
+        lo = np.minimum(x, y)
+        hi = np.maximum(x, y)
+        return pa.table(
+            {"x_id": pa.array(lo), "y_id": pa.array(hi), "dist": t["dist"]}
+        )
+
+    near_pairs = expanded.map_batches(order_ids, batch_format="pyarrow")
+    return zero_pairs.union(near_pairs)
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter probabilistic linkage
+# ---------------------------------------------------------------------------
+
+
+def _round6(x: np.ndarray) -> np.ndarray:
+    """Signed half-up rounding to 6 decimals — bit-matches the DuckDB
+    ``CASE WHEN x >= 0 THEN floor(x*1e6+0.5)/1e6 ELSE ... END`` replay
+    recipe used across the repo's float-parity oracles."""
+    return np.where(
+        x >= 0,
+        np.floor(x * 1e6 + 0.5),
+        -np.floor(-x * 1e6 + 0.5),
+    ) / 1e6
+
+
+def fellegi_sunter_weights(
+    ds: ray.data.Dataset,
+    field_cols: list[str],
+    m_probs: list[float],
+) -> tuple[list[float], list[float]]:
+    """Per-field (agreement_weight, disagreement_weight) under the
+    Fellegi-Sunter model with u-probabilities ESTIMATED FROM THE DATA:
+    u_f = P(two random records agree on f) = Σ_v c_v² / N² over the
+    field's value-frequency distribution (nulls agree with nothing).
+    Exact integer sums of squares, ONE double division, libm log — the
+    float recipe the SQL oracle replays term for term.
+
+    One streaming pass over ``ds`` computes every field's partial value
+    counts per batch; the combine is a small groupby over the distinct
+    values (bounded by field cardinality, not corpus size).
+    """
+    fields = list(field_cols)
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        fis: list[np.ndarray] = []
+        vals: list[pa.Array] = []
+        cnts: list[np.ndarray] = []
+        for fi, f in enumerate(fields):
+            col = pc.cast(t[f], pa.string())
+            vc = pc.value_counts(pc.drop_null(col))
+            nv = len(vc)
+            fis.append(np.full(nv, fi, np.int64))
+            vals.append(vc.field("values"))
+            cnts.append(vc.field("counts").to_numpy().astype(np.int64))
+        # corpus-size sentinel row (fi = -1) so N needs no second pass
+        fis.append(np.full(1, -1, np.int64))
+        vals.append(pa.array([""], pa.string()))
+        cnts.append(np.array([len(t)], np.int64))
+        return pa.table(
+            {
+                "fi": pa.array(np.concatenate(fis)),
+                "val": pa.concat_arrays(
+                    [v.combine_chunks() if isinstance(v, pa.ChunkedArray)
+                     else v for v in vals]
+                ),
+                "cnt": pa.array(np.concatenate(cnts)),
+            }
+        )
+
+    counts = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby(["fi", "val"])
+        .sum("cnt")
+        .take_all()
+    )
+    n_total = 0
+    ssq = [0] * len(fields)
+    for row in counts:
+        c = int(row["sum(cnt)"])
+        if row["fi"] == -1:
+            n_total += c
+        else:
+            ssq[row["fi"]] += c * c
+    if n_total == 0:
+        raise ValueError("fellegi_sunter_weights: empty dataset")
+    wa: list[float] = []
+    wd: list[float] = []
+    for fi, m in enumerate(m_probs):
+        u = ssq[fi] / (n_total * n_total)
+        if not 0.0 < u < 1.0:
+            raise ValueError(
+                f"fellegi_sunter_weights: degenerate u={u} for field "
+                f"{fields[fi]!r} (constant or all-null column)"
+            )
+        wa.append(math.log(m) - math.log(u))
+        wd.append(math.log(1.0 - m) - math.log(1.0 - u))
+    return wa, wd
+
+
+def fellegi_sunter_link(
+    ds: ray.data.Dataset,
+    id_col: str,
+    block_col: str,
+    field_cols: list[str],
+    *,
+    m_probs: list[float] | None = None,
+    t_upper: float = 4.0,
+    t_lower: float = 0.0,
+    n_buckets: int = 64,
+    max_block: int | None = None,
+) -> ray.data.Dataset:
+    """Fellegi-Sunter probabilistic linkage over within-block pairs →
+    (x_id, y_id, score, decision), x_id < y_id by id value.
+
+    score = Σ_f (agree_f ? log(m_f/u_f) : log((1−m_f)/(1−u_f))) summed in
+    ``field_cols`` order (pinned-order IEEE doubles — replayable); agree
+    is strict equality with SQL null semantics (null agrees with
+    nothing). decision: 'match' if score ≥ t_upper, 'possible' if
+    ≥ t_lower, else 'nonmatch', compared on the UNROUNDED score; the
+    emitted score is rounded half-up to 6 decimals.
+
+    Pairs come from equality blocking on ``block_col`` (null blocks drop,
+    SQL join semantics). The exchange key is a ≤``n_buckets`` hash of the
+    block value; within a bucket, block boundaries vectorize via
+    _group_pairs. ``max_block`` caps pathological blocks (pairs then
+    under-count — counted semantics like minhash's hot-bucket caps; off
+    by default so the oracle stays exact). m-probabilities default to
+    0.9 per field (the classic starting prior; pass estimates from
+    labeled data when available)."""
+    fields = list(field_cols)
+    if m_probs is None:
+        m_probs = [0.9] * len(fields)
+    proj = ds.select_columns([id_col, block_col, *fields])
+    wa, wd = fellegi_sunter_weights(proj, fields, m_probs)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        mask = pc.is_valid(t[block_col])
+        t = t.filter(mask)
+        b = column_hash64(t[block_col])
+        return t.append_column(
+            "__fsb__", pa.array((b % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    def score_block(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        empty = pa.schema(
+            [("x_id", pa.int64()), ("y_id", pa.int64()),
+             ("score", pa.float64()), ("decision", pa.string())]
+        ).empty_table()
+        if len(t) == 0:
+            return empty
+        blk = column_hash64(t[block_col]).view(np.int64)
+        ids = pc.cast(t[id_col], pa.int64()).to_numpy()
+        pa_, pb_ = _group_pairs(
+            blk, ids, max_size=max_block, positions=True
+        )
+        if len(pa_) == 0:
+            return empty
+        score = np.zeros(len(pa_), np.float64)
+        for fi, f in enumerate(fields):
+            codes, _ = pd.factorize(
+                t[f].to_numpy(zero_copy_only=False), sort=False
+            )
+            agree = (codes[pa_] == codes[pb_]) & (codes[pa_] >= 0)
+            score = score + np.where(agree, wa[fi], wd[fi])
+        decision = np.where(
+            score >= t_upper, "match",
+            np.where(score >= t_lower, "possible", "nonmatch"),
+        )
+        return pa.table(
+            {
+                "x_id": pa.array(ids[pa_]),
+                "y_id": pa.array(ids[pb_]),
+                "score": pa.array(_round6(score)),
+                "decision": pa.array(decision.astype(object), pa.string()),
+            }
+        )
+
+    return (
+        proj.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__fsb__")
+        .map_groups(score_block, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# meta-blocking with weighted edge pruning
+# ---------------------------------------------------------------------------
+
+
+def metablock_wep_pairs(
+    ds: ray.data.Dataset,
+    id_col: str,
+    attr_cols: list[str],
+    *,
+    n_buckets: int = 256,
+    max_block: int | None = None,
+    max_partial_rows: int = 50_000_000,
+) -> ray.data.Dataset:
+    """Token blocking + meta-blocking with Weighted Edge Pruning →
+    (x_id, y_id, weight), x_id < y_id: the candidate pairs a schema-
+    agnostic ER pipeline would score, pre-pruned by co-occurrence
+    evidence (Papadakis et al., TKDE 2014 — public algorithm).
+
+    Blocks are the DISTINCT lowercase space-separated tokens across
+    ``attr_cols`` (token blocking); the CBS edge weight of a record pair
+    is the number of blocks both appear in; WEP keeps edges with weight
+    STRICTLY ABOVE the global mean weight. The mean is Σw / |edges| as
+    exact integers divided once — the SQL oracle replays the same
+    comparison.
+
+    Scale shape: token instances ride ONE bucketed exchange; per-token
+    pair emission and the per-(x, y) partial combine are vectorized
+    inside each bucket task; a second small exchange on a pair-hash
+    bucket finishes the weight sum. Global Σw / |edges| come from
+    per-block remote partials (two ints per block — never the edges
+    themselves) summed on the driver. ``max_block`` caps stop-token
+    blocks (weights then under-count, counted semantics; off by default
+    so the oracle stays exact)."""
+    attrs = list(attr_cols)
+
+    def token_instances(t: pa.Table) -> pa.Table:
+        empty = pa.schema(
+            [("tb", pa.int64()), ("tok", pa.int64()), ("id", pa.int64())]
+        ).empty_table()
+        if len(t) == 0:
+            return empty
+        parts = [
+            pc.fill_null(pc.cast(t[a], pa.string()), "") for a in attrs
+        ]
+        joined = parts[0]
+        for p in parts[1:]:
+            joined = pc.binary_join_element_wise(joined, p, " ")
+        low = pc.utf8_lower(joined)
+        if isinstance(low, pa.ChunkedArray):
+            low = low.combine_chunks()
+        toks = pc.split_pattern(low, " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        counts = np.diff(toks.offsets.to_numpy().astype(np.int64))
+        flat, starts, lens = utf8_view(toks.values)
+        th = whole_hashes(flat, starts, lens).view(np.int64)
+        rows = np.repeat(np.arange(len(t), dtype=np.int64), counts)
+        keep = lens > 0  # SQL mirror: WHERE length(tok) > 0
+        th, rows = th[keep], rows[keep]
+        # DISTINCT (id, token): sort by (row, tok), first-occurrence
+        n_tok = np.bincount(rows, minlength=len(t)).astype(np.int64)
+        tu, tu_lens = unique_per_doc(th, n_tok)
+        rows_u = np.repeat(np.arange(len(t), dtype=np.int64), tu_lens)
+        ids = pc.cast(t[id_col], pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "tb": pa.array(_bucket_u64(tu, n_buckets)),
+                "tok": pa.array(tu),
+                "id": pa.array(ids[rows_u]),
+            }
+        )
+
+    def bucket_pair_counts(t: pa.Table) -> pa.Table:
+        empty = pa.schema(
+            [("pb", pa.int64()), ("x", pa.int64()), ("y", pa.int64()),
+             ("cnt", pa.int64())]
+        ).empty_table()
+        if len(t) == 0:
+            return empty
+        a, b = _group_pairs(
+            t["tok"].to_numpy(), t["id"].to_numpy(), max_size=max_block
+        )
+        if len(a) == 0:
+            return empty
+        # local partial combine: many tokens in this bucket repeat a pair
+        order = np.lexsort((b, a))
+        a_s, b_s = a[order], b[order]
+        first = np.concatenate(
+            ([True], (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1]))
+        )
+        starts = np.nonzero(first)[0]
+        cnt = np.diff(np.concatenate((starts, [len(a_s)])))
+        xa, yb = a_s[first], b_s[first]
+        pairb = _bucket_u64(
+            (xa.view(np.uint64) * _GOLD) ^ yb.view(np.uint64), n_buckets
+        )
+        return pa.table(
+            {"pb": pa.array(pairb), "x": pa.array(xa), "y": pa.array(yb),
+             "cnt": pa.array(cnt.astype(np.int64))}
+        )
+
+    def combine_pairs(t: pa.Table) -> pa.Table:
+        empty = pa.schema(
+            [("x_id", pa.int64()), ("y_id", pa.int64()),
+             ("weight", pa.int64())]
+        ).empty_table()
+        if len(t) == 0:
+            return empty
+        x = t["x"].to_numpy()
+        y = t["y"].to_numpy()
+        c = t["cnt"].to_numpy()
+        order = np.lexsort((y, x))
+        x_s, y_s, c_s = x[order], y[order], c[order]
+        first = np.concatenate(
+            ([True], (x_s[1:] != x_s[:-1]) | (y_s[1:] != y_s[:-1]))
+        )
+        starts = np.nonzero(first)[0]
+        w = np.add.reduceat(c_s, starts)
+        return pa.table(
+            {"x_id": pa.array(x_s[first]), "y_id": pa.array(y_s[first]),
+             "weight": pa.array(w.astype(np.int64))}
+        )
+
+    edges = (
+        ds.map_batches(token_instances, batch_format="pyarrow")
+        .groupby("tb")
+        .map_groups(bucket_pair_counts, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(combine_pairs, batch_format="pyarrow")
+        .materialize()  # two consumers: global mean + the pruning filter
+    )
+
+    @ray.remote
+    def _totals(t: pa.Table) -> tuple[int, int]:
+        if len(t) == 0:
+            return 0, 0
+        return int(pc.sum(t["weight"]).as_py() or 0), len(t)
+
+    partials = ray.get(
+        [_totals.remote(r) for r in edges.to_arrow_refs()]
+    )
+    sum_w = sum(p[0] for p in partials)
+    n_edges = sum(p[1] for p in partials)
+    if n_edges == 0:
+        return edges
+    # cast-then-divide, exactly like the SQL replay's
+    # (sum)::DOUBLE / (count)::DOUBLE — identical doubles either way below
+    # 2^53, and identical ROUNDING BEHAVIOR to the oracle above it
+    mean_w = float(sum_w) / float(n_edges)
+
+    def prune(t: pa.Table) -> pa.Table:
+        w = t["weight"].to_numpy().astype(np.float64)
+        return t.filter(pa.array(w > mean_w))
+
+    return edges.map_batches(prune, batch_format="pyarrow")

@@ -1,0 +1,294 @@
+"""pipelines/linkage.py: edit-distance similarity join, Fellegi-Sunter
+probabilistic linkage, meta-blocking WEP — brute-force and DuckDB
+cross-checks plus the edge cases the bucketed paths must survive."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from record_matcher_ray.pipelines.linkage import (
+    edit_distance_self_join,
+    fellegi_sunter_link,
+    fellegi_sunter_weights,
+    metablock_wep_pairs,
+)
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def _ds(rows: dict):
+    import ray.data
+
+    return ray.data.from_arrow(pa.table(rows))
+
+
+# ---------------------------------------------------------------------------
+# edit_distance_self_join
+# ---------------------------------------------------------------------------
+
+
+def _brute_edjoin(ids, texts, k):
+    out = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            d = _lev(texts[i], texts[j])
+            if d <= k:
+                lo, hi = sorted((ids[i], ids[j]))
+                out.add((lo, hi, d))
+    return out
+
+
+@pytest.mark.parametrize("k", [0, 1, 2])
+def test_edjoin_matches_bruteforce(ray_session, k):
+    rng = np.random.RandomState(7 + k)
+    vocab = ["red", "blue", "green", "gray", "grey", "bolt", "bolts",
+             "nut", "nuts", "gear", "gears", "a", "ab", "", "x" * 70]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.randint(1, 3)))
+        for _ in range(120)
+    ]
+    ids = list(range(120))
+    ds = _ds({"id": ids, "txt": texts})
+    got = {
+        (r["x_id"], r["y_id"], r["dist"])
+        for r in edit_distance_self_join(
+            ds, "txt", "id", max_dist=k, q=2
+        ).take_all()
+    }
+    assert got == _brute_edjoin(ids, texts, k)
+
+
+def test_edjoin_short_strings_complete(ray_session):
+    # every string below the q*(k+1) gram-guarantee cut: the length-band
+    # path alone must find all pairs (including the empty string)
+    texts = ["", "a", "b", "ab", "ba", "abc", "xy", "abcd"]
+    ids = list(range(len(texts)))
+    ds = _ds({"id": ids, "txt": texts})
+    got = {
+        (r["x_id"], r["y_id"], r["dist"])
+        for r in edit_distance_self_join(
+            ds, "txt", "id", max_dist=2, q=2
+        ).take_all()
+    }
+    assert got == _brute_edjoin(ids, texts, 2)
+
+
+def test_edjoin_long_strings_use_fallback_kernel(ray_session):
+    # > 64 chars exercises the classic-DP pair kernel behind the Myers cap
+    base = "q" * 70
+    texts = [base, base + "z", base[:-1], "unrelatedstringofsimilarlen" * 3]
+    ids = [10, 20, 30, 40]
+    ds = _ds({"id": ids, "txt": texts})
+    got = {
+        (r["x_id"], r["y_id"], r["dist"])
+        for r in edit_distance_self_join(
+            ds, "txt", "id", max_dist=2, q=2
+        ).take_all()
+    }
+    assert got == _brute_edjoin(ids, texts, 2)
+
+
+def test_edjoin_duplicate_groups_expand(ray_session):
+    # 3 ids share one string, 2 share a string one edit away: expect all
+    # intra-group dist-0 pairs plus all 3x2 cross pairs at dist 1
+    ds = _ds({"id": [1, 2, 3, 4, 5], "txt": ["gear", "gear", "gear",
+                                             "gears", "gears"]})
+    got = {
+        (r["x_id"], r["y_id"], r["dist"])
+        for r in edit_distance_self_join(
+            ds, "txt", "id", max_dist=1, q=2
+        ).take_all()
+    }
+    expect = {(1, 2, 0), (1, 3, 0), (2, 3, 0), (4, 5, 0)} | {
+        (a, b, 1) for a in (1, 2, 3) for b in (4, 5)
+    }
+    assert got == expect
+
+
+def test_edjoin_empty_input(ray_session):
+    ds = _ds({"id": pa.array([], pa.int64()),
+              "txt": pa.array([], pa.string())})
+    assert edit_distance_self_join(ds, "txt", "id").take_all() == []
+
+
+def test_edjoin_gram_freq_cap_undercounts_counted(ray_session):
+    # a stop-gram cap may only DROP pairs, never invent or corrupt them
+    texts = ["shared prefix alpha", "shared prefix beta",
+             "shared prefix alpha"]
+    ds = _ds({"id": [1, 2, 3], "txt": texts})
+    full = {
+        (r["x_id"], r["y_id"], r["dist"])
+        for r in edit_distance_self_join(
+            ds, "txt", "id", max_dist=2, q=2
+        ).take_all()
+    }
+    capped = {
+        (r["x_id"], r["y_id"], r["dist"])
+        for r in edit_distance_self_join(
+            ds, "txt", "id", max_dist=2, q=2, max_gram_freq=1
+        ).take_all()
+    }
+    assert capped <= full
+    # exact-dup pairs bypass candidate generation, so they survive any cap
+    assert (1, 3, 0) in capped
+
+
+# ---------------------------------------------------------------------------
+# fellegi_sunter_link
+# ---------------------------------------------------------------------------
+
+
+def test_fs_weights_exact_u(ray_session):
+    # field values: a,a,a,b  → u = (9 + 1) / 16
+    ds = _ds({"f": ["a", "a", "a", "b"]})
+    wa, wd = fellegi_sunter_weights(ds, ["f"], [0.9])
+    u = 10 / 16
+    assert wa[0] == pytest.approx(math.log(0.9) - math.log(u), abs=0)
+    assert wd[0] == pytest.approx(
+        math.log(1.0 - 0.9) - math.log(1.0 - u), abs=0
+    )
+
+
+def test_fs_weights_null_excluded(ray_session):
+    # nulls drop from the ssq numerator but stay in N
+    ds = _ds({"f": pa.array(["a", "a", None, None], pa.string())})
+    wa, _ = fellegi_sunter_weights(ds, ["f"], [0.9])
+    assert wa[0] == math.log(0.9) - math.log(4 / 16)
+
+
+def test_fs_link_bruteforce(ray_session):
+    rng = np.random.RandomState(11)
+    n = 200
+    blk = rng.randint(0, 8, n)
+    f1 = rng.choice(["x", "y", "z"], n)
+    f2 = rng.randint(0, 5, n).astype(np.int64)
+    ds = _ds({"id": np.arange(n, dtype=np.int64), "blk": blk,
+              "f1": f1, "f2": f2})
+    got = {
+        (r["x_id"], r["y_id"]): (r["score"], r["decision"])
+        for r in fellegi_sunter_link(
+            ds, "id", "blk", ["f1", "f2"], t_upper=3.0, t_lower=0.0
+        ).take_all()
+    }
+    # mirror weights
+    u1 = sum(int(c) ** 2 for c in np.bincount(
+        np.unique(f1, return_inverse=True)[1])) / (n * n)
+    u2 = sum(int(c) ** 2 for c in np.bincount(f2)) / (n * n)
+    wa = [math.log(0.9) - math.log(u1), math.log(0.9) - math.log(u2)]
+    wd = [math.log(0.1) - math.log(1.0 - u1),
+          math.log(0.1) - math.log(1.0 - u2)]
+    expect = {}
+    for i in range(n):
+        for j in range(i + 1, n):
+            if blk[i] != blk[j]:
+                continue
+            s = (wa[0] if f1[i] == f1[j] else wd[0]) + (
+                wa[1] if f2[i] == f2[j] else wd[1]
+            )
+            dec = ("match" if s >= 3.0 else
+                   "possible" if s >= 0.0 else "nonmatch")
+            r6 = math.floor(s * 1e6 + 0.5) / 1e6 if s >= 0 else (
+                -math.floor(-s * 1e6 + 0.5) / 1e6)
+            expect[(i, j)] = (r6, dec)
+    assert got == expect
+
+
+def test_fs_link_null_blocks_drop(ray_session):
+    ds = _ds({"id": [1, 2, 3, 4],
+              "blk": pa.array([None, None, 5, 5], pa.int64()),
+              "f": ["a", "a", "a", "b"]})
+    rows = fellegi_sunter_link(ds, "id", "blk", ["f"]).take_all()
+    assert {(r["x_id"], r["y_id"]) for r in rows} == {(3, 4)}
+
+
+def test_fs_link_string_block_keys(ray_session):
+    ds = _ds({"id": [1, 2, 3], "blk": ["east", "east", "west"],
+              "f": ["a", "a", "b"]})
+    rows = fellegi_sunter_link(ds, "id", "blk", ["f"]).take_all()
+    assert {(r["x_id"], r["y_id"]) for r in rows} == {(1, 2)}
+    assert rows[0]["decision"] == "match" or rows[0]["score"] < 4.0
+
+
+def test_fs_link_max_block_cap(ray_session):
+    ds = _ds({"id": list(range(10)), "blk": [0] * 10,
+              "f": ["a", "b"] * 5})
+    assert len(fellegi_sunter_link(
+        ds, "id", "blk", ["f"], max_block=5
+    ).take_all()) == 0
+
+
+def test_fs_weights_degenerate_field_raises(ray_session):
+    ds = _ds({"f": ["a", "a"]})
+    with pytest.raises(ValueError, match="degenerate"):
+        fellegi_sunter_weights(ds, ["f"], [0.9])
+
+
+# ---------------------------------------------------------------------------
+# metablock_wep_pairs
+# ---------------------------------------------------------------------------
+
+
+def _brute_wep(ids, attr_rows):
+    toks = [
+        {t for t in " ".join(a).lower().split(" ") if t}
+        for a in attr_rows
+    ]
+    edges = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            w = len(toks[i] & toks[j])
+            if w:
+                edges[(min(ids[i], ids[j]), max(ids[i], ids[j]))] = w
+    if not edges:
+        return {}
+    mean = float(sum(edges.values())) / float(len(edges))
+    return {k: w for k, w in edges.items() if float(w) > mean}
+
+
+def test_metablock_bruteforce(ray_session):
+    rng = np.random.RandomState(3)
+    vocab = ["red", "blue", "bolt", "nut", "gear", "acme", "corp"]
+    rows = [
+        (" ".join(rng.choice(vocab, 2)), " ".join(rng.choice(vocab, 2)))
+        for _ in range(60)
+    ]
+    ids = list(range(60))
+    ds = _ds({"id": ids, "a1": [r[0] for r in rows],
+              "a2": [r[1] for r in rows]})
+    got = {
+        (r["x_id"], r["y_id"]): r["weight"]
+        for r in metablock_wep_pairs(ds, "id", ["a1", "a2"]).take_all()
+    }
+    assert got == _brute_wep(ids, rows)
+
+
+def test_metablock_empty_and_no_edges(ray_session):
+    ds = _ds({"id": [1, 2], "a": ["aaa", "bbb"]})
+    assert metablock_wep_pairs(ds, "id", ["a"]).take_all() == []
+    empty = _ds({"id": pa.array([], pa.int64()),
+                 "a": pa.array([], pa.string())})
+    assert metablock_wep_pairs(empty, "id", ["a"]).take_all() == []
+
+
+def test_metablock_null_attrs_are_empty(ray_session):
+    ds = _ds({"id": [1, 2, 3],
+              "a": pa.array(["x y", None, "y z"], pa.string())})
+    got = {
+        (r["x_id"], r["y_id"]): r["weight"]
+        for r in metablock_wep_pairs(ds, "id", ["a"]).take_all()
+    }
+    assert got == _brute_wep([1, 2, 3], [("x y",), ("",), ("y z",)])
