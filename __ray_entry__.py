@@ -2209,6 +2209,21 @@ def _q_metablock(sf_dir: str):
     )
 
 
+def _q_mutual_nn(sf_dir: str):
+    """Mutual (reciprocal top-1) nearest neighbors under exact quantized
+    cosine — the high-precision embedding-ER seed pairs."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.similarity import (
+        mutual_nearest_neighbors,
+    )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return mutual_nearest_neighbors(ds)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from record_matcher_ray.pipelines import analysis, relational
 
@@ -2344,6 +2359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edjoin_part": _q_edjoin,
         "fs_score_customer": _q_fellegi_sunter,
         "metablock_part": _q_metablock,
+        "mutual_nn_embeddings": _q_mutual_nn,
         "pareto_orders": _q_pareto,
         "explode_embeddings": _q_explode,
         "centroid_cosine_embeddings": _q_centroid_cosine,
@@ -4144,6 +4160,39 @@ def oracle_sql() -> dict[str, str]:
                         WHEN sc >= (0.0)::DOUBLE THEN 'possible'
                         ELSE 'nonmatch' END AS decision
             FROM s
+        """,
+        "mutual_nn_embeddings": """
+            WITH q AS (
+              SELECT vec_id AS id, i AS dim,
+                     CAST(floor((embedding[i])::DOUBLE * 1048576.0 + 0.5)
+                          AS HUGEINT) AS qv
+              FROM embeddings,
+                   unnest(generate_series(1, len(embedding))) AS u(i)
+            ), nrm AS (SELECT id, sum(qv*qv) AS nv FROM q GROUP BY id),
+            d AS (
+              SELECT a.id AS ia, b.id AS ib, sum(a.qv * b.qv) AS dot
+              FROM q a JOIN q b ON a.dim = b.dim AND a.id <> b.id
+              GROUP BY 1, 2
+            ), c AS (
+              SELECT ia, ib,
+                     (dot)::DOUBLE / (sqrt((na.nv)::DOUBLE)
+                                      * sqrt((nb.nv)::DOUBLE)) AS cs
+              FROM d JOIN nrm na ON na.id = d.ia
+                     JOIN nrm nb ON nb.id = d.ib
+              WHERE na.nv > 0 AND nb.nv > 0
+            ), best AS (
+              SELECT ia, ib, cs,
+                     row_number() OVER (PARTITION BY ia
+                                        ORDER BY cs DESC, ib ASC) AS rn
+              FROM c
+            )
+            SELECT a.ia AS x_id, a.ib AS y_id,
+                   CASE WHEN a.cs >= 0 THEN floor(a.cs * 1e6 + 0.5) / 1e6
+                        ELSE -floor(-a.cs * 1e6 + 0.5) / 1e6 END
+                     AS cos_sim
+            FROM best a JOIN best b
+              ON a.rn = 1 AND b.rn = 1 AND a.ib = b.ia AND b.ib = a.ia
+             AND a.ia < a.ib
         """,
         "metablock_part": """
             WITH tok AS (

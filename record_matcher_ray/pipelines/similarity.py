@@ -738,3 +738,164 @@ def label_centroid_cosine(
         {"label_a": rows_a, "label_b": rows_b,
          "cos_sim": pd.array(rows_c, dtype="float64")}
     )
+
+
+def mutual_nearest_neighbors(
+    ds: ray.data.Dataset,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    qscale: int = 1 << 20,
+    max_broadcast_rows: int = 1_000_000,
+) -> ray.data.Dataset:
+    """EXACT mutual-nearest-neighbor pairs under cosine: (x_id, y_id,
+    cos_sim) where each vector is the other's top-1 neighbor (self
+    excluded, ties broken by smaller id), x_id < y_id — the classic
+    high-precision seed for embedding-based entity resolution and
+    bitext mining (reciprocal top-1 agreement).
+
+    Exactness recipe (the `label_centroid_cosine` one): vectors quantize
+    to integers (⌊x·qscale + 0.5⌋); dot products and norms are integer
+    sums evaluated in float64 BLAS, which is EXACT while every
+    intermediate stays below 2**53 (guarded below); cosine is one double
+    division against two IEEE-exact sqrts in pinned order, so numpy and
+    the DuckDB oracle produce bit-identical doubles — identical argmax
+    winners included. Zero-norm vectors pair with nothing.
+
+    Scale shape: the quantized matrix broadcasts ONCE via ``ray.put``
+    (``max_broadcast_rows`` guard — beyond it, use `embedding_near_dups`
+    / `ivf_topk` blocking instead of an exact all-pairs scan); scoring
+    streams over the same dataset in one `map_batches` pass, chunked on
+    an element budget (CLAUDE.md: budget bytes, not rows); only the
+    per-row best (three scalars/row) returns to the driver for the
+    reciprocal check.
+    """
+    import ray as _ray
+
+    def quantize(t: pa.Table) -> pa.Table:
+        col = t[vec_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.chunk(0) if col.num_chunks == 1 else col.combine_chunks()
+        offs = col.offsets.to_numpy().astype(np.int64)
+        flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        lens = np.diff(offs)
+        if len(lens) and (lens != lens[0]).any():
+            raise ValueError(
+                "mutual_nearest_neighbors needs equal-length vectors"
+            )
+        d = int(lens[0]) if len(lens) else 0
+        q = np.floor(flat * float(qscale) + 0.5)
+        q = q[offs[0]:offs[-1]] if len(offs) else q[:0]
+        return pa.table(
+            {
+                "id": pc.cast(t[id_col], pa.int64()),
+                "qv": pa.FixedSizeListArray.from_arrays(
+                    pa.array(q.reshape(-1), pa.float64()), d
+                ) if d else pa.nulls(len(t), pa.list_(pa.float64())),
+            }
+        )
+
+    # two consumers (driver collect + scoring pass) — materialize once
+    qds = ds.map_batches(quantize, batch_format="pyarrow").materialize()
+    tbls = [t for t in _ray.get(qds.to_arrow_refs()) if len(t)]
+    if not tbls:
+        return ray.data.from_arrow(
+            pa.schema([("x_id", pa.int64()), ("y_id", pa.int64()),
+                       ("cos_sim", pa.float64())]).empty_table()
+        )
+    cat = pa.concat_tables(tbls).combine_chunks()
+    ids_all = cat["id"].to_numpy()
+    n = len(ids_all)
+    if n > max_broadcast_rows:
+        raise ValueError(
+            f"{n:,} rows exceeds max_broadcast_rows="
+            f"{max_broadcast_rows:,}; exact all-pairs mutual-NN is for "
+            "bounded corpora — block first (embedding_near_dups/ivf_topk)."
+        )
+    qcol = cat["qv"]
+    qcol = qcol.chunk(0) if qcol.num_chunks == 1 else qcol.combine_chunks()
+    dim = qcol.type.list_size
+    qmat = qcol.values.to_numpy(zero_copy_only=False).reshape(n, dim)
+    maxq = float(np.abs(qmat).max()) if qmat.size else 0.0
+    if dim * maxq * maxq >= 2.0**53:
+        raise ValueError(
+            "quantized dot products would exceed float64's exact-integer "
+            f"range (dim={dim}, max|q|={maxq:.0f}); lower qscale"
+        )
+    nrm = (qmat * qmat).sum(axis=1)  # exact: each term < 2**53/dim
+    mat_ref = _ray.put((ids_all, qmat, nrm))
+
+    def best_partial(t: pa.Table) -> pa.Table:
+        ids_g, qg, nrm_g = _ray.get(mat_ref)
+        sq = np.sqrt(nrm_g)
+        col = t["qv"]
+        col = col.chunk(0) if isinstance(col, pa.ChunkedArray) and \
+            col.num_chunks == 1 else (
+                col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+                else col)
+        d = col.type.list_size
+        bm = col.values.to_numpy(zero_copy_only=False).reshape(len(t), d)
+        bid = t["id"].to_numpy()
+        bnrm = (bm * bm).sum(axis=1)
+        out_id, out_b, out_c = [], [], []
+        # chunk the row axis by element budget (~8M doubles per sims slab)
+        step = max(1, (8 << 20) // max(len(ids_g), 1))
+        big = np.iinfo(np.int64).max
+        for s in range(0, len(bm), step):
+            rows = slice(s, min(s + step, len(bm)))
+            dots = bm[rows] @ qg.T  # exact integers in float64
+            cs = dots / (np.sqrt(bnrm[rows])[:, None] * sq[None, :])
+            # mask self and zero-norm columns/rows
+            cs[:, nrm_g == 0] = -np.inf
+            self_mask = bid[rows][:, None] == ids_g[None, :]
+            cs[self_mask] = -np.inf
+            cs[bnrm[rows] == 0, :] = -np.inf
+            mx = cs.max(axis=1)
+            ok = np.isfinite(mx)
+            # tie-break: smallest id among the max columns
+            cand = np.where(cs == mx[:, None], ids_g[None, :], big)
+            bb = cand.min(axis=1)
+            out_id.append(bid[rows][ok])
+            out_b.append(bb[ok])
+            out_c.append(mx[ok])
+        return pa.table(
+            {
+                "id": pa.array(np.concatenate(out_id) if out_id
+                               else np.empty(0, np.int64)),
+                "best": pa.array(np.concatenate(out_b) if out_b
+                                 else np.empty(0, np.int64)),
+                "cs": pa.array(np.concatenate(out_c) if out_c
+                               else np.empty(0, np.float64)),
+            }
+        )
+
+    bt = [t for t in _ray.get(
+        qds.map_batches(best_partial, batch_format="pyarrow")
+        .to_arrow_refs()
+    ) if len(t)]
+    if not bt:
+        return ray.data.from_arrow(
+            pa.schema([("x_id", pa.int64()), ("y_id", pa.int64()),
+                       ("cos_sim", pa.float64())]).empty_table()
+        )
+    best = pa.concat_tables(bt)
+    a = best["id"].to_numpy()
+    b = best["best"].to_numpy()
+    c = best["cs"].to_numpy()
+    order = np.argsort(a)
+    a_s, b_s, c_s = a[order], b[order], c[order]
+    # reciprocal check: best[best[a]] == a, emit once per unordered pair
+    pos = np.searchsorted(a_s, b_s)
+    pos_ok = (pos < len(a_s))
+    pos_c = np.clip(pos, 0, len(a_s) - 1)
+    mutual = pos_ok & (a_s[pos_c] == b_s) & (b_s[pos_c] == a_s) & (a_s < b_s)
+    cos = c_s[mutual]
+    cos6 = np.where(
+        cos >= 0, np.floor(cos * 1e6 + 0.5), -np.floor(-cos * 1e6 + 0.5)
+    ) / 1e6
+    return ray.data.from_arrow(
+        pa.table(
+            {"x_id": pa.array(a_s[mutual]), "y_id": pa.array(b_s[mutual]),
+             "cos_sim": pa.array(cos6)}
+        )
+    )

@@ -292,3 +292,82 @@ def test_metablock_null_attrs_are_empty(ray_session):
         for r in metablock_wep_pairs(ds, "id", ["a"]).take_all()
     }
     assert got == _brute_wep([1, 2, 3], [("x y",), ("",), ("y z",)])
+
+
+# ---------------------------------------------------------------------------
+# mutual_nearest_neighbors (similarity.py — the embedding-ER seed pairs)
+# ---------------------------------------------------------------------------
+
+
+def _brute_mutual(ids, vecs, qscale=1 << 20):
+    q = np.floor(np.asarray(vecs, np.float64) * float(qscale) + 0.5)
+    nrm = (q * q).sum(axis=1)
+    n = len(ids)
+    best = {}
+    for i in range(n):
+        if nrm[i] == 0:
+            continue
+        cand = []
+        for j in range(n):
+            if i == j or nrm[j] == 0:
+                continue
+            cs = (q[i] @ q[j]) / (math.sqrt(nrm[i]) * math.sqrt(nrm[j]))
+            cand.append((-cs, ids[j]))
+        if cand:
+            cand.sort()
+            best[ids[i]] = (cand[0][1], -cand[0][0])
+    out = {}
+    for a, (b, cs) in best.items():
+        if best.get(b, (None,))[0] == a and a < b:
+            r6 = math.floor(cs * 1e6 + 0.5) / 1e6 if cs >= 0 else (
+                -math.floor(-cs * 1e6 + 0.5) / 1e6)
+            out[(a, b)] = r6
+    return out
+
+
+def test_mutual_nn_bruteforce(ray_session):
+    from record_matcher_ray.pipelines.similarity import (
+        mutual_nearest_neighbors,
+    )
+
+    rng = np.random.RandomState(5)
+    n, d = 80, 8
+    vecs = rng.randn(n, d).astype(np.float32)
+    vecs[7] = 0.0  # zero vector pairs with nothing
+    ids = np.arange(n, dtype=np.int64)
+    ds = _ds({"vec_id": ids,
+              "embedding": pa.array(list(vecs), pa.list_(pa.float32()))})
+    got = {
+        (r["x_id"], r["y_id"]): r["cos_sim"]
+        for r in mutual_nearest_neighbors(ds).take_all()
+    }
+    expect = _brute_mutual(ids, vecs.astype(np.float64))
+    assert got == expect
+    assert not any(7 in k for k in got)
+
+
+def test_mutual_nn_tie_breaks_to_smaller_id(ray_session):
+    from record_matcher_ray.pipelines.similarity import (
+        mutual_nearest_neighbors,
+    )
+
+    # 3 identical vectors: best-of-each is the smallest OTHER id →
+    # only (1, 2) is reciprocal
+    v = [1.0, 2.0]
+    ds = _ds({"vec_id": [1, 2, 3],
+              "embedding": pa.array([v, v, v], pa.list_(pa.float32()))})
+    got = {(r["x_id"], r["y_id"]) for r in
+           mutual_nearest_neighbors(ds).take_all()}
+    assert got == {(1, 2)}
+
+
+def test_mutual_nn_broadcast_cap(ray_session):
+    from record_matcher_ray.pipelines.similarity import (
+        mutual_nearest_neighbors,
+    )
+
+    ds = _ds({"vec_id": [1, 2, 3],
+              "embedding": pa.array([[1.0], [2.0], [3.0]],
+                                    pa.list_(pa.float32()))})
+    with pytest.raises(ValueError, match="max_broadcast_rows"):
+        mutual_nearest_neighbors(ds, max_broadcast_rows=2)
