@@ -2224,6 +2224,48 @@ def _q_mutual_nn(sf_dir: str):
     return mutual_nearest_neighbors(ds)
 
 
+def _q_heavy_hitters(sf_dir: str):
+    """Exact frequent customers (count·1000 > N) via the two-phase
+    local-candidates algorithm — no raw-key groupby, zero shuffles."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.sketches import heavy_hitters
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    )
+    return heavy_hitters(ds, "o_custkey", 1000)
+
+
+def _q_grouped_corr(sf_dir: str):
+    """Per-returnflag Pearson correlation of quantity vs extendedprice
+    from exact integer moment partials (grouped linear_fit sibling)."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.stats import grouped_corr
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    return grouped_corr(
+        ds, "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+
+
+def _q_band_join(sf_dir: str):
+    """Numeric band self-join: order pairs within $10 of each other,
+    grid-blocked with ±1-cell emission and exact IEEE verification."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.linkage import band_self_join
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    return band_self_join(ds, "o_totalprice", "o_orderkey", 10.0)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from record_matcher_ray.pipelines import analysis, relational
 
@@ -2360,6 +2402,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fs_score_customer": _q_fellegi_sunter,
         "metablock_part": _q_metablock,
         "mutual_nn_embeddings": _q_mutual_nn,
+        "heavy_hitters_orders": _q_heavy_hitters,
+        "corr_lineitem": _q_grouped_corr,
+        "band_join_orders": _q_band_join,
         "pareto_orders": _q_pareto,
         "explode_embeddings": _q_explode,
         "centroid_cosine_embeddings": _q_centroid_cosine,
@@ -4160,6 +4205,49 @@ def oracle_sql() -> dict[str, str]:
                         WHEN sc >= (0.0)::DOUBLE THEN 'possible'
                         ELSE 'nonmatch' END AS decision
             FROM s
+        """,
+        "heavy_hitters_orders": """
+            WITH nn AS (SELECT count(*) AS n FROM orders),
+            c AS (
+              SELECT o_custkey AS value, (count(*))::BIGINT AS cnt
+              FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1
+            )
+            SELECT value, cnt FROM c, nn WHERE cnt * 1000 > nn.n
+        """,
+        "corr_lineitem": """
+            WITH q AS (
+              SELECT l_returnflag AS grp,
+                     CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS x,
+                     CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                       AS y
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL
+                AND l_extendedprice IS NOT NULL
+                AND l_returnflag IS NOT NULL
+            ), s AS (
+              SELECT grp, count(*)::HUGEINT AS n,
+                     sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+                     sum(x::HUGEINT * y) AS sxy,
+                     sum(x::HUGEINT * x) AS sxx,
+                     sum(y::HUGEINT * y) AS syy
+              FROM q GROUP BY grp
+            ), d AS (
+              SELECT grp, (n)::BIGINT AS n,
+                     (n * sxy - sx * sy)::DOUBLE AS num,
+                     (n * sxx - sx * sx)::DOUBLE AS denx,
+                     (n * syy - sy * sy)::DOUBLE AS deny
+              FROM s
+            )
+            SELECT grp, n, round(num / (sqrt(denx) * sqrt(deny)), 9)
+                     AS corr
+            FROM d
+        """,
+        "band_join_orders": """
+            SELECT a.o_orderkey AS x_id, b.o_orderkey AS y_id,
+                   abs(a.o_totalprice - b.o_totalprice) AS diff
+            FROM orders a JOIN orders b
+              ON a.o_orderkey < b.o_orderkey
+             AND abs(a.o_totalprice - b.o_totalprice) <= (10.0)::DOUBLE
         """,
         "mutual_nn_embeddings": """
             WITH q AS (

@@ -433,3 +433,104 @@ def profile_table(ds: ray.data.Dataset, p: int = 12) -> pd.DataFrame:
     df["n_null"] = df["n_null"].astype(np.int64)
     df["n_distinct"] = df["n_distinct"].astype(np.float64)
     return df
+
+
+def heavy_hitters(
+    ds: ray.data.Dataset,
+    col: str,
+    k: int,
+) -> ray.data.Dataset:
+    """EXACT frequent items: every value whose count strictly exceeds
+    N/k → (value, cnt) — without ever grouping by the raw
+    (possibly huge-cardinality) column.
+
+    Two-phase local-candidates algorithm (the distributed form of the
+    Misra-Gries guarantee): if count(x) > N/k globally then, by
+    averaging, count_b(x) > n_b/k in at least one block b, so the union
+    of per-block local heavy hitters is a SUPERSET of the true answer.
+    Phase 1 streams once emitting each block's local candidates (≤ k−1
+    values per block) plus its row count; phase 2 broadcasts the merged
+    candidate set (bounded by blocks × k, not by column cardinality) and
+    streams once more counting ONLY candidate rows; the driver keeps the
+    exact winners with cnt·k > N (integer compare — no float threshold).
+    Zero shuffles; per-block partials are tiny regardless of block size.
+    Nulls are not values (SQL GROUP BY + WHERE IS NOT NULL parity).
+    """
+    import ray as _ray
+
+    # one partial per batch: candidate values + the batch row count. The
+    # row count must be summed over ALL batches (not only ones with
+    # candidates), so emit it as a dedicated sentinel row (null value).
+    def partial(t: pa.Table) -> pa.Table:
+        c = t[col]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        vc = pc.value_counts(pc.drop_null(c))
+        cnts = vc.field("counts").to_numpy()
+        keep = cnts * np.int64(k) > np.int64(len(t))
+        vals = vc.field("values").filter(pa.array(keep))
+        sentinel = pa.nulls(1, vals.type)
+        return pa.table(
+            {
+                "value": pa.concat_arrays(
+                    [vals.combine_chunks() if isinstance(
+                        vals, pa.ChunkedArray) else vals, sentinel]
+                ),
+                "nb": pa.array(
+                    np.concatenate(
+                        [np.zeros(len(vals), np.int64),
+                         np.array([len(t)], np.int64)]
+                    )
+                ),
+            }
+        )
+
+    parts = [
+        t for t in _ray.get(
+            ds.map_batches(partial, batch_format="pyarrow").to_arrow_refs()
+        ) if len(t)
+    ]
+    if not parts:
+        return ray.data.from_arrow(
+            pa.schema([("value", pa.int64()),
+                       ("cnt", pa.int64())]).empty_table()
+        )
+    cat = pa.concat_tables(parts).combine_chunks()
+    n_total = int(pc.sum(cat["nb"]).as_py() or 0)
+    cand = pc.unique(pc.drop_null(cat["value"]))
+    if len(cand) == 0 or n_total == 0:
+        return ray.data.from_arrow(
+            pa.table({"value": cand, "cnt": pa.array([], pa.int64())})
+        )
+    cand_ref = _ray.put(cand)
+
+    def count_cands(t: pa.Table) -> pa.Table:
+        cv = _ray.get(cand_ref)
+        c = t[col]
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        hit = c.filter(pc.is_in(c, value_set=cv))
+        vc = pc.value_counts(hit)
+        return pa.table(
+            {"value": vc.field("values"),
+             "cnt": vc.field("counts")}
+        )
+
+    cparts = [
+        t for t in _ray.get(
+            ds.map_batches(count_cands, batch_format="pyarrow")
+            .to_arrow_refs()
+        ) if len(t)
+    ]
+    import pandas as pd
+
+    merged = (
+        pa.concat_tables(cparts).to_pandas()
+        .groupby("value", sort=False)["cnt"].sum().reset_index()
+    )
+    wins = merged[merged["cnt"].astype(object) * k > n_total]
+    out = pa.table(
+        {"value": pa.array(wins["value"].to_numpy(), cand.type),
+         "cnt": pa.array(wins["cnt"].to_numpy(np.int64))}
+    )
+    return ray.data.from_arrow(out)

@@ -12,6 +12,8 @@ sums, one double conversion per term, same association order).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -396,3 +398,113 @@ def robust_zscore(
         )
 
     return ds.map_batches(transform, batch_format="pyarrow")
+
+
+def grouped_corr(
+    ds: ray.data.Dataset,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    *,
+    scale: float = 100.0,
+    ndigits: int = 9,
+    max_groups: int = 100_000,
+) -> pd.DataFrame:
+    """Per-group Pearson correlation of two quantized numeric columns →
+    DataFrame (group, n, corr), bit-replayable by a DuckDB oracle.
+
+    The grouped sibling of :func:`linear_fit`: one streaming pass; every
+    block emits exact integer moment partials PER GROUP PRESENT IN THE
+    BLOCK (decimal128 rows — bounded by the block's distinct groups, not
+    its row count); the driver merges in Python big ints and finishes
+    with the pinned-order double readout
+    ``corr = num / (sqrt(denx)·sqrt(deny))``. Intended for
+    bounded-cardinality group columns (flags, segments, sources) — the
+    driver holds one six-int row per group, guarded by ``max_groups``.
+    Rows with null group/x/y drop (SQL GROUP BY + join-null parity);
+    groups with n < 2 or zero variance report NaN corr.
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        xv = pc.cast(t[x_col], pa.float64())
+        yv = pc.cast(t[y_col], pa.float64())
+        ok = pc.and_(
+            pc.and_(pc.is_valid(xv), pc.is_valid(yv)),
+            pc.is_valid(t[group_col]),
+        )
+        sub = t.filter(ok)
+        xv = pc.cast(sub[x_col], pa.float64()).to_numpy()
+        yv = pc.cast(sub[y_col], pa.float64()).to_numpy()
+        x = np.floor(xv * scale + 0.5).astype(np.int64)
+        y = np.floor(yv * scale + 0.5).astype(np.int64)
+        if len(x) and (np.abs(x).max() > _QMAX or np.abs(y).max() > _QMAX):
+            raise ValueError(
+                f"grouped_corr quantized values exceed |{_QMAX}|; lower "
+                "`scale` so squared terms stay int64-chunk-safe."
+            )
+        codes, uniq = pd.factorize(
+            sub[group_col].to_numpy(zero_copy_only=False), sort=False
+        )
+        rows = {"grp": [], "n": [], "sx": [], "sy": [], "sxy": [],
+                "sxx": [], "syy": []}
+        order = np.argsort(codes, kind="stable")
+        bounds = np.nonzero(
+            np.concatenate(([True], codes[order][1:] != codes[order][:-1]))
+        )[0]
+        ends = np.concatenate((bounds[1:], [len(codes)]))
+        for b, e in zip(bounds, ends):
+            sel = order[b:e]
+            gx, gy = x[sel], y[sel]
+            rows["grp"].append(uniq[codes[order[b]]])
+            rows["n"].append(len(sel))
+            rows["sx"].append(_exact_sum(gx))
+            rows["sy"].append(_exact_sum(gy))
+            rows["sxy"].append(_exact_sum(gx * gy))
+            rows["sxx"].append(_exact_sum(gx * gx))
+            rows["syy"].append(_exact_sum(gy * gy))
+        return pa.table(
+            {
+                "grp": pa.array(rows["grp"]),
+                **{
+                    c: pa.array(rows[c], pa.decimal128(38, 0))
+                    for c in ["n", "sx", "sy", "sxy", "sxx", "syy"]
+                },
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame(
+            {"grp": [], "n": pd.Series([], dtype=np.int64),
+             "corr": pd.Series([], dtype=np.float64)}
+        )
+    for c in ["n", "sx", "sy", "sxy", "sxx", "syy"]:
+        parts[c] = parts[c].map(int)  # Decimal → exact Python int
+    agg = parts.groupby("grp", sort=True).sum(numeric_only=False)
+    if len(agg) > max_groups:
+        raise ValueError(
+            f"{len(agg):,} groups exceeds max_groups={max_groups:,}; "
+            "grouped_corr is for bounded-cardinality group columns."
+        )
+    out_g, out_n, out_c = [], [], []
+    for grp, row in agg.iterrows():
+        n, sx, sy = int(row["n"]), int(row["sx"]), int(row["sy"])
+        sxy, sxx, syy = int(row["sxy"]), int(row["sxx"]), int(row["syy"])
+        num = n * sxy - sx * sy
+        denx = n * sxx - sx * sx
+        deny = n * syy - sy * sy
+        if n < 2 or denx == 0 or deny == 0:
+            corr = float("nan")
+        else:
+            corr = round(
+                float(num) / (math.sqrt(float(denx))
+                              * math.sqrt(float(deny))),
+                ndigits,
+            )
+        out_g.append(grp)
+        out_n.append(n)
+        out_c.append(corr)
+    return pd.DataFrame(
+        {"grp": out_g, "n": np.asarray(out_n, np.int64),
+         "corr": np.asarray(out_c, np.float64)}
+    )

@@ -371,3 +371,124 @@ def test_mutual_nn_broadcast_cap(ray_session):
                                     pa.list_(pa.float32()))})
     with pytest.raises(ValueError, match="max_broadcast_rows"):
         mutual_nearest_neighbors(ds, max_broadcast_rows=2)
+
+
+# ---------------------------------------------------------------------------
+# band_self_join
+# ---------------------------------------------------------------------------
+
+
+def _brute_band(ids, vals, eps):
+    out = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            d = abs(vals[i] - vals[j])
+            if d <= eps:
+                lo, hi = sorted((ids[i], ids[j]))
+                out[(lo, hi)] = d
+    return out
+
+
+def test_band_join_bruteforce(ray_session):
+    from record_matcher_ray.pipelines.linkage import band_self_join
+
+    rng = np.random.RandomState(2)
+    vals = np.round(rng.uniform(-50, 50, 300), 2)
+    ids = np.arange(300, dtype=np.int64)
+    ds = _ds({"id": ids, "v": vals})
+    got = {
+        (r["x_id"], r["y_id"]): r["diff"]
+        for r in band_self_join(ds, "v", "id", 1.5).take_all()
+    }
+    assert got == _brute_band(ids, vals, 1.5)
+
+
+def test_band_join_boundary_inclusive_and_nulls(ray_session):
+    from record_matcher_ray.pipelines.linkage import band_self_join
+
+    ds = _ds({"id": [1, 2, 3, 4],
+              "v": pa.array([0.0, 1.0, 2.0 + 1e-12, None], pa.float64())})
+    got = {(r["x_id"], r["y_id"]) for r in
+           band_self_join(ds, "v", "id", 1.0).take_all()}
+    # |0-1| = 1.0 inclusive; |1 - 2.000...| just over; null never pairs
+    assert got == {(1, 2)}
+
+
+def test_band_join_cell_cap_counted(ray_session):
+    from record_matcher_ray.pipelines.linkage import band_self_join
+
+    ds = _ds({"id": list(range(20)), "v": [5.0] * 20})
+    full = band_self_join(ds, "v", "id", 1.0).take_all()
+    capped = band_self_join(ds, "v", "id", 1.0, max_cell=5).take_all()
+    assert len(full) == 190 and len(capped) < len(full)
+
+
+# ---------------------------------------------------------------------------
+# heavy_hitters / grouped_corr
+# ---------------------------------------------------------------------------
+
+
+def test_heavy_hitters_exact(ray_session):
+    from record_matcher_ray.pipelines.sketches import heavy_hitters
+
+    rng = np.random.RandomState(9)
+    # zipf-ish: value v appears ~1000/v times
+    vals = np.concatenate(
+        [np.full(1000 // v, v, np.int64) for v in range(1, 60)]
+    )
+    rng.shuffle(vals)
+    ds = _ds({"v": vals}).repartition(8)
+    n = len(vals)
+    for k in (10, 50, 200):
+        got = {
+            r["value"]: r["cnt"]
+            for r in heavy_hitters(ds, "v", k).take_all()
+        }
+        cnts = {v: int((vals == v).sum()) for v in np.unique(vals)}
+        expect = {v: c for v, c in cnts.items() if c * k > n}
+        assert got == expect
+
+
+def test_heavy_hitters_nulls_and_strings(ray_session):
+    from record_matcher_ray.pipelines.sketches import heavy_hitters
+
+    ds = _ds({"v": pa.array(["a"] * 6 + ["b"] * 2 + [None] * 4,
+                            pa.string())})
+    got = {r["value"]: r["cnt"]
+           for r in heavy_hitters(ds, "v", 3).take_all()}
+    assert got == {"a": 6}  # threshold 12/3 = 4; nulls are not values
+
+
+def test_grouped_corr_exact(ray_session):
+    from record_matcher_ray.pipelines.stats import grouped_corr
+
+    rng = np.random.RandomState(4)
+    n = 500
+    g = rng.choice(["p", "q", "r"], n)
+    x = np.round(rng.uniform(0, 100, n), 2)
+    y = np.round(3.0 * x + rng.normal(0, 5, n), 2)
+    ds = _ds({"g": g, "x": x, "y": y}).repartition(6)
+    out = grouped_corr(ds, "g", "x", "y")
+    assert sorted(out["grp"]) == ["p", "q", "r"]
+    for _, row in out.iterrows():
+        m = g == row["grp"]
+        qx = np.floor(x[m] * 100.0 + 0.5).astype(np.int64)
+        qy = np.floor(y[m] * 100.0 + 0.5).astype(np.int64)
+        nn = int(m.sum())
+        num = nn * int((qx.astype(object) * qy).sum()) - int(qx.sum()) * int(qy.sum())
+        denx = nn * int((qx.astype(object) ** 2).sum()) - int(qx.sum()) ** 2
+        deny = nn * int((qy.astype(object) ** 2).sum()) - int(qy.sum()) ** 2
+        expect = round(
+            float(num) / (math.sqrt(float(denx)) * math.sqrt(float(deny))), 9
+        )
+        assert row["n"] == nn and row["corr"] == expect
+
+
+def test_grouped_corr_degenerate_groups(ray_session):
+    from record_matcher_ray.pipelines.stats import grouped_corr
+
+    ds = _ds({"g": ["a", "a", "b"], "x": [1.0, 1.0, 2.0],
+              "y": [3.0, 4.0, 5.0]})
+    out = grouped_corr(ds, "g", "x", "y").set_index("grp")
+    assert np.isnan(out.loc["a", "corr"])  # zero x-variance
+    assert np.isnan(out.loc["b", "corr"])  # n = 1
