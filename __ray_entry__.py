@@ -2266,6 +2266,81 @@ def _q_band_join(sf_dir: str):
     return band_self_join(ds, "o_totalprice", "o_orderkey", 10.0)
 
 
+def _q_golden_record(sf_dir: str):
+    """End-to-end ER merge: edit-distance name pairs (d ≤ 1) →
+    connected components → survivorship golden records (mode brand,
+    max price, min size) — one canonical row per entity cluster."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.cluster import connected_components
+    from record_matcher_ray.pipelines.joins import hash_join
+    from record_matcher_ray.pipelines.linkage import (
+        edit_distance_self_join,
+        survivorship,
+    )
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_name", "p_brand", "p_retailprice",
+                 "p_size"],
+    )
+    pairs = edit_distance_self_join(
+        part.select_columns(["p_partkey", "p_name"]),
+        "p_name", "p_partkey", max_dist=1, q=2,
+    )
+
+    def as_edges(t):
+        import pyarrow as pa
+
+        return pa.table({"u": t["x_id"], "v": t["y_id"]})
+
+    cc = connected_components(
+        pairs.map_batches(as_edges, batch_format="pyarrow"), "u", "v"
+    )
+    lab = hash_join(part, cc, "p_partkey", "node", how="left")
+
+    def fill(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        comp = pc.coalesce(
+            pc.cast(t["component"], pa.int64()),
+            pc.cast(t["p_partkey"], pa.int64()),
+        )
+        return t.drop_columns(["component"]).append_column("cluster", comp)
+
+    lab = lab.map_batches(fill, batch_format="pyarrow")
+    return survivorship(
+        lab, "cluster",
+        [("p_brand", "mode"), ("p_retailprice", "max"), ("p_size", "min")],
+    )
+
+
+def _q_blocking_quality(sf_dir: str):
+    """Blocking evaluation: metablocking-WEP candidates vs exact-name
+    truth pairs → reduction ratio / pairs completeness / pairs quality."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.linkage import (
+        blocking_quality,
+        edit_distance_self_join,
+        metablock_wep_pairs,
+    )
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_name", "p_brand", "p_type"],
+    )
+    cand = metablock_wep_pairs(
+        part, "p_partkey", ["p_name", "p_brand", "p_type"]
+    )
+    truth = edit_distance_self_join(
+        part.select_columns(["p_partkey", "p_name"]),
+        "p_name", "p_partkey", max_dist=0, q=2,
+    )
+    return blocking_quality(cand, truth, part.count())
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from record_matcher_ray.pipelines import analysis, relational
 
@@ -2405,6 +2480,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters_orders": _q_heavy_hitters,
         "corr_lineitem": _q_grouped_corr,
         "band_join_orders": _q_band_join,
+        "golden_record_part": _q_golden_record,
+        "blocking_quality_part": _q_blocking_quality,
         "pareto_orders": _q_pareto,
         "explode_embeddings": _q_explode,
         "centroid_cosine_embeddings": _q_centroid_cosine,
@@ -4205,6 +4282,93 @@ def oracle_sql() -> dict[str, str]:
                         WHEN sc >= (0.0)::DOUBLE THEN 'possible'
                         ELSE 'nonmatch' END AS decision
             FROM s
+        """,
+        "golden_record_part": """
+            WITH RECURSIVE c AS (
+              SELECT a.p_partkey AS u, b.p_partkey AS v
+              FROM part a JOIN part b
+                ON a.p_partkey < b.p_partkey
+               AND abs(length(a.p_name) - length(b.p_name)) <= 1
+               AND levenshtein(a.p_name, b.p_name) <= 1
+            ), e AS (
+              SELECT u AS a, v AS b FROM c
+              UNION ALL SELECT v, u FROM c
+            ), walk(node, r) AS (
+              SELECT p_partkey, p_partkey FROM part
+              UNION
+              SELECT w.node, e.a FROM walk w JOIN e ON e.b = w.r
+            ), comp AS (
+              SELECT node, min(r) AS cluster FROM walk GROUP BY node
+            ), lab AS (
+              SELECT p.*, comp.cluster FROM part p
+              JOIN comp ON comp.node = p.p_partkey
+            ), bc AS (
+              SELECT cluster, p_brand, count(*) AS c FROM lab
+              WHERE p_brand IS NOT NULL GROUP BY 1, 2
+            ), mb AS (
+              SELECT cluster, p_brand FROM (
+                SELECT cluster, p_brand,
+                       row_number() OVER (PARTITION BY cluster
+                                          ORDER BY c DESC, p_brand ASC)
+                         AS rn
+                FROM bc
+              ) WHERE rn = 1
+            ), agg AS (
+              SELECT cluster, (count(*))::BIGINT AS n_members,
+                     max(p_retailprice) AS p_retailprice,
+                     min(p_size) AS p_size
+              FROM lab GROUP BY 1
+            )
+            SELECT agg.cluster, agg.n_members, mb.p_brand,
+                   agg.p_retailprice, agg.p_size
+            FROM agg JOIN mb USING (cluster)
+        """,
+        "blocking_quality_part": """
+            WITH tok AS (
+              SELECT DISTINCT p_partkey AS id, lower(u.tok) AS tok
+              FROM part,
+                   unnest(string_split(
+                     p_name || ' ' || p_brand || ' ' || p_type, ' '
+                   )) AS u(tok)
+              WHERE length(u.tok) > 0
+            ), e AS (
+              SELECT a.id AS x_id, b.id AS y_id, count(*) AS w
+              FROM tok a JOIN tok b ON a.tok = b.tok AND a.id < b.id
+              GROUP BY 1, 2
+            ), t AS (
+              SELECT (sum(w))::DOUBLE / (count(*))::DOUBLE AS mw FROM e
+            ), cand AS (
+              SELECT x_id, y_id FROM e, t WHERE (w)::DOUBLE > t.mw
+            ), truth AS (
+              SELECT a.p_partkey AS x_id, b.p_partkey AS y_id
+              FROM part a JOIN part b
+                ON a.p_partkey < b.p_partkey AND a.p_name = b.p_name
+            ), m AS (
+              SELECT (SELECT count(*) FROM cand) AS nc,
+                     (SELECT count(*) FROM truth) AS nt,
+                     (SELECT count(*) FROM cand c JOIN truth t2
+                        ON c.x_id = t2.x_id AND c.y_id = t2.y_id) AS nh,
+                     (SELECT count(*) FROM part) AS n
+            ), v AS (
+              SELECT nc, nt, nh,
+                     (1.0)::DOUBLE - (nc)::DOUBLE
+                       / ((n * (n - 1) // 2))::DOUBLE AS rr,
+                     (nh)::DOUBLE / (nt)::DOUBLE AS pc_,
+                     (nh)::DOUBLE / (nc)::DOUBLE AS pq
+              FROM m
+            )
+            SELECT (nc)::BIGINT AS n_cand, (nt)::BIGINT AS n_truth,
+                   (nh)::BIGINT AS n_hit,
+                   CASE WHEN rr >= 0 THEN floor(rr * 1e6 + 0.5) / 1e6
+                        ELSE -floor(-rr * 1e6 + 0.5) / 1e6 END
+                     AS reduction_ratio,
+                   CASE WHEN pc_ >= 0 THEN floor(pc_ * 1e6 + 0.5) / 1e6
+                        ELSE -floor(-pc_ * 1e6 + 0.5) / 1e6 END
+                     AS pairs_completeness,
+                   CASE WHEN pq >= 0 THEN floor(pq * 1e6 + 0.5) / 1e6
+                        ELSE -floor(-pq * 1e6 + 0.5) / 1e6 END
+                     AS pairs_quality
+            FROM v
         """,
         "heavy_hitters_orders": """
             WITH nn AS (SELECT count(*) AS n FROM orders),

@@ -832,3 +832,224 @@ def band_self_join(
         .groupby("pb")
         .map_groups(dedupe, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# survivorship (golden records) + blocking-quality metrics
+# ---------------------------------------------------------------------------
+
+_SURV_AGGS = ("mode", "min", "max", "longest", "shortest")
+
+
+def survivorship(
+    ds: ray.data.Dataset,
+    cluster_col: str,
+    rules: list[tuple[str, str]],
+    *,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Golden-record survivorship: collapse each entity cluster to ONE
+    canonical row → (cluster, n_members, <col> per rule). Rules pick the
+    surviving value per attribute: ``mode`` (most frequent, ties to the
+    smallest value), ``min`` / ``max`` (by value), ``longest`` /
+    ``shortest`` (string length, ties to the smallest value). Null
+    attribute values never survive unless the whole cluster is null.
+
+    The merge/survivorship half of classic entity resolution (the half
+    the reference stops short of — its matcher emits pairs; reference
+    matcher.py:219 keeps both rows). Cluster labels come from any
+    upstream (connected_components over similarity-join pairs, exact
+    keys, …).
+
+    Scale shape: one bucketed exchange on hash(cluster) (cluster values
+    co-locate, ≤``n_buckets`` groups); inside a bucket every rule is
+    vectorized over sorted (cluster, value-code) runs — no per-cluster
+    Python. Output is one row per cluster.
+    """
+    import pandas as pd
+
+    for col, agg in rules:
+        if agg not in _SURV_AGGS:
+            raise ValueError(
+                f"survivorship rule {agg!r} for {col!r}: must be one of "
+                f"{_SURV_AGGS}"
+            )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[cluster_col]))
+        b = column_hash64(t[cluster_col])
+        return t.append_column(
+            "__svb__", pa.array((b % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    def fold(t: pa.Table) -> pa.Table:
+        fields = [("cluster", t.schema.field(cluster_col).type),
+                  ("n_members", pa.int64())]
+        fields += [(c, t.schema.field(c).type) for c, _ in rules]
+        empty = pa.schema(fields).empty_table()
+        if len(t) == 0:
+            return empty
+        cl_arr = t[cluster_col]
+        ckey, cuniq = pd.factorize(
+            cl_arr.to_numpy(zero_copy_only=False), sort=True
+        )
+        k = len(cuniq)
+        n_members = np.bincount(ckey, minlength=k).astype(np.int64)
+        out: dict = {
+            "cluster": pa.array(pd.Series(cuniq),
+                                t.schema.field(cluster_col).type),
+            "n_members": pa.array(n_members),
+        }
+        for col, agg in rules:
+            vals = t[col].to_numpy(zero_copy_only=False)
+            valid = pc.is_valid(t[col]).to_numpy(zero_copy_only=False)
+            # factorize sorted: code order == value order (tie-breaks)
+            vcode, vuniq = pd.factorize(vals, sort=True)
+            # nulls → code -1; push them past every real value so they
+            # only survive when a cluster has nothing else
+            NULLC = len(vuniq)
+            vcode = np.where(valid, vcode, NULLC).astype(np.int64)
+            if agg == "mode":
+                order = np.lexsort((vcode, ckey))
+                ck_s, vc_s = ckey[order], vcode[order]
+                first = np.concatenate(
+                    ([True], (ck_s[1:] != ck_s[:-1]) | (vc_s[1:] != vc_s[:-1]))
+                )
+                starts = np.nonzero(first)[0]
+                cnt = np.diff(np.concatenate((starts, [len(ck_s)])))
+                rc, rv = ck_s[first], vc_s[first]
+                # null runs never beat a real value
+                cnt = np.where(rv == NULLC, 0, cnt)
+                pick_order = np.lexsort((rv, -cnt, rc))
+                rc_o = rc[pick_order]
+                first_c = np.concatenate(([True], rc_o[1:] != rc_o[:-1]))
+                win = rv[pick_order][first_c]
+                win_c = rc_o[first_c]
+            elif agg in ("min", "max"):
+                sign = vcode if agg == "min" else -vcode
+                # nulls sort last either way
+                sign = np.where(vcode == NULLC, np.iinfo(np.int64).max, sign)
+                order = np.lexsort((sign, ckey))
+                ck_s = ckey[order]
+                first_c = np.concatenate(([True], ck_s[1:] != ck_s[:-1]))
+                win = vcode[order][first_c]
+                win_c = ck_s[first_c]
+            else:  # longest / shortest
+                lens = np.array(
+                    [len(u) if isinstance(u, str) else 0 for u in vuniq]
+                    + [-1], np.int64
+                )
+                ln = lens[vcode]
+                key = -ln if agg == "longest" else ln
+                key = np.where(vcode == NULLC, np.iinfo(np.int64).max, key)
+                order = np.lexsort((vcode, key, ckey))
+                ck_s = ckey[order]
+                first_c = np.concatenate(([True], ck_s[1:] != ck_s[:-1]))
+                win = vcode[order][first_c]
+                win_c = ck_s[first_c]
+            # scatter winners back to cluster order (every cluster wins
+            # exactly one row; win_c is sorted unique = arange(k))
+            res = np.empty(k, np.int64)
+            res[win_c] = win
+            uplus = pd.Series(list(vuniq) + [None])
+            out[col] = pa.array(
+                uplus.iloc[res].reset_index(drop=True),
+                t.schema.field(col).type,
+            )
+        return pa.table(out)
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__svb__")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
+def blocking_quality(
+    cand: ray.data.Dataset,
+    truth: ray.data.Dataset,
+    n_records: int,
+    *,
+    n_buckets: int = 64,
+) -> "pd.DataFrame":
+    """Blocking evaluation metrics (the standard ER triple — Christen,
+    "Data Matching", 2012): given candidate pairs and ground-truth match
+    pairs (both (x_id, y_id), x < y), one row:
+
+        n_cand, n_truth, n_hit,
+        reduction_ratio    = 1 − n_cand / C(n_records, 2)
+        pairs_completeness = n_hit / n_truth      (blocking recall)
+        pairs_quality      = n_hit / n_cand       (blocking precision)
+
+    each double a single pinned division rounded half-up to 6dp (NaN on
+    zero denominators). The pair intersection runs on one bucketed
+    exchange (pair-hash key, sorted-run intersection inside each bucket)
+    — nothing driver-side scales with the pair counts.
+    """
+    import pandas as pd
+
+    def tag(side: int):
+        def inner(t: pa.Table) -> pa.Table:
+            x = pc.cast(t["x_id"], pa.int64()).to_numpy()
+            y = pc.cast(t["y_id"], pa.int64()).to_numpy()
+            pb = _bucket_u64(
+                (x.view(np.uint64) * _GOLD) ^ y.view(np.uint64), n_buckets
+            )
+            return pa.table(
+                {"pb": pa.array(pb), "x": pa.array(x), "y": pa.array(y),
+                 "side": pa.array(np.full(len(x), side, np.int8))}
+            )
+        return inner
+
+    both = cand.map_batches(tag(0), batch_format="pyarrow").union(
+        truth.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def bucket_counts(t: pa.Table) -> pa.Table:
+        empty = pa.schema(
+            [("nc", pa.int64()), ("nt", pa.int64()), ("nh", pa.int64())]
+        ).empty_table()
+        if len(t) == 0:
+            return empty
+        x = t["x"].to_numpy()
+        y = t["y"].to_numpy()
+        s = t["side"].to_numpy()
+        nc = int((s == 0).sum())
+        nt = int((s == 1).sum())
+        order = np.lexsort((s, y, x))
+        x_s, y_s, s_s = x[order], y[order], s[order]
+        # a hit = a (x, y) run containing both sides (pairs are unique
+        # within each side)
+        first = np.concatenate(
+            ([True], (x_s[1:] != x_s[:-1]) | (y_s[1:] != y_s[:-1]))
+        )
+        gid = np.cumsum(first) - 1
+        nh = int(
+            (np.bincount(gid, weights=(s_s == 0)) *
+             np.bincount(gid, weights=(s_s == 1)) > 0).sum()
+        )
+        return pa.table(
+            {"nc": pa.array([nc], pa.int64()),
+             "nt": pa.array([nt], pa.int64()),
+             "nh": pa.array([nh], pa.int64())}
+        )
+
+    parts = both.groupby("pb").map_groups(
+        bucket_counts, batch_format="pyarrow"
+    ).to_pandas()
+    n_cand = int(parts["nc"].sum()) if len(parts) else 0
+    n_truth = int(parts["nt"].sum()) if len(parts) else 0
+    n_hit = int(parts["nh"].sum()) if len(parts) else 0
+    total = n_records * (n_records - 1) // 2
+    rr = (1.0 - float(n_cand) / float(total)) if total else float("nan")
+    pc_ = float(n_hit) / float(n_truth) if n_truth else float("nan")
+    pq = float(n_hit) / float(n_cand) if n_cand else float("nan")
+    r6 = lambda v: (  # noqa: E731 — the repo's signed half-up recipe
+        math.floor(v * 1e6 + 0.5) / 1e6 if v >= 0
+        else -math.floor(-v * 1e6 + 0.5) / 1e6
+    ) if v == v else v
+    return pd.DataFrame(
+        {"n_cand": [n_cand], "n_truth": [n_truth], "n_hit": [n_hit],
+         "reduction_ratio": [r6(rr)], "pairs_completeness": [r6(pc_)],
+         "pairs_quality": [r6(pq)]}
+    )

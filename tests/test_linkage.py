@@ -492,3 +492,77 @@ def test_grouped_corr_degenerate_groups(ray_session):
     out = grouped_corr(ds, "g", "x", "y").set_index("grp")
     assert np.isnan(out.loc["a", "corr"])  # zero x-variance
     assert np.isnan(out.loc["b", "corr"])  # n = 1
+
+
+# ---------------------------------------------------------------------------
+# survivorship / blocking_quality
+# ---------------------------------------------------------------------------
+
+
+def test_survivorship_rules(ray_session):
+    from record_matcher_ray.pipelines.linkage import survivorship
+
+    ds = _ds({
+        "cl": [1, 1, 1, 2, 2, 3],
+        "brand": ["b", "a", "a", "z", None, None],
+        "price": [5.0, 9.0, 1.0, 2.0, 7.0, 3.0],
+        "name": ["xx", "yyy", "z", "aa", "bb", "c"],
+    })
+    rows = {r["cluster"]: r for r in survivorship(
+        ds, "cl",
+        [("brand", "mode"), ("price", "max"), ("name", "longest")],
+    ).take_all()}
+    assert rows[1]["n_members"] == 3
+    assert rows[1]["brand"] == "a"          # mode 2-of-3
+    assert rows[1]["price"] == 9.0          # max
+    assert rows[1]["name"] == "yyy"         # longest
+    assert rows[2]["brand"] == "z"          # null never beats a value
+    assert rows[3]["brand"] is None         # all-null cluster keeps null
+    assert rows[3]["n_members"] == 1
+
+
+def test_survivorship_mode_tie_smallest_value(ray_session):
+    from record_matcher_ray.pipelines.linkage import survivorship
+
+    ds = _ds({"cl": [1, 1, 1, 1], "v": ["beta", "beta", "alfa", "alfa"]})
+    rows = survivorship(ds, "cl", [("v", "mode")]).take_all()
+    assert rows[0]["v"] == "alfa"
+
+
+def test_survivorship_min_shortest_and_bad_rule(ray_session):
+    from record_matcher_ray.pipelines.linkage import survivorship
+
+    ds = _ds({"cl": ["g", "g"], "n": [4, 2], "s": ["aaa", "zz"]})
+    rows = survivorship(
+        ds, "cl", [("n", "min"), ("s", "shortest")]
+    ).take_all()
+    assert rows[0]["n"] == 2 and rows[0]["s"] == "zz"
+    with pytest.raises(ValueError, match="must be one of"):
+        survivorship(ds, "cl", [("n", "median")])
+
+
+def test_blocking_quality_exact(ray_session):
+    from record_matcher_ray.pipelines.linkage import blocking_quality
+
+    cand = _ds({"x_id": [1, 1, 2, 3], "y_id": [2, 3, 4, 9]})
+    truth = _ds({"x_id": [1, 2, 5], "y_id": [2, 4, 6]})
+    out = blocking_quality(cand, truth, 10)
+    r = out.iloc[0]
+    assert (r["n_cand"], r["n_truth"], r["n_hit"]) == (4, 3, 2)
+    assert r["reduction_ratio"] == math.floor(
+        (1.0 - 4.0 / 45.0) * 1e6 + 0.5) / 1e6
+    assert r["pairs_completeness"] == math.floor(
+        (2.0 / 3.0) * 1e6 + 0.5) / 1e6
+    assert r["pairs_quality"] == 0.5
+
+
+def test_blocking_quality_empty_sides(ray_session):
+    from record_matcher_ray.pipelines.linkage import blocking_quality
+
+    cand = _ds({"x_id": [1], "y_id": [2]})
+    empty = _ds({"x_id": pa.array([], pa.int64()),
+                 "y_id": pa.array([], pa.int64())})
+    r = blocking_quality(cand, empty, 5).iloc[0]
+    assert r["n_truth"] == 0 and np.isnan(r["pairs_completeness"])
+    r2 = blocking_quality(empty, cand, 5).iloc[0]
+    assert r2["n_cand"] == 0 and np.isnan(r2["pairs_quality"])
