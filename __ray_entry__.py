@@ -2341,6 +2341,55 @@ def _q_blocking_quality(sf_dir: str):
     return blocking_quality(cand, truth, part.count())
 
 
+def _q_next_purchase(sf_dir: str):
+    """FORWARD as-of join: for every event, the timestamp of that user's
+    next (or simultaneous) purchase — the forward twin of
+    `last_error_asof` (joins.asof_join direction="forward")."""
+    import pandas as pd
+    import ray.data
+
+    from record_matcher_ray.pipelines.joins import asof_join
+
+    left = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+
+    def purchases(t):
+        import pyarrow.compute as _pc
+
+        return (
+            t.filter(_pc.equal(t["event_type"], "purchase"))
+            .select(["user_id", "ts"])
+            .rename_columns(["user_id", "purchase_ts"])
+        )
+
+    right = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    ).map_batches(purchases, batch_format="pyarrow")
+    out = asof_join(
+        left, right, by="user_id", left_on="ts",
+        right_on="purchase_ts", direction="forward",
+    ).to_pandas()
+    return pd.DataFrame(
+        {"event_id": out["event_id"].astype("int64"),
+         "next_purchase_ts": out["purchase_ts"]}
+    )
+
+
+def _q_grouped_entropy(sf_dir: str):
+    """Per-nation Shannon entropy of the market-segment mix — categorical
+    diversity profiling with the pinned ordered-fold float recipe."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.stats import grouped_entropy
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_nationkey", "c_mktsegment"],
+    )
+    return grouped_entropy(ds, "c_nationkey", "c_mktsegment")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from record_matcher_ray.pipelines import analysis, relational
 
@@ -2482,6 +2531,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "band_join_orders": _q_band_join,
         "golden_record_part": _q_golden_record,
         "blocking_quality_part": _q_blocking_quality,
+        "next_purchase_asof": _q_next_purchase,
+        "entropy_customer_segments": _q_grouped_entropy,
         "pareto_orders": _q_pareto,
         "explode_embeddings": _q_explode,
         "centroid_cosine_embeddings": _q_centroid_cosine,
@@ -4282,6 +4333,33 @@ def oracle_sql() -> dict[str, str]:
                         WHEN sc >= (0.0)::DOUBLE THEN 'possible'
                         ELSE 'nonmatch' END AS decision
             FROM s
+        """,
+        "entropy_customer_segments": """
+            WITH c AS (
+              SELECT c_nationkey AS grp, c_mktsegment AS v,
+                     count(*) AS k
+              FROM customer
+              WHERE c_nationkey IS NOT NULL
+                AND c_mktsegment IS NOT NULL
+              GROUP BY 1, 2
+            ), a AS (
+              SELECT grp, (sum(k))::BIGINT AS n,
+                     list_sum(list((k::DOUBLE) * ln(k::DOUBLE)
+                                   ORDER BY v)) AS s
+              FROM c GROUP BY grp
+            )
+            SELECT grp, n,
+                   floor((ln((n)::DOUBLE) - s / (n)::DOUBLE) * 1e6 + 0.5)
+                     / 1e6 AS entropy
+            FROM a
+        """,
+        "next_purchase_asof": """
+            SELECT l.event_id, min(r.ts) AS next_purchase_ts
+            FROM events l
+            LEFT JOIN (SELECT user_id, ts FROM events
+                       WHERE event_type = 'purchase') r
+              ON l.user_id = r.user_id AND r.ts >= l.ts
+            GROUP BY l.event_id
         """,
         "golden_record_part": """
             WITH RECURSIVE c AS (

@@ -508,3 +508,68 @@ def grouped_corr(
         {"grp": out_g, "n": np.asarray(out_n, np.int64),
          "corr": np.asarray(out_c, np.float64)}
     )
+
+
+def grouped_entropy(
+    ds: ray.data.Dataset,
+    group_col: str,
+    value_col: str,
+    *,
+    ndigits: int = 6,
+    max_cells: int = 1_000_000,
+) -> pd.DataFrame:
+    """Shannon entropy (nats) of a categorical column's distribution per
+    group → DataFrame (grp, n, entropy) — the diversity / skew profiling
+    signal (segment mix per region, source mix per shard, label balance
+    per bucket).
+
+    entropy = ln(n) − (Σ_v k_v·ln k_v)/n over EXACT integer counts, the
+    Σ accumulated in ASCENDING value order — the same pinned left-fold
+    the `char_entropy` oracle replays with
+    ``list_sum(list(k·ln k ORDER BY v))``; the only other float surface
+    is one division and one subtraction. Null groups/values drop (SQL
+    GROUP BY + WHERE parity). Intended for bounded-cardinality pairs:
+    the exchanged table is one row per (group, value) cell, guarded by
+    ``max_cells``.
+    """
+    import math
+
+    def valid(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.and_(pc.is_valid(t[group_col]), pc.is_valid(t[value_col]))
+        ).select([group_col, value_col])
+
+    cells = (
+        ds.map_batches(valid, batch_format="pyarrow")
+        .groupby([group_col, value_col])
+        .count()
+        .take_all()
+    )
+    if len(cells) > max_cells:
+        raise ValueError(
+            f"{len(cells):,} (group, value) cells exceeds max_cells="
+            f"{max_cells:,}; grouped_entropy is for bounded-cardinality "
+            "categorical columns."
+        )
+    by_group: dict = {}
+    for row in cells:
+        by_group.setdefault(row[group_col], []).append(
+            (row[value_col], int(row["count()"]))
+        )
+    out_g, out_n, out_e = [], [], []
+    for g in sorted(by_group):
+        vs = sorted(by_group[g])  # ascending value order == SQL ORDER BY v
+        n = sum(k for _, k in vs)
+        s = 0.0
+        for _, k in vs:  # pinned left fold
+            s = s + float(k) * math.log(float(k))
+        ent = math.floor(
+            (math.log(float(n)) - s / float(n)) * 10.0**ndigits + 0.5
+        ) / 10.0**ndigits
+        out_g.append(g)
+        out_n.append(n)
+        out_e.append(ent)
+    return pd.DataFrame(
+        {"grp": out_g, "n": np.asarray(out_n, np.int64),
+         "entropy": np.asarray(out_e, np.float64)}
+    )

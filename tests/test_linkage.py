@@ -566,3 +566,30 @@ def test_blocking_quality_empty_sides(ray_session):
     assert r["n_truth"] == 0 and np.isnan(r["pairs_completeness"])
     r2 = blocking_quality(empty, cand, 5).iloc[0]
     assert r2["n_cand"] == 0 and np.isnan(r2["pairs_quality"])
+
+
+# ---------------------------------------------------------------------------
+# grouped_entropy (stats.py)
+# ---------------------------------------------------------------------------
+
+
+def test_grouped_entropy_exact(ray_session):
+    from record_matcher_ray.pipelines.stats import grouped_entropy
+
+    ds = _ds({"g": ["a"] * 4 + ["b"] * 3,
+              "v": ["x", "x", "y", None, "z", "z", "z"]})
+    out = grouped_entropy(ds, "g", "v").set_index("grp")
+    # group a: counts {x:2, y:1} over n=3 (null dropped)
+    s = 2.0 * math.log(2.0) + 1.0 * math.log(1.0)
+    expect = math.floor((math.log(3.0) - s / 3.0) * 1e6 + 0.5) / 1e6
+    assert out.loc["a", "n"] == 3 and out.loc["a", "entropy"] == expect
+    # single-value group: zero entropy (up to the pinned-float identity)
+    assert out.loc["b", "entropy"] == 0.0
+
+
+def test_grouped_entropy_cell_guard(ray_session):
+    from record_matcher_ray.pipelines.stats import grouped_entropy
+
+    ds = _ds({"g": list(range(30)), "v": list(range(30))})
+    with pytest.raises(ValueError, match="max_cells"):
+        grouped_entropy(ds, "g", "v", max_cells=10)
