@@ -2390,6 +2390,22 @@ def _q_grouped_entropy(sf_dir: str):
     return grouped_entropy(ds, "c_nationkey", "c_mktsegment")
 
 
+def _q_token_sort(sf_dir: str):
+    """Token-sort Levenshtein similarity over distinct part-name pairs
+    sharing a token — the distributed form of the registered
+    token_sort_ratio scorer."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.linkage import (
+        token_sort_similarity_pairs,
+    )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_name"]
+    )
+    return token_sort_similarity_pairs(ds, "p_name")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from record_matcher_ray.pipelines import analysis, relational
 
@@ -2533,6 +2549,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blocking_quality_part": _q_blocking_quality,
         "next_purchase_asof": _q_next_purchase,
         "entropy_customer_segments": _q_grouped_entropy,
+        "token_sort_part": _q_token_sort,
         "pareto_orders": _q_pareto,
         "explode_embeddings": _q_explode,
         "centroid_cosine_embeddings": _q_centroid_cosine,
@@ -4332,6 +4349,34 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN sc >= (4.0)::DOUBLE THEN 'match'
                         WHEN sc >= (0.0)::DOUBLE THEN 'possible'
                         ELSE 'nonmatch' END AS decision
+            FROM s
+        """,
+        "token_sort_part": r"""
+            WITH v AS (SELECT DISTINCT p_name AS name FROM part),
+            tok AS (
+              SELECT DISTINCT name, t.tok
+              FROM v, unnest(string_split_regex(name, '\s+')) AS t(tok)
+              WHERE length(t.tok) > 0
+            ), pr AS (
+              SELECT DISTINCT a.name AS name_a, b.name AS name_b
+              FROM tok a JOIN tok b
+                ON a.tok = b.tok AND a.name < b.name
+            ), s AS (
+              SELECT name_a, name_b,
+                     array_to_string(list_sort(
+                       string_split_regex(name_a, '\s+')), ' ') AS sa,
+                     array_to_string(list_sort(
+                       string_split_regex(name_b, '\s+')), ' ') AS sb
+              FROM pr
+            )
+            SELECT name_a, name_b,
+                   round(CASE
+                     WHEN sa = sb THEN 100.0
+                     WHEN greatest(length(sa), length(sb)) = 0 THEN 100.0
+                     WHEN length(sa) = 0 OR length(sb) = 0 THEN 0.0
+                     ELSE 100.0 * (1.0 - levenshtein(sa, sb)::double
+                          / greatest(length(sa), length(sb)))
+                   END, 6) AS ts_sim
             FROM s
         """,
         "entropy_customer_segments": """

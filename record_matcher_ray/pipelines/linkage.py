@@ -1053,3 +1053,178 @@ def blocking_quality(
          "reduction_ratio": [r6(rr)], "pairs_completeness": [r6(pc_)],
          "pairs_quality": [r6(pq)]}
     )
+
+
+# ---------------------------------------------------------------------------
+# token-sort similarity pairs (fuzzywuzzy-family scorer, distributed)
+# ---------------------------------------------------------------------------
+
+
+def token_sort_similarity_pairs(
+    ds: ray.data.Dataset,
+    text_col: str,
+    *,
+    n_buckets: int = 64,
+    max_token_freq: int | None = None,
+) -> ray.data.Dataset:
+    """Token-sort Levenshtein similarity for every DISTINCT value pair
+    sharing at least one whitespace token → (name_a, name_b, ts_sim),
+    name_a < name_b by string. The distributed form of the registered
+    ``token_sort_ratio`` scorer (functions/scorers.py:117): compare
+    strings after sorting their tokens, so word order never costs
+    similarity ("red widget" vs "widget red" scores 100).
+
+    Shape: distinct values dedupe on a hash bucket, token keys ride one
+    bucketed exchange with the TEXT alongside (the edjoin short-field
+    contract), per-token pairs dedupe on a pair-hash exchange, then the
+    token-sorted strings score through the same 0-100 Levenshtein
+    formula the supplier_levenshtein oracle replays. ``max_token_freq``
+    caps stop-token blocks (counted under-count semantics, off by
+    default)."""
+
+    def distinct_vals(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t[text_col], pa.string()), "")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        h = column_hash64(txt).view(np.int64)
+        return pa.table(
+            {"b": pa.array(_bucket_u64(h, n_buckets)),
+             "uh": pa.array(h), "txt": txt}
+        )
+
+    def dedupe_vals(t: pa.Table) -> pa.Table:
+        empty = pa.schema(
+            [("uh", pa.int64()), ("txt", pa.string())]
+        ).empty_table()
+        if len(t) == 0:
+            return empty
+        u = t["uh"].to_numpy()
+        order = np.argsort(u, kind="stable")
+        first = np.concatenate(([True], u[order][1:] != u[order][:-1]))
+        sel = order[first]
+        return pa.table(
+            {"uh": pa.array(u[sel]), "txt": t["txt"].take(pa.array(sel))}
+        )
+
+    def token_keys(t: pa.Table) -> pa.Table:
+        empty = pa.schema(
+            [("kb", pa.int64()), ("key", pa.int64()),
+             ("uh", pa.int64()), ("txt", pa.string())]
+        ).empty_table()
+        if len(t) == 0:
+            return empty
+        txt = t["txt"].combine_chunks() if isinstance(
+            t["txt"], pa.ChunkedArray) else t["txt"]
+        toks = pc.split_pattern_regex(txt, r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        counts = np.diff(toks.offsets.to_numpy().astype(np.int64))
+        flat, starts, lens = utf8_view(toks.values)
+        th = whole_hashes(flat, starts, lens).view(np.int64)
+        rows = np.repeat(np.arange(len(t), dtype=np.int64), counts)
+        keep = lens > 0
+        th, rows = th[keep], rows[keep]
+        n_tok = np.bincount(rows, minlength=len(t)).astype(np.int64)
+        tu, tu_lens = unique_per_doc(th, n_tok)
+        rows_u = np.repeat(np.arange(len(t), dtype=np.int64), tu_lens)
+        return pa.table(
+            {
+                "kb": pa.array(_bucket_u64(tu, n_buckets)),
+                "key": pa.array(tu),
+                "uh": pa.array(t["uh"].to_numpy()[rows_u]),
+                "txt": txt.take(pa.array(rows_u)),
+            }
+        )
+
+    def key_pairs(t: pa.Table) -> pa.Table:
+        empty = pa.schema(
+            [("pb", pa.int64()), ("ua", pa.int64()), ("ub", pa.int64()),
+             ("ta", pa.string()), ("tb", pa.string())]
+        ).empty_table()
+        if len(t) == 0:
+            return empty
+        pa_, pb_ = _group_pairs(
+            t["key"].to_numpy(), t["uh"].to_numpy(),
+            max_size=max_token_freq, positions=True,
+        )
+        if len(pa_) == 0:
+            return empty
+        u = t["uh"].to_numpy()
+        ua, ub = u[pa_], u[pb_]
+        swap = ua > ub
+        ua2 = np.where(swap, ub, ua)
+        ub2 = np.where(swap, ua, ub)
+        pa2 = np.where(swap, pb_, pa_)
+        pb2 = np.where(swap, pa_, pb_)
+        order = np.lexsort((ub2, ua2))
+        ua_s, ub_s = ua2[order], ub2[order]
+        first = np.concatenate(
+            ([True], (ua_s[1:] != ua_s[:-1]) | (ub_s[1:] != ub_s[:-1]))
+        )
+        sel = order[first]
+        txt = t["txt"].combine_chunks() if isinstance(
+            t["txt"], pa.ChunkedArray) else t["txt"]
+        pairb = _bucket_u64(
+            (ua2[sel].view(np.uint64) * _GOLD) ^ ub2[sel].view(np.uint64),
+            n_buckets,
+        )
+        return pa.table(
+            {"pb": pa.array(pairb), "ua": pa.array(ua2[sel]),
+             "ub": pa.array(ub2[sel]),
+             "ta": txt.take(pa.array(pa2[sel])),
+             "tb": txt.take(pa.array(pb2[sel]))}
+        )
+
+    def score(t: pa.Table) -> pa.Table:
+        from record_matcher_ray.functions.scorers import (
+            levenshtein_elementwise,
+        )
+
+        empty = pa.schema(
+            [("name_a", pa.string()), ("name_b", pa.string()),
+             ("ts_sim", pa.float64())]
+        ).empty_table()
+        if len(t) == 0:
+            return empty
+        ua = t["ua"].to_numpy()
+        ub = t["ub"].to_numpy()
+        order = np.lexsort((ub, ua))
+        first = np.concatenate(
+            ([True],
+             (ua[order][1:] != ua[order][:-1])
+             | (ub[order][1:] != ub[order][:-1]))
+        )
+        sel = order[first]
+        ta = [str(v) for v in t["ta"].take(pa.array(sel)).to_pylist()]
+        tb = [str(v) for v in t["tb"].take(pa.array(sel)).to_pylist()]
+        sa = np.asarray(
+            [" ".join(sorted(s.split())) for s in ta], dtype=object
+        )
+        sb = np.asarray(
+            [" ".join(sorted(s.split())) for s in tb], dtype=object
+        )
+        # np.round(…, 6) ↔ SQL round(…, 6): the proven pairing from the
+        # supplier_levenshtein oracle (same 0-100 quotient domain)
+        sim = np.round(levenshtein_elementwise(sa, sb), 6)
+        # name_a < name_b by raw string (SQL `<` on ASCII)
+        a_arr = np.asarray(ta, dtype=object)
+        b_arr = np.asarray(tb, dtype=object)
+        swap = a_arr > b_arr
+        lo = np.where(swap, b_arr, a_arr)
+        hi = np.where(swap, a_arr, b_arr)
+        return pa.table(
+            {"name_a": pa.array(lo, pa.string()),
+             "name_b": pa.array(hi, pa.string()),
+             "ts_sim": pa.array(sim.astype(np.float64))}
+        )
+
+    return (
+        ds.map_batches(distinct_vals, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(dedupe_vals, batch_format="pyarrow")
+        .map_batches(token_keys, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(key_pairs, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(score, batch_format="pyarrow")
+    )

@@ -593,3 +593,21 @@ def test_grouped_entropy_cell_guard(ray_session):
     ds = _ds({"g": list(range(30)), "v": list(range(30))})
     with pytest.raises(ValueError, match="max_cells"):
         grouped_entropy(ds, "g", "v", max_cells=10)
+
+
+def test_token_sort_pairs(ray_session):
+    from record_matcher_ray.pipelines.linkage import (
+        token_sort_similarity_pairs,
+    )
+
+    ds = _ds({"t": ["red widget", "widget red", "red bolt",
+                    "red widget", "blue gear"]})
+    got = {(r["name_a"], r["name_b"]): r["ts_sim"] for r in
+           token_sort_similarity_pairs(ds, "t").take_all()}
+    # word order scores 100; duplicates collapse to one distinct pair
+    assert got[("red widget", "widget red")] == 100.0
+    assert ("red bolt", "red widget") in got
+    assert ("blue gear",) not in [k[:1] for k in got] or True
+    assert all(a < b for a, b in got)
+    # no token shared with "blue gear" → it pairs with nothing
+    assert not any("blue gear" in k for k in got)
