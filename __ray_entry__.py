@@ -2406,6 +2406,50 @@ def _q_token_sort(sf_dir: str):
     return token_sort_similarity_pairs(ds, "p_name")
 
 
+def _q_bfs_hops(sf_dir: str):
+    """Shortest hop counts from part node 0 over the bidirectional
+    part↔supplier lineitem graph (the PageRank edge set) — bounded BFS,
+    replayed by a depth-bounded WITH RECURSIVE oracle."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.graph import bfs_hops
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    )
+
+    def edges(t):
+        import numpy as np
+        import pyarrow as pa
+
+        p = t["l_partkey"].to_numpy().astype(np.int64)
+        s = t["l_suppkey"].to_numpy().astype(np.int64) + _PR_OFF
+        return pa.table(
+            {"src": pa.array(np.concatenate([p, s])),
+             "dst": pa.array(np.concatenate([s, p]))}
+        )
+
+    return bfs_hops(
+        li.map_batches(edges, batch_format="pyarrow"), 0, max_hops=8
+    )
+
+
+def _q_compare_vectors(sf_dir: str):
+    """ER comparison vectors over nation-blocked customer pairs:
+    name Levenshtein similarity, segment equality, balance |Δ| — the
+    feature-generation step a linkage classifier consumes."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.linkage import compare_vectors
+
+    ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet")
+    return compare_vectors(
+        ds, "c_custkey", "c_nationkey",
+        [("c_name", "lev"), ("c_mktsegment", "exact"),
+         ("c_acctbal", "absdiff")],
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from record_matcher_ray.pipelines import analysis, relational
 
@@ -2550,6 +2594,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "next_purchase_asof": _q_next_purchase,
         "entropy_customer_segments": _q_grouped_entropy,
         "token_sort_part": _q_token_sort,
+        "bfs_hops_lineitem": _q_bfs_hops,
+        "compare_vectors_customer": _q_compare_vectors,
         "pareto_orders": _q_pareto,
         "explode_embeddings": _q_explode,
         "centroid_cosine_embeddings": _q_centroid_cosine,
@@ -4350,6 +4396,46 @@ def oracle_sql() -> dict[str, str]:
                         WHEN sc >= (0.0)::DOUBLE THEN 'possible'
                         ELSE 'nonmatch' END AS decision
             FROM s
+        """,
+        "compare_vectors_customer": """
+            WITH f AS (
+              SELECT c_custkey AS id, c_nationkey AS blk, c_name,
+                     c_mktsegment, c_acctbal
+              FROM customer WHERE c_nationkey IS NOT NULL
+            )
+            SELECT a.id AS x_id, b.id AS y_id,
+                   round(CASE
+                     WHEN a.c_name = b.c_name THEN 100.0
+                     WHEN greatest(length(a.c_name), length(b.c_name)) = 0
+                       THEN 100.0
+                     WHEN length(a.c_name) = 0 OR length(b.c_name) = 0
+                       THEN 0.0
+                     ELSE 100.0 * (1.0
+                          - levenshtein(a.c_name, b.c_name)::double
+                          / greatest(length(a.c_name), length(b.c_name)))
+                   END, 6) AS c_name_lev,
+                   (CASE WHEN a.c_mktsegment IS NOT NULL
+                         AND a.c_mktsegment = b.c_mktsegment
+                         THEN 1 ELSE 0 END)::TINYINT
+                     AS c_mktsegment_exact,
+                   abs(a.c_acctbal - b.c_acctbal) AS c_acctbal_absdiff
+            FROM f a JOIN f b ON a.blk = b.blk AND a.id < b.id
+        """,
+        "bfs_hops_lineitem": """
+            WITH RECURSIVE e AS (
+              SELECT l_partkey AS a, l_suppkey + 1000000 AS b
+              FROM lineitem
+              UNION ALL
+              SELECT l_suppkey + 1000000, l_partkey FROM lineitem
+            ), walk(node, d) AS (
+              SELECT 0::BIGINT, 0::BIGINT
+              UNION
+              SELECT e.b, w.d + 1 FROM walk w
+              JOIN e ON e.a = w.node
+              WHERE w.d < 8
+            )
+            SELECT node, min(d)::BIGINT AS hops
+            FROM walk GROUP BY node HAVING min(d) <= 8
         """,
         "token_sort_part": r"""
             WITH v AS (SELECT DISTINCT p_name AS name FROM part),

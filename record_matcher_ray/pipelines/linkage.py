@@ -1228,3 +1228,97 @@ def token_sort_similarity_pairs(
         .groupby("pb")
         .map_groups(score, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# pairwise comparison vectors (ER feature generation)
+# ---------------------------------------------------------------------------
+
+_CMP_KINDS = ("exact", "lev", "absdiff")
+
+
+def compare_vectors(
+    ds: ray.data.Dataset,
+    id_col: str,
+    block_col: str,
+    specs: list[tuple[str, str]],
+    *,
+    n_buckets: int = 64,
+    max_block: int | None = None,
+) -> ray.data.Dataset:
+    """Per-pair comparison vectors for within-block candidate pairs —
+    the feature-generation step between blocking and classification in
+    the classic ER pipeline (what Fellegi-Sunter / an ML classifier
+    consumes). → (x_id, y_id, one column per spec), x_id < y_id.
+
+    Spec kinds: ``exact`` → int8 0/1 equality (nulls agree with
+    nothing); ``lev`` → 0-100 Levenshtein similarity of the strings
+    (functions/scorers.py vectorized kernel, np.round 6 ↔ SQL round 6);
+    ``absdiff`` → |a − b| as float64 (exact IEEE, null → null).
+
+    Same bucketed-block shape as :func:`fellegi_sunter_link` (hash of
+    the block value keys the exchange, `_group_pairs` vectorizes pair
+    emission, ``max_block`` caps degenerate blocks with counted
+    under-count semantics)."""
+    from record_matcher_ray.functions.scorers import levenshtein_elementwise
+
+    for col, kind in specs:
+        if kind not in _CMP_KINDS:
+            raise ValueError(
+                f"compare_vectors spec {kind!r} for {col!r}: must be one "
+                f"of {_CMP_KINDS}"
+            )
+    cols = [id_col, block_col] + [c for c, _ in specs]
+    proj = ds.select_columns(list(dict.fromkeys(cols)))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[block_col]))
+        b = column_hash64(t[block_col])
+        return t.append_column(
+            "__cvb__", pa.array((b % np.uint64(n_buckets)).astype(np.int64))
+        )
+
+    def featurize(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        fields = [("x_id", pa.int64()), ("y_id", pa.int64())]
+        for col, kind in specs:
+            fields.append(
+                (f"{col}_{kind}",
+                 pa.int8() if kind == "exact" else pa.float64())
+            )
+        empty = pa.schema(fields).empty_table()
+        if len(t) == 0:
+            return empty
+        blk = column_hash64(t[block_col]).view(np.int64)
+        ids = pc.cast(t[id_col], pa.int64()).to_numpy()
+        pa_, pb_ = _group_pairs(blk, ids, max_size=max_block, positions=True)
+        if len(pa_) == 0:
+            return empty
+        out = {"x_id": pa.array(ids[pa_]), "y_id": pa.array(ids[pb_])}
+        for col, kind in specs:
+            name = f"{col}_{kind}"
+            if kind == "exact":
+                codes, _ = pd.factorize(
+                    t[col].to_numpy(zero_copy_only=False), sort=False
+                )
+                agree = (codes[pa_] == codes[pb_]) & (codes[pa_] >= 0)
+                out[name] = pa.array(agree.astype(np.int8))
+            elif kind == "lev":
+                sv = pc.fill_null(pc.cast(t[col], pa.string()), "")
+                s = np.asarray(sv.to_pylist(), dtype=object)
+                out[name] = pa.array(
+                    np.round(levenshtein_elementwise(s[pa_], s[pb_]), 6)
+                )
+            else:  # absdiff
+                v = pc.cast(t[col], pa.float64()).to_numpy(
+                    zero_copy_only=False
+                )
+                out[name] = pa.array(np.abs(v[pa_] - v[pb_]))
+        return pa.table(out)
+
+    return (
+        proj.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__cvb__")
+        .map_groups(featurize, batch_format="pyarrow")
+    )

@@ -611,3 +611,66 @@ def test_token_sort_pairs(ray_session):
     assert all(a < b for a, b in got)
     # no token shared with "blue gear" → it pairs with nothing
     assert not any("blue gear" in k for k in got)
+
+
+# ---------------------------------------------------------------------------
+# bfs_hops (graph.py) / compare_vectors
+# ---------------------------------------------------------------------------
+
+
+def test_bfs_hops_bruteforce(ray_session):
+    from record_matcher_ray.pipelines.graph import bfs_hops
+
+    rng = np.random.RandomState(6)
+    n = 40
+    src = rng.randint(0, n, 120).astype(np.int64)
+    dst = rng.randint(0, n, 120).astype(np.int64)
+    ds = _ds({"src": src, "dst": dst})
+    got = {r["node"]: r["hops"] for r in
+           bfs_hops(ds, 0, max_hops=12).take_all()}
+    # brute BFS
+    import collections
+    adj = collections.defaultdict(list)
+    for a, b in zip(src, dst):
+        adj[int(a)].append(int(b))
+    dist = {0: 0}
+    q = collections.deque([0])
+    while q:
+        x = q.popleft()
+        for y in adj[x]:
+            if y not in dist:
+                dist[y] = dist[x] + 1
+                q.append(y)
+    assert got == {k: v for k, v in dist.items() if v <= 12}
+
+
+def test_bfs_hops_bound_and_empty(ray_session):
+    from record_matcher_ray.pipelines.graph import bfs_hops
+
+    ds = _ds({"src": [0, 1, 2], "dst": [1, 2, 3]})
+    got = {r["node"]: r["hops"] for r in
+           bfs_hops(ds, 0, max_hops=2).take_all()}
+    assert got == {0: 0, 1: 1, 2: 2}  # node 3 at depth 3 is cut
+    empty = _ds({"src": pa.array([], pa.int64()),
+                 "dst": pa.array([], pa.int64())})
+    assert bfs_hops(empty, 5).take_all() == [{"node": 5, "hops": 0}]
+
+
+def test_compare_vectors_features(ray_session):
+    from record_matcher_ray.pipelines.linkage import compare_vectors
+
+    ds = _ds({"id": [1, 2, 3], "blk": [0, 0, 0],
+              "name": ["gear", "gears", "bolt"],
+              "seg": ["A", "A", "B"],
+              "bal": [10.0, 12.5, 10.0]})
+    rows = {(r["x_id"], r["y_id"]): r for r in compare_vectors(
+        ds, "id", "blk",
+        [("name", "lev"), ("seg", "exact"), ("bal", "absdiff")],
+    ).take_all()}
+    r12 = rows[(1, 2)]
+    assert r12["name_lev"] == 80.0       # 1 edit over max len 5
+    assert r12["seg_exact"] == 1
+    assert r12["bal_absdiff"] == 2.5
+    assert rows[(1, 3)]["seg_exact"] == 0
+    with pytest.raises(ValueError, match="must be one of"):
+        compare_vectors(ds, "id", "blk", [("name", "cosine")])
