@@ -2450,6 +2450,35 @@ def _q_compare_vectors(sf_dir: str):
     )
 
 
+def _q_window_dedupe(sf_dir: str):
+    """Windowed dedup: first event per (user, type, hour) — the
+    telemetry-burst / at-least-once-delivery collapse."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.table_ops import window_dedupe
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type", "ts"],
+    )
+    return window_dedupe(
+        ds, ["user_id", "event_type"], "ts", "event_id", 3600
+    )
+
+
+def _q_jw_prefix(sf_dir: str):
+    """Prefix-blocked Jaro-Winkler self-join over distinct part names
+    (jw ≥ 75 within 2-char-prefix blocks)."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.linkage import jw_prefix_join
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_name"]
+    )
+    return jw_prefix_join(ds, "p_name", threshold=75.0, prefix_len=2)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from record_matcher_ray.pipelines import analysis, relational
 
@@ -2596,6 +2625,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_sort_part": _q_token_sort,
         "bfs_hops_lineitem": _q_bfs_hops,
         "compare_vectors_customer": _q_compare_vectors,
+        "window_dedupe_events": _q_window_dedupe,
+        "jw_prefix_part": _q_jw_prefix,
         "pareto_orders": _q_pareto,
         "explode_embeddings": _q_explode,
         "centroid_cosine_embeddings": _q_centroid_cosine,
@@ -4396,6 +4427,32 @@ def oracle_sql() -> dict[str, str]:
                         WHEN sc >= (0.0)::DOUBLE THEN 'possible'
                         ELSE 'nonmatch' END AS decision
             FROM s
+        """,
+        "window_dedupe_events": """
+            SELECT event_id, user_id, event_type, win FROM (
+              SELECT event_id, user_id, event_type,
+                     epoch_us(ts) // 3600000000 AS win,
+                     row_number() OVER (
+                       PARTITION BY user_id, event_type,
+                                    epoch_us(ts) // 3600000000
+                       ORDER BY ts, event_id) AS rn
+              FROM events
+            ) WHERE rn = 1
+        """,
+        "jw_prefix_part": """
+            WITH v AS (
+              SELECT DISTINCT p_name AS name FROM part
+              WHERE length(p_name) >= 2
+            ), p AS (
+              SELECT a.name AS name_a, b.name AS name_b,
+                     round(100.0 * jaro_winkler_similarity(a.name, b.name),
+                           6) AS jw_sim
+              FROM v a JOIN v b
+                ON substr(a.name, 1, 2) = substr(b.name, 1, 2)
+               AND a.name < b.name
+            )
+            SELECT name_a, name_b, jw_sim FROM p
+            WHERE jw_sim >= (75.0)::DOUBLE
         """,
         "compare_vectors_customer": """
             WITH f AS (

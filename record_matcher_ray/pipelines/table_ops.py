@@ -889,3 +889,69 @@ def pareto_frontier(
     x, y = _keys(allt)
     final = allt.filter(pa.array(_skyline_mask(x, y)))
     return ray.data.from_arrow(final)
+
+
+def window_dedupe(
+    ds: "ray.data.Dataset",
+    key_cols: list[str],
+    ts_col: str,
+    id_col: str,
+    window_s: int,
+    *,
+    n_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Streaming-style windowed deduplication: keep the FIRST row (by
+    timestamp, ties by id) per (key tuple, fixed time window) →
+    (id_col, *key_cols, win). The time-bounded sibling of
+    :func:`latest_by_key` — the standard at-least-once-delivery /
+    telemetry-burst collapse (one event per user+type per hour).
+
+    win = floor(epoch_us / window_us); keys ride one ≤``n_buckets``
+    tuple-hash exchange (never the raw composite key), and each bucket
+    resolves winners in ONE lexsort + run-boundary pass. Null keys group
+    together like SQL PARTITION BY (NULL is a partition value there).
+    """
+    import pandas as pd
+
+    from record_matcher_ray.pipelines.dedup import _with_tuple_bucket
+
+    w_us = int(window_s) * 1_000_000
+    proj = ds.select_columns(
+        list(dict.fromkeys([id_col, ts_col, *key_cols]))
+    )
+
+    def pick(t: pa.Table) -> pa.Table:
+        fields = [(id_col, pa.int64())]
+        fields += [(c, t.schema.field(c).type) for c in key_cols]
+        fields.append(("win", pa.int64()))
+        empty = pa.schema(fields).empty_table()
+        if len(t) == 0:
+            return empty
+        ts = pc.cast(t[ts_col], pa.int64()).to_numpy()
+        win = np.floor_divide(ts, w_us)
+        ids = pc.cast(t[id_col], pa.int64()).to_numpy()
+        # factorize each key column; runs are detected over all of them
+        key_code_cols = []
+        for c in key_cols:
+            kc, _ = pd.factorize(
+                t[c].to_numpy(zero_copy_only=False), sort=False
+            )
+            key_code_cols.append(kc.astype(np.int64))
+        order = np.lexsort((ids, ts, win, *reversed(key_code_cols)))
+        arrs = [a[order] for a in (*key_code_cols, win)]
+        first = np.zeros(len(t), bool)
+        first[0] = True
+        for a in arrs:
+            first[1:] |= a[1:] != a[:-1]
+        sel = order[first]
+        out = {id_col: pa.array(ids[sel])}
+        for c in key_cols:
+            out[c] = t[c].take(pa.array(sel))
+        out["win"] = pa.array(win[sel])
+        return pa.table(out)
+
+    return (
+        _with_tuple_bucket(proj, list(key_cols), n_buckets, "__wdb__")
+        .groupby("__wdb__")
+        .map_groups(pick, batch_format="pyarrow")
+    )

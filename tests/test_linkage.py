@@ -674,3 +674,36 @@ def test_compare_vectors_features(ray_session):
     assert rows[(1, 3)]["seg_exact"] == 0
     with pytest.raises(ValueError, match="must be one of"):
         compare_vectors(ds, "id", "blk", [("name", "cosine")])
+
+
+def test_window_dedupe(ray_session):
+    from record_matcher_ray.pipelines.table_ops import window_dedupe
+
+    ds = _ds({
+        "id": [1, 2, 3, 4, 5],
+        "k": ["u", "u", "u", "v", "u"],
+        "ts": pa.array([100, 150, 4000, 100, 90], pa.int64()),
+    })
+    out = window_dedupe(ds, ["k"], "ts", "id", 1).take_all()
+    # window_s=1 → 1e6 us windows: all of u's ts<1e6 in win 0 → keep id 5
+    got = {(r["k"], r["win"]): r["id"] for r in out}
+    assert got == {("u", 0): 5, ("v", 0): 4}
+
+
+def test_jw_prefix_join(ray_session):
+    from record_matcher_ray.pipelines.linkage import jw_prefix_join
+    from record_matcher_ray.functions.scorers import jaro_winkler
+
+    names = ["martha", "marhta", "market", "zebra", "m"]
+    ds = _ds({"t": names * 2})  # duplicates collapse
+    got = {(r["name_a"], r["name_b"]): r["jw_sim"] for r in
+           jw_prefix_join(ds, "t", threshold=75.0).take_all()}
+    expect = {}
+    import itertools
+    for a, b in itertools.combinations(sorted(set(names)), 2):
+        if len(a) >= 2 and len(b) >= 2 and a[:2] == b[:2]:
+            s = round(jaro_winkler(a, b), 6)
+            if s >= 75.0:
+                expect[(a, b)] = s
+    assert got == expect
+    assert ("marhta", "martha") in got  # the classic JW pair
