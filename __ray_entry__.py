@@ -2479,6 +2479,22 @@ def _q_jw_prefix(sf_dir: str):
     return jw_prefix_join(ds, "p_name", threshold=75.0, prefix_len=2)
 
 
+def _q_cube(sf_dir: str):
+    """GROUP BY CUBE over (status, priority) with exact-cents sums —
+    every dimension subset, not just the rollup prefix chain."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.relational import cube_aggregate
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
+    )
+    return cube_aggregate(
+        ds, ["o_orderstatus", "o_orderpriority"], "o_totalprice"
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from record_matcher_ray.pipelines import analysis, relational
 
@@ -2627,6 +2643,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compare_vectors_customer": _q_compare_vectors,
         "window_dedupe_events": _q_window_dedupe,
         "jw_prefix_part": _q_jw_prefix,
+        "cube_orders": _q_cube,
         "pareto_orders": _q_pareto,
         "explode_embeddings": _q_explode,
         "centroid_cosine_embeddings": _q_centroid_cosine,
@@ -4427,6 +4444,16 @@ def oracle_sql() -> dict[str, str]:
                         WHEN sc >= (0.0)::DOUBLE THEN 'possible'
                         ELSE 'nonmatch' END AS decision
             FROM s
+        """,
+        "cube_orders": """
+            SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+                   coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+                   count(*)::BIGINT AS n,
+                   round((sum(CAST(floor(o_totalprice * 100.0 + 0.5)
+                                   AS BIGINT)))::DOUBLE / 100.0, 6)
+                     AS sum_val
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
         """,
         "window_dedupe_events": """
             SELECT event_id, user_id, event_type, win FROM (

@@ -1794,3 +1794,65 @@ def sorted_neighborhood_pairs(
         .groupby("__sb__")
         .map_groups(pairs, batch_format="pyarrow")
     )
+
+
+def cube_aggregate(
+    ds: ray.data.Dataset,
+    dims: list[str],
+    val_col: str,
+    cents_scale: float = 100.0,
+    all_label: str = "ALL",
+) -> pa.Table:
+    """GROUP BY CUBE(dims): counts and exact-cents value sums at EVERY
+    dimension subset (2^|dims| granularities; :func:`rollup_aggregate`
+    covers only the prefix chain) with collapsed dimensions labelled
+    ``all_label`` → columns (*dims, n, sum_val). Same scale shape as
+    rollup: blocks pre-aggregate to the finest tuple (exact integer
+    cents), ONE vocabulary-sized exchange, and every coarser subset is
+    derived from the materialized finest table — the 2^k blowup touches
+    only the tiny finest vocabulary, never the corpus.
+    """
+    import itertools
+
+    if not dims:
+        raise ValueError("dims must be a non-empty list")
+    # reuse rollup's finest-level machinery for partials + validation
+    finest_tbl = rollup_aggregate(
+        ds, dims, val_col, cents_scale=cents_scale,
+        all_label="\x00__cube_unused__",
+    )
+    fin = finest_tbl.to_pandas()
+    # rollup output contains the prefix-chain levels; keep ONLY the
+    # finest rows (no sentinel labels) and rebuild cents exactly
+    mask = np.ones(len(fin), bool)
+    for d in dims:
+        mask &= fin[d].to_numpy() != "\x00__cube_unused__"
+    fin = fin[mask].copy()
+    fin["cents"] = np.round(
+        fin["sum_val"].to_numpy() * cents_scale
+    ).astype(np.int64)
+    levels = []
+    for r in range(len(dims), -1, -1):
+        for keep in itertools.combinations(dims, r):
+            if len(keep) == len(dims):
+                lv = fin[list(dims) + ["n", "cents"]].copy()
+            elif keep:
+                lv = fin.groupby(list(keep), sort=False).agg(
+                    n=("n", "sum"), cents=("cents", "sum")
+                ).reset_index()
+            else:
+                lv = pd.DataFrame(
+                    {"n": [int(fin["n"].sum())],
+                     "cents": [int(fin["cents"].sum())]}
+                )
+            for d in dims:
+                if d not in keep:
+                    lv[d] = all_label
+            levels.append(lv[list(dims) + ["n", "cents"]])
+    out = pd.concat(levels, ignore_index=True)
+    out["sum_val"] = np.round(
+        out["cents"].to_numpy().astype(np.float64) / cents_scale, 6
+    )
+    out = out.drop(columns=["cents"])
+    out["n"] = out["n"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -707,3 +707,18 @@ def test_jw_prefix_join(ray_session):
                 expect[(a, b)] = s
     assert got == expect
     assert ("marhta", "martha") in got  # the classic JW pair
+
+
+def test_cube_aggregate_levels(ray_session):
+    from record_matcher_ray.pipelines.relational import cube_aggregate
+
+    ds = _ds({"a": ["x", "x", "y"], "b": ["p", "q", "p"],
+              "v": [1.0, 2.0, 4.0]})
+    out = cube_aggregate(ds, ["a", "b"], "v").to_pandas()
+    rows = {(r["a"], r["b"]): (r["n"], r["sum_val"])
+            for _, r in out.iterrows()}
+    assert rows[("ALL", "ALL")] == (3, 7.0)
+    assert rows[("x", "ALL")] == (2, 3.0)
+    assert rows[("ALL", "p")] == (2, 5.0)   # the non-rollup subset
+    assert rows[("y", "p")] == (1, 4.0)
+    assert len(rows) == 3 + 2 + 2 + 1  # finest + a-only + b-only + grand
