@@ -2495,6 +2495,70 @@ def _q_cube(sf_dir: str):
     )
 
 
+def _q_er_pipeline(sf_dir: str):
+    """The full ER pipeline in one composition: nation blocking →
+    Fellegi-Sunter classification → connected components over 'match'
+    edges → survivorship golden records (mode segment, max balance).
+    Every stage is the already-oracle-pinned operator; the SQL replay
+    chains the same algebra end to end."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.cluster import connected_components
+    from record_matcher_ray.pipelines.joins import hash_join
+    from record_matcher_ray.pipelines.linkage import (
+        fellegi_sunter_link,
+        survivorship,
+    )
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet")
+
+    def add_band(t):
+        import numpy as np
+        import pyarrow as pa
+
+        b = np.floor(
+            t["c_acctbal"].to_numpy(zero_copy_only=False) / 100.0
+        ).astype(np.int64)
+        return t.append_column("band", pa.array(b))
+
+    fs = fellegi_sunter_link(
+        cust.map_batches(add_band, batch_format="pyarrow"),
+        "c_custkey", "c_nationkey", ["c_mktsegment", "band"],
+        t_upper=4.0, t_lower=0.0,
+    )
+
+    def match_edges(t):
+        import pyarrow as pa
+        import pyarrow.compute as _pc
+
+        m = t.filter(_pc.equal(t["decision"], "match"))
+        return pa.table({"u": m["x_id"], "v": m["y_id"]})
+
+    cc = connected_components(
+        fs.map_batches(match_edges, batch_format="pyarrow"), "u", "v"
+    )
+    lab = hash_join(
+        cust.select_columns(["c_custkey", "c_mktsegment", "c_acctbal"]),
+        cc, "c_custkey", "node", how="left",
+    )
+
+    def fill(t):
+        import pyarrow as pa
+        import pyarrow.compute as _pc
+
+        comp = _pc.coalesce(
+            _pc.cast(t["component"], pa.int64()),
+            _pc.cast(t["c_custkey"], pa.int64()),
+        )
+        return t.drop_columns(["component"]).append_column("cluster", comp)
+
+    return survivorship(
+        lab.map_batches(fill, batch_format="pyarrow"),
+        "cluster",
+        [("c_mktsegment", "mode"), ("c_acctbal", "max")],
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from record_matcher_ray.pipelines import analysis, relational
 
@@ -2644,6 +2708,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_dedupe_events": _q_window_dedupe,
         "jw_prefix_part": _q_jw_prefix,
         "cube_orders": _q_cube,
+        "er_pipeline_customer": _q_er_pipeline,
         "pareto_orders": _q_pareto,
         "explode_embeddings": _q_explode,
         "centroid_cosine_embeddings": _q_centroid_cosine,
@@ -4444,6 +4509,77 @@ def oracle_sql() -> dict[str, str]:
                         WHEN sc >= (0.0)::DOUBLE THEN 'possible'
                         ELSE 'nonmatch' END AS decision
             FROM s
+        """,
+        "er_pipeline_customer": """
+            WITH RECURSIVE f AS (
+              SELECT c_custkey AS id, c_nationkey AS blk,
+                     c_mktsegment AS f1,
+                     CAST(floor(c_acctbal / (100.0)::DOUBLE) AS BIGINT)
+                       AS f2
+              FROM customer
+            ), nn AS (SELECT count(*) AS n FROM f),
+            u1 AS (
+              SELECT sum(c*c) AS ssq FROM (
+                SELECT count(*) AS c FROM f
+                WHERE f1 IS NOT NULL GROUP BY f1)
+            ), u2 AS (
+              SELECT sum(c*c) AS ssq FROM (
+                SELECT count(*) AS c FROM f
+                WHERE f2 IS NOT NULL GROUP BY f2)
+            ), uv AS (
+              SELECT (u1.ssq)::DOUBLE / ((nn.n * nn.n))::DOUBLE AS u1v,
+                     (u2.ssq)::DOUBLE / ((nn.n * nn.n))::DOUBLE AS u2v
+              FROM u1, u2, nn
+            ), w AS (
+              SELECT ln((0.9)::DOUBLE) - ln(u1v) AS wa1,
+                     ln((1.0)::DOUBLE - (0.9)::DOUBLE)
+                       - ln((1.0)::DOUBLE - u1v) AS wd1,
+                     ln((0.9)::DOUBLE) - ln(u2v) AS wa2,
+                     ln((1.0)::DOUBLE - (0.9)::DOUBLE)
+                       - ln((1.0)::DOUBLE - u2v) AS wd2
+              FROM uv
+            ), s AS (
+              SELECT a.id AS x_id, b.id AS y_id,
+                     (CASE WHEN a.f1 IS NOT NULL AND a.f1 = b.f1
+                           THEN w.wa1 ELSE w.wd1 END)
+                     + (CASE WHEN a.f2 IS NOT NULL AND a.f2 = b.f2
+                             THEN w.wa2 ELSE w.wd2 END) AS sc
+              FROM f a JOIN f b ON a.blk = b.blk AND a.id < b.id, w
+            ), e0 AS (
+              SELECT x_id AS u, y_id AS v FROM s
+              WHERE sc >= (4.0)::DOUBLE
+            ), e AS (
+              SELECT u AS a, v AS b FROM e0
+              UNION ALL SELECT v, u FROM e0
+            ), walk(node, r) AS (
+              SELECT c_custkey, c_custkey FROM customer
+              UNION
+              SELECT w2.node, e.a FROM walk w2 JOIN e ON e.b = w2.r
+            ), comp AS (
+              SELECT node, min(r) AS cluster FROM walk GROUP BY node
+            ), lab AS (
+              SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal,
+                     comp.cluster
+              FROM customer c JOIN comp ON comp.node = c.c_custkey
+            ), bc AS (
+              SELECT cluster, c_mktsegment, count(*) AS c FROM lab
+              WHERE c_mktsegment IS NOT NULL GROUP BY 1, 2
+            ), mb AS (
+              SELECT cluster, c_mktsegment FROM (
+                SELECT cluster, c_mktsegment,
+                       row_number() OVER (PARTITION BY cluster
+                                          ORDER BY c DESC,
+                                                   c_mktsegment ASC) AS rn
+                FROM bc
+              ) WHERE rn = 1
+            ), agg AS (
+              SELECT cluster, (count(*))::BIGINT AS n_members,
+                     max(c_acctbal) AS c_acctbal
+              FROM lab GROUP BY 1
+            )
+            SELECT agg.cluster, agg.n_members, mb.c_mktsegment,
+                   agg.c_acctbal
+            FROM agg JOIN mb USING (cluster)
         """,
         "cube_orders": """
             SELECT coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
