@@ -2559,6 +2559,48 @@ def _q_er_pipeline(sf_dir: str):
     )
 
 
+def _q_grouped_linear_fit(sf_dir: str):
+    """Per-returnflag OLS trend of extendedprice vs quantity from exact
+    integer moment partials (grouped sibling of linear_fit_lineitem)."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.stats import grouped_linear_fit
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    return grouped_linear_fit(
+        ds, "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+
+
+def _q_weighted_topk(sf_dir: str):
+    """Fixed-size weighted sample without replacement (Efraimidis-
+    Spirakis A-ES): 50 documents drawn proportionally to n_chars."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.sampling import weighted_topk
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]
+    )
+    return weighted_topk(ds, "doc_id", "n_chars", 50, seed=2)
+
+
+def _q_basket_pairs(sf_dir: str):
+    """Frequent item pairs (level-2 Apriori): parts co-ordered in >= 2
+    orders, exact basket support."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.itemsets import basket_pairs
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    return basket_pairs(ds, "l_orderkey", "l_partkey", min_support=2)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from record_matcher_ray.pipelines import analysis, relational
 
@@ -2697,6 +2739,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mutual_nn_embeddings": _q_mutual_nn,
         "heavy_hitters_orders": _q_heavy_hitters,
         "corr_lineitem": _q_grouped_corr,
+        "glm_lineitem": _q_grouped_linear_fit,
+        "weighted_topk_docs": _q_weighted_topk,
+        "basket_pairs_lineitem": _q_basket_pairs,
         "band_join_orders": _q_band_join,
         "golden_record_part": _q_golden_record,
         "blocking_quality_part": _q_blocking_quality,
@@ -2775,6 +2820,7 @@ def _sampling_oracles() -> dict[str, str]:
     def thr(rate: float) -> int:
         return min(int(rate * two64), two64 - 1)
 
+    cte2, _ = sql_sample_hash_cte("doc_id", seed=2)
     cte42, _ = sql_sample_hash_cte("doc_id", seed=42)
     cte7, _ = sql_sample_hash_cte("doc_id", seed=7)
     cte3, _ = sql_sample_hash_cte("doc_id", seed=3)
@@ -2786,6 +2832,21 @@ def _sampling_oracles() -> dict[str, str]:
             WHERE (e)::HUGEINT * 800
                   < (least(greatest(n_chars, 0), 800))::HUGEINT
                     * 18446744073709551616::HUGEINT
+        """,
+        "weighted_topk_docs": f"""
+            WITH t0 AS (
+              SELECT doc_id, (n_chars)::DOUBLE AS w FROM documents
+              WHERE n_chars IS NOT NULL AND (n_chars)::DOUBLE > 0.0
+            ),{cte2}
+            SELECT (doc_id)::BIGINT AS id, w,
+                   floor((-ln(((e >> 11)::DOUBLE + 1.0)
+                              / 9007199254740992.0) / w)
+                         * 1000000000.0 + 0.5) / 1000000000.0 AS key
+            FROM s5
+            ORDER BY -ln(((e >> 11)::DOUBLE + 1.0)
+                         / 9007199254740992.0) / w,
+                     doc_id
+            LIMIT 50
         """,
         "sample_docs": f"""
             WITH t0 AS (SELECT doc_id, source, n_chars FROM documents),{cte42}
@@ -4834,6 +4895,53 @@ def oracle_sql() -> dict[str, str]:
             SELECT grp, n, round(num / (sqrt(denx) * sqrt(deny)), 9)
                      AS corr
             FROM d
+        """,
+        "glm_lineitem": """
+            WITH q AS (
+              SELECT l_returnflag AS grp,
+                     CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS x,
+                     CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                       AS y
+              FROM lineitem
+              WHERE l_quantity IS NOT NULL
+                AND l_extendedprice IS NOT NULL
+                AND l_returnflag IS NOT NULL
+            ), s AS (
+              SELECT grp, count(*)::HUGEINT AS n,
+                     sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+                     sum(x::HUGEINT * y) AS sxy,
+                     sum(x::HUGEINT * x) AS sxx,
+                     sum(y::HUGEINT * y) AS syy
+              FROM q GROUP BY grp
+            ), d AS (
+              SELECT grp, n::BIGINT AS n,
+                     (n * sxy - sx * sy)::DOUBLE AS num,
+                     (n * sxx - sx * sx)::DOUBLE AS denx,
+                     (n * syy - sy * sy)::DOUBLE AS deny,
+                     sx::DOUBLE AS sxd, sy::DOUBLE AS syd,
+                     n::DOUBLE AS nd
+              FROM s
+            )
+            SELECT grp, n,
+                   round(num / denx, 9) AS slope,
+                   round((syd - (num / denx) * sxd) / nd, 9) AS intercept,
+                   round((num * num) / (denx * deny), 9) AS r2
+            FROM d
+        """,
+        "basket_pairs_lineitem": """
+            WITH it AS (
+              SELECT DISTINCT l_orderkey AS bk, l_partkey AS itm
+              FROM lineitem
+              WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+            ), good AS (
+              SELECT bk FROM it GROUP BY bk HAVING count(*) <= 256
+            ), kept AS (
+              SELECT it.bk, it.itm FROM it JOIN good USING (bk)
+            )
+            SELECT a.itm::BIGINT AS item_a, b.itm::BIGINT AS item_b,
+                   count(*)::BIGINT AS support
+            FROM kept a JOIN kept b ON a.bk = b.bk AND a.itm < b.itm
+            GROUP BY 1, 2 HAVING count(*) >= 2
         """,
         "band_join_orders": """
             SELECT a.o_orderkey AS x_id, b.o_orderkey AS y_id,

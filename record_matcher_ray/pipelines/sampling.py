@@ -279,3 +279,64 @@ def importance_sample(
         return t.filter(pa.array(keep))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def weighted_topk(
+    ds: ray.data.Dataset,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    *,
+    seed: int = 0,
+    ndigits: int = 9,
+) -> "pd.DataFrame":
+    """Weighted sampling WITHOUT replacement, fixed size k (Efraimidis &
+    Spirakis 2006, algorithm A-ES): each row draws the exponential key
+    ``key = -ln(u)/w`` from its deterministic uniform
+    ``u = ((sample_hash(id) >> 11) + 1) / 2^53`` and the k SMALLEST keys
+    win — inclusion probabilities proportional to weight, the
+    fixed-budget twin of :func:`importance_sample` (which is Bernoulli,
+    variable size). → DataFrame (id, w, key) sorted by (key, id).
+
+    Deterministic and bit-replayable: u is an exact dyadic double, ln is
+    correctly-rounded libm == DuckDB ``ln()`` (CLAUDE.md toolbox), one
+    division by the raw double weight, and the output key is pinned with
+    the ``floor(x·10^ndigits + 0.5)`` rounding both sides. Rows with
+    null or non-positive weight drop (they can never win).
+
+    Scale shape: zero shuffle — each block reduces to its local k
+    smallest keys (argpartition), the driver merges ≤ k·n_blocks tiny
+    partials. Re-sharding the input cannot change the winners because
+    keys are per-row pure functions.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    s = seed
+    POW10 = 10.0 ** ndigits
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        ok = np.isfinite(w) & (w > 0.0)
+        ids, w = ids[ok], w[ok]
+        if len(ids) == 0:
+            return pa.table({"id": pa.array([], pa.int64()),
+                             "w": pa.array([], pa.float64()),
+                             "key": pa.array([], pa.float64())})
+        h = sample_hash(np.asarray(ids), s)
+        u = ((h >> np.uint64(11)).astype(np.float64) + 1.0) / float(1 << 53)
+        key = -np.log(u) / w
+        if len(key) > k:
+            sel = np.argpartition(key, k)[:k]
+        else:
+            sel = np.arange(len(key))
+        return pa.table(
+            {"id": pa.array(np.asarray(ids)[sel].astype(np.int64)),
+             "w": pa.array(w[sel]),
+             "key": pa.array(key[sel])}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    parts = parts.sort_values(["key", "id"], kind="mergesort").head(k)
+    parts["key"] = np.floor(parts["key"].to_numpy() * POW10 + 0.5) / POW10
+    return parts.reset_index(drop=True)

@@ -510,6 +510,128 @@ def grouped_corr(
     )
 
 
+def grouped_linear_fit(
+    ds: ray.data.Dataset,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    *,
+    scale: float = 100.0,
+    ndigits: int = 9,
+    max_groups: int = 100_000,
+) -> pd.DataFrame:
+    """Per-group simple OLS ``y ≈ slope·x + intercept`` → DataFrame
+    (grp, n, slope, intercept, r2) — segment-wise trend fitting (price
+    sensitivity per return flag, drift per source shard).
+
+    The grouped sibling of :func:`linear_fit` with :func:`grouped_corr`'s
+    exchange shape: one streaming pass emits exact integer moment
+    partials per (block, group) as decimal128 rows, the driver merges in
+    Python big ints, and the closed form is the SAME pinned-order double
+    readout as `linear_fit` (num/denx; (Σy − slope·Σx)/n; num²/(denx·deny))
+    so a DuckDB oracle replays every group bit-for-bit. Bounded-cardinality
+    group columns only (``max_groups`` guard); groups with n < 2 or zero
+    x-variance report NaN slope/intercept/r2 (deny == 0 NaNs only r2's
+    denominator — slope is still defined).
+    """
+
+    def partial(t: pa.Table) -> pa.Table:
+        xv = pc.cast(t[x_col], pa.float64())
+        yv = pc.cast(t[y_col], pa.float64())
+        ok = pc.and_(
+            pc.and_(pc.is_valid(xv), pc.is_valid(yv)),
+            pc.is_valid(t[group_col]),
+        )
+        sub = t.filter(ok)
+        x = np.floor(
+            pc.cast(sub[x_col], pa.float64()).to_numpy() * scale + 0.5
+        ).astype(np.int64)
+        y = np.floor(
+            pc.cast(sub[y_col], pa.float64()).to_numpy() * scale + 0.5
+        ).astype(np.int64)
+        if len(x) and (np.abs(x).max() > _QMAX or np.abs(y).max() > _QMAX):
+            raise ValueError(
+                f"grouped_linear_fit quantized values exceed |{_QMAX}|; "
+                "lower `scale` so squared terms stay int64-chunk-safe."
+            )
+        codes, uniq = pd.factorize(
+            sub[group_col].to_numpy(zero_copy_only=False), sort=False
+        )
+        rows = {"grp": [], "n": [], "sx": [], "sy": [], "sxy": [],
+                "sxx": [], "syy": []}
+        order = np.argsort(codes, kind="stable")
+        bounds = np.nonzero(
+            np.concatenate(([True], codes[order][1:] != codes[order][:-1]))
+        )[0] if len(codes) else np.array([], np.int64)
+        ends = np.concatenate((bounds[1:], [len(codes)])) if len(codes) \
+            else np.array([], np.int64)
+        for b, e in zip(bounds, ends):
+            sel = order[b:e]
+            gx, gy = x[sel], y[sel]
+            rows["grp"].append(uniq[codes[order[b]]])
+            rows["n"].append(len(sel))
+            rows["sx"].append(_exact_sum(gx))
+            rows["sy"].append(_exact_sum(gy))
+            rows["sxy"].append(_exact_sum(gx * gy))
+            rows["sxx"].append(_exact_sum(gx * gx))
+            rows["syy"].append(_exact_sum(gy * gy))
+        return pa.table(
+            {
+                "grp": pa.array(rows["grp"]),
+                **{
+                    c: pa.array(rows[c], pa.decimal128(38, 0))
+                    for c in ["n", "sx", "sy", "sxy", "sxx", "syy"]
+                },
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if len(parts) == 0:
+        return pd.DataFrame(
+            {"grp": [], "n": pd.Series([], dtype=np.int64),
+             "slope": pd.Series([], dtype=np.float64),
+             "intercept": pd.Series([], dtype=np.float64),
+             "r2": pd.Series([], dtype=np.float64)}
+        )
+    for c in ["n", "sx", "sy", "sxy", "sxx", "syy"]:
+        parts[c] = parts[c].map(int)
+    agg = parts.groupby("grp", sort=True).sum(numeric_only=False)
+    if len(agg) > max_groups:
+        raise ValueError(
+            f"{len(agg):,} groups exceeds max_groups={max_groups:,}; "
+            "grouped_linear_fit is for bounded-cardinality group columns."
+        )
+    out = {"grp": [], "n": [], "slope": [], "intercept": [], "r2": []}
+    for grp, row in agg.iterrows():
+        n, sx, sy = int(row["n"]), int(row["sx"]), int(row["sy"])
+        sxy, sxx, syy = int(row["sxy"]), int(row["sxx"]), int(row["syy"])
+        num = n * sxy - sx * sy
+        denx = n * sxx - sx * sx
+        deny = n * syy - sy * sy
+        if n < 2 or denx == 0:
+            slope = intercept = r2 = float("nan")
+        else:
+            num_d, denx_d = float(num), float(denx)
+            slope = num_d / denx_d
+            intercept = round(
+                (float(sy) - slope * float(sx)) / float(n), ndigits
+            )
+            r2 = (round((num_d * num_d) / (denx_d * float(deny)), ndigits)
+                  if deny != 0 else float("nan"))
+            slope = round(slope, ndigits)
+        out["grp"].append(grp)
+        out["n"].append(n)
+        out["slope"].append(slope)
+        out["intercept"].append(intercept)
+        out["r2"].append(r2)
+    return pd.DataFrame(
+        {"grp": out["grp"], "n": np.asarray(out["n"], np.int64),
+         "slope": np.asarray(out["slope"], np.float64),
+         "intercept": np.asarray(out["intercept"], np.float64),
+         "r2": np.asarray(out["r2"], np.float64)}
+    )
+
+
 def grouped_entropy(
     ds: ray.data.Dataset,
     group_col: str,

@@ -1,0 +1,76 @@
+"""basket_pairs: exact pair support counts over (basket, item) rows."""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from record_matcher_ray.pipelines.itemsets import basket_pairs
+
+
+def _brute(df: pd.DataFrame, min_support: int, max_basket: int):
+    sub = df.dropna().drop_duplicates()
+    sizes = sub.groupby("bk")["it"].nunique()
+    kept = sub[sub["bk"].isin(sizes[sizes <= max_basket].index)]
+    counts: dict[tuple[int, int], int] = {}
+    for _, grp in kept.groupby("bk"):
+        for a, b in itertools.combinations(sorted(grp["it"]), 2):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+    return {p: c for p, c in counts.items() if c >= min_support}
+
+
+def test_basket_pairs_exact_counts(ray_session):
+    rng = np.random.RandomState(11)
+    rows = []
+    for bk in range(200):
+        items = rng.choice(40, size=rng.randint(1, 8), replace=True)
+        rows += [(bk, int(i)) for i in items]
+    # duplicate (basket, item) rows must not inflate support
+    rows += rows[:50]
+    df = pd.DataFrame(rows, columns=["bk", "it"])
+    ds = ray.data.from_pandas(df).repartition(7)
+    out = basket_pairs(ds, "bk", "it", min_support=2).to_pandas()
+    got = {
+        (int(r.item_a), int(r.item_b)): int(r.support)
+        for r in out.itertuples()
+    }
+    assert got == _brute(df, 2, 256)
+    assert (out["item_a"] < out["item_b"]).all()
+
+
+def test_basket_pairs_oversized_and_nulls(ray_session):
+    # basket 0 has 5 distinct items > max_basket=4 -> dropped entirely
+    df = pd.DataFrame(
+        {
+            "bk": [0] * 5 + [1, 1, 1, 2, 2, None],
+            "it": [10, 11, 12, 13, 14, 10, 11, None, 10, 11, 10],
+        }
+    )
+    ds = ray.data.from_pandas(df)
+    out = basket_pairs(ds, "bk", "it", min_support=2, max_basket=4)
+    got = {
+        (int(r["item_a"]), int(r["item_b"])): int(r["support"])
+        for r in out.take_all()
+    }
+    assert got == {(10, 11): 2}
+
+
+def test_basket_pairs_validation(ray_session):
+    ds = ray.data.from_items([{"bk": 1, "it": 2}])
+    with pytest.raises(ValueError):
+        basket_pairs(ds, "bk", "it", min_support=0)
+    with pytest.raises(ValueError):
+        basket_pairs(ds, "bk", "it", max_basket=1)
+
+
+def test_basket_pairs_empty(ray_session):
+    ds = ray.data.from_arrow(
+        pa.table({"bk": pa.array([], pa.int64()),
+                  "it": pa.array([], pa.int64())})
+    )
+    assert basket_pairs(ds, "bk", "it").count() == 0

@@ -722,3 +722,52 @@ def test_cube_aggregate_levels(ray_session):
     assert rows[("ALL", "p")] == (2, 5.0)   # the non-rollup subset
     assert rows[("y", "p")] == (1, 4.0)
     assert len(rows) == 3 + 2 + 2 + 1  # finest + a-only + b-only + grand
+
+
+def test_grouped_linear_fit_exact(ray_session):
+    from record_matcher_ray.pipelines.stats import grouped_linear_fit
+
+    rng = np.random.RandomState(6)
+    n = 600
+    g = rng.choice(["p", "q", "r"], n)
+    x = np.round(rng.uniform(0, 50, n), 2)
+    y = np.round(2.5 * x - 7.0 + rng.normal(0, 3, n), 2)
+    ds = _ds({"g": g, "x": x, "y": y}).repartition(5)
+    out = grouped_linear_fit(ds, "g", "x", "y").set_index("grp")
+    assert sorted(out.index) == ["p", "q", "r"]
+    for grp in ["p", "q", "r"]:
+        m = g == grp
+        qx = np.floor(x[m] * 100.0 + 0.5).astype(np.int64).astype(object)
+        qy = np.floor(y[m] * 100.0 + 0.5).astype(np.int64).astype(object)
+        nn = int(m.sum())
+        sx, sy = int(qx.sum()), int(qy.sum())
+        sxy, sxx = int((qx * qy).sum()), int((qx * qx).sum())
+        syy = int((qy * qy).sum())
+        num, denx, deny = nn * sxy - sx * sy, nn * sxx - sx * sx, nn * syy - sy * sy
+        slope = float(num) / float(denx)
+        row = out.loc[grp]
+        assert row["n"] == nn
+        assert row["slope"] == round(slope, 9)
+        assert row["intercept"] == round(
+            (float(sy) - slope * float(sx)) / float(nn), 9
+        )
+        assert row["r2"] == round(
+            (float(num) * float(num)) / (float(denx) * float(deny)), 9
+        )
+        # sanity: quantized-unit slope recovers the generating slope
+        assert abs(row["slope"] - 2.5) < 0.1
+
+
+def test_grouped_linear_fit_degenerate(ray_session):
+    from record_matcher_ray.pipelines.stats import grouped_linear_fit
+
+    ds = _ds({"g": ["a", "a", "b", "c", "c"],
+              "x": [1.0, 1.0, 2.0, 1.0, 2.0],
+              "y": [3.0, 4.0, 5.0, 1.0, 1.0]})
+    out = grouped_linear_fit(ds, "g", "x", "y").set_index("grp")
+    assert np.isnan(out.loc["a", "slope"])       # zero x-variance
+    assert np.isnan(out.loc["b", "slope"])       # n = 1
+    # zero y-variance: slope/intercept defined, r2 NaN (deny == 0)
+    assert out.loc["c", "slope"] == 0.0
+    assert out.loc["c", "intercept"] == 100.0    # quantized units
+    assert np.isnan(out.loc["c", "r2"])

@@ -236,3 +236,48 @@ def test_importance_sample_monotone_and_exact(ray_session):
 
     with pytest.raises(ValueError):
         importance_sample(ds, "doc_id", "w", denom=0)
+
+
+def test_weighted_topk_exact_and_shard_invariant(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.sampling import weighted_topk
+
+    rng = np.random.RandomState(9)
+    n = 5000
+    df = pd.DataFrame(
+        {"doc_id": np.arange(n, dtype=np.int64),
+         "w": rng.randint(0, 1000, n).astype(np.float64)}
+    )
+    df.loc[7, "w"] = np.nan          # dropped
+    df.loc[8, "w"] = 0.0             # dropped
+    df.loc[9, "w"] = -3.0            # dropped
+    ds = rd.from_pandas(df).repartition(6)
+    out = weighted_topk(ds, "doc_id", "w", 50, seed=2)
+
+    # brute-force A-ES replay over the full table
+    h = sample_hash(df["doc_id"].to_numpy(), 2)
+    u = ((h >> np.uint64(11)).astype(np.float64) + 1.0) / float(1 << 53)
+    w = df["w"].to_numpy()
+    ok = np.isfinite(w) & (w > 0)
+    key = -np.log(u[ok]) / w[ok]
+    ids = df["doc_id"].to_numpy()[ok]
+    order = np.lexsort((ids, key))[:50]
+    assert out["id"].tolist() == ids[order].tolist()
+    np.testing.assert_array_equal(
+        out["key"].to_numpy(),
+        np.floor(key[order] * 1e9 + 0.5) / 1e9,
+    )
+    assert not {7, 8, 9} & set(out["id"])
+
+    # re-sharding cannot change the winners (per-row pure keys)
+    out2 = weighted_topk(rd.from_pandas(df).repartition(23),
+                         "doc_id", "w", 50, seed=2)
+    pd.testing.assert_frame_equal(out, out2)
+
+    # k larger than the population returns everything kept
+    small = rd.from_pandas(df.head(12))
+    assert len(weighted_topk(small, "doc_id", "w", 100)) == 9
+
+    with pytest.raises(ValueError):
+        weighted_topk(ds, "doc_id", "w", 0)
