@@ -2601,6 +2601,51 @@ def _q_basket_pairs(sf_dir: str):
     return basket_pairs(ds, "l_orderkey", "l_partkey", min_support=2)
 
 
+def _q_chunk_dedup(sf_dir: str):
+    """Paragraph/chunk-level exact dedup (composition): token-window
+    chunking (size 32, no overlap) -> exact duplicate groups over
+    chunk_text — the passage-granularity dedup a pretraining pipeline
+    runs between document-level exact and minhash near-dup passes."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from record_matcher_ray.pipelines.chunking import chunk_documents
+    from record_matcher_ray.pipelines.dedup import exact_dup_groups
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    ch = chunk_documents(ds, size=32, overlap=0)
+
+    def add_cid(t: pa.Table) -> pa.Table:
+        cid = pc.add(
+            pc.multiply(pc.cast(t["doc_id"], pa.int64()), 1_000_000),
+            pc.cast(t["chunk_id"], pa.int64()),
+        )
+        return t.append_column("cid", cid)
+
+    ch2 = ch.map_batches(add_cid, batch_format="pyarrow")
+    return exact_dup_groups(ch2, ["chunk_text"], "cid")
+
+
+def _q_item_cosine(sf_dir: str):
+    """Item-item affinity (cosine + lift over exact basket supports):
+    parts co-ordered in >= 3 orders."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.itemsets import (
+        item_cooccurrence_similarity,
+    )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    return item_cooccurrence_similarity(
+        ds, "l_orderkey", "l_partkey", min_support=3
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from record_matcher_ray.pipelines import analysis, relational
 
@@ -2742,6 +2787,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "glm_lineitem": _q_grouped_linear_fit,
         "weighted_topk_docs": _q_weighted_topk,
         "basket_pairs_lineitem": _q_basket_pairs,
+        "item_cosine_lineitem": _q_item_cosine,
+        "chunk_dedup_docs": _q_chunk_dedup,
         "band_join_orders": _q_band_join,
         "golden_record_part": _q_golden_record,
         "blocking_quality_part": _q_blocking_quality,
@@ -4943,6 +4990,36 @@ def oracle_sql() -> dict[str, str]:
             FROM kept a JOIN kept b ON a.bk = b.bk AND a.itm < b.itm
             GROUP BY 1, 2 HAVING count(*) >= 2
         """,
+        "item_cosine_lineitem": """
+            WITH it AS (
+              SELECT DISTINCT l_orderkey AS bk, l_partkey AS itm
+              FROM lineitem
+              WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+            ), good AS (
+              SELECT bk FROM it GROUP BY bk HAVING count(*) <= 256
+            ), kept AS (
+              SELECT it.bk, it.itm FROM it JOIN good USING (bk)
+            ), nb AS (
+              SELECT count(DISTINCT bk)::BIGINT AS n FROM kept
+            ), isupp AS (
+              SELECT itm, count(*)::BIGINT AS s FROM kept GROUP BY itm
+            ), p AS (
+              SELECT a.itm AS ia, b.itm AS ib, count(*)::BIGINT AS supp
+              FROM kept a JOIN kept b ON a.bk = b.bk AND a.itm < b.itm
+              GROUP BY 1, 2 HAVING count(*) >= 3
+            )
+            SELECT (p.ia)::BIGINT AS item_a, (p.ib)::BIGINT AS item_b,
+                   p.supp AS support,
+                   floor((p.supp)::DOUBLE
+                         / (sqrt((sa.s)::DOUBLE) * sqrt((sb.s)::DOUBLE))
+                         * 1000000000.0 + 0.5) / 1000000000.0 AS cosine,
+                   floor(((p.supp)::HUGEINT * nb.n)::DOUBLE
+                         / ((sa.s)::HUGEINT * sb.s)::DOUBLE
+                         * 1000000000.0 + 0.5) / 1000000000.0 AS lift
+            FROM p JOIN isupp sa ON sa.itm = p.ia
+                   JOIN isupp sb ON sb.itm = p.ib
+                   CROSS JOIN nb
+        """,
         "band_join_orders": """
             SELECT a.o_orderkey AS x_id, b.o_orderkey AS y_id,
                    abs(a.o_totalprice - b.o_totalprice) AS diff
@@ -5283,6 +5360,23 @@ def oracle_sql() -> dict[str, str]:
         "chunk_docs": __import__(
             "record_matcher_ray.pipelines.chunking", fromlist=["x"]
         ).sql_chunk_documents(size=64, overlap=16),
+        "chunk_dedup_docs": f"""
+            WITH ch AS ({__import__(
+                "record_matcher_ray.pipelines.chunking", fromlist=["x"]
+            ).sql_chunk_documents(size=32, overlap=0)}),
+            ids AS (
+              SELECT ((doc_id)::BIGINT * 1000000 + chunk_id)::BIGINT
+                       AS cid,
+                     chunk_text
+              FROM ch
+            ), k AS (
+              SELECT cid,
+                     min(cid) OVER (PARTITION BY chunk_text) AS keeper
+              FROM ids
+            )
+            SELECT (keeper)::BIGINT AS keeper_id, (cid)::BIGINT AS dup_id
+            FROM k WHERE cid <> keeper
+        """,
         "hashed_tfidf_docs": _hashed_tfidf_oracle(),
         "inverted_index_docs": """
             WITH t AS (

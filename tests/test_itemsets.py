@@ -74,3 +74,48 @@ def test_basket_pairs_empty(ray_session):
                   "it": pa.array([], pa.int64())})
     )
     assert basket_pairs(ds, "bk", "it").count() == 0
+
+
+def test_item_cooccurrence_similarity_exact(ray_session):
+    from record_matcher_ray.pipelines.itemsets import (
+        item_cooccurrence_similarity,
+    )
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for bk in range(300):
+        for i in rng.choice(30, size=rng.randint(1, 6), replace=True):
+            rows.append((bk, int(i)))
+    df = pd.DataFrame(rows, columns=["bk", "it"])
+    ds = ray.data.from_pandas(df).repartition(5)
+    out = item_cooccurrence_similarity(ds, "bk", "it", min_support=2
+                                       ).to_pandas()
+
+    pair_want = _brute(df, 2, 256)
+    kept = df.drop_duplicates()
+    isupp = kept.groupby("it")["bk"].nunique()
+    nb = kept["bk"].nunique()
+    got = {(int(r.item_a), int(r.item_b)):
+           (int(r.support), r.cosine, r.lift) for r in out.itertuples()}
+    assert set(got) == set(pair_want)
+    for (a, b), (s, cosv, liftv) in got.items():
+        assert s == pair_want[(a, b)]
+        sa, sb = int(isupp[a]), int(isupp[b])
+        cos_e = float(s) / (np.sqrt(float(sa)) * np.sqrt(float(sb)))
+        lift_e = float(s * nb) / float(sa * sb)
+        assert cosv == np.floor(cos_e * 1e9 + 0.5) / 1e9
+        assert liftv == np.floor(lift_e * 1e9 + 0.5) / 1e9
+    # sanity: cosine bounded, independent items have lift ~ anything > 0
+    assert (out["cosine"] <= 1.0).all() and (out["cosine"] > 0).all()
+
+
+def test_item_cooccurrence_negative_ids_rejected(ray_session):
+    from record_matcher_ray.pipelines.itemsets import (
+        item_cooccurrence_similarity,
+    )
+
+    ds = ray.data.from_items(
+        [{"bk": 1, "it": -5}, {"bk": 1, "it": 2}]
+    )
+    with pytest.raises(Exception):
+        item_cooccurrence_similarity(ds, "bk", "it").to_pandas()
