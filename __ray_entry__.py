@@ -2601,6 +2601,128 @@ def _q_basket_pairs(sf_dir: str):
     return basket_pairs(ds, "l_orderkey", "l_partkey", min_support=2)
 
 
+def _q_em_fs(sf_dir: str):
+    """Unsupervised Fellegi-Sunter parameter estimation (Winkler/Splink
+    EM) over nation-blocked customer pairs: agreement-pattern counts on
+    (mktsegment, acctbal-band-100) -> 15 EM iterations -> per-pattern
+    match posterior."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.linkage import em_fellegi_sunter
+
+    ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet")
+
+    def add_band(t):
+        import numpy as np
+        import pyarrow as pa
+
+        b = np.floor(
+            t["c_acctbal"].to_numpy(zero_copy_only=False) / 100.0
+        ).astype(np.int64)
+        return t.append_column("band", pa.array(b))
+
+    return em_fellegi_sunter(
+        ds.map_batches(add_band, batch_format="pyarrow"),
+        "c_custkey",
+        "c_nationkey",
+        ["c_mktsegment", "band"],
+        n_iter=15,
+    )
+
+
+def _em_fs_oracle(n_iter: int = 15) -> str:
+    """Chained-CTE DuckDB replay of em_fellegi_sunter on customer
+    (fields f1=mktsegment, f2=acctbal-band-100, block=nation): pattern
+    counts from the block self-join, then every EM iteration as one
+    (r{i}, s{i}, it{i}) CTE triple — per-pattern likelihoods as the
+    SAME left-nested products, sums as ascending-pattern list_reduce
+    folds, identical clamps. Pinned-order IEEE doubles both sides."""
+    k = 2
+    ONE = "(1.0)::DOUBLE"
+
+    def am_expr(it: str, kind: str) -> str:
+        lead = f"{it}.lam" if kind == "m" else f"({ONE} - {it}.lam)"
+        e = lead
+        for f in range(1, k + 1):
+            p = f"{it}.{kind}{f}"
+            e = (f"({e} * CASE WHEN (pattern & {1 << (f - 1)}) = "
+                 f"{1 << (f - 1)} THEN {p} ELSE {ONE} - {p} END)")
+        return e
+
+    fold = "(x, y) -> x + y"
+    r_term = "(c)::DOUBLE * (am / (am + au))"
+    t_term = f"(c)::DOUBLE * ({ONE} - am / (am + au))"
+    parts = [f"""
+        WITH f AS (
+          SELECT c_custkey AS id, c_nationkey AS blk,
+                 c_mktsegment AS f1,
+                 CAST(floor(c_acctbal / (100.0)::DOUBLE) AS BIGINT) AS f2
+          FROM customer
+        ), pcn AS (
+          SELECT (CASE WHEN a.f1 IS NOT NULL AND a.f1 = b.f1
+                       THEN 1 ELSE 0 END)
+               + (CASE WHEN a.f2 IS NOT NULL AND a.f2 = b.f2
+                       THEN 2 ELSE 0 END) AS pattern,
+                 count(*)::BIGINT AS c
+          FROM f a JOIN f b ON a.blk = b.blk AND a.id < b.id
+          GROUP BY 1
+        ), nt AS (SELECT (sum(c))::DOUBLE AS n FROM pcn),
+        it0 AS (
+          SELECT (0.1)::DOUBLE AS lam,
+                 (0.9)::DOUBLE AS m1, (0.9)::DOUBLE AS m2,
+                 (0.1)::DOUBLE AS u1, (0.1)::DOUBLE AS u2
+        )"""]
+    clamp = (lambda x: f"least(greatest({x}, (1e-9)::DOUBLE), "
+                       f"{ONE} - (1e-9)::DOUBLE)")
+    for i in range(1, n_iter + 1):
+        p = f"it{i - 1}"
+        sm_cols = []
+        upd_cols = []
+        for f in range(1, k + 1):
+            bit = 1 << (f - 1)
+            case_m = (f"CASE WHEN (pattern & {bit}) = {bit} "
+                      f"THEN {r_term} ELSE (0.0)::DOUBLE END")
+            case_u = (f"CASE WHEN (pattern & {bit}) = {bit} "
+                      f"THEN {t_term} ELSE (0.0)::DOUBLE END")
+            sm_cols.append(
+                f"list_reduce(list({case_m} ORDER BY pattern), {fold})"
+                f" AS sm{f},\n            "
+                f"list_reduce(list({case_u} ORDER BY pattern), {fold})"
+                f" AS su{f}"
+            )
+            upd_cols.append(
+                f"{clamp(f's.sm{f} / s.S')} AS m{f},\n            "
+                f"{clamp(f's.su{f} / s.T')} AS u{f}"
+            )
+        parts.append(f""", r{i} AS (
+          SELECT pattern, c,
+                 {am_expr(p, 'm')} AS am,
+                 {am_expr(p, 'u')} AS au
+          FROM pcn, {p}
+        ), s{i} AS (
+          SELECT
+            list_reduce(list({r_term} ORDER BY pattern), {fold}) AS S,
+            list_reduce(list({t_term} ORDER BY pattern), {fold}) AS T,
+            {','.join(sm_cols)}
+          FROM r{i}
+        ), it{i} AS (
+          SELECT {clamp('s.S / nt.n')} AS lam,
+            {','.join(upd_cols)}
+          FROM s{i} s, nt
+        )""")
+    parts.append(f""", fin AS (
+          SELECT pattern, c,
+                 {am_expr(f'it{n_iter}', 'm')} AS am,
+                 {am_expr(f'it{n_iter}', 'u')} AS au
+          FROM pcn, it{n_iter}
+        )
+        SELECT (pattern)::BIGINT AS pattern, c AS n_pairs,
+               floor((am / (am + au)) * 1000000000.0 + 0.5)
+                 / 1000000000.0 AS posterior
+        FROM fin""")
+    return "".join(parts)
+
+
 def _q_chunk_dedup(sf_dir: str):
     """Paragraph/chunk-level exact dedup (composition): token-window
     chunking (size 32, no overlap) -> exact duplicate groups over
@@ -2789,6 +2911,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "basket_pairs_lineitem": _q_basket_pairs,
         "item_cosine_lineitem": _q_item_cosine,
         "chunk_dedup_docs": _q_chunk_dedup,
+        "em_fs_customer": _q_em_fs,
         "band_join_orders": _q_band_join,
         "golden_record_part": _q_golden_record,
         "blocking_quality_part": _q_blocking_quality,
@@ -4618,6 +4741,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'nonmatch' END AS decision
             FROM s
         """,
+        "em_fs_customer": _em_fs_oracle(n_iter=15),
         "er_pipeline_customer": """
             WITH RECURSIVE f AS (
               SELECT c_custkey AS id, c_nationkey AS blk,

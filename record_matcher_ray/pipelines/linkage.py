@@ -1430,3 +1430,155 @@ def jw_prefix_join(
         .groupby("kb")
         .map_groups(block_pairs, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+# unsupervised EM estimation of Fellegi-Sunter parameters (Splink-style)
+# ---------------------------------------------------------------------------
+
+
+def em_fellegi_sunter(
+    ds: ray.data.Dataset,
+    id_col: str,
+    block_col: str,
+    field_cols: list[str],
+    *,
+    n_iter: int = 15,
+    init_m: float = 0.9,
+    init_u: float = 0.1,
+    init_lambda: float = 0.1,
+    n_buckets: int = 64,
+    max_block: int | None = None,
+    ndigits: int = 9,
+) -> "pd.DataFrame":
+    """UNSUPERVISED Fellegi-Sunter parameter estimation (the EM recipe
+    of Winkler 1988 / Splink's `estimate_parameters_using_em`): from the
+    agreement-PATTERN counts of within-block candidate pairs, fit the
+    two-class mixture (match prevalence λ, per-field m/u probabilities)
+    and report each observed pattern's match posterior P(M | γ).
+
+    → DataFrame (pattern, n_pairs, posterior) sorted by pattern, where
+    ``pattern`` = Σ_f agree_f · 2^f (agreement = strict equality with
+    SQL null semantics, the fellegi_sunter_link convention) and
+    ``posterior`` is rounded ``floor(p·10^ndigits + 0.5)``.
+
+    Deterministic and bit-replayable: the distributed part reduces the
+    pair stream to ≤ 2^k exact integer pattern counts (per-bucket
+    bincount partials → one tiny groupby); EM then runs driver-side in
+    pinned-order IEEE doubles — per-pattern likelihoods as left-nested
+    products in ``field_cols`` order, sums as ascending-pattern left
+    folds, parameters clamped into [1e-9, 1 − 1e-9] — exactly the
+    association order a DuckDB oracle replays with chained CTEs and
+    `list_reduce` ordered folds (CLAUDE.md toolbox).
+
+    Scale shape: identical to :func:`fellegi_sunter_link`'s exchange
+    (≤``n_buckets`` block-hash groups, vectorized in-bucket pair
+    enumeration, optional ``max_block`` cap) but the shuffle OUTPUT is
+    ≤ 2^k · n_buckets tiny count rows — pattern counting is the rare
+    all-pairs statistic whose exchange volume is independent of corpus
+    size. EM itself touches only the count table.
+    """
+    fields = list(field_cols)
+    k = len(fields)
+    if k == 0 or k > 20:
+        raise ValueError(f"need 1..20 comparison fields, got {k}")
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    proj = ds.select_columns([id_col, block_col, *fields])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[block_col]))
+        b = column_hash64(t[block_col])
+        return t.append_column(
+            "__emb__",
+            pa.array((b % np.uint64(n_buckets)).astype(np.int64)),
+        )
+
+    def pattern_counts(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        empty = pa.table({"pattern": pa.array([], pa.int64()),
+                          "c": pa.array([], pa.int64())})
+        if len(t) == 0:
+            return empty
+        blk = column_hash64(t[block_col]).view(np.int64)
+        ids = pc.cast(t[id_col], pa.int64()).to_numpy()
+        pa_, pb_ = _group_pairs(blk, ids, max_size=max_block,
+                                positions=True)
+        if len(pa_) == 0:
+            return empty
+        pat = np.zeros(len(pa_), np.int64)
+        for fi, f in enumerate(fields):
+            codes, _ = pd.factorize(
+                t[f].to_numpy(zero_copy_only=False), sort=False
+            )
+            agree = (codes[pa_] == codes[pb_]) & (codes[pa_] >= 0)
+            pat |= agree.astype(np.int64) << fi
+        cnt = np.bincount(pat, minlength=1 << k).astype(np.int64)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({"pattern": pa.array(nz.astype(np.int64)),
+                         "c": pa.array(cnt[nz])})
+
+    rows = (
+        proj.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__emb__")
+        .map_groups(pattern_counts, batch_format="pyarrow")
+        .groupby("pattern")
+        .sum("c")
+        .take_all()
+    )
+    if not rows:
+        raise ValueError("em_fellegi_sunter: no candidate pairs "
+                         "(empty input or all-null block column)")
+    rows.sort(key=lambda r: r["pattern"])
+    pats = [int(r["pattern"]) for r in rows]
+    cnts = [int(r["sum(c)"]) for r in rows]
+    n_total = sum(cnts)
+
+    LO, HI = 1e-9, 1.0 - 1e-9
+    lam = float(init_lambda)
+    m = [float(init_m)] * k
+    u = [float(init_u)] * k
+
+    def resp(lam, m, u):
+        r = []
+        for p in pats:
+            am = lam
+            au = 1.0 - lam
+            for f in range(k):
+                if (p >> f) & 1:
+                    am = am * m[f]
+                    au = au * u[f]
+                else:
+                    am = am * (1.0 - m[f])
+                    au = au * (1.0 - u[f])
+            r.append(am / (am + au))
+        return r
+
+    for _ in range(n_iter):
+        r = resp(lam, m, u)
+        S = 0.0
+        T = 0.0
+        for cp, rp in zip(cnts, r):
+            S = S + float(cp) * rp
+            T = T + float(cp) * (1.0 - rp)
+        for f in range(k):
+            sm = 0.0
+            su = 0.0
+            for p, cp, rp in zip(pats, cnts, r):
+                if (p >> f) & 1:
+                    sm = sm + float(cp) * rp
+                    su = su + float(cp) * (1.0 - rp)
+            m[f] = min(max(sm / S, LO), HI)
+            u[f] = min(max(su / T, LO), HI)
+        lam = min(max(S / float(n_total), LO), HI)
+
+    final = resp(lam, m, u)
+    pow10 = 10.0 ** ndigits
+    import pandas as pd
+
+    return pd.DataFrame(
+        {"pattern": np.asarray(pats, np.int64),
+         "n_pairs": np.asarray(cnts, np.int64),
+         "posterior": np.floor(np.asarray(final) * pow10 + 0.5) / pow10}
+    )

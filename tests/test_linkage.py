@@ -5,6 +5,7 @@ cross-checks plus the edge cases the bucketed paths must survive."""
 import math
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -771,3 +772,120 @@ def test_grouped_linear_fit_degenerate(ray_session):
     assert out.loc["c", "slope"] == 0.0
     assert out.loc["c", "intercept"] == 100.0    # quantized units
     assert np.isnan(out.loc["c", "r2"])
+
+
+# ---------------------------------------------------------------------------
+# em_fellegi_sunter
+# ---------------------------------------------------------------------------
+
+
+def _em_mirror(pat_counts, k, n_iter=15, init_m=0.9, init_u=0.1,
+               init_lambda=0.1):
+    """In-test mirror of the pinned EM recipe over (pattern, count)."""
+    pats = sorted(pat_counts)
+    cnts = [pat_counts[p] for p in pats]
+    n_total = sum(cnts)
+    LO, HI = 1e-9, 1.0 - 1e-9
+    lam, m, u = init_lambda, [init_m] * k, [init_u] * k
+
+    def resp():
+        out = []
+        for p in pats:
+            am, au = lam, 1.0 - lam
+            for f in range(k):
+                if (p >> f) & 1:
+                    am, au = am * m[f], au * u[f]
+                else:
+                    am, au = am * (1.0 - m[f]), au * (1.0 - u[f])
+            out.append(am / (am + au))
+        return out
+
+    for _ in range(n_iter):
+        r = resp()
+        S = 0.0
+        T = 0.0
+        for cp, rp in zip(cnts, r):
+            S = S + float(cp) * rp
+            T = T + float(cp) * (1.0 - rp)
+        for f in range(k):
+            sm = su = 0.0
+            for p, cp, rp in zip(pats, cnts, r):
+                if (p >> f) & 1:
+                    sm = sm + float(cp) * rp
+                    su = su + float(cp) * (1.0 - rp)
+            m[f] = min(max(sm / S, LO), HI)
+            u[f] = min(max(su / T, LO), HI)
+        lam = min(max(S / float(n_total), LO), HI)
+    return pats, cnts, resp()
+
+
+def _em_corpus(n_ent=150, dups=2, seed=13):
+    rng = np.random.RandomState(seed)
+    rows = []
+    rid = 0
+    for e in range(n_ent):
+        name = f"name{e:04d}"
+        city = f"city{e % 12}"
+        blk = e % 10
+        for d in range(1 + (e % dups)):
+            # duplicates agree on both fields; add noise rows later
+            rows.append({"id": rid, "blk": blk, "f_name": name,
+                         "f_city": city})
+            rid += 1
+    # noise: unrelated rows sharing a block but nothing else
+    for j in range(200):
+        rows.append({"id": rid, "blk": int(rng.randint(10)),
+                     "f_name": f"noise{rid}", "f_city": f"city{rng.randint(12)}"})
+        rid += 1
+    return pd.DataFrame(rows)
+
+
+def _brute_patterns(df, k_fields):
+    counts = {}
+    for _, grp in df.groupby("blk"):
+        g = grp.sort_values("id").reset_index(drop=True)
+        for i in range(len(g)):
+            for j in range(i + 1, len(g)):
+                pat = 0
+                for fi, f in enumerate(k_fields):
+                    a, b = g.loc[i, f], g.loc[j, f]
+                    if a is not None and a == b:
+                        pat |= 1 << fi
+                counts[pat] = counts.get(pat, 0) + 1
+    return counts
+
+
+def test_em_fellegi_sunter_exact_and_invariant(ray_session):
+    from record_matcher_ray.pipelines.linkage import em_fellegi_sunter
+
+    df = _em_corpus()
+    want_counts = _brute_patterns(df, ["f_name", "f_city"])
+    pats_w, cnts_w, post_w = _em_mirror(want_counts, 2)
+
+    for parts in (3, 11):
+        ds = _ds(df.to_dict("list")).repartition(parts)
+        out = em_fellegi_sunter(
+            ds, "id", "blk", ["f_name", "f_city"]
+        )
+        assert out["pattern"].tolist() == pats_w
+        assert out["n_pairs"].tolist() == cnts_w
+        np.testing.assert_array_equal(
+            out["posterior"].to_numpy(),
+            np.floor(np.asarray(post_w) * 1e9 + 0.5) / 1e9,
+        )
+    # both-agree pairs (the planted duplicates) must look like matches,
+    # no-agreement pairs like nonmatches
+    by_pat = dict(zip(out["pattern"], out["posterior"]))
+    assert by_pat[3] > 0.9
+    assert by_pat[0] < 0.1
+    assert by_pat[3] > by_pat.get(1, 0.0) and by_pat[3] > by_pat.get(2, 0.0)
+
+
+def test_em_fellegi_sunter_validation(ray_session):
+    from record_matcher_ray.pipelines.linkage import em_fellegi_sunter
+
+    ds = _ds({"id": [1], "blk": [None], "f": ["x"]})
+    with pytest.raises(ValueError):
+        em_fellegi_sunter(ds, "id", "blk", ["f"])
+    with pytest.raises(ValueError):
+        em_fellegi_sunter(ds, "id", "blk", [])
