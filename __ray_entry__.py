@@ -2601,6 +2601,17 @@ def _q_basket_pairs(sf_dir: str):
     return basket_pairs(ds, "l_orderkey", "l_partkey", min_support=2)
 
 
+def _q_dbscan(sf_dir: str):
+    """DBSCAN under cosine over the embeddings table (exact bounded
+    variant): eps-sim 0.35, min_pts 3, canonical min-core-id labels."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.similarity import dbscan_embeddings
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return dbscan_embeddings(ds, eps_sim=0.35, min_pts=3)
+
+
 def _q_em_fs(sf_dir: str):
     """Unsupervised Fellegi-Sunter parameter estimation (Winkler/Splink
     EM) over nation-blocked customer pairs: agreement-pattern counts on
@@ -2912,6 +2923,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "item_cosine_lineitem": _q_item_cosine,
         "chunk_dedup_docs": _q_chunk_dedup,
         "em_fs_customer": _q_em_fs,
+        "dbscan_embeddings": _q_dbscan,
         "band_join_orders": _q_band_join,
         "golden_record_part": _q_golden_record,
         "blocking_quality_part": _q_blocking_quality,
@@ -4742,6 +4754,58 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         "em_fs_customer": _em_fs_oracle(n_iter=15),
+        "dbscan_embeddings": """
+            WITH RECURSIVE q AS (
+              SELECT vec_id AS id, i AS dim,
+                     CAST(floor((embedding[i])::DOUBLE * 1048576.0 + 0.5)
+                          AS HUGEINT) AS qv
+              FROM embeddings,
+                   unnest(generate_series(1, len(embedding))) AS u(i)
+            ), nrm AS (SELECT id, sum(qv*qv) AS nv FROM q GROUP BY id),
+            d AS (
+              SELECT a.id AS ia, b.id AS ib, sum(a.qv * b.qv) AS dot
+              FROM q a JOIN q b ON a.dim = b.dim AND a.id < b.id
+              GROUP BY 1, 2
+            ), e AS (
+              SELECT ia, ib
+              FROM d JOIN nrm na ON na.id = d.ia
+                     JOIN nrm nb ON nb.id = d.ib
+              WHERE na.nv > 0 AND nb.nv > 0
+                AND (dot)::DOUBLE / (sqrt((na.nv)::DOUBLE)
+                                     * sqrt((nb.nv)::DOUBLE))
+                    >= (0.35)::DOUBLE
+            ), sym AS (
+              SELECT ia AS a, ib AS b FROM e
+              UNION ALL SELECT ib, ia FROM e
+            ), deg AS (
+              SELECT a AS id, count(*) AS dg FROM sym GROUP BY a
+            ), core AS (
+              SELECT em.vec_id AS id
+              FROM embeddings em LEFT JOIN deg ON deg.id = em.vec_id
+              WHERE coalesce(deg.dg, 0) + 1 >= 3
+            ), ce AS (
+              SELECT s.a, s.b FROM sym s
+              JOIN core ca ON ca.id = s.a JOIN core cb ON cb.id = s.b
+            ), walk(node, r) AS (
+              SELECT id, id FROM core
+              UNION
+              SELECT w.node, ce.a FROM walk w JOIN ce ON ce.b = w.r
+            ), lbl AS (
+              SELECT node, min(r) AS lab FROM walk GROUP BY node
+            ), bord AS (
+              SELECT s.a AS id, min(l.lab) AS lab
+              FROM sym s JOIN core c ON c.id = s.b
+                         JOIN lbl l ON l.node = s.b
+              WHERE s.a NOT IN (SELECT id FROM core)
+              GROUP BY s.a
+            )
+            SELECT em.vec_id AS vec_id,
+                   (coalesce(cl.lab, bl.lab, -1))::BIGINT AS label,
+                   (cl.node IS NOT NULL) AS is_core
+            FROM embeddings em
+            LEFT JOIN lbl cl ON cl.node = em.vec_id
+            LEFT JOIN bord bl ON bl.id = em.vec_id
+        """,
         "er_pipeline_customer": """
             WITH RECURSIVE f AS (
               SELECT c_custkey AS id, c_nationkey AS blk,

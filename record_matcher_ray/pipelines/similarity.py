@@ -899,3 +899,191 @@ def mutual_nearest_neighbors(
              "cos_sim": pa.array(cos6)}
         )
     )
+
+
+# ---- DBSCAN over an embedding column ------------------------------------
+
+
+def dbscan_embeddings(
+    ds: ray.data.Dataset,
+    eps_sim: float = 0.9,
+    min_pts: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    qscale: int = 1 << 20,
+    max_broadcast_rows: int = 1_000_000,
+    max_edges: int = 50_000_000,
+) -> "pd.DataFrame":
+    """Density-based clustering (DBSCAN, Ester et al. KDD 1996) under
+    COSINE similarity: neighbors are vectors with cos ≥ ``eps_sim``; a
+    point is CORE when its eps-neighborhood (itself included) holds ≥
+    ``min_pts`` points; clusters are connected components of core-core
+    neighbor edges; border points (non-core with a core neighbor) join a
+    cluster; everything else is noise.
+
+    → DataFrame (vec_id, label, is_core) for EVERY input row, sorted by
+    vec_id. Labels are canonicalized deterministically: a cluster's
+    label is the MIN vec_id among its core points; a border point takes
+    the MIN label among its core neighbors (a pinned variant of
+    sklearn's order-dependent border assignment — documented deviation);
+    noise gets label −1. Zero-norm vectors have undefined cosine and are
+    always noise.
+
+    Exactness recipe (`mutual_nearest_neighbors`): quantized integer
+    dots in float64 BLAS (exact under 2**53, guarded), one pinned-order
+    double cosine per pair, so the ``cs >= eps_sim`` predicate — and
+    therefore degrees, cores, edges and labels — replays bit-for-bit in
+    the DuckDB oracle (threshold edges + WITH RECURSIVE min-label
+    components, the CLAUDE.md toolbox pattern).
+
+    Scale shape: this is the EXACT bounded variant (all-pairs scan
+    against a once-broadcast matrix, one streaming pass, per-x chunking
+    by element budget; ``max_broadcast_rows``/``max_edges`` guards with
+    actionable errors). At corpus scale, block first — feed
+    `embedding_near_dups` / `ivf_topk` candidate edges to the same
+    core/CC/border readout.
+    """
+    import pandas as pd
+    import ray as _ray
+
+    from record_matcher_ray.pipelines.cluster import (
+        connected_components_arrays,
+    )
+
+    if min_pts < 1:
+        raise ValueError(f"min_pts must be >= 1, got {min_pts}")
+
+    def quantize(t: pa.Table) -> pa.Table:
+        col = t[vec_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.chunk(0) if col.num_chunks == 1 else col.combine_chunks()
+        offs = col.offsets.to_numpy().astype(np.int64)
+        flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        lens = np.diff(offs)
+        if len(lens) and (lens != lens[0]).any():
+            raise ValueError("dbscan_embeddings needs equal-length vectors")
+        d = int(lens[0]) if len(lens) else 0
+        q = np.floor(flat * float(qscale) + 0.5)
+        q = q[offs[0]:offs[-1]] if len(offs) else q[:0]
+        return pa.table(
+            {
+                "id": pc.cast(t[id_col], pa.int64()),
+                "qv": pa.FixedSizeListArray.from_arrays(
+                    pa.array(q.reshape(-1), pa.float64()), d
+                ) if d else pa.nulls(len(t), pa.list_(pa.float64())),
+            }
+        )
+
+    qds = ds.map_batches(quantize, batch_format="pyarrow").materialize()
+    tbls = [t for t in _ray.get(qds.to_arrow_refs()) if len(t)]
+    if not tbls:
+        return pd.DataFrame(
+            {"vec_id": pd.Series([], dtype="int64"),
+             "label": pd.Series([], dtype="int64"),
+             "is_core": pd.Series([], dtype="bool")}
+        )
+    cat = pa.concat_tables(tbls).combine_chunks()
+    ids_all = cat["id"].to_numpy()
+    n = len(ids_all)
+    if n > max_broadcast_rows:
+        raise ValueError(
+            f"{n:,} rows exceeds max_broadcast_rows="
+            f"{max_broadcast_rows:,}; exact DBSCAN is for bounded "
+            "corpora — block candidate edges first "
+            "(embedding_near_dups/ivf_topk)."
+        )
+    qcol = cat["qv"]
+    qcol = qcol.chunk(0) if qcol.num_chunks == 1 else qcol.combine_chunks()
+    dim = qcol.type.list_size
+    qmat = qcol.values.to_numpy(zero_copy_only=False).reshape(n, dim)
+    maxq = float(np.abs(qmat).max()) if qmat.size else 0.0
+    if dim * maxq * maxq >= 2.0**53:
+        raise ValueError(
+            "quantized dot products would exceed float64's exact-integer "
+            f"range (dim={dim}, max|q|={maxq:.0f}); lower qscale"
+        )
+    nrm = (qmat * qmat).sum(axis=1)
+    mat_ref = _ray.put((ids_all, qmat, nrm))
+    eps = float(eps_sim)
+
+    def edge_partial(t: pa.Table) -> pa.Table:
+        ids_g, qg, nrm_g = _ray.get(mat_ref)
+        sq = np.sqrt(nrm_g)
+        col = t["qv"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.chunk(0) if col.num_chunks == 1 else col.combine_chunks()
+        d = col.type.list_size
+        bm = col.values.to_numpy(zero_copy_only=False).reshape(len(t), d)
+        bid = t["id"].to_numpy()
+        bnrm = (bm * bm).sum(axis=1)
+        bsq = np.sqrt(bnrm)
+        out_a, out_b = [], []
+        step = max(1, (8 << 20) // max(len(ids_g), 1))
+        for s in range(0, len(bm), step):
+            e = min(s + step, len(bm))
+            sims = (bm[s:e] @ qg.T) / (bsq[s:e, None] * sq[None, :])
+            hit = sims >= eps
+            hit &= bid[s:e, None] < ids_g[None, :]
+            # zero-norm rows divide to nan -> never >= eps, never hit
+            bi, oi = np.nonzero(hit)
+            out_a.append(bid[s:e][bi])
+            out_b.append(ids_g[oi])
+        a = np.concatenate(out_a) if out_a else np.array([], np.int64)
+        b = np.concatenate(out_b) if out_b else np.array([], np.int64)
+        return pa.table({"a": pa.array(a.astype(np.int64)),
+                         "b": pa.array(b.astype(np.int64))})
+
+    edge_tbls = [
+        t for t in _ray.get(
+            qds.map_batches(edge_partial, batch_format="pyarrow")
+            .to_arrow_refs()
+        ) if len(t)
+    ]
+    if edge_tbls:
+        ecat = pa.concat_tables(edge_tbls)
+        ea = ecat["a"].to_numpy()
+        eb = ecat["b"].to_numpy()
+    else:
+        ea = eb = np.array([], np.int64)
+    if len(ea) > max_edges:
+        raise ValueError(
+            f"{len(ea):,} threshold edges exceeds max_edges="
+            f"{max_edges:,}; raise eps_sim or block first."
+        )
+
+    order = np.argsort(ids_all, kind="stable")
+    sid = ids_all[order]
+    if n > 1 and (sid[1:] == sid[:-1]).any():
+        raise ValueError("dbscan_embeddings requires unique ids")
+    # degree per node (each undirected edge touches both endpoints)
+    deg = np.zeros(n, np.int64)
+    if len(ea):
+        np.add.at(deg, np.searchsorted(sid, ea), 1)
+        np.add.at(deg, np.searchsorted(sid, eb), 1)
+    core = (deg + 1) >= min_pts
+    label = np.full(n, -1, np.int64)
+    label[core] = sid[core]  # singleton core clusters label themselves
+    if len(ea):
+        ca = core[np.searchsorted(sid, ea)]
+        cb = core[np.searchsorted(sid, eb)]
+        cc = ca & cb
+        if cc.any():
+            nodes, comp = connected_components_arrays(ea[cc], eb[cc])
+            label[np.searchsorted(sid, nodes)] = comp
+        # border: non-core endpoint takes min label over CORE neighbors
+        half_a = ea[cb & ~ca]          # a is border, b is core
+        half_al = label[np.searchsorted(sid, eb[cb & ~ca])]
+        half_b = eb[ca & ~cb]          # b is border, a is core
+        half_bl = label[np.searchsorted(sid, ea[ca & ~cb])]
+        bord = np.concatenate([half_a, half_b])
+        bord_l = np.concatenate([half_al, half_bl])
+        if len(bord):
+            o = np.lexsort((bord_l, bord))
+            bs, ls = bord[o], bord_l[o]
+            first = np.concatenate(([True], bs[1:] != bs[:-1]))
+            pos = np.searchsorted(sid, bs[first])
+            label[pos] = ls[first]     # min label = first after lexsort
+    return pd.DataFrame(
+        {"vec_id": sid, "label": label, "is_core": core[:]}
+    )

@@ -889,3 +889,100 @@ def test_em_fellegi_sunter_validation(ray_session):
         em_fellegi_sunter(ds, "id", "blk", ["f"])
     with pytest.raises(ValueError):
         em_fellegi_sunter(ds, "id", "blk", [])
+
+
+# ---------------------------------------------------------------------------
+# dbscan_embeddings
+# ---------------------------------------------------------------------------
+
+
+def _brute_dbscan(ids, vecs, eps, min_pts, qscale=1 << 20):
+    q = np.floor(np.asarray(vecs, np.float64) * float(qscale) + 0.5)
+    nrm = (q * q).sum(axis=1)
+    n = len(ids)
+    nbrs = {int(i): set() for i in ids}
+    for i in range(n):
+        for j in range(i + 1, n):
+            if nrm[i] == 0 or nrm[j] == 0:
+                continue
+            cs = (q[i] @ q[j]) / (math.sqrt(nrm[i]) * math.sqrt(nrm[j]))
+            if cs >= eps:
+                nbrs[int(ids[i])].add(int(ids[j]))
+                nbrs[int(ids[j])].add(int(ids[i]))
+    core = {i for i, s in nbrs.items() if len(s) + 1 >= min_pts}
+    # CC over core-core edges, min-id labels
+    label = {i: i for i in core}
+
+    def find(x):
+        while label[x] != x:
+            label[x] = label[label[x]]
+            x = label[x]
+        return x
+
+    for i in core:
+        for j in nbrs[i]:
+            if j in core:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    label[max(ri, rj)] = min(ri, rj)
+    out = {}
+    for i in ids:
+        i = int(i)
+        if i in core:
+            out[i] = (find(i), True)
+        else:
+            cand = [find(j) for j in nbrs[i] if j in core]
+            out[i] = (min(cand) if cand else -1, False)
+    return out
+
+
+def test_dbscan_embeddings_bruteforce(ray_session):
+    from record_matcher_ray.pipelines.similarity import dbscan_embeddings
+
+    rng = np.random.RandomState(8)
+    # three tight direction clusters + uniform noise + a zero vector
+    centers = rng.randn(3, 8)
+    rows = []
+    for c in centers:
+        for _ in range(15):
+            rows.append(c + 0.05 * rng.randn(8))
+    for _ in range(25):
+        rows.append(rng.randn(8))
+    rows.append(np.zeros(8))
+    vecs = np.asarray(rows, np.float64)
+    ids = np.arange(len(vecs), dtype=np.int64)
+    rng.shuffle(ids)  # ids not in row order
+    ds = _ds({"vec_id": ids,
+              "embedding": pa.array([list(v) for v in vecs],
+                                    pa.list_(pa.float32()))})
+    got = dbscan_embeddings(ds.repartition(4), eps_sim=0.95, min_pts=4)
+    expect = _brute_dbscan(
+        ids, np.asarray(vecs, np.float32).astype(np.float64), 0.95, 4
+    )
+    assert got["vec_id"].tolist() == sorted(int(i) for i in ids)
+    for r in got.itertuples():
+        lab, is_core = expect[int(r.vec_id)]
+        assert (int(r.label), bool(r.is_core)) == (lab, is_core), r.vec_id
+    # the three planted clusters exist and the zero vector is noise
+    zero_id = int(ids[-1])
+    assert int(got.set_index("vec_id").loc[zero_id, "label"]) == -1
+    assert (got["label"] >= 0).sum() >= 45
+
+
+def test_dbscan_embeddings_partition_invariance(ray_session):
+    from record_matcher_ray.pipelines.similarity import dbscan_embeddings
+
+    rng = np.random.RandomState(2)
+    vecs = rng.randn(60, 6)
+    ids = np.arange(60, dtype=np.int64)
+    mk = lambda p: _ds(
+        {"vec_id": ids,
+         "embedding": pa.array([list(v) for v in vecs],
+                               pa.list_(pa.float32()))}
+    ).repartition(p)
+    a = dbscan_embeddings(mk(2), eps_sim=0.8, min_pts=3)
+    b = dbscan_embeddings(mk(9), eps_sim=0.8, min_pts=3)
+    pd.testing.assert_frame_equal(a, b)
+
+    with pytest.raises(ValueError):
+        dbscan_embeddings(mk(2), min_pts=0)
