@@ -2601,6 +2601,20 @@ def _q_basket_pairs(sf_dir: str):
     return basket_pairs(ds, "l_orderkey", "l_partkey", min_support=2)
 
 
+def _q_tfidf_pairs(sf_dir: str):
+    """Sparse TF-IDF cosine similarity join over documents: all pairs
+    with cosine >= 0.5 in the df<=100-pruned term space (term-at-a-time
+    exchange, exact integer dots)."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.terms import tfidf_cosine_pairs
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return tfidf_cosine_pairs(ds, threshold=0.5, max_df=100)
+
+
 def _q_dbscan(sf_dir: str):
     """DBSCAN under cosine over the embeddings table (exact bounded
     variant): eps-sim 0.35, min_pts 3, canonical min-core-id labels."""
@@ -2924,6 +2938,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_dedup_docs": _q_chunk_dedup,
         "em_fs_customer": _q_em_fs,
         "dbscan_embeddings": _q_dbscan,
+        "tfidf_pairs_docs": _q_tfidf_pairs,
         "band_join_orders": _q_band_join,
         "golden_record_part": _q_golden_record,
         "blocking_quality_part": _q_blocking_quality,
@@ -4754,6 +4769,49 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         "em_fs_customer": _em_fs_oracle(n_iter=15),
+        "tfidf_pairs_docs": """
+            WITH t AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(coalesce(text, '')),
+                                         '[^a-z0-9]+', ' ', 'g')) AS nt
+              FROM documents
+            ), tok AS (
+              SELECT doc_id, unnest(string_split(nt, ' ')) AS term
+              FROM t WHERE len(nt) > 0
+            ), tf AS (
+              SELECT doc_id, term,
+                     least(count(*), 4096)::BIGINT AS tf
+              FROM tok GROUP BY 1, 2
+            ), dfreq AS (
+              SELECT term, count(*)::BIGINT AS df
+              FROM tf GROUP BY term HAVING count(*) <= 100
+            ), nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+            w AS (
+              SELECT tf.doc_id, tf.term,
+                     tf.tf * CAST(floor(
+                       (ln(((nn.n + 1))::DOUBLE / ((dfreq.df + 1))::DOUBLE)
+                        + (1.0)::DOUBLE) * 1024.0 + 0.5) AS BIGINT) AS w
+              FROM tf JOIN dfreq USING (term) CROSS JOIN nn
+            ), nrm AS (
+              SELECT doc_id, sum((w)::HUGEINT * w) AS n2
+              FROM w GROUP BY doc_id
+            ), d AS (
+              SELECT a.doc_id AS ia, b.doc_id AS ib,
+                     sum((a.w)::HUGEINT * b.w) AS dot
+              FROM w a JOIN w b
+                ON a.term = b.term AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ), c AS (
+              SELECT ia, ib,
+                     (dot)::DOUBLE / (sqrt((na.n2)::DOUBLE)
+                                      * sqrt((nb.n2)::DOUBLE)) AS cs
+              FROM d JOIN nrm na ON na.doc_id = d.ia
+                     JOIN nrm nb ON nb.doc_id = d.ib
+            )
+            SELECT ia AS a, ib AS b,
+                   floor(cs * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+            FROM c WHERE cs >= (0.5)::DOUBLE
+        """,
         "dbscan_embeddings": """
             WITH RECURSIVE q AS (
               SELECT vec_id AS id, i AS dim,

@@ -492,3 +492,258 @@ def pmi_cooccurrence(
          "n_xy": pa.array(n_xy),
          "pmi": pa.array(pmi)}
     )
+
+
+def tfidf_cosine_pairs(
+    ds: ray.data.Dataset,
+    threshold: float = 0.5,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int = 1000,
+    tf_cap: int = 4096,
+    idf_scale: int = 1024,
+    n_term_buckets: int = 256,
+    max_vocab: int = 5_000_000,
+    max_docs: int = 2_000_000,
+    ndigits: int = 6,
+) -> ray.data.Dataset:
+    """Sparse TF-IDF cosine similarity JOIN (term-at-a-time): all
+    document pairs with cosine ≥ ``threshold`` over tf·idf vectors →
+    rows (a, b, cos_sim), a < b. The classic text similarity join
+    (Bayardo et al., WWW 2007 all-pairs family), the exact complement to
+    the minhash/simhash probabilistic near-dup passes.
+
+    Semantics (all mirrored by the SQL oracle): tokens are the
+    `_block_tokens` normalization; terms with document frequency >
+    ``max_df`` are DROPPED from the vector space (the standard hot-term
+    cap — it bounds every term's pair fan-out at max_df², and the
+    oracle applies the identical HAVING); tf is capped at ``tf_cap``;
+    idf = ln((N+1)/(df+1)) + 1 quantized to ``floor(idf·idf_scale+0.5)``
+    integer units so weights, norms and dots are EXACT integers — by
+    Cauchy-Schwarz every pair dot ≤ max norm², so guarding norm² < 2^62
+    makes all int64 arithmetic overflow-free. cosine is one pinned
+    double readout (int→double casts, IEEE sqrt, multiply, divide),
+    compared to ``threshold`` unrounded and emitted rounded half-up to
+    ``ndigits``.
+
+    Scale shape: three streaming source scans + one bounded exchange —
+    (1) df partials → vocabulary-sized groupby → broadcast (term, qidf)
+    lookup (``max_vocab`` guard; at larger vocabularies switch to
+    `hashed_tfidf` dimensions); (2) per-doc norms, local per row
+    (``max_docs`` broadcast guard — the scale path joins norms through
+    `joins.hash_join` instead); (3) postings hash-bucketed BY TERM
+    (≤``n_term_buckets`` groups), per-term pair enumeration vectorized
+    with local (a, b) pre-aggregation, then ONE groupby(a, b) sum whose
+    volume is the candidate-pair count, capped by max_df.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if max_df < 2:
+        raise ValueError(f"max_df must be >= 2, got {max_df}")
+    from record_matcher_ray.core.hashkernels import column_hash64
+
+    N_SENT = "\x00__n_docs__"
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        toks, doc_idx, n_per_doc = _block_tokens(batch[text_col])
+        if len(toks) == 0:
+            return pa.table(
+                {"term": pa.array([N_SENT], pa.string()),
+                 "df": pa.array([0], pa.int64()),
+                 "n_docs": pa.array([len(n_per_doc)], pa.int64())}
+            )
+        codes, uniq = pd.factorize(toks)
+        order = np.lexsort((doc_idx, codes))
+        cs, ds_ = codes[order], doc_idx[order]
+        new = np.empty(len(cs), bool)
+        new[0] = True
+        new[1:] = (cs[1:] != cs[:-1]) | (ds_[1:] != ds_[:-1])
+        df = np.bincount(cs[new], minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {"term": pa.array(
+                np.concatenate((uniq.astype(object), [N_SENT])),
+                pa.string()),
+             "df": pa.array(np.concatenate((df, [0]))),
+             "n_docs": pa.array([0] * len(uniq) + [len(n_per_doc)],
+                                pa.int64())}
+        )
+
+    stats = (
+        ds.map_batches(df_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"),
+                   Sum("n_docs", alias_name="n_docs"))
+        .to_pandas()
+    )
+    if len(stats) > max_vocab + 1:
+        raise ValueError(
+            f"{len(stats) - 1:,} distinct terms exceeds max_vocab="
+            f"{max_vocab:,}; use hashed_tfidf dimensions at this scale."
+        )
+    n_corpus = int(stats.loc[stats["term"] == N_SENT, "n_docs"].sum())
+    real = stats[(stats["term"] != N_SENT)
+                 & (stats["df"] <= max_df)].sort_values("term")
+    vocab = real["term"].to_numpy()
+    idf = np.log(
+        (n_corpus + 1.0) / (real["df"].to_numpy().astype(np.float64) + 1.0)
+    ) + 1.0
+    qidf = np.floor(idf * float(idf_scale) + 0.5).astype(np.int64)
+    vocab_ref = ray.put((vocab, qidf))
+    thr = float(threshold)
+    cap = int(tf_cap)
+
+    def _doc_postings(batch: pa.Table):
+        """(ids, tcodes-into-broadcast-vocab, capped tf) for kept terms."""
+        voc, qv = ray.get(vocab_ref)
+        toks, doc_idx, n_per_doc = _block_tokens(batch[text_col])
+        ids = pc.cast(batch[id_col], pa.int64()).to_numpy()
+        if len(toks) == 0:
+            z = np.array([], np.int64)
+            return z, z, z, qv
+        codes, uniq = pd.factorize(toks)
+        # encode only UNIQUE block terms against the broadcast vocab
+        pos = np.searchsorted(voc, uniq.astype(object))
+        pos_c = np.clip(pos, 0, max(len(voc) - 1, 0))
+        ok = np.zeros(len(uniq), bool)
+        if len(voc):
+            ok = voc[pos_c] == uniq.astype(object)
+        gcode = np.where(ok, pos_c, -1)[codes]
+        keep = gcode >= 0
+        d_i, g_i = doc_idx[keep], gcode[keep]
+        if len(d_i) == 0:
+            z = np.array([], np.int64)
+            return z, z, z, qv
+        order = np.lexsort((g_i, d_i))
+        d_s, g_s = d_i[order], g_i[order]
+        new = np.empty(len(d_s), bool)
+        new[0] = True
+        new[1:] = (d_s[1:] != d_s[:-1]) | (g_s[1:] != g_s[:-1])
+        starts = np.nonzero(new)[0]
+        tf = np.diff(np.concatenate((starts, [len(d_s)]))).astype(np.int64)
+        tf = np.minimum(tf, cap)
+        return ids[d_s[starts]], g_s[starts], tf, qv
+
+    def norm_partial(batch: pa.Table) -> pa.Table:
+        dids, gcodes, tf, qv = _doc_postings(batch)
+        if len(dids) == 0:
+            return pa.table({"id": pa.array([], pa.int64()),
+                             "norm2": pa.array([], pa.int64())})
+        w = tf * qv[gcodes]
+        w2 = w * w
+        # dids is sorted within _doc_postings' lexsort (doc-major)
+        newd = np.empty(len(dids), bool)
+        newd[0] = True
+        newd[1:] = dids[1:] != dids[:-1]
+        starts = np.nonzero(newd)[0]
+        n2f = np.add.reduceat(w2.astype(np.float64), starts)
+        if (n2f >= 2.0 ** 62).any():
+            raise ValueError(
+                "tfidf_cosine_pairs: a document's norm^2 exceeds 2^62; "
+                "lower tf_cap/idf_scale so int64 dots stay exact."
+            )
+        n2i = np.add.reduceat(w2, starts)
+        return pa.table({"id": pa.array(dids[starts]),
+                         "norm2": pa.array(n2i)})
+
+    def posting_partial(batch: pa.Table) -> pa.Table:
+        dids, gcodes, tf, qv = _doc_postings(batch)
+        empty = pa.table(
+            {"__tb__": pa.array([], pa.int64()),
+             "g": pa.array([], pa.int64()),
+             "doc": pa.array([], pa.int64()),
+             "tf": pa.array([], pa.int64())}
+        )
+        if len(dids) == 0:
+            return empty
+        tb = (
+            column_hash64(pa.array(gcodes.astype(np.uint64)))
+            % np.uint64(n_term_buckets)
+        ).astype(np.int64)
+        return pa.table(
+            {"__tb__": pa.array(tb), "g": pa.array(gcodes),
+             "doc": pa.array(dids), "tf": pa.array(tf)}
+        )
+
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        voc, qv = ray.get(vocab_ref)
+        empty = pa.table({"a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64()),
+                          "dot": pa.array([], pa.int64())})
+        g = t["g"].to_numpy()
+        doc = t["doc"].to_numpy()
+        tf = t["tf"].to_numpy()
+        if len(g) == 0:
+            return empty
+        order = np.lexsort((doc, g))
+        g_s, d_s, tf_s = g[order], doc[order], tf[order]
+        new = np.empty(len(g_s), bool)
+        new[0] = True
+        new[1:] = g_s[1:] != g_s[:-1]
+        seg = np.cumsum(new) - 1
+        m = np.bincount(seg).astype(np.int64)
+        starts = np.concatenate(([0], np.cumsum(m)))[:-1]
+        within = np.arange(len(g_s), dtype=np.int64) - starts[seg]
+        counts = m[seg] - 1 - within
+        tot = int(counts.sum())
+        if tot == 0:
+            return empty
+        first = np.repeat(np.arange(len(g_s), dtype=np.int64), counts)
+        cstart = np.concatenate(([0], np.cumsum(counts)))
+        j_off = np.arange(tot, dtype=np.int64) - cstart[first] + 1
+        second = first + j_off
+        qi = qv[g_s[first]]
+        contrib = tf_s[first] * tf_s[second] * qi * qi
+        da, db = d_s[first], d_s[second]
+        a = np.minimum(da, db)
+        b = np.maximum(da, db)
+        po = np.lexsort((b, a))
+        a, b, contrib = a[po], b[po], contrib[po]
+        newp = np.empty(len(a), bool)
+        newp[0] = True
+        newp[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        pstarts = np.nonzero(newp)[0]
+        doti = np.add.reduceat(contrib, pstarts)
+        return pa.table(
+            {"a": pa.array(a[newp]), "b": pa.array(b[newp]),
+             "dot": pa.array(doti)}
+        )
+
+    norms = ds.map_batches(norm_partial, batch_format="pyarrow").to_pandas()
+    if len(norms) > max_docs:
+        raise ValueError(
+            f"{len(norms):,} docs exceeds max_docs={max_docs:,} for the "
+            "broadcast norm lookup; join norms via hash_join at scale."
+        )
+    nid = norms["id"].to_numpy().astype(np.int64)
+    nrm2 = norms["norm2"].to_numpy().astype(np.int64)
+    no = np.argsort(nid)
+    nid, nrm2 = nid[no], nrm2[no]
+    norm_ref = ray.put((nid, nrm2))
+    pow10 = 10.0 ** int(ndigits)
+
+    pairs = (
+        ds.map_batches(posting_partial, batch_format="pyarrow")
+        .groupby("__tb__")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Sum("dot", alias_name="dot"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        ids_n, n2 = ray.get(norm_ref)
+        a = t["a"].to_numpy()
+        b = t["b"].to_numpy()
+        dot = t["dot"].to_numpy().astype(np.int64)
+        na = n2[np.searchsorted(ids_n, a)]
+        nb = n2[np.searchsorted(ids_n, b)]
+        cs = dot.astype(np.float64) / (
+            np.sqrt(na.astype(np.float64)) * np.sqrt(nb.astype(np.float64))
+        )
+        keep = cs >= thr
+        return pa.table(
+            {"a": pa.array(a[keep]), "b": pa.array(b[keep]),
+             "cos_sim": pa.array(np.floor(cs[keep] * pow10 + 0.5) / pow10)}
+        )
+
+    return pairs.map_batches(finish, batch_format="pyarrow")

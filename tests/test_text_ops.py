@@ -575,3 +575,97 @@ class TestSoundex:
                 ref = out
             else:
                 assert out.equals(ref)
+
+
+# ---------------------------------------------------------------------------
+# tfidf_cosine_pairs
+# ---------------------------------------------------------------------------
+
+
+def _brute_tfidf_pairs(ids, texts, threshold, max_df=1000, tf_cap=4096,
+                       idf_scale=1024):
+    import math
+    import re as _re
+
+    tok = lambda s: [w for w in _re.sub(r"[^a-z0-9]+", " ",
+                                        (s or "").lower()).split() if w]
+    docs = {int(i): tok(t) for i, t in zip(ids, texts)}
+    n = len(docs)
+    df = {}
+    for ts in docs.values():
+        for t in set(ts):
+            df[t] = df.get(t, 0) + 1
+    kept = {t for t, d in df.items() if d <= max_df}
+    qidf = {
+        t: math.floor((math.log((n + 1.0) / (df[t] + 1.0)) + 1.0)
+                      * float(idf_scale) + 0.5)
+        for t in kept
+    }
+    vec = {}
+    for i, ts in docs.items():
+        v = {}
+        for t in ts:
+            if t in kept:
+                v[t] = v.get(t, 0) + 1
+        vec[i] = {t: min(c, tf_cap) * qidf[t] for t, c in v.items()}
+    out = {}
+    items = sorted(vec)
+    for x in range(len(items)):
+        for y in range(x + 1, len(items)):
+            a, b = items[x], items[y]
+            dot = sum(vec[a][t] * vec[b][t] for t in vec[a] if t in vec[b])
+            na = sum(w * w for w in vec[a].values())
+            nb = sum(w * w for w in vec[b].values())
+            if dot == 0 or na == 0 or nb == 0:
+                continue
+            cs = float(dot) / (math.sqrt(float(na)) * math.sqrt(float(nb)))
+            if cs >= threshold:
+                out[(a, b)] = math.floor(cs * 1e6 + 0.5) / 1e6
+    return out
+
+
+def test_tfidf_cosine_pairs_bruteforce(ray_session):
+    from record_matcher_ray.pipelines.terms import tfidf_cosine_pairs
+
+    rng = np.random.RandomState(4)
+    vocab = [f"w{j}" for j in range(40)]
+    texts = []
+    for i in range(120):
+        base = rng.choice(vocab, size=rng.randint(3, 12)).tolist()
+        texts.append(" ".join(base))
+    # planted near-duplicates
+    texts[100] = texts[0] + " extra"
+    texts[101] = texts[0]
+    texts[102] = ""  # empty doc pairs with nothing
+    ids = np.arange(120, dtype=np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": ids, "text": pa.array(texts, pa.string())})
+    ).repartition(6)
+    got = {
+        (int(r["a"]), int(r["b"])): r["cos_sim"]
+        for r in tfidf_cosine_pairs(ds, threshold=0.4).take_all()
+    }
+    assert got == _brute_tfidf_pairs(ids, texts, 0.4)
+    assert (0, 101) in got and got[(0, 101)] == 1.0
+
+
+def test_tfidf_cosine_pairs_max_df_drops_hot_terms(ray_session):
+    from record_matcher_ray.pipelines.terms import tfidf_cosine_pairs
+
+    # 'common' appears in every doc; with max_df=2 it vanishes from the
+    # space, so docs sharing only 'common' never pair
+    texts = ["common alpha", "common beta", "common alpha beta",
+             "common gamma"]
+    ids = np.arange(4, dtype=np.int64)
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": ids, "text": pa.array(texts, pa.string())})
+    )
+    got = {
+        (int(r["a"]), int(r["b"])): r["cos_sim"]
+        for r in tfidf_cosine_pairs(ds, threshold=0.1, max_df=2).take_all()
+    }
+    assert got == _brute_tfidf_pairs(ids, texts, 0.1, max_df=2)
+    assert all((3 not in p) for p in got)  # gamma-only doc pairs with none
+
+    with pytest.raises(ValueError):
+        tfidf_cosine_pairs(ds, threshold=0.0)
