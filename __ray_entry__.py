@@ -2601,6 +2601,63 @@ def _q_basket_pairs(sf_dir: str):
     return basket_pairs(ds, "l_orderkey", "l_partkey", min_support=2)
 
 
+def _q_linkage_eval(sf_dir: str):
+    """Pairwise P/R/F1 of the Fellegi-Sunter linker (t_upper=2.0, so
+    band-agreement alone clears the bar) against same-(nation, segment)
+    truth pairs — the BASELINE.md pairwise-F1 readout as an operator."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from record_matcher_ray.pipelines.linkage import (
+        fellegi_sunter_link,
+        pairwise_eval,
+    )
+
+    ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet")
+
+    def add_band(t):
+        import numpy as np
+
+        b = np.floor(
+            t["c_acctbal"].to_numpy(zero_copy_only=False) / 100.0
+        ).astype(np.int64)
+        return t.append_column("band", pa.array(b))
+
+    banded = ds.map_batches(add_band, batch_format="pyarrow")
+    scored = fellegi_sunter_link(
+        banded, "c_custkey", "c_nationkey", ["c_mktsegment", "band"],
+        t_upper=2.0, t_lower=0.0,
+    )
+
+    def match_pairs(t: pa.Table) -> pa.Table:
+        sub = t.filter(pc.equal(t["decision"], "match"))
+        return pa.table({"a": sub["x_id"], "b": sub["y_id"]})
+
+    pred = scored.map_batches(match_pairs, batch_format="pyarrow")
+
+    # truth: same (nation, segment) pairs via the exact-equality join
+    def add_key(t: pa.Table) -> pa.Table:
+        key = pc.binary_join_element_wise(
+            pc.cast(t["c_nationkey"], pa.string()),
+            pc.cast(t["c_mktsegment"], pa.string()), "|",
+        )
+        return pa.table({"c_custkey": t["c_custkey"], "key": key})
+
+    from record_matcher_ray.pipelines.linkage import (
+        edit_distance_self_join,
+    )
+
+    truth = edit_distance_self_join(
+        ds.map_batches(add_key, batch_format="pyarrow"),
+        "key", "c_custkey", max_dist=0,
+    ).map_batches(
+        lambda t: pa.table({"a": t["x_id"], "b": t["y_id"]}),
+        batch_format="pyarrow",
+    )
+    return pairwise_eval(pred, truth)
+
+
 def _q_tfidf_pairs(sf_dir: str):
     """Sparse TF-IDF cosine similarity join over documents: all pairs
     with cosine >= 0.5 in the df<=100-pruned term space (term-at-a-time
@@ -2939,6 +2996,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "em_fs_customer": _q_em_fs,
         "dbscan_embeddings": _q_dbscan,
         "tfidf_pairs_docs": _q_tfidf_pairs,
+        "linkage_eval_customer": _q_linkage_eval,
         "band_join_orders": _q_band_join,
         "golden_record_part": _q_golden_record,
         "blocking_quality_part": _q_blocking_quality,
@@ -4769,6 +4827,74 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         "em_fs_customer": _em_fs_oracle(n_iter=15),
+        "linkage_eval_customer": """
+            WITH f AS (
+              SELECT c_custkey AS id, c_nationkey AS blk,
+                     c_mktsegment AS f1,
+                     CAST(floor(c_acctbal / (100.0)::DOUBLE) AS BIGINT)
+                       AS f2
+              FROM customer
+            ), nn AS (SELECT count(*) AS n FROM f),
+            u1 AS (
+              SELECT sum(c*c) AS ssq FROM (
+                SELECT count(*) AS c FROM f
+                WHERE f1 IS NOT NULL GROUP BY f1)
+            ), u2 AS (
+              SELECT sum(c*c) AS ssq FROM (
+                SELECT count(*) AS c FROM f
+                WHERE f2 IS NOT NULL GROUP BY f2)
+            ), uv AS (
+              SELECT (u1.ssq)::DOUBLE / ((nn.n * nn.n))::DOUBLE AS u1v,
+                     (u2.ssq)::DOUBLE / ((nn.n * nn.n))::DOUBLE AS u2v
+              FROM u1, u2, nn
+            ), w AS (
+              SELECT ln((0.9)::DOUBLE) - ln(u1v) AS wa1,
+                     ln((1.0)::DOUBLE - (0.9)::DOUBLE)
+                       - ln((1.0)::DOUBLE - u1v) AS wd1,
+                     ln((0.9)::DOUBLE) - ln(u2v) AS wa2,
+                     ln((1.0)::DOUBLE - (0.9)::DOUBLE)
+                       - ln((1.0)::DOUBLE - u2v) AS wd2
+              FROM uv
+            ), s AS (
+              SELECT a.id AS x_id, b.id AS y_id,
+                     (CASE WHEN a.f1 IS NOT NULL AND a.f1 = b.f1
+                           THEN w.wa1 ELSE w.wd1 END)
+                     + (CASE WHEN a.f2 IS NOT NULL AND a.f2 = b.f2
+                             THEN w.wa2 ELSE w.wd2 END) AS sc
+              FROM f a JOIN f b ON a.blk = b.blk AND a.id < b.id, w
+            ), pred AS (
+              SELECT x_id, y_id FROM s WHERE sc >= (2.0)::DOUBLE
+            ), tr AS (
+              SELECT a.id AS x_id, b.id AS y_id
+              FROM f a JOIN f b
+                ON a.blk = b.blk AND a.id < b.id
+               AND a.f1 IS NOT NULL AND a.f1 = b.f1
+            ), cnt AS (
+              SELECT
+                (SELECT count(*) FROM
+                  (SELECT * FROM pred INTERSECT SELECT * FROM tr))
+                  ::BIGINT AS tp,
+                (SELECT count(*) FROM
+                  (SELECT * FROM pred EXCEPT SELECT * FROM tr))
+                  ::BIGINT AS fp,
+                (SELECT count(*) FROM
+                  (SELECT * FROM tr EXCEPT SELECT * FROM pred))
+                  ::BIGINT AS fn
+            ), pr AS (
+              SELECT tp, fp, fn,
+                     (tp)::DOUBLE / ((tp + fp))::DOUBLE AS p,
+                     (tp)::DOUBLE / ((tp + fn))::DOUBLE AS r
+              FROM cnt
+            )
+            SELECT tp, fp, fn,
+                   floor(p * 1000000000.0 + 0.5) / 1000000000.0
+                     AS precision,
+                   floor(r * 1000000000.0 + 0.5) / 1000000000.0
+                     AS recall,
+                   floor(((2.0)::DOUBLE * p * r) / (p + r)
+                         * 1000000000.0 + 0.5) / 1000000000.0 AS f1
+            FROM pr
+        """,
         "tfidf_pairs_docs": """
             WITH t AS (
               SELECT doc_id,

@@ -986,3 +986,35 @@ def test_dbscan_embeddings_partition_invariance(ray_session):
 
     with pytest.raises(ValueError):
         dbscan_embeddings(mk(2), min_pts=0)
+
+
+# ---------------------------------------------------------------------------
+# pairwise_eval
+# ---------------------------------------------------------------------------
+
+
+def test_pairwise_eval_exact(ray_session):
+    from record_matcher_ray.pipelines.linkage import pairwise_eval
+
+    # truth: 6 pairs; pred: 5 pairs, 3 correct (one reversed, one
+    # duplicated, one self-pair that must drop)
+    truth = _ds({"a": [1, 2, 3, 4, 5, 6], "b": [10, 20, 30, 40, 50, 60]})
+    pred = _ds({"a": [10, 2, 3, 7, 8, 3, 9],
+                "b": [1, 20, 30, 70, 8, 30, 90]})
+    out = pairwise_eval(pred, truth)
+    assert (int(out.tp[0]), int(out.fp[0]), int(out.fn[0])) == (3, 2, 3)
+    p, r = 3.0 / 5.0, 3.0 / 6.0
+    assert out.precision[0] == math.floor(p * 1e9 + 0.5) / 1e9
+    assert out.recall[0] == 0.5
+    assert out.f1[0] == math.floor(
+        (2.0 * p * r) / (p + r) * 1e9 + 0.5) / 1e9
+
+    # empty prediction: zero division reports 0.0
+    none = _ds({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    out2 = pairwise_eval(none, truth)
+    assert (int(out2.tp[0]), int(out2.fp[0]), int(out2.fn[0])) == (0, 0, 6)
+    assert out2.precision[0] == 0.0 and out2.f1[0] == 0.0
+
+    # partition invariance
+    out3 = pairwise_eval(pred.repartition(5), truth.repartition(3))
+    pd.testing.assert_frame_equal(out, out3)
