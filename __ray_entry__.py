@@ -2601,6 +2601,203 @@ def _q_basket_pairs(sf_dir: str):
     return basket_pairs(ds, "l_orderkey", "l_partkey", min_support=2)
 
 
+def _q_q3_shipping(sf_dir: str):
+    """TPC-H Q3 shape (3-table join + filtered aggregate + top-k):
+    unshipped-revenue per order for BUILDING customers — semi-join
+    broadcast on the customer side, bucketed hash join on orderkey,
+    exact integer cent·(100−disc) revenue units, top 10."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from record_matcher_ray.pipelines.joins import hash_join, semi_join
+
+    CUT = 899164800000000  # 1998-06-30 00:00:00 in microseconds
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"],
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["c_mktsegment"], "BUILDING")),
+        batch_format="pyarrow",
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"],
+    )
+
+    def ord_prep(t: pa.Table) -> pa.Table:
+        dt = pc.cast(t["o_orderdate"], pa.int64())
+        keep = pc.less(dt, CUT)
+        sub = t.filter(keep)
+        return pa.table(
+            {"o_orderkey": sub["o_orderkey"],
+             "o_custkey": sub["o_custkey"],
+             "o_date_us": pc.cast(sub["o_orderdate"], pa.int64()),
+             "o_orderpriority": sub["o_orderpriority"]}
+        )
+
+    orders_f = semi_join(
+        orders.map_batches(ord_prep, batch_format="pyarrow"),
+        cust, "o_custkey", key_col="c_custkey",
+    )
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"],
+    )
+
+    def li_units(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        dt = pc.cast(t["l_shipdate"], pa.int64())
+        sub = t.filter(pc.greater(dt, CUT))
+        cents = np.floor(
+            sub["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * 100.0 + 0.5
+        ).astype(np.int64)
+        disc = np.floor(
+            sub["l_discount"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        t2 = pa.table(
+            {"l_orderkey": sub["l_orderkey"],
+             "units": pa.array(cents * (100 - disc))}
+        )
+        # partial pre-aggregation per orderkey inside the batch
+        return t2.group_by(["l_orderkey"]).aggregate([("units", "sum")]) \
+            .rename_columns(["l_orderkey", "units"])
+
+    li_p = li.map_batches(li_units, batch_format="pyarrow")
+    joined = hash_join(li_p, orders_f, "l_orderkey", "o_orderkey")
+    agg = joined.groupby(
+        ["l_orderkey", "o_date_us", "o_orderpriority"]
+    ).aggregate(Sum("units", alias_name="units"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        rev = t["units"].to_numpy().astype(np.float64) / 10000.0
+        rev = np.floor(rev * 100.0 + 0.5) / 100.0
+        return pa.table(
+            {"o_orderkey": t["l_orderkey"],
+             "o_date_us": t["o_date_us"],
+             "o_orderpriority": t["o_orderpriority"],
+             "revenue": pa.array(rev)}
+        )
+
+    return (
+        agg.map_batches(finish, batch_format="pyarrow")
+        .sort(["revenue", "o_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+
+
+def _q_q5_star(sf_dir: str):
+    """TPC-H Q5 shape (star join with a cross-dimension equality):
+    1996 revenue by ASIA nation where supplier and customer share the
+    nation — bucketed fact joins, broadcast dimension lookups, exact
+    integer revenue units."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from record_matcher_ray.pipelines.joins import (
+        broadcast_lookup,
+        hash_join,
+    )
+
+    LO = 820454400000000   # 1996-01-01 UTC micros
+    HI = 852076800000000   # 1997-01-01 UTC micros
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+
+    def ord_prep(t: pa.Table) -> pa.Table:
+        dt = pc.cast(t["o_orderdate"], pa.int64())
+        keep = pc.and_(pc.greater_equal(dt, LO), pc.less(dt, HI))
+        sub = t.filter(keep)
+        return pa.table({"o_orderkey": sub["o_orderkey"],
+                         "o_custkey": sub["o_custkey"]})
+
+    orders_f = orders.map_batches(ord_prep, batch_format="pyarrow")
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"],
+    )
+
+    def li_units(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        cents = np.floor(
+            t["l_extendedprice"].to_numpy(zero_copy_only=False)
+            * 100.0 + 0.5
+        ).astype(np.int64)
+        disc = np.floor(
+            t["l_discount"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {"l_orderkey": t["l_orderkey"], "l_suppkey": t["l_suppkey"],
+             "units": pa.array(cents * (100 - disc))}
+        )
+
+    fact = hash_join(
+        li.map_batches(li_units, batch_format="pyarrow"),
+        orders_f, "l_orderkey", "o_orderkey",
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"],
+    )
+    fact = hash_join(fact, cust, "o_custkey", "c_custkey")
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_nationkey"],
+    )
+    fact = broadcast_lookup(fact, supp, "l_suppkey", "s_suppkey",
+                            how="inner")
+    nation = ray.data.read_parquet(f"{sf_dir}/nation.parquet")
+    region = ray.data.read_parquet(f"{sf_dir}/region.parquet")
+    nr = broadcast_lookup(nation, region, "n_regionkey", "r_regionkey",
+                          how="inner")
+    fact = broadcast_lookup(
+        fact, nr, "c_nationkey", "n_nationkey", how="inner",
+        columns=["n_nationkey", "n_name", "r_name"],
+    )
+
+    def local_filter(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.equal(t["r_name"], "ASIA"),
+            pc.equal(pc.cast(t["c_nationkey"], pa.int64()),
+                     pc.cast(t["s_nationkey"], pa.int64())),
+        )
+        sub = t.filter(keep)
+        return pa.table({"n_name": sub["n_name"], "units": sub["units"]})
+
+    agg = (
+        fact.map_batches(local_filter, batch_format="pyarrow")
+        .groupby("n_name")
+        .aggregate(Sum("units", alias_name="units"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        rev = t["units"].to_numpy().astype(np.float64) / 10000.0
+        rev = np.floor(rev * 100.0 + 0.5) / 100.0
+        return pa.table({"n_name": t["n_name"],
+                         "revenue": pa.array(rev)})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_linkage_eval(sf_dir: str):
     """Pairwise P/R/F1 of the Fellegi-Sunter linker (t_upper=2.0, so
     band-agreement alone clears the bar) against same-(nation, segment)
@@ -2997,6 +3194,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dbscan_embeddings": _q_dbscan,
         "tfidf_pairs_docs": _q_tfidf_pairs,
         "linkage_eval_customer": _q_linkage_eval,
+        "q3_shipping": _q_q3_shipping,
+        "q5_region_revenue": _q_q5_star,
         "band_join_orders": _q_band_join,
         "golden_record_part": _q_golden_record,
         "blocking_quality_part": _q_blocking_quality,
@@ -4827,6 +5026,57 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         "em_fs_customer": _em_fs_oracle(n_iter=15),
+        "q3_shipping": """
+            WITH li AS (
+              SELECT l_orderkey,
+                     CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                     * (100 - CAST(floor(l_discount * 100.0 + 0.5)
+                                   AS BIGINT)) AS units
+              FROM lineitem
+              WHERE epoch_us(l_shipdate) > 899164800000000
+            ), o AS (
+              SELECT o_orderkey, epoch_us(o_orderdate) AS o_date_us,
+                     o_orderpriority
+              FROM orders
+              WHERE epoch_us(o_orderdate) < 899164800000000
+                AND o_custkey IN (
+                  SELECT c_custkey FROM customer
+                  WHERE c_mktsegment = 'BUILDING')
+            ), agg AS (
+              SELECT li.l_orderkey AS o_orderkey, o.o_date_us,
+                     o.o_orderpriority,
+                     sum((li.units)::HUGEINT) AS units
+              FROM li JOIN o ON li.l_orderkey = o.o_orderkey
+              GROUP BY 1, 2, 3
+            )
+            SELECT o_orderkey, o_date_us, o_orderpriority,
+                   floor((units)::DOUBLE / (10000.0)::DOUBLE
+                         * 100.0 + 0.5) / 100.0 AS revenue
+            FROM agg
+            ORDER BY revenue DESC, o_orderkey LIMIT 10
+        """,
+        "q5_region_revenue": """
+            WITH f AS (
+              SELECT n.n_name,
+                     CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)
+                     * (100 - CAST(floor(l.l_discount * 100.0 + 0.5)
+                                   AS BIGINT)) AS units
+              FROM lineitem l
+              JOIN orders o ON l.l_orderkey = o.o_orderkey
+              JOIN customer c ON o.o_custkey = c.c_custkey
+              JOIN supplier s ON l.l_suppkey = s.s_suppkey
+              JOIN nation n ON c.c_nationkey = n.n_nationkey
+              JOIN region r ON n.n_regionkey = r.r_regionkey
+              WHERE epoch_us(o.o_orderdate) >= 820454400000000
+                AND epoch_us(o.o_orderdate) < 852076800000000
+                AND c.c_nationkey = s.s_nationkey
+                AND r.r_name = 'ASIA'
+            )
+            SELECT n_name, floor((sum((units)::HUGEINT))::DOUBLE
+                                 / (10000.0)::DOUBLE
+                                 * 100.0 + 0.5) / 100.0 AS revenue
+            FROM f GROUP BY n_name
+        """,
         "linkage_eval_customer": """
             WITH f AS (
               SELECT c_custkey AS id, c_nationkey AS blk,
