@@ -254,6 +254,14 @@ def item_cooccurrence_similarity(
         return t.filter(pc.equal(t["item_b"], -1))
 
     sent = merged.map_batches(sentinels, batch_format="pyarrow").to_pandas()
+    if len(sent) == 0 or "item_a" not in sent.columns:
+        return ray.data.from_arrow(
+            pa.schema(
+                [("item_a", pa.int64()), ("item_b", pa.int64()),
+                 ("support", pa.int64()), ("cosine", pa.float64()),
+                 ("lift", pa.float64())]
+            ).empty_table()
+        )
     if len(sent) > max_items + 1:
         raise ValueError(
             f"{len(sent) - 1:,} distinct items exceeds max_items="

@@ -1672,6 +1672,8 @@ def pairwise_eval(
         .map_groups(partial, batch_format="pyarrow")
         .to_pandas()
     )
+    if len(parts) == 0 or "tp" not in parts.columns:
+        parts = pd.DataFrame({"tp": [0], "fp": [0], "fn": [0]})
     tp = int(parts["tp"].sum())
     fp = int(parts["fp"].sum())
     fn_ = int(parts["fn"].sum())

@@ -337,6 +337,12 @@ def weighted_topk(
         )
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if len(parts) == 0 or "key" not in parts.columns:
+        return pd.DataFrame(
+            {"id": pd.Series([], dtype="int64"),
+             "w": pd.Series([], dtype="float64"),
+             "key": pd.Series([], dtype="float64")}
+        )
     parts = parts.sort_values(["key", "id"], kind="mergesort").head(k)
     parts["key"] = np.floor(parts["key"].to_numpy() * POW10 + 0.5) / POW10
     return parts.reset_index(drop=True)

@@ -576,6 +576,11 @@ def tfidf_cosine_pairs(
                    Sum("n_docs", alias_name="n_docs"))
         .to_pandas()
     )
+    if len(stats) == 0 or "term" not in stats.columns:
+        return ray.data.from_arrow(
+            pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                       ("cos_sim", pa.float64())]).empty_table()
+        )
     if len(stats) > max_vocab + 1:
         raise ValueError(
             f"{len(stats) - 1:,} distinct terms exceeds max_vocab="

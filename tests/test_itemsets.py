@@ -119,3 +119,15 @@ def test_item_cooccurrence_negative_ids_rejected(ray_session):
     )
     with pytest.raises(Exception):
         item_cooccurrence_similarity(ds, "bk", "it").to_pandas()
+
+
+def test_item_cooccurrence_empty(ray_session):
+    from record_matcher_ray.pipelines.itemsets import (
+        item_cooccurrence_similarity,
+    )
+
+    ds = ray.data.from_arrow(
+        pa.table({"bk": pa.array([], pa.int64()),
+                  "it": pa.array([], pa.int64())})
+    )
+    assert item_cooccurrence_similarity(ds, "bk", "it").count() == 0

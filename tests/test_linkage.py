@@ -1018,3 +1018,12 @@ def test_pairwise_eval_exact(ray_session):
     # partition invariance
     out3 = pairwise_eval(pred.repartition(5), truth.repartition(3))
     pd.testing.assert_frame_equal(out, out3)
+
+
+def test_pairwise_eval_empty_both(ray_session):
+    from record_matcher_ray.pipelines.linkage import pairwise_eval
+
+    e = _ds({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    out = pairwise_eval(e, e)
+    assert (int(out.tp[0]), int(out.fp[0]), int(out.fn[0])) == (0, 0, 0)
+    assert out.f1[0] == 0.0

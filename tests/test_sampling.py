@@ -281,3 +281,14 @@ def test_weighted_topk_exact_and_shard_invariant(ray_session):
 
     with pytest.raises(ValueError):
         weighted_topk(ds, "doc_id", "w", 0)
+
+
+def test_weighted_topk_empty(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.sampling import weighted_topk
+
+    ds = rd.from_arrow(pa.table({"id": pa.array([], pa.int64()),
+                                 "w": pa.array([], pa.float64())}))
+    out = weighted_topk(ds, "id", "w", 5)
+    assert len(out) == 0 and list(out.columns) == ["id", "w", "key"]

@@ -669,3 +669,13 @@ def test_tfidf_cosine_pairs_max_df_drops_hot_terms(ray_session):
 
     with pytest.raises(ValueError):
         tfidf_cosine_pairs(ds, threshold=0.0)
+
+
+def test_tfidf_cosine_pairs_empty(ray_session):
+    from record_matcher_ray.pipelines.terms import tfidf_cosine_pairs
+
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([], pa.int64()),
+                  "text": pa.array([], pa.string())})
+    )
+    assert tfidf_cosine_pairs(ds, 0.5).count() == 0
