@@ -104,18 +104,57 @@ def language_id(ds: ray.data.Dataset, text_col: str = "text") -> ray.data.Datase
     (undetermined) fallback. A heuristic, not a model — the actor-pool slot
     where a fasttext-style model would load per actor at scale."""
 
+    lang_names = list(_LANG_PROFILES)
+    profiles = [
+        pa.array(sorted(_LANG_PROFILES[k]), pa.string()) for k in lang_names
+    ]
+
     def predict(batch: pa.Table) -> pa.Table:
-        texts = pc.fill_null(pc.cast(batch[text_col], pa.string()), "").to_pylist()
-        langs, scores = [], []
-        for t in texts:
-            toks = set(w.lower() for w in t.split())
-            best, best_hits = "und", 0
-            for lang, prof in _LANG_PROFILES.items():
-                hits = len(toks & prof)
-                if hits > best_hits:
-                    best, best_hits = lang, hits
-            langs.append(best)
-            scores.append(best_hits / max(1, len(toks)))
+        # vectorized replay of the per-row loop: lowercase split,
+        # per-doc DISTINCT tokens, one is_in membership pass per
+        # profile, first-wins argmax (dict order) — semantics pinned by
+        # the SQL oracle
+        txt = pc.utf8_lower(
+            pc.fill_null(pc.cast(batch[text_col], pa.string()), "")
+        )
+        pieces = pc.split_pattern_regex(txt, r"\s+")
+        if isinstance(pieces, pa.ChunkedArray):
+            pieces = pieces.combine_chunks()
+        flat = pieces.flatten()
+        off = pieces.offsets.to_numpy().astype(np.int64)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        toks = flat.filter(pa.array(keep))
+        kept_cum = np.concatenate([[0], np.cumsum(keep, dtype=np.int64)])
+        n_per = kept_cum[off[1:]] - kept_cum[off[:-1]]
+        n = len(n_per)
+        doc = np.repeat(np.arange(n, dtype=np.int64), n_per)
+        codes, _ = pd.factorize(toks.to_numpy(zero_copy_only=False))
+        # distinct (doc, token) rows
+        order = np.lexsort((codes, doc))
+        d_s, c_s = doc[order], codes[order]
+        if len(d_s):
+            first = np.concatenate(
+                ([True], (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1]))
+            )
+        else:
+            first = np.zeros(0, bool)
+        dd, cc = d_s[first], c_s[first]
+        n_distinct = np.bincount(dd, minlength=n).astype(np.int64)
+        tok_dist = toks.take(pa.array(order[first]))
+        hits = np.zeros((len(lang_names), n), np.int64)
+        for li, prof in enumerate(profiles):
+            m = pc.is_in(tok_dist, value_set=prof).to_numpy(
+                zero_copy_only=False
+            )
+            hits[li] = np.bincount(dd[m], minlength=n)
+        best_hits = hits.max(axis=0)
+        best_idx = hits.argmax(axis=0)  # first-wins on ties (dict order)
+        langs = np.where(
+            best_hits > 0,
+            np.asarray(lang_names, object)[best_idx],
+            "und",
+        )
+        scores = best_hits / np.maximum(1, n_distinct)
         return pa.table(
             {
                 "doc_id": batch["doc_id"],

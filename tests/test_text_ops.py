@@ -679,3 +679,35 @@ def test_tfidf_cosine_pairs_empty(ray_session):
                   "text": pa.array([], pa.string())})
     )
     assert tfidf_cosine_pairs(ds, 0.5).count() == 0
+
+
+def test_language_id_vectorized_matches_loop(ray_session):
+    from record_matcher_ray.pipelines.analysis import (
+        _LANG_PROFILES,
+        language_id,
+    )
+
+    texts = [
+        "the quick brown fox and the lazy dog",   # en
+        "le chat et le chien sont dans la maison", # fr
+        "",                                        # empty -> und
+        None,                                      # null -> und
+        "zzz qqq xxx",                             # no hits -> und
+        "der THE el le und and",                   # mixed, tie-prone
+        "  the\tthe\nthe  ",                       # dup tokens, odd ws
+    ]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    )
+    got = {r["doc_id"]: (r["pred_lang"], r["lang_score"])
+           for r in language_id(ds).take_all()}
+    # reference loop (the pre-vectorization semantics)
+    for i, t in enumerate(texts):
+        toks = set(w.lower() for w in (t or "").split())
+        best, best_hits = "und", 0
+        for lang, prof in _LANG_PROFILES.items():
+            hits = len(toks & prof)
+            if hits > best_hits:
+                best, best_hits = lang, hits
+        assert got[i] == (best, round(best_hits / max(1, len(toks)), 6)), i
