@@ -2601,6 +2601,31 @@ def _q_basket_pairs(sf_dir: str):
     return basket_pairs(ds, "l_orderkey", "l_partkey", min_support=2)
 
 
+def _q_top_terms_by_source(sf_dir: str):
+    """Per-source top-10 terms (vocabulary census per shard)."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.terms import top_terms_by_group
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    return top_terms_by_group(ds, "source", k=10)
+
+
+def _q_term_kl(sf_dir: str):
+    """Per-source term-distribution KL divergence vs the corpus blend
+    (mixture drift monitoring)."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.terms import term_kl_divergence
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    return term_kl_divergence(ds, "source")
+
+
 def _q_q3_shipping(sf_dir: str):
     """TPC-H Q3 shape (3-table join + filtered aggregate + top-k):
     unshipped-revenue per order for BUILDING customers — semi-join
@@ -3196,6 +3221,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linkage_eval_customer": _q_linkage_eval,
         "q3_shipping": _q_q3_shipping,
         "q5_region_revenue": _q_q5_star,
+        "top_terms_by_source": _q_top_terms_by_source,
+        "term_kl_docs": _q_term_kl,
         "band_join_orders": _q_band_join,
         "golden_record_part": _q_golden_record,
         "blocking_quality_part": _q_blocking_quality,
@@ -5026,6 +5053,65 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         "em_fs_customer": _em_fs_oracle(n_iter=15),
+        "top_terms_by_source": """
+            WITH t AS (
+              SELECT doc_id, source,
+                     trim(regexp_replace(lower(coalesce(text, '')),
+                                         '[^a-z0-9]+', ' ', 'g')) AS nt
+              FROM documents WHERE source IS NOT NULL
+            ), tok AS (
+              SELECT source AS grp, unnest(string_split(nt, ' ')) AS term
+              FROM t WHERE len(nt) > 0
+            ), c AS (
+              SELECT grp, term, count(*)::BIGINT AS n_occ
+              FROM tok GROUP BY 1, 2
+            )
+            SELECT grp, term, n_occ,
+                   row_number() OVER (PARTITION BY grp
+                                      ORDER BY n_occ DESC, term)
+                     ::BIGINT AS rnk
+            FROM c
+            QUALIFY rnk <= 10
+        """,
+        "term_kl_docs": """
+            WITH t AS (
+              SELECT doc_id, (source)::VARCHAR AS grp,
+                     trim(regexp_replace(lower(coalesce(text, '')),
+                                         '[^a-z0-9]+', ' ', 'g')) AS nt
+              FROM documents WHERE source IS NOT NULL
+            ), tok AS (
+              SELECT grp, unnest(string_split(nt, ' ')) AS term
+              FROM t WHERE len(nt) > 0
+            ), c AS (
+              SELECT grp, term, count(*)::BIGINT AS n_occ
+              FROM tok GROUP BY 1, 2
+            ), corp AS (
+              SELECT term, sum(n_occ)::BIGINT AS n FROM c GROUP BY term
+            ), tot AS (
+              SELECT sum(n_occ)::BIGINT AS n FROM c
+            ), gtot AS (
+              SELECT grp, sum(n_occ)::BIGINT AS n_tokens
+              FROM c GROUP BY grp
+            ), contrib AS (
+              SELECT c.grp, c.term,
+                     ((c.n_occ)::DOUBLE / (g.n_tokens)::DOUBLE)
+                     * ln(((c.n_occ)::DOUBLE / (g.n_tokens)::DOUBLE)
+                          / ((corp.n)::DOUBLE / (tot.n)::DOUBLE)) AS x
+              FROM c JOIN gtot g ON g.grp = c.grp
+                     JOIN corp ON corp.term = c.term
+                     CROSS JOIN tot
+            ), folded AS (
+              SELECT grp,
+                     list_sum(list(x ORDER BY term)) AS kl
+              FROM contrib GROUP BY grp
+            )
+            SELECT g.grp, g.n_tokens,
+                   CASE WHEN f.kl >= 0
+                        THEN floor(f.kl * 1000000.0 + 0.5) / 1000000.0
+                        ELSE -floor(-f.kl * 1000000.0 + 0.5) / 1000000.0
+                   END AS kl
+            FROM gtot g JOIN folded f ON f.grp = g.grp
+        """,
         "q3_shipping": """
             WITH li AS (
               SELECT l_orderkey,

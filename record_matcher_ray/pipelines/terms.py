@@ -752,3 +752,175 @@ def tfidf_cosine_pairs(
         )
 
     return pairs.map_batches(finish, batch_format="pyarrow")
+
+
+def top_terms_by_group(
+    ds: ray.data.Dataset,
+    group_col: str,
+    k: int = 10,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-group top-k terms by occurrence → rows (grp, term, n_occ,
+    rnk), rnk 1..k per group ordered (n_occ desc, term asc) — the
+    per-source / per-domain vocabulary census (template detection,
+    source drift eyeballing). Null groups drop.
+
+    Scale shape: raw tokens never shuffle — each block pre-aggregates
+    (group, term) counts, one vocabulary×groups-bounded
+    ``groupby(grp, term).sum`` merges them, and the top-k pass is the
+    standard ≤``n_buckets`` group-hash exchange with one vectorized
+    lexsort + cumcount per bucket (CLAUDE.md per-group rule).
+    """
+    from record_matcher_ray.core.hashkernels import column_hash64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ok = pc.is_valid(batch[group_col])
+        sub = batch.filter(ok)
+        toks, doc_idx, n_per_doc = _block_tokens(sub[text_col])
+        empty = pa.table(
+            {"grp": pa.array([], sub.schema.field(group_col).type),
+             "term": pa.array([], pa.string()),
+             "n_occ": pa.array([], pa.int64())}
+        )
+        if len(toks) == 0:
+            return empty
+        gvals = sub[group_col].to_numpy(zero_copy_only=False)
+        gcodes, guniq = pd.factorize(gvals)
+        tcodes, tuniq = pd.factorize(toks)
+        key = gcodes[doc_idx].astype(np.int64) * len(tuniq) + tcodes
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {"grp": pa.array(guniq[(uk // len(tuniq))]),
+             "term": pa.array(tuniq[(uk % len(tuniq))].astype(object),
+                              pa.string()),
+             "n_occ": pa.array(cnt.astype(np.int64))}
+        )
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["grp", "term"])
+        .aggregate(Sum("n_occ", alias_name="n_occ"))
+    )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = (column_hash64(t["grp"]) % np.uint64(n_buckets)).astype(
+            np.int64
+        )
+        return t.append_column("__gb__", pa.array(b))
+
+    kk = int(k)
+
+    def topk(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            ["grp", "n_occ", "term"], ascending=[True, False, True],
+            kind="stable",
+        )
+        df["rnk"] = df.groupby("grp", sort=False).cumcount() + 1
+        out = df[df["rnk"] <= kk][["grp", "term", "n_occ", "rnk"]].copy()
+        out["rnk"] = out["rnk"].astype("int64")
+        return out
+
+    return (
+        cells.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__gb__")
+        .map_groups(topk, batch_format="pandas")
+    )
+
+
+def term_kl_divergence(
+    ds: ray.data.Dataset,
+    group_col: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ndigits: int = 6,
+    max_cells: int = 5_000_000,
+) -> "pd.DataFrame":
+    """Per-group term-distribution drift: KL(P_group ‖ P_corpus) in nats
+    → DataFrame (grp, n_tokens, kl) sorted by grp — the mixture-
+    monitoring signal (which shard/source diverges from the blend).
+
+    KL = Σ_t p_t · ln(p_t / q_t) over the group's terms (p_t = group
+    count / group total, q_t = corpus count / corpus total; q_t ≥ p-mass
+    by construction so every term is defined). Deterministic pinned
+    float recipe: exact integer counts ride the exchange; per term ONE
+    chain (c_g)::DOUBLE / n_g · ln(((c_g)::DOUBLE / n_g) / ((c)::DOUBLE
+    / n)); terms fold in ASCENDING term order (the `grouped_entropy` /
+    char-entropy ordered-fold toolbox pattern) so DuckDB's
+    ``list_sum(list(contrib ORDER BY term))`` replays bit-for-bit.
+
+    Scale shape: one streaming pass of per-block (group, term) partials,
+    one vocabulary×groups-bounded groupby; the driver folds the cell
+    table (``max_cells`` guard).
+    """
+    import math
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ok = pc.is_valid(batch[group_col])
+        sub = batch.filter(ok)
+        toks, doc_idx, n_per_doc = _block_tokens(sub[text_col])
+        empty = pa.table(
+            {"grp": pa.array([], pa.string()),
+             "term": pa.array([], pa.string()),
+             "n_occ": pa.array([], pa.int64())}
+        )
+        if len(toks) == 0:
+            return empty
+        gvals = pc.cast(sub[group_col], pa.string()).to_numpy(
+            zero_copy_only=False
+        )
+        gcodes, guniq = pd.factorize(gvals)
+        tcodes, tuniq = pd.factorize(toks)
+        key = gcodes[doc_idx].astype(np.int64) * len(tuniq) + tcodes
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {"grp": pa.array(guniq[(uk // len(tuniq))].astype(object),
+                             pa.string()),
+             "term": pa.array(tuniq[(uk % len(tuniq))].astype(object),
+                              pa.string()),
+             "n_occ": pa.array(cnt.astype(np.int64))}
+        )
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["grp", "term"])
+        .aggregate(Sum("n_occ", alias_name="n_occ"))
+        .to_pandas()
+    )
+    if len(cells) == 0 or "grp" not in cells.columns:
+        return pd.DataFrame(
+            {"grp": pd.Series([], dtype="object"),
+             "n_tokens": pd.Series([], dtype="int64"),
+             "kl": pd.Series([], dtype="float64")}
+        )
+    if len(cells) > max_cells:
+        raise ValueError(
+            f"{len(cells):,} (group, term) cells exceeds max_cells="
+            f"{max_cells:,}; prune the vocabulary (top_terms) or hash "
+            "terms before computing drift at this scale."
+        )
+    corpus = cells.groupby("term", sort=True)["n_occ"].sum()
+    n_total = int(cells["n_occ"].sum())
+    out = {"grp": [], "n_tokens": [], "kl": []}
+    pw = 10.0 ** int(ndigits)
+    for grp, g in cells.sort_values(["grp", "term"]).groupby(
+        "grp", sort=True
+    ):
+        n_g = int(g["n_occ"].sum())
+        kl = 0.0
+        for term, c_g in zip(g["term"], g["n_occ"]):
+            p = float(int(c_g)) / float(n_g)
+            q = float(int(corpus[term])) / float(n_total)
+            kl = kl + p * math.log(p / q)
+        out["grp"].append(grp)
+        out["n_tokens"].append(n_g)
+        out["kl"].append(math.floor(kl * pw + 0.5) / pw if kl >= 0
+                         else -math.floor(-kl * pw + 0.5) / pw)
+    return pd.DataFrame(
+        {"grp": out["grp"],
+         "n_tokens": np.asarray(out["n_tokens"], np.int64),
+         "kl": np.asarray(out["kl"], np.float64)}
+    )

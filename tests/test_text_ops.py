@@ -711,3 +711,57 @@ def test_language_id_vectorized_matches_loop(ray_session):
             if hits > best_hits:
                 best, best_hits = lang, hits
         assert got[i] == (best, round(best_hits / max(1, len(toks)), 6)), i
+
+
+def test_top_terms_by_group_exact(ray_session):
+    from record_matcher_ray.pipelines.terms import top_terms_by_group
+
+    texts = ["apple apple pear", "apple banana", "pear pear pear kiwi",
+             "kiwi kiwi apple", None, "apple"]
+    grps = ["a", "a", "b", "b", "b", None]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(6), pa.int64()),
+                  "text": pa.array(texts, pa.string()),
+                  "src": pa.array(grps, pa.string())})
+    ).repartition(3)
+    got = {(r["grp"], r["rnk"]): (r["term"], r["n_occ"])
+           for r in top_terms_by_group(ds, "src", k=2).take_all()}
+    assert got == {
+        ("a", 1): ("apple", 3), ("a", 2): ("banana", 1),
+        ("b", 1): ("kiwi", 3), ("b", 2): ("pear", 3),  # tie: term asc
+    }
+
+
+def test_term_kl_divergence_exact(ray_session):
+    import math
+
+    from record_matcher_ray.pipelines.terms import term_kl_divergence
+
+    texts = ["x x y", "y z", "x y z z"]
+    grps = ["s0", "s0", "s1"]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(range(3), pa.int64()),
+                  "text": pa.array(texts, pa.string()),
+                  "src": pa.array(grps, pa.string())})
+    ).repartition(2)
+    out = term_kl_divergence(ds, "src").set_index("grp")
+    # corpus: x:3 y:3 z:3 (n=9); s0: x:2 y:2 z:1 (n=5); s1: x:1 y:1 z:2
+    def kl(counts, n_g):
+        s = 0.0
+        for term in sorted(counts):
+            p = float(counts[term]) / float(n_g)
+            q = float(3) / float(9)
+            s = s + p * math.log(p / q)
+        return math.floor(s * 1e6 + 0.5) / 1e6 if s >= 0 else \
+            -math.floor(-s * 1e6 + 0.5) / 1e6
+    assert out.loc["s0", "n_tokens"] == 5
+    assert out.loc["s0", "kl"] == kl({"x": 2, "y": 2, "z": 1}, 5)
+    assert out.loc["s1", "kl"] == kl({"x": 1, "y": 1, "z": 2}, 4)
+    # a group identical to the corpus mix has KL 0
+    same = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(["a b", "a b"], pa.string()),
+                  "src": pa.array(["p", "q"], pa.string())})
+    )
+    out2 = term_kl_divergence(same, "src")
+    assert (out2["kl"] == 0.0).all()
