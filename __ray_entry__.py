@@ -2601,6 +2601,28 @@ def _q_basket_pairs(sf_dir: str):
     return basket_pairs(ds, "l_orderkey", "l_partkey", min_support=2)
 
 
+def _q_hybrid_search(sf_dir: str):
+    """Hybrid retrieval: BM25 lexical top-20 fused with the exact
+    quantized-cosine top-20 neighbors of doc 0's embedding via
+    Reciprocal Rank Fusion (k=60) — the classic two-leg search stack."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.similarity import (
+        exact_cosine_topk,
+        rrf_fuse,
+    )
+    from record_matcher_ray.pipelines.terms import bm25_topk
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    lex = bm25_topk(docs, "merge scan vector window", k=20).to_pandas()
+    lex = lex.rename(columns={"doc_id": "id"})
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    sem = exact_cosine_topk(emb, query_id=0, k=20)
+    return rrf_fuse([lex, sem], k=60)
+
+
 def _q_top_terms_by_source(sf_dir: str):
     """Per-source top-10 terms (vocabulary census per shard)."""
     import ray.data
@@ -3223,6 +3245,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q5_region_revenue": _q_q5_star,
         "top_terms_by_source": _q_top_terms_by_source,
         "term_kl_docs": _q_term_kl,
+        "hybrid_search_docs": _q_hybrid_search,
         "band_join_orders": _q_band_join,
         "golden_record_part": _q_golden_record,
         "blocking_quality_part": _q_blocking_quality,
@@ -5053,6 +5076,87 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         "em_fs_customer": _em_fs_oracle(n_iter=15),
+        "hybrid_search_docs": """
+            WITH t AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(coalesce(text, '')),
+                                         '[^a-z0-9]+', ' ', 'g')) AS nt
+              FROM documents
+            ), tok AS (
+              SELECT doc_id, unnest(string_split(nt, ' ')) AS term
+              FROM t WHERE len(nt) > 0
+            ), qq AS (
+              SELECT unnest(['merge', 'scan', 'vector', 'window']) AS term
+            ), consts AS (
+              SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+                     (SELECT count(*) FROM tok)::DOUBLE AS n_toks
+            ), dl AS (
+              SELECT doc_id, count(*)::DOUBLE AS dl FROM tok
+              GROUP BY doc_id
+            ), dfq AS (
+              SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
+              WHERE term IN (SELECT term FROM qq) GROUP BY term
+            ), tf AS (
+              SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+              WHERE term IN (SELECT term FROM qq) GROUP BY doc_id, term
+            ), bscore AS (
+              SELECT tf.doc_id,
+                     round(sum(
+                       ln((consts.n_docs - dfq.df + 0.5)
+                          / (dfq.df + 0.5) + 1.0)
+                       * tf.tf * (1.2 + 1.0)
+                       / (tf.tf + 1.2 * (1.0 - 0.75
+                          + 0.75 * dl.dl
+                            / (consts.n_toks / consts.n_docs)))
+                     ), 6) AS bm25
+              FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id)
+              CROSS JOIN consts
+              GROUP BY tf.doc_id
+            ), lex AS (
+              SELECT doc_id AS id,
+                     row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+              FROM bscore QUALIFY r <= 20
+            ), qv AS (
+              SELECT vec_id AS id, i AS dim,
+                     CAST(floor((embedding[i])::DOUBLE * 1048576.0 + 0.5)
+                          AS HUGEINT) AS q
+              FROM embeddings,
+                   unnest(generate_series(1, len(embedding))) AS u(i)
+            ), nrm AS (SELECT id, sum(q*q) AS nv FROM qv GROUP BY id),
+            dotq AS (
+              SELECT b.id, sum(a.q * b.q) AS dot
+              FROM qv a JOIN qv b ON a.dim = b.dim
+              WHERE a.id = 0 AND b.id <> 0
+              GROUP BY b.id
+            ), sem AS (
+              SELECT d.id,
+                     row_number() OVER (
+                       ORDER BY (d.dot)::DOUBLE
+                                / (sqrt((nb.nv)::DOUBLE)
+                                   * sqrt((n0.nv)::DOUBLE)) DESC, d.id
+                     ) AS r
+              FROM dotq d
+              JOIN nrm nb ON nb.id = d.id
+              JOIN nrm n0 ON n0.id = 0
+              WHERE nb.nv > 0 AND n0.nv > 0
+              QUALIFY r <= 20
+            ), fused AS (
+              SELECT coalesce(l.id, s.id) AS id,
+                     (CASE WHEN l.r IS NOT NULL
+                           THEN (1.0)::DOUBLE / ((60 + l.r))::DOUBLE
+                           ELSE (0.0)::DOUBLE END)
+                   + (CASE WHEN s.r IS NOT NULL
+                           THEN (1.0)::DOUBLE / ((60 + s.r))::DOUBLE
+                           ELSE (0.0)::DOUBLE END) AS score
+              FROM lex l FULL OUTER JOIN sem s ON l.id = s.id
+            )
+            SELECT (id)::BIGINT AS id,
+                   floor(score * 1000000000.0 + 0.5) / 1000000000.0
+                     AS rrf,
+                   (row_number() OVER (ORDER BY score DESC, id))::BIGINT
+                     AS rank
+            FROM fused
+        """,
         "top_terms_by_source": """
             WITH t AS (
               SELECT doc_id, source,

@@ -1087,3 +1087,131 @@ def dbscan_embeddings(
     return pd.DataFrame(
         {"vec_id": sid, "label": label, "is_core": core[:]}
     )
+
+
+# ---- exact cosine top-k + reciprocal rank fusion -------------------------
+
+
+def exact_cosine_topk(
+    ds: ray.data.Dataset,
+    query_id: int,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    qscale: int = 1 << 20,
+) -> "pd.DataFrame":
+    """Top-k neighbors of the vector with id ``query_id`` under the
+    bit-replayable quantized-integer cosine (`mutual_nearest_neighbors`
+    recipe) → DataFrame (id, cos_sim) ordered (cos_sim desc, id asc),
+    self excluded, zero-norm rows excluded. Unlike `brute_force_topk`
+    (float BLAS, fast approximate ordering near ties), every rank here
+    is deterministic and SQL-replayable — the right leg for rank-fusion
+    operators where rank positions enter the score.
+
+    Scale shape: the query row is read once, its quantized vector rides
+    the task closure, one zero-shuffle streaming pass emits per-block
+    partial top-k (three scalars/row), the driver merges ≤ k·n_blocks.
+    """
+    import pandas as pd
+
+    def quantize(t: pa.Table) -> pa.Table:
+        col = t[vec_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.chunk(0) if col.num_chunks == 1 else col.combine_chunks()
+        offs = col.offsets.to_numpy().astype(np.int64)
+        flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        lens = np.diff(offs)
+        d = int(lens[0]) if len(lens) else 0
+        q = np.floor(flat * float(qscale) + 0.5)
+        q = q[offs[0]:offs[-1]] if len(offs) else q[:0]
+        return pa.table(
+            {"id": pc.cast(t[id_col], pa.int64()),
+             "qv": pa.FixedSizeListArray.from_arrays(
+                 pa.array(q.reshape(-1), pa.float64()), d
+             ) if d else pa.nulls(len(t), pa.list_(pa.float64()))}
+        )
+
+    qds = ds.map_batches(quantize, batch_format="pyarrow").materialize()
+
+    def pick_query(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["id"], query_id))
+
+    qrow = qds.map_batches(pick_query, batch_format="pyarrow").to_pandas()
+    if len(qrow) == 0:
+        raise ValueError(f"query_id {query_id} not found in {id_col}")
+    qv = np.asarray(qrow["qv"].iloc[0], np.float64)
+    qn = float((qv * qv).sum())
+    if qn == 0.0:
+        raise ValueError("query vector has zero norm")
+    if len(qv) * float(np.abs(qv).max()) ** 2 >= 2.0**53:
+        raise ValueError("quantized dots exceed exact float64 range; "
+                         "lower qscale")
+    qsq = np.sqrt(qn)
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t["qv"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.chunk(0) if col.num_chunks == 1 else col.combine_chunks()
+        d = col.type.list_size
+        bm = col.values.to_numpy(zero_copy_only=False).reshape(len(t), d)
+        ids = t["id"].to_numpy()
+        nrm = (bm * bm).sum(axis=1)
+        ok = (ids != query_id) & (nrm > 0)
+        cs = (bm[ok] @ qv) / (np.sqrt(nrm[ok]) * qsq)
+        ids_ok = ids[ok]
+        if len(cs) > k:
+            sel = np.argpartition(-cs, k)[:k]
+            cs, ids_ok = cs[sel], ids_ok[sel]
+        return pa.table({"id": pa.array(ids_ok.astype(np.int64)),
+                         "cos_sim": pa.array(cs)})
+
+    parts = qds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if len(parts) == 0 or "id" not in parts.columns:
+        return pd.DataFrame({"id": pd.Series([], dtype="int64"),
+                             "cos_sim": pd.Series([], dtype="float64")})
+    parts = parts.sort_values(
+        ["cos_sim", "id"], ascending=[False, True], kind="mergesort"
+    ).head(k)
+    return parts.reset_index(drop=True)
+
+
+def rrf_fuse(
+    rankings: list,
+    *,
+    id_col: str = "id",
+    k: int = 60,
+    ndigits: int = 9,
+) -> "pd.DataFrame":
+    """Reciprocal Rank Fusion (Cormack et al., SIGIR 2009): fuse N
+    ranked id lists into one ranking, ``rrf(id) = Σ_i 1/(k + rank_i)``
+    over the rankings that contain the id (1-based ranks = row order of
+    each input DataFrame). → DataFrame (id, rrf, rank) ordered by
+    (rrf desc, id asc), rrf rounded half-up to ``ndigits`` AFTER
+    ranking on the unrounded pinned-order sum (terms added in rankings-
+    list order — the association a SQL oracle replays with one CASE
+    term per ranking). The standard hybrid-search combiner (BM25 leg +
+    embedding leg); inputs are top-k tables, so this is driver-side by
+    construction.
+    """
+    import pandas as pd
+
+    scores: dict[int, float] = {}
+    for r in rankings:
+        ids = r[id_col].to_numpy()
+        for pos, i in enumerate(ids, 1):
+            i = int(i)
+            scores[i] = scores.get(i, 0.0) + 1.0 / (float(k) + float(pos))
+    if not scores:
+        return pd.DataFrame({"id": pd.Series([], dtype="int64"),
+                             "rrf": pd.Series([], dtype="float64"),
+                             "rank": pd.Series([], dtype="int64")})
+    ids = np.asarray(sorted(scores), np.int64)
+    sc = np.asarray([scores[int(i)] for i in ids], np.float64)
+    order = np.lexsort((ids, -sc))
+    pw = 10.0 ** int(ndigits)
+    return pd.DataFrame(
+        {"id": ids[order],
+         "rrf": np.floor(sc[order] * pw + 0.5) / pw,
+         "rank": np.arange(1, len(order) + 1, dtype=np.int64)}
+    )

@@ -1027,3 +1027,59 @@ def test_pairwise_eval_empty_both(ray_session):
     out = pairwise_eval(e, e)
     assert (int(out.tp[0]), int(out.fp[0]), int(out.fn[0])) == (0, 0, 0)
     assert out.f1[0] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# exact_cosine_topk / rrf_fuse
+# ---------------------------------------------------------------------------
+
+
+def test_exact_cosine_topk_bruteforce(ray_session):
+    from record_matcher_ray.pipelines.similarity import exact_cosine_topk
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(50, 6)
+    vecs[7] = 0.0
+    ids = np.arange(50, dtype=np.int64)
+    ds = _ds({"vec_id": ids,
+              "embedding": pa.array([list(v) for v in vecs],
+                                    pa.list_(pa.float32()))}).repartition(4)
+    out = exact_cosine_topk(ds, query_id=3, k=5)
+    q = np.floor(np.asarray(vecs, np.float32).astype(np.float64)
+                 * (1 << 20) + 0.5)
+    qn = np.sqrt((q * q).sum(axis=1))
+    cs = {}
+    for i in range(50):
+        if i == 3 or qn[i] == 0:
+            continue
+        cs[i] = (q[i] @ q[3]) / (qn[i] * qn[3])
+    want = sorted(cs.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert out["id"].tolist() == [i for i, _ in want]
+    np.testing.assert_array_equal(out["cos_sim"].to_numpy(),
+                                  np.asarray([v for _, v in want]))
+    assert 7 not in set(out["id"])
+
+    with pytest.raises(ValueError):
+        exact_cosine_topk(ds, query_id=7)     # zero-norm query
+    with pytest.raises(ValueError):
+        exact_cosine_topk(ds, query_id=999)   # absent id
+
+
+def test_rrf_fuse_pinned(ray_session):
+    from record_matcher_ray.pipelines.similarity import rrf_fuse
+
+    lex = pd.DataFrame({"id": [10, 20, 30]})
+    sem = pd.DataFrame({"id": [20, 40]})
+    out = rrf_fuse([lex, sem], k=60)
+    want = {
+        10: 1.0 / 61.0,
+        20: 1.0 / 62.0 + 1.0 / 61.0,
+        30: 1.0 / 63.0,
+        40: 1.0 / 62.0,
+    }
+    got = dict(zip(out["id"], out["rrf"]))
+    for i, s in want.items():
+        assert got[i] == np.floor(s * 1e9 + 0.5) / 1e9
+    assert out["id"].tolist()[0] == 20           # highest fused score
+    assert out["rank"].tolist() == [1, 2, 3, 4]
+    assert len(rrf_fuse([pd.DataFrame({"id": []})])) == 0
