@@ -2601,6 +2601,32 @@ def _q_basket_pairs(sf_dir: str):
     return basket_pairs(ds, "l_orderkey", "l_partkey", min_support=2)
 
 
+def _q_fs_tf(sf_dir: str):
+    """TF-adjusted Fellegi-Sunter (Splink-style tf_adjustments): rare-
+    value agreements outscore common ones via per-value u = (c_v/N)^2;
+    same blocking/fields/thresholds as fs_score_customer."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.linkage import fellegi_sunter_link_tf
+
+    ds = ray.data.read_parquet(f"{sf_dir}/customer.parquet")
+
+    def add_band(t):
+        import numpy as np
+        import pyarrow as pa
+
+        b = np.floor(
+            t["c_acctbal"].to_numpy(zero_copy_only=False) / 100.0
+        ).astype(np.int64)
+        return t.append_column("band", pa.array(b))
+
+    return fellegi_sunter_link_tf(
+        ds.map_batches(add_band, batch_format="pyarrow"),
+        "c_custkey", "c_nationkey", ["c_mktsegment", "band"],
+        t_upper=4.0, t_lower=0.0,
+    )
+
+
 def _q_hybrid_search(sf_dir: str):
     """Hybrid retrieval: BM25 lexical top-20 fused with the exact
     quantized-cosine top-20 neighbors of doc 0's embedding via
@@ -3246,6 +3272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_terms_by_source": _q_top_terms_by_source,
         "term_kl_docs": _q_term_kl,
         "hybrid_search_docs": _q_hybrid_search,
+        "fs_tf_customer": _q_fs_tf,
         "band_join_orders": _q_band_join,
         "golden_record_part": _q_golden_record,
         "blocking_quality_part": _q_blocking_quality,
@@ -5076,6 +5103,63 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         "em_fs_customer": _em_fs_oracle(n_iter=15),
+        "fs_tf_customer": """
+            WITH f AS (
+              SELECT c_custkey AS id, c_nationkey AS blk,
+                     c_mktsegment AS f1,
+                     CAST(floor(c_acctbal / (100.0)::DOUBLE) AS BIGINT)
+                       AS f2
+              FROM customer
+            ), nn AS (SELECT count(*) AS n FROM f),
+            u1 AS (
+              SELECT sum(c*c) AS ssq FROM (
+                SELECT count(*) AS c FROM f
+                WHERE f1 IS NOT NULL GROUP BY f1)
+            ), u2 AS (
+              SELECT sum(c*c) AS ssq FROM (
+                SELECT count(*) AS c FROM f
+                WHERE f2 IS NOT NULL GROUP BY f2)
+            ), uv AS (
+              SELECT (u1.ssq)::DOUBLE / ((nn.n * nn.n))::DOUBLE AS u1v,
+                     (u2.ssq)::DOUBLE / ((nn.n * nn.n))::DOUBLE AS u2v
+              FROM u1, u2, nn
+            ), w AS (
+              SELECT ln((1.0)::DOUBLE - (0.9)::DOUBLE)
+                       - ln((1.0)::DOUBLE - u1v) AS wd1,
+                     ln((1.0)::DOUBLE - (0.9)::DOUBLE)
+                       - ln((1.0)::DOUBLE - u2v) AS wd2
+              FROM uv
+            ), vc1 AS (
+              SELECT f1 AS v, count(*)::BIGINT AS c FROM f
+              WHERE f1 IS NOT NULL GROUP BY f1
+            ), vc2 AS (
+              SELECT f2 AS v, count(*)::BIGINT AS c FROM f
+              WHERE f2 IS NOT NULL GROUP BY f2
+            ), s AS (
+              SELECT a.id AS x_id, b.id AS y_id,
+                     (CASE WHEN a.f1 IS NOT NULL AND a.f1 = b.f1
+                           THEN ln((0.9)::DOUBLE)
+                                - (2.0)::DOUBLE
+                                  * ln((vc1.c)::DOUBLE / (nn.n)::DOUBLE)
+                           ELSE w.wd1 END)
+                   + (CASE WHEN a.f2 IS NOT NULL AND a.f2 = b.f2
+                           THEN ln((0.9)::DOUBLE)
+                                - (2.0)::DOUBLE
+                                  * ln((vc2.c)::DOUBLE / (nn.n)::DOUBLE)
+                           ELSE w.wd2 END) AS sc
+              FROM f a JOIN f b ON a.blk = b.blk AND a.id < b.id
+              LEFT JOIN vc1 ON vc1.v = a.f1
+              LEFT JOIN vc2 ON vc2.v = a.f2
+              CROSS JOIN w CROSS JOIN nn
+            )
+            SELECT x_id, y_id,
+                   CASE WHEN sc >= 0 THEN floor(sc * 1e6 + 0.5) / 1e6
+                        ELSE -floor(-sc * 1e6 + 0.5) / 1e6 END AS score,
+                   CASE WHEN sc >= (4.0)::DOUBLE THEN 'match'
+                        WHEN sc >= (0.0)::DOUBLE THEN 'possible'
+                        ELSE 'nonmatch' END AS decision
+            FROM s
+        """,
         "hybrid_search_docs": """
             WITH t AS (
               SELECT doc_id,

@@ -1690,3 +1690,145 @@ def pairwise_eval(
          "recall": np.array([rnd(rec)], np.float64),
          "f1": np.array([rnd(f1)], np.float64)}
     )
+
+
+def fellegi_sunter_link_tf(
+    ds: ray.data.Dataset,
+    id_col: str,
+    block_col: str,
+    field_cols: list[str],
+    *,
+    m_probs: list[float] | None = None,
+    t_upper: float = 4.0,
+    t_lower: float = 0.0,
+    n_buckets: int = 64,
+    max_block: int | None = None,
+    max_field_cardinality: int = 10_000_000,
+) -> ray.data.Dataset:
+    """Fellegi-Sunter linkage with TERM-FREQUENCY-adjusted agreement
+    weights (the Splink `tf_adjustments` idea): agreeing on a RARE
+    value is stronger evidence than agreeing on a common one, so the
+    agreement weight is per-VALUE — ``wa_f(v) = ln(m_f) − 2·ln(c_v/N)``
+    (u_v = (c_v/N)², the probability two random records both carry v) —
+    while the disagreement weight stays the global
+    ``ln(1−m_f) − ln(1−u_f)`` of :func:`fellegi_sunter_link`. Output
+    schema and decision thresholds are identical to the base linker;
+    every float is pinned order (field-order sum, one ln per term) so
+    the SQL oracle replays scores bit-for-bit.
+
+    Scale shape: same ≤``n_buckets`` block-hash exchange and vectorized
+    in-bucket pair enumeration as the base linker; per-field value
+    counts are field-cardinality-bounded aggregates broadcast once as a
+    sorted (string-cast value, count) lookup (``max_field_cardinality``
+    guard). Values must stringify injectively (ints/strings do; avoid
+    raw floats).
+    """
+    import pandas as pd
+
+    fields = list(field_cols)
+    if m_probs is None:
+        m_probs = [0.9] * len(fields)
+    proj = ds.select_columns([id_col, block_col, *fields])
+    _, wd = fellegi_sunter_weights(proj, fields, m_probs)
+
+    # per-field exact value counts (field-cardinality-bounded exchange)
+    def vc_partial(t: pa.Table) -> pa.Table:
+        fis, vals, cnts = [], [], []
+        for fi, f in enumerate(fields):
+            col = pc.cast(t[f], pa.string())
+            vc = pc.value_counts(pc.drop_null(col))
+            fis.append(np.full(len(vc), fi, np.int64))
+            vals.append(vc.field("values"))
+            cnts.append(vc.field("counts").to_numpy().astype(np.int64))
+        fis.append(np.full(1, -1, np.int64))
+        vals.append(pa.array([""], pa.string()))
+        cnts.append(np.array([len(t)], np.int64))
+        return pa.table(
+            {"fi": pa.array(np.concatenate(fis)),
+             "val": pa.concat_arrays(
+                 [v.combine_chunks() if isinstance(v, pa.ChunkedArray)
+                  else v for v in vals]),
+             "cnt": pa.array(np.concatenate(cnts))}
+        )
+
+    counts = (
+        proj.map_batches(vc_partial, batch_format="pyarrow")
+        .groupby(["fi", "val"])
+        .sum("cnt")
+        .to_pandas()
+    )
+    if len(counts) > max_field_cardinality:
+        raise ValueError(
+            f"{len(counts):,} (field, value) cells exceeds "
+            f"max_field_cardinality={max_field_cardinality:,}; the "
+            "per-value count lookup is broadcast — band the field first."
+        )
+    n_total = int(counts.loc[counts["fi"] == -1, "sum(cnt)"].sum())
+    lut = []
+    for fi in range(len(fields)):
+        sub = counts[counts["fi"] == fi]
+        vals = sub["val"].to_numpy().astype(object)
+        cs = sub["sum(cnt)"].to_numpy().astype(np.int64)
+        o = np.argsort(vals)
+        lut.append((vals[o], cs[o]))
+    lut_ref = ray.put((lut, n_total))
+    lm = [math.log(m) for m in m_probs]
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        mask = pc.is_valid(t[block_col])
+        t = t.filter(mask)
+        b = column_hash64(t[block_col])
+        return t.append_column(
+            "__fsb__",
+            pa.array((b % np.uint64(n_buckets)).astype(np.int64)),
+        )
+
+    def score_block(t: pa.Table) -> pa.Table:
+        lut_l, n_tot = ray.get(lut_ref)
+        empty = pa.schema(
+            [("x_id", pa.int64()), ("y_id", pa.int64()),
+             ("score", pa.float64()), ("decision", pa.string())]
+        ).empty_table()
+        if len(t) == 0:
+            return empty
+        blk = column_hash64(t[block_col]).view(np.int64)
+        ids = pc.cast(t[id_col], pa.int64()).to_numpy()
+        pa_, pb_ = _group_pairs(blk, ids, max_size=max_block,
+                                positions=True)
+        if len(pa_) == 0:
+            return empty
+        n_d = float(n_tot)
+        score = np.zeros(len(pa_), np.float64)
+        for fi, f in enumerate(fields):
+            sv = pc.cast(t[f], pa.string()).to_numpy(zero_copy_only=False)
+            codes, uniq = pd.factorize(sv)
+            valid = pc.is_valid(t[f]).to_numpy(zero_copy_only=False)
+            agree = (
+                (codes[pa_] == codes[pb_]) & valid[pa_] & valid[pb_]
+            )
+            # per-UNIQUE-value count lookup, gathered per pair
+            vals_s, cs_s = lut_l[fi]
+            pos = np.searchsorted(vals_s, uniq.astype(object))
+            pos = np.clip(pos, 0, max(len(vals_s) - 1, 0))
+            cu = cs_s[pos] if len(vals_s) else np.zeros(len(uniq),
+                                                        np.int64)
+            wa_u = lm[fi] - 2.0 * np.log(
+                cu.astype(np.float64) / n_d
+            )
+            term = np.where(agree, wa_u[codes[pa_]], wd[fi])
+            score = score + term
+        decision = np.where(
+            score >= t_upper, "match",
+            np.where(score >= t_lower, "possible", "nonmatch"),
+        )
+        return pa.table(
+            {"x_id": pa.array(ids[pa_]), "y_id": pa.array(ids[pb_]),
+             "score": pa.array(_round6(score)),
+             "decision": pa.array(decision.astype(object), pa.string())}
+        )
+
+    return (
+        proj.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__fsb__")
+        .map_groups(score_block, batch_format="pyarrow")
+    )

@@ -1083,3 +1083,53 @@ def test_rrf_fuse_pinned(ray_session):
     assert out["id"].tolist()[0] == 20           # highest fused score
     assert out["rank"].tolist() == [1, 2, 3, 4]
     assert len(rrf_fuse([pd.DataFrame({"id": []})])) == 0
+
+
+def test_fs_link_tf_bruteforce(ray_session):
+    from record_matcher_ray.pipelines.linkage import fellegi_sunter_link_tf
+
+    rng = np.random.RandomState(17)
+    n = 150
+    blk = rng.randint(0, 6, n)
+    f1 = rng.choice(["x", "y", "z", "rare"], n, p=[0.5, 0.3, 0.19, 0.01])
+    f2 = rng.randint(0, 4, n).astype(np.int64)
+    ds = _ds({"id": np.arange(n, dtype=np.int64), "blk": blk,
+              "f1": f1, "f2": f2}).repartition(4)
+    got = {
+        (r["x_id"], r["y_id"]): (r["score"], r["decision"])
+        for r in fellegi_sunter_link_tf(
+            ds, "id", "blk", ["f1", "f2"], t_upper=4.0, t_lower=0.0
+        ).take_all()
+    }
+    # mirror: per-value counts (string-cast), global u for disagreement
+    import collections
+    c1 = collections.Counter(f1)
+    c2 = collections.Counter(str(v) for v in f2)
+    u1 = sum(c * c for c in c1.values()) / (n * n)
+    u2 = sum(c * c for c in c2.values()) / (n * n)
+    wd = [math.log(0.1) - math.log(1.0 - u1),
+          math.log(0.1) - math.log(1.0 - u2)]
+    expect = {}
+    for i in range(n):
+        for j in range(i + 1, n):
+            if blk[i] != blk[j]:
+                continue
+            s = 0.0
+            for fi, (vals, cnt) in enumerate(
+                [(f1, c1), ([str(v) for v in f2], c2)]
+            ):
+                if vals[i] == vals[j]:
+                    s = s + (math.log(0.9)
+                             - 2.0 * math.log(cnt[vals[i]] / float(n)))
+                else:
+                    s = s + wd[fi]
+            dec = ("match" if s >= 4.0 else
+                   "possible" if s >= 0.0 else "nonmatch")
+            r6 = math.floor(s * 1e6 + 0.5) / 1e6 if s >= 0 else (
+                -math.floor(-s * 1e6 + 0.5) / 1e6)
+            expect[(i, j)] = (r6, dec)
+    assert got == expect
+    # rare-value agreements outscore common ones (the point of TF adj)
+    rare_w = math.log(0.9) - 2.0 * math.log(c1["rare"] / n)
+    common_w = math.log(0.9) - 2.0 * math.log(c1["x"] / n)
+    assert rare_w > common_w
