@@ -2601,6 +2601,22 @@ def _q_basket_pairs(sf_dir: str):
     return basket_pairs(ds, "l_orderkey", "l_partkey", min_support=2)
 
 
+def _q_monge_elkan(sf_dir: str):
+    """Monge-Elkan hybrid token-level fuzzy join over brand-blocked
+    part names (symmetric mean of per-token best Jaro-Winkler)."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.linkage import monge_elkan_join
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_name"],
+    )
+    return monge_elkan_join(
+        ds, "p_name", "p_partkey", "p_brand", threshold=90.0
+    )
+
+
 def _q_fs_tf(sf_dir: str):
     """TF-adjusted Fellegi-Sunter (Splink-style tf_adjustments): rare-
     value agreements outscore common ones via per-value u = (c_v/N)^2;
@@ -3273,6 +3289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_kl_docs": _q_term_kl,
         "hybrid_search_docs": _q_hybrid_search,
         "fs_tf_customer": _q_fs_tf,
+        "monge_elkan_part": _q_monge_elkan,
         "band_join_orders": _q_band_join,
         "golden_record_part": _q_golden_record,
         "blocking_quality_part": _q_blocking_quality,
@@ -5103,6 +5120,58 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         "em_fs_customer": _em_fs_oracle(n_iter=15),
+        "monge_elkan_part": """
+            WITH f AS (
+              SELECT p_partkey AS id, p_brand AS blk,
+                     list_filter(string_split(
+                       trim(regexp_replace(lower(coalesce(p_name, '')),
+                                           '[^a-z0-9]+', ' ', 'g')), ' '),
+                       x -> x <> '') AS toks
+              FROM part WHERE p_brand IS NOT NULL
+            ), g AS (
+              SELECT id, blk, toks,
+                     least(len(toks), 16)::BIGINT AS n
+              FROM f WHERE len(toks) > 0
+            ), p AS (
+              SELECT a.id AS x_id, b.id AS y_id,
+                     a.toks AS ta, b.toks AS tb, a.n AS na, b.n AS nb
+              FROM g a JOIN g b ON a.blk = b.blk AND a.id < b.id
+            ), jwt AS (
+              SELECT x_id, y_id, na, nb, u.i, v.j,
+                     floor((100.0 * jaro_winkler_similarity(ta[u.i],
+                                                            tb[v.j]))
+                           * 1000000.0 + 0.5) / 1000000.0 AS jw6
+              FROM p,
+                   unnest(generate_series(1, na)) u(i),
+                   unnest(generate_series(1, nb)) v(j)
+            ), mxa AS (
+              SELECT x_id, y_id, i, any_value(na) AS na,
+                     max(jw6) AS mx
+              FROM jwt GROUP BY x_id, y_id, i
+            ), mea AS (
+              SELECT x_id, y_id,
+                     list_sum(list(mx ORDER BY i))
+                       / (any_value(na))::DOUBLE AS me
+              FROM mxa GROUP BY x_id, y_id
+            ), mxb AS (
+              SELECT x_id, y_id, j, any_value(nb) AS nb,
+                     max(jw6) AS mx
+              FROM jwt GROUP BY x_id, y_id, j
+            ), meb AS (
+              SELECT x_id, y_id,
+                     list_sum(list(mx ORDER BY j))
+                       / (any_value(nb))::DOUBLE AS me
+              FROM mxb GROUP BY x_id, y_id
+            ), sym AS (
+              SELECT a.x_id, a.y_id,
+                     floor(((a.me + b.me) / (2.0)::DOUBLE)
+                           * 1000000.0 + 0.5) / 1000000.0 AS me_sim
+              FROM mea a JOIN meb b
+                ON a.x_id = b.x_id AND a.y_id = b.y_id
+            )
+            SELECT x_id, y_id, me_sim FROM sym
+            WHERE me_sim >= (90.0)::DOUBLE
+        """,
         "fs_tf_customer": """
             WITH f AS (
               SELECT c_custkey AS id, c_nationkey AS blk,

@@ -1832,3 +1832,160 @@ def fellegi_sunter_link_tf(
         .groupby("__fsb__")
         .map_groups(score_block, batch_format="pyarrow")
     )
+
+
+def monge_elkan_join(
+    ds: ray.data.Dataset,
+    text_col: str,
+    id_col: str,
+    block_col: str,
+    *,
+    threshold: float = 80.0,
+    n_buckets: int = 64,
+    max_block: int | None = None,
+    max_tokens: int = 16,
+) -> ray.data.Dataset:
+    """Monge-Elkan hybrid similarity join (Monge & Elkan 1996): token-
+    level fuzzy matching — for within-block pairs, each side's tokens
+    find their best Jaro-Winkler partner on the other side and the
+    symmetric score is ``(mean_a max-JW + mean_b max-JW) / 2`` on
+    0-100 → rows (x_id, y_id, me_sim ≥ threshold), x_id < y_id. The
+    classic scorer for multi-word fields where token ORDER varies
+    ("J. Smith & Sons" vs "Smith J Sons").
+
+    Replay semantics (all mirrored by the SQL oracle): tokens come from
+    the `_normalize` regex (lower, non-alnum → space), truncated to the
+    first ``max_tokens``; each token-pair JW is rounded to 6 decimals
+    BEFORE aggregation (the definitional pin that makes the fold exact
+    both sides — round-6 doubles are identical in numpy and DuckDB);
+    per-token maxes fold in token order, one division per direction,
+    (a + b)/2, rounded to 6; threshold compares the rounded score.
+    Token-less rows pair with nothing.
+
+    Scale shape: one ≤``n_buckets`` block-hash exchange; within a
+    bucket, tokenization happens once per row, pair token cross-
+    products are bounded by ``max_tokens``² and ``max_block``, and all
+    scoring is the vectorized JW kernel + segmented max/mean (no
+    per-pair Python).
+    """
+    import pandas as pd
+
+    from record_matcher_ray.functions.scorers import (
+        jaro_winkler_elementwise,
+    )
+    from record_matcher_ray.pipelines.terms import _normalize
+
+    proj = ds.select_columns([id_col, block_col, text_col])
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[block_col]))
+        b = column_hash64(t[block_col])
+        return t.append_column(
+            "__meb__",
+            pa.array((b % np.uint64(n_buckets)).astype(np.int64)),
+        )
+
+    cap = int(max_tokens)
+    thr = float(threshold)
+
+    def score_block(t: pa.Table) -> pa.Table:
+        empty = pa.schema(
+            [("x_id", pa.int64()), ("y_id", pa.int64()),
+             ("me_sim", pa.float64())]
+        ).empty_table()
+        if len(t) == 0:
+            return empty
+        blk = column_hash64(t[block_col]).view(np.int64)
+        ids = pc.cast(t[id_col], pa.int64()).to_numpy()
+        pa_, pb_ = _group_pairs(blk, ids, max_size=max_block,
+                                positions=True)
+        if len(pa_) == 0:
+            return empty
+        # tokenize once per row, truncate to cap
+        nt = _normalize(t[text_col])
+        pieces = pc.split_pattern(nt, " ")
+        if isinstance(pieces, pa.ChunkedArray):
+            pieces = pieces.combine_chunks()
+        flat = pieces.flatten()
+        off = pieces.offsets.to_numpy().astype(np.int64)
+        keepm = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        toksk = flat.to_numpy(zero_copy_only=False)[keepm]
+        kept_cum = np.concatenate([[0], np.cumsum(keepm,
+                                                  dtype=np.int64)])
+        kstart = kept_cum[off[:-1]]
+        nt_len = np.minimum(kept_cum[off[1:]] - kept_cum[off[:-1]], cap)
+        ok = (nt_len[pa_] > 0) & (nt_len[pb_] > 0)
+        pa_, pb_ = pa_[ok], pb_[ok]
+        if len(pa_) == 0:
+            return empty
+        na, nb = nt_len[pa_], nt_len[pb_]
+        # cross-product token pairs per candidate pair (all vectorized:
+        # token k of row r lives at toksk[kstart[r] + k])
+        cnt = na * nb
+        pair_id = np.repeat(np.arange(len(pa_), dtype=np.int64), cnt)
+        starts = np.concatenate(([0], np.cumsum(cnt)))[:-1]
+        local = np.arange(int(cnt.sum()), dtype=np.int64) - starts[pair_id]
+        ai = local // nb[pair_id]   # a-token index within pair
+        bi = local % nb[pair_id]    # b-token index within pair
+        ta = toksk[kstart[pa_[pair_id]] + ai]
+        tb = toksk[kstart[pb_[pair_id]] + bi]
+        jw = _round6(jaro_winkler_elementwise(ta, tb))
+        # per (pair, a-token) max → fold in a-token order
+        key_a = pair_id * cap + ai
+        o = np.argsort(key_a, kind="stable")
+        ks, js = key_a[o], jw[o]
+        newk = np.concatenate(([True], ks[1:] != ks[:-1]))
+        kstart = np.nonzero(newk)[0]
+        mx_a = np.maximum.reduceat(js, kstart)
+        slot_pair_a = ks[newk] // cap
+        sum_a = np.zeros(len(pa_), np.float64)
+        # ordered fold: slots within a pair are consecutive & a-token
+        # ascending; add k-th slot of every pair in lockstep
+        sp_start = np.nonzero(
+            np.concatenate(([True],
+                            slot_pair_a[1:] != slot_pair_a[:-1]))
+        )[0]
+        width = np.diff(np.concatenate((sp_start, [len(slot_pair_a)])))
+        for k in range(int(width.max()) if len(width) else 0):
+            m = width > k
+            sum_a[slot_pair_a[sp_start[m]]] = (
+                sum_a[slot_pair_a[sp_start[m]]]
+                + mx_a[sp_start[m] + k]
+            )
+        me_a = sum_a / na.astype(np.float64)
+        # per (pair, b-token) max → fold in b-token order
+        key_b = pair_id * cap + bi
+        o2 = np.argsort(key_b, kind="stable")
+        ks2, js2 = key_b[o2], jw[o2]
+        newk2 = np.concatenate(([True], ks2[1:] != ks2[:-1]))
+        kstart2 = np.nonzero(newk2)[0]
+        mx_b = np.maximum.reduceat(js2, kstart2)
+        slot_pair_b = ks2[newk2] // cap
+        sum_b = np.zeros(len(pa_), np.float64)
+        sp_start2 = np.nonzero(
+            np.concatenate(([True],
+                            slot_pair_b[1:] != slot_pair_b[:-1]))
+        )[0]
+        width2 = np.diff(np.concatenate((sp_start2, [len(slot_pair_b)])))
+        for k in range(int(width2.max()) if len(width2) else 0):
+            m = width2 > k
+            sum_b[slot_pair_b[sp_start2[m]]] = (
+                sum_b[slot_pair_b[sp_start2[m]]]
+                + mx_b[sp_start2[m] + k]
+            )
+        me_b = sum_b / nb.astype(np.float64)
+        sym = _round6((me_a + me_b) / 2.0)
+        keep = sym >= thr
+        if not keep.any():
+            return empty
+        return pa.table(
+            {"x_id": pa.array(ids[pa_[keep]]),
+             "y_id": pa.array(ids[pb_[keep]]),
+             "me_sim": pa.array(sym[keep])}
+        )
+
+    return (
+        proj.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__meb__")
+        .map_groups(score_block, batch_format="pyarrow")
+    )

@@ -1133,3 +1133,67 @@ def test_fs_link_tf_bruteforce(ray_session):
     rare_w = math.log(0.9) - 2.0 * math.log(c1["rare"] / n)
     common_w = math.log(0.9) - 2.0 * math.log(c1["x"] / n)
     assert rare_w > common_w
+
+
+# ---------------------------------------------------------------------------
+# monge_elkan_join
+# ---------------------------------------------------------------------------
+
+
+def _me_brute(ids, blks, texts, threshold, cap=16):
+    import re as _re
+
+    from record_matcher_ray.functions.scorers import jaro_winkler
+
+    def toks(s):
+        return [w for w in _re.sub(r"[^a-z0-9]+", " ",
+                                   (s or "").lower()).split()][:cap]
+
+    out = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if blks[i] != blks[j] or blks[i] is None:
+                continue
+            ta, tb = toks(texts[i]), toks(texts[j])
+            if not ta or not tb:
+                continue
+            jw = [[math.floor(jaro_winkler(x, y) * 1e6 + 0.5) / 1e6
+                   for y in tb] for x in ta]
+            s_a = 0.0
+            for row in jw:
+                s_a = s_a + max(row)
+            s_b = 0.0
+            for c in range(len(tb)):
+                s_b = s_b + max(jw[r][c] for r in range(len(ta)))
+            sym = (s_a / float(len(ta)) + s_b / float(len(tb))) / 2.0
+            sym = math.floor(sym * 1e6 + 0.5) / 1e6 if sym >= 0 else sym
+            if sym >= threshold:
+                out[(ids[i], ids[j])] = sym
+    return out
+
+
+def test_monge_elkan_bruteforce(ray_session):
+    from record_matcher_ray.pipelines.linkage import monge_elkan_join
+
+    rng = np.random.RandomState(21)
+    words = ["smith", "smyth", "jones", "sons", "and", "co", "llc",
+             "john", "jon", "trading", "global"]
+    texts = [" ".join(rng.choice(words, size=rng.randint(1, 5)))
+             for _ in range(100)]
+    texts[7] = ""          # token-less pairs with nothing
+    texts[8] = "Smith & Sons"     # normalization: & drops, case folds
+    texts[9] = "smith sons"
+    blks = list(rng.randint(0, 5, 100))
+    blks[8] = blks[9] = 1
+    ids = list(range(100))
+    ds = _ds({"id": np.asarray(ids, np.int64),
+              "blk": np.asarray(blks, np.int64),
+              "nm": texts}).repartition(4)
+    got = {
+        (r["x_id"], r["y_id"]): r["me_sim"]
+        for r in monge_elkan_join(
+            ds, "nm", "id", "blk", threshold=70.0
+        ).take_all()
+    }
+    assert got == _me_brute(ids, blks, texts, 70.0)
+    assert got[(8, 9)] == 100.0  # token-order/punctuation invariance
