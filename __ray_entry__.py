@@ -2601,6 +2601,55 @@ def _q_basket_pairs(sf_dir: str):
     return basket_pairs(ds, "l_orderkey", "l_partkey", min_support=2)
 
 
+def _q_merge_report(sf_dir: str):
+    """Survivorship audit: same edjoin->CC clusters as
+    golden_record_part, reporting per-cluster distinct-value conflicts
+    in (brand, size, retailprice)."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.cluster import connected_components
+    from record_matcher_ray.pipelines.joins import hash_join
+    from record_matcher_ray.pipelines.linkage import (
+        edit_distance_self_join,
+        merge_conflict_report,
+    )
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_name", "p_brand", "p_retailprice",
+                 "p_size"],
+    )
+    pairs = edit_distance_self_join(
+        part.select_columns(["p_partkey", "p_name"]),
+        "p_name", "p_partkey", max_dist=1, q=2,
+    )
+
+    def as_edges(t):
+        import pyarrow as pa
+
+        return pa.table({"u": t["x_id"], "v": t["y_id"]})
+
+    cc = connected_components(
+        pairs.map_batches(as_edges, batch_format="pyarrow"), "u", "v"
+    )
+    lab = hash_join(part, cc, "p_partkey", "node", how="left")
+
+    def fill(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        comp = pc.coalesce(
+            pc.cast(t["component"], pa.int64()),
+            pc.cast(t["p_partkey"], pa.int64()),
+        )
+        return t.drop_columns(["component"]).append_column("cluster", comp)
+
+    lab = lab.map_batches(fill, batch_format="pyarrow")
+    return merge_conflict_report(
+        lab, "cluster", ["p_brand", "p_size", "p_retailprice"]
+    )
+
+
 def _q_monge_elkan(sf_dir: str):
     """Monge-Elkan hybrid token-level fuzzy join over brand-blocked
     part names (symmetric mean of per-token best Jaro-Winkler)."""
@@ -3290,6 +3339,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_search_docs": _q_hybrid_search,
         "fs_tf_customer": _q_fs_tf,
         "monge_elkan_part": _q_monge_elkan,
+        "merge_report_part": _q_merge_report,
         "band_join_orders": _q_band_join,
         "golden_record_part": _q_golden_record,
         "blocking_quality_part": _q_blocking_quality,
@@ -5120,6 +5170,41 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         "em_fs_customer": _em_fs_oracle(n_iter=15),
+        "merge_report_part": """
+            WITH RECURSIVE c AS (
+              SELECT a.p_partkey AS u, b.p_partkey AS v
+              FROM part a JOIN part b
+                ON a.p_partkey < b.p_partkey
+               AND abs(length(a.p_name) - length(b.p_name)) <= 1
+               AND levenshtein(a.p_name, b.p_name) <= 1
+            ), e AS (
+              SELECT u AS a, v AS b FROM c
+              UNION ALL SELECT v, u FROM c
+            ), walk(node, r) AS (
+              SELECT p_partkey, p_partkey FROM part
+              UNION
+              SELECT w.node, e.a FROM walk w JOIN e ON e.b = w.r
+            ), comp AS (
+              SELECT node, min(r) AS cluster FROM walk GROUP BY node
+            ), lab AS (
+              SELECT p.*, comp.cluster FROM part p
+              JOIN comp ON comp.node = p.p_partkey
+            ), rep AS (
+              SELECT cluster, count(*)::BIGINT AS n_members,
+                     count(DISTINCT p_brand)::BIGINT AS nd_p_brand,
+                     count(DISTINCT p_size)::BIGINT AS nd_p_size,
+                     count(DISTINCT p_retailprice)::BIGINT
+                       AS nd_p_retailprice
+              FROM lab GROUP BY cluster
+            )
+            SELECT cluster, n_members, nd_p_brand, nd_p_size,
+                   nd_p_retailprice,
+                   ((CASE WHEN nd_p_brand > 1 THEN 1 ELSE 0 END)
+                    + (CASE WHEN nd_p_size > 1 THEN 1 ELSE 0 END)
+                    + (CASE WHEN nd_p_retailprice > 1 THEN 1 ELSE 0 END)
+                   )::BIGINT AS n_conflict_cols
+            FROM rep
+        """,
         "monge_elkan_part": """
             WITH f AS (
               SELECT p_partkey AS id, p_brand AS blk,

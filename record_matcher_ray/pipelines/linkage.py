@@ -1989,3 +1989,54 @@ def monge_elkan_join(
         .groupby("__meb__")
         .map_groups(score_block, batch_format="pyarrow")
     )
+
+
+def merge_conflict_report(
+    ds: ray.data.Dataset,
+    cluster_col: str,
+    value_cols: list[str],
+    *,
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Survivorship AUDIT: per entity cluster, how contested is each
+    field? → rows (cluster, n_members, nd_<col>… , n_conflict_cols)
+    where ``nd_<col>`` counts DISTINCT non-null values of that column
+    inside the cluster and ``n_conflict_cols`` counts columns with
+    nd > 1 — the report an MDM pipeline reads before trusting golden
+    records (which merge rules are actually resolving disagreements,
+    which clusters need review). Null clusters drop.
+
+    Scale shape: one ≤``n_buckets`` cluster-hash exchange; each bucket
+    reduces with ONE vectorized pandas groupby (size + nunique per
+    column) — no per-cluster Python.
+    """
+    import pandas as pd
+
+    cols = list(value_cols)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[cluster_col]))
+        b = column_hash64(t[cluster_col])
+        return t.append_column(
+            "__mcb__",
+            pa.array((b % np.uint64(n_buckets)).astype(np.int64)),
+        )
+
+    def report(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(cluster_col, sort=False)
+        out = pd.DataFrame({"cluster": list(g.groups.keys())})
+        out["n_members"] = g.size().to_numpy().astype(np.int64)
+        nconf = np.zeros(len(out), np.int64)
+        for c in cols:
+            nd = g[c].nunique(dropna=True).to_numpy().astype(np.int64)
+            out[f"nd_{c}"] = nd
+            nconf += (nd > 1).astype(np.int64)
+        out["n_conflict_cols"] = nconf
+        return out
+
+    return (
+        ds.select_columns([cluster_col, *cols])
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("__mcb__")
+        .map_groups(report, batch_format="pandas")
+    )

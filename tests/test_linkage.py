@@ -1197,3 +1197,21 @@ def test_monge_elkan_bruteforce(ray_session):
     }
     assert got == _me_brute(ids, blks, texts, 70.0)
     assert got[(8, 9)] == 100.0  # token-order/punctuation invariance
+
+
+def test_merge_conflict_report(ray_session):
+    from record_matcher_ray.pipelines.linkage import merge_conflict_report
+
+    ds = _ds({
+        "cl": pa.array([1, 1, 1, 2, 2, None], pa.int64()),
+        "brand": ["a", "a", "b", "c", "c", "x"],
+        "size": pa.array([5, 5, 5, 7, None, 1], pa.int64()),
+    })
+    rows = {r["cluster"]: r for r in merge_conflict_report(
+        ds, "cl", ["brand", "size"]).take_all()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["n_members"] == 3
+    assert rows[1]["nd_brand"] == 2 and rows[1]["nd_size"] == 1
+    assert rows[1]["n_conflict_cols"] == 1
+    assert rows[2]["nd_brand"] == 1 and rows[2]["nd_size"] == 1
+    assert rows[2]["n_conflict_cols"] == 0
