@@ -2601,6 +2601,17 @@ def _q_basket_pairs(sf_dir: str):
     return basket_pairs(ds, "l_orderkey", "l_partkey", min_support=2)
 
 
+def _q_davies_bouldin(sf_dir: str):
+    """Clustering-quality eval: Davies-Bouldin (RMS form) over the
+    fixed-point kmeans clusters of the embeddings table."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.similarity import davies_bouldin
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return davies_bouldin(ds, k=8, iters=5)
+
+
 def _q_merge_report(sf_dir: str):
     """Survivorship audit: same edjoin->CC clusters as
     golden_record_part, reporting per-cluster distinct-value conflicts
@@ -3340,6 +3351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fs_tf_customer": _q_fs_tf,
         "monge_elkan_part": _q_monge_elkan,
         "merge_report_part": _q_merge_report,
+        "davies_bouldin_embeddings": _q_davies_bouldin,
         "band_join_orders": _q_band_join,
         "golden_record_part": _q_golden_record,
         "blocking_quality_part": _q_blocking_quality,
@@ -3531,6 +3543,7 @@ def _sql_splitmix64(x: str) -> str:
 def _kmeans_oracle(
     k: int = 8, iters: int = 5, d: int = 64,
     scale_bits: int = 20, seed: int = 0,
+    tail: str | None = None,
 ) -> str:
     """Exact replay of pipelines/similarity.kmeans: because the engine
     runs Lloyd's entirely in fixed-point integer arithmetic (quantize →
@@ -3578,14 +3591,65 @@ def _kmeans_oracle(
               FROM u{i}) GROUP BY cid) upd
           ON prev.cid = upd.cid
         )""")
-    sql.append(f"""
+    if tail is None:
+        tail = f"""
         SELECT vec_id, cid AS cluster FROM (
           SELECT p.vec_id, c.cid,
                  row_number() OVER (PARTITION BY p.vec_id
                                     ORDER BY {dist}, c.cid) AS rn
           FROM q p CROSS JOIN c{iters} c) WHERE rn = 1
-        ORDER BY vec_id""")
+        ORDER BY vec_id"""
+    sql.append(tail.replace("{DIST}", dist).replace("{LAST}",
+                                                    f"c{iters}"))
     return "".join(sql)
+
+
+def _davies_bouldin_oracle(**kw) -> str:
+    """Davies-Bouldin (q=2 RMS) replay: extends the kmeans CTE chain —
+    exact-int assignment d², HUGEINT cluster Σd², one sqrt per scatter,
+    centroid-pair sqrt distances, max ratio, ascending-cluster ordered
+    mean — mirroring similarity.davies_bouldin term for term."""
+    tail = """
+        , asg AS (
+          SELECT vec_id, cid AS cluster, dmin FROM (
+            SELECT p.vec_id, c.cid, {DIST} AS dmin,
+                   row_number() OVER (PARTITION BY p.vec_id
+                                      ORDER BY {DIST}, c.cid) AS rn
+            FROM q p CROSS JOIN {LAST} c) WHERE rn = 1
+        ), cl AS (
+          SELECT cluster, count(*)::BIGINT AS n,
+                 sum((dmin)::HUGEINT) AS ssq
+          FROM asg GROUP BY cluster
+        ), sv AS (
+          SELECT cluster, n,
+                 sqrt((ssq)::DOUBLE / (n)::DOUBLE) AS s
+          FROM cl
+        ), cd AS (
+          SELECT a.cid AS i, b.cid AS j,
+                 list_sum(list_transform(list_zip(a.qv, b.qv),
+                          z -> (z[1]-z[2])*(z[1]-z[2]))) AS m2
+          FROM {LAST} a JOIN {LAST} b ON a.cid <> b.cid
+        ), r AS (
+          SELECT si.cluster AS i,
+                 max((si.s + sj.s) / sqrt((cd.m2)::DOUBLE)) AS d_i
+          FROM sv si JOIN cd ON cd.i = si.cluster
+                     JOIN sv sj ON sj.cluster = cd.j
+          WHERE cd.m2 > 0
+          GROUP BY si.cluster
+        ), dsum AS (
+          SELECT list_sum(list(coalesce(r.d_i, (0.0)::DOUBLE)
+                               ORDER BY sv.cluster)) AS tot,
+                 count(*)::BIGINT AS kk
+          FROM sv LEFT JOIN r ON r.i = sv.cluster
+        )
+        SELECT sv.cluster, sv.n AS n_members,
+               floor(sv.s * 1000000000.0 + 0.5) / 1000000000.0 AS s,
+               floor(coalesce(r.d_i, (0.0)::DOUBLE)
+                     * 1000000000.0 + 0.5) / 1000000000.0 AS d_i,
+               floor((dsum.tot / (dsum.kk)::DOUBLE)
+                     * 1000000000.0 + 0.5) / 1000000000.0 AS db
+        FROM sv LEFT JOIN r ON r.i = sv.cluster CROSS JOIN dsum"""
+    return _kmeans_oracle(tail=tail, **kw)
 
 
 def _sketch_oracles() -> dict[str, str]:
@@ -3702,6 +3766,7 @@ def _sketch_oracles() -> dict[str, str]:
     return {
         "approx_distinct_orders": hll,
         "kmeans_embeddings": _kmeans_oracle(),
+        "davies_bouldin_embeddings": _davies_bouldin_oracle(),
         "countmin_orders": cm,
         "kmv_orders": kmv,
     }

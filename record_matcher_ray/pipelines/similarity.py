@@ -1215,3 +1215,116 @@ def rrf_fuse(
          "rrf": np.floor(sc[order] * pw + 0.5) / pw,
          "rank": np.arange(1, len(order) + 1, dtype=np.int64)}
     )
+
+
+def davies_bouldin(
+    ds: ray.data.Dataset,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 5,
+    scale_bits: int = 20,
+    seed: int = 0,
+    ndigits: int = 9,
+) -> "pd.DataFrame":
+    """Clustering-quality evaluation: Davies-Bouldin (1979, the q=2 RMS
+    form) over this module's fixed-point :func:`kmeans` → one row per
+    NON-EMPTY cluster (cluster, n_members, s, d_i, db):
+
+    - ``s_i   = sqrt(Σ d²(x, c_i) / n_i)`` — RMS scatter to the integer
+      centroid (q=2 of the original paper; Σd² is an EXACT integer so
+      the only floats are one division and one IEEE sqrt),
+    - ``d_i   = max_{j≠i} (s_i + s_j) / ‖c_i − c_j‖`` (centroid-pair
+      distances are sqrt of exact ints; coincident centroids are
+      skipped; 0.0 if no valid partner),
+    - ``db    =`` mean of d_i over non-empty clusters (ascending-
+      cluster ordered fold), repeated on every row.
+
+    Deterministic end to end: kmeans is bit-replayable, assignments are
+    exact-integer argmins, every float readout is pinned-order — the
+    SQL oracle extends the kmeans CTE chain and replays all three
+    columns bit-for-bit.
+
+    Scale shape: kmeans' own waves plus ONE extra streaming pass that
+    reduces each block to k (count, Σd²) partials (decimal128, merged
+    driver-side in Python ints) — no shuffle, no per-point driver data.
+    """
+    import math
+
+    import pandas as pd
+
+    cents, _ = kmeans(ds, vec_col, id_col, k=k, iters=iters,
+                      scale_bits=scale_bits, seed=seed)
+    k_eff = len(cents)
+    C = float(1 << scale_bits)
+    cref = ray.put(cents)
+
+    def partial(t: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        x = _batch_vecs(t, vec_col)
+        q = np.floor(x * C + 0.5).astype(np.int64)
+        if len(q) == 0:
+            return pa.table(
+                {"cluster": pa.array([], pa.int64()),
+                 "n": pa.array([], pa.int64()),
+                 "ssq": pa.array([], pa.decimal128(38, 0))}
+            )
+        qq = (q * q).sum(axis=1)[:, None]
+        cc = (c * c).sum(axis=1)[None, :]
+        d2 = qq + cc - 2 * (q @ c.T)
+        assign = d2.argmin(axis=1)
+        dmin = d2[np.arange(len(q)), assign]
+        rows_c, rows_n, rows_s = [], [], []
+        for ci in range(len(c)):
+            sel = assign == ci
+            n = int(sel.sum())
+            if n:
+                rows_c.append(ci)
+                rows_n.append(n)
+                rows_s.append(int(dmin[sel].astype(object).sum()))
+        return pa.table(
+            {"cluster": pa.array(np.asarray(rows_c, np.int64)),
+             "n": pa.array(np.asarray(rows_n, np.int64)),
+             "ssq": pa.array(rows_s, pa.decimal128(38, 0))}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg: dict[int, list[int]] = {}
+    for _, row in parts.iterrows():
+        e = agg.setdefault(int(row["cluster"]), [0, 0])
+        e[0] += int(row["n"])
+        e[1] += int(row["ssq"])
+    clusters = sorted(agg)
+    n_of = {c: agg[c][0] for c in clusters}
+    s_of = {
+        c: math.sqrt(float(agg[c][1]) / float(agg[c][0]))
+        for c in clusters
+    }
+    d_of: dict[int, float] = {}
+    for i in clusters:
+        best = 0.0
+        got = False
+        for j in clusters:
+            if j == i:
+                continue
+            diff = cents[i].astype(object) - cents[j].astype(object)
+            m2 = int((diff * diff).sum())
+            if m2 == 0:
+                continue
+            r = (s_of[i] + s_of[j]) / math.sqrt(float(m2))
+            if not got or r > best:
+                best, got = r, True
+        d_of[i] = best if got else 0.0
+    tot = 0.0
+    for c in clusters:
+        tot = tot + d_of[c]
+    db = tot / float(len(clusters)) if clusters else 0.0
+    pw = 10.0 ** int(ndigits)
+    rnd = lambda x: math.floor(x * pw + 0.5) / pw
+    return pd.DataFrame(
+        {"cluster": np.asarray(clusters, np.int64),
+         "n_members": np.asarray([n_of[c] for c in clusters], np.int64),
+         "s": np.asarray([rnd(s_of[c]) for c in clusters], np.float64),
+         "d_i": np.asarray([rnd(d_of[c]) for c in clusters], np.float64),
+         "db": np.asarray([rnd(db)] * len(clusters), np.float64)}
+    )

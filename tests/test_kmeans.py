@@ -2,6 +2,7 @@
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 
 
@@ -106,3 +107,69 @@ def test_semantic_decontam_finds_paraphrase_leak(ray_session):
     ).to_pandas()
     assert (7, 100) in set(zip(out["train_id"], out["eval_id"]))
     assert 101 not in set(out["eval_id"])
+
+
+def test_davies_bouldin_mirror_and_invariance(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.similarity import (
+        davies_bouldin,
+        kmeans,
+    )
+
+    rng = np.random.RandomState(5)
+    vecs = np.concatenate(
+        [c + 0.1 * rng.randn(30, 8) for c in rng.randn(3, 8) * 3]
+    )
+    ids = np.arange(len(vecs), dtype=np.int64)
+    mk = lambda p: rd.from_arrow(pa.table(
+        {"vec_id": ids,
+         "embedding": pa.array([list(v) for v in vecs],
+                               pa.list_(pa.float32()))})).repartition(p)
+    out = davies_bouldin(mk(3), k=3, iters=4)
+    out2 = davies_bouldin(mk(7), k=3, iters=4)
+    pd.testing.assert_frame_equal(out, out2)  # partitioning-invariant
+
+    # brute mirror from the kmeans outputs
+    cents, asg = kmeans(mk(3), k=3, iters=4)
+    lab = {r["vec_id"]: r["cluster"] for r in asg.take_all()}
+    q = np.floor(np.asarray(vecs, np.float32).astype(np.float64)
+                 * (1 << 20) + 0.5).astype(np.int64)
+    agg = {}
+    for i in ids:
+        c = lab[int(i)]
+        d = q[i].astype(object) - cents[c].astype(object)
+        agg.setdefault(c, [0, 0])
+        agg[c][0] += 1
+        agg[c][1] += int((d * d).sum())
+    s = {c: math.sqrt(float(v[1]) / float(v[0])) for c, v in agg.items()}
+    for _, row in out.iterrows():
+        c = int(row["cluster"])
+        assert row["n_members"] == agg[c][0]
+        assert row["s"] == math.floor(s[c] * 1e9 + 0.5) / 1e9
+    # db equals mean of d_i
+    tot = 0.0
+    for c in sorted(agg):
+        tot = tot + out.set_index("cluster").loc[c, "d_i"]
+    # note: d_i in the frame is rounded; recompute from unrounded s
+    ds_of = {}
+    for i in sorted(agg):
+        best, got = 0.0, False
+        for j in sorted(agg):
+            if i == j:
+                continue
+            diff = cents[i].astype(object) - cents[j].astype(object)
+            m2 = int((diff * diff).sum())
+            if m2 == 0:
+                continue
+            r = (s[i] + s[j]) / math.sqrt(float(m2))
+            if not got or r > best:
+                best, got = r, True
+        ds_of[i] = best if got else 0.0
+    tot2 = 0.0
+    for c in sorted(agg):
+        tot2 = tot2 + ds_of[c]
+    db = tot2 / float(len(agg))
+    assert (out["db"] == math.floor(db * 1e9 + 0.5) / 1e9).all()
