@@ -2601,6 +2601,23 @@ def _q_basket_pairs(sf_dir: str):
     return basket_pairs(ds, "l_orderkey", "l_partkey", min_support=2)
 
 
+def _q_psi(sf_dir: str):
+    """Numeric drift monitor: PSI of order totalprice per priority
+    class vs the corpus blend (fixed bins, add-1 smoothing)."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.stats import psi_numeric
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_totalprice"],
+    )
+    return psi_numeric(
+        ds, "o_totalprice", "o_orderpriority",
+        lo=0.0, hi=400000.0, n_bins=10,
+    )
+
+
 def _q_davies_bouldin(sf_dir: str):
     """Clustering-quality eval: Davies-Bouldin (RMS form) over the
     fixed-point kmeans clusters of the embeddings table."""
@@ -3352,6 +3369,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "monge_elkan_part": _q_monge_elkan,
         "merge_report_part": _q_merge_report,
         "davies_bouldin_embeddings": _q_davies_bouldin,
+        "psi_orders": _q_psi,
         "band_join_orders": _q_band_join,
         "golden_record_part": _q_golden_record,
         "blocking_quality_part": _q_blocking_quality,
@@ -5235,6 +5253,58 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         "em_fs_customer": _em_fs_oracle(n_iter=15),
+        "psi_orders": """
+            WITH base AS (
+              SELECT (o_orderpriority)::VARCHAR AS grp,
+                     (o_totalprice)::DOUBLE AS x
+              FROM orders
+              WHERE o_orderpriority IS NOT NULL
+                AND o_totalprice IS NOT NULL
+            ), binned AS (
+              SELECT grp,
+                     (least(greatest(
+                        floor((x - (0.0)::DOUBLE) * (10.0)::DOUBLE
+                              / ((400000.0)::DOUBLE - (0.0)::DOUBLE)),
+                        (-1.0)::DOUBLE), (10.0)::DOUBLE)
+                      + 1.0)::BIGINT AS bin
+              FROM base
+            ), cells AS (
+              SELECT grp, bin, count(*)::BIGINT AS c
+              FROM binned GROUP BY 1, 2
+            ), corp AS (
+              SELECT bin, sum(c)::BIGINT AS c FROM cells GROUP BY bin
+            ), nall AS (SELECT sum(c)::BIGINT AS n FROM cells),
+            gt AS (
+              SELECT grp, sum(c)::BIGINT AS n FROM cells GROUP BY grp
+            ), bins AS (
+              SELECT unnest(generate_series(0, 11)) AS bin
+            ), grid AS (
+              SELECT gt.grp, b.bin, gt.n
+              FROM gt CROSS JOIN bins b
+            ), contrib AS (
+              SELECT grid.grp, grid.bin,
+                     ((coalesce(cells.c, 0) + 1))::DOUBLE
+                       / ((grid.n + 12))::DOUBLE AS p,
+                     ((coalesce(corp.c, 0) + 1))::DOUBLE
+                       / ((nall.n + 12))::DOUBLE AS q
+              FROM grid
+              LEFT JOIN cells ON cells.grp = grid.grp
+                             AND cells.bin = grid.bin
+              LEFT JOIN corp ON corp.bin = grid.bin
+              CROSS JOIN nall
+            ), folded AS (
+              SELECT grp,
+                     list_sum(list((p - q) * ln(p / q) ORDER BY bin))
+                       AS s
+              FROM contrib GROUP BY grp
+            )
+            SELECT f.grp, gt.n,
+                   CASE WHEN f.s >= 0
+                        THEN floor(f.s * 1000000.0 + 0.5) / 1000000.0
+                        ELSE -floor(-f.s * 1000000.0 + 0.5) / 1000000.0
+                   END AS psi
+            FROM folded f JOIN gt ON gt.grp = f.grp
+        """,
         "merge_report_part": """
             WITH RECURSIVE c AS (
               SELECT a.p_partkey AS u, b.p_partkey AS v

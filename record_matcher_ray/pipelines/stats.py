@@ -695,3 +695,93 @@ def grouped_entropy(
         {"grp": out_g, "n": np.asarray(out_n, np.int64),
          "entropy": np.asarray(out_e, np.float64)}
     )
+
+
+def psi_numeric(
+    ds: ray.data.Dataset,
+    value_col: str,
+    group_col: str,
+    *,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+    ndigits: int = 6,
+) -> pd.DataFrame:
+    """Population Stability Index per group vs the corpus blend — the
+    numeric drift monitor (score/price/length distribution shift per
+    shard): → DataFrame (grp, n, psi) sorted by grp.
+
+    Bins are fixed-width over [lo, hi) with dedicated underflow/overflow
+    bins (B = n_bins + 2 total); ``PSI_g = Σ_b (p_b − q_b)·ln(p_b/q_b)``
+    where p_b = (c_gb + 1)/(n_g + B) and q_b the same add-1-smoothed
+    proportion over ALL rows (Laplace smoothing keeps every bin defined
+    and the whole computation a pure function of EXACT integer counts).
+    Pinned float recipe: bin = floor(((x) − lo)·n_bins/(hi − lo)) in one
+    double chain, per-bin contribution in one chain, bins fold in
+    ASCENDING bin order (the toolbox ordered-fold pattern) — a DuckDB
+    oracle replays it bit-for-bit. Null groups/values drop.
+
+    Scale shape: one streaming pass of per-block (group, bin) count
+    partials; the exchanged table is ≤ groups×B cells.
+    """
+    import math
+
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got {lo=} {hi=}")
+    B = n_bins + 2
+    lo_f, hi_f, nb_f = float(lo), float(hi), float(n_bins)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(t[group_col]), pc.is_valid(t[value_col]))
+        sub = t.filter(ok)
+        x = pc.cast(sub[value_col], pa.float64()).to_numpy()
+        g = pc.cast(sub[group_col], pa.string()).to_numpy(
+            zero_copy_only=False
+        )
+        raw = np.floor((x - lo_f) * nb_f / (hi_f - lo_f))
+        bin_ = (np.clip(raw, -1.0, nb_f) + 1.0).astype(np.int64)
+        codes, uniq = pd.factorize(g)
+        key = codes.astype(np.int64) * B + bin_
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {"grp": pa.array(uniq[(uk // B)].astype(object),
+                             pa.string()),
+             "bin": pa.array((uk % B).astype(np.int64)),
+             "c": pa.array(cnt.astype(np.int64))}
+        )
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["grp", "bin"])
+        .sum("c")
+        .to_pandas()
+    )
+    if len(cells) == 0 or "grp" not in cells.columns:
+        return pd.DataFrame(
+            {"grp": pd.Series([], dtype="object"),
+             "n": pd.Series([], dtype="int64"),
+             "psi": pd.Series([], dtype="float64")}
+        )
+    cells = cells.rename(columns={"sum(c)": "c"})
+    corpus = cells.groupby("bin")["c"].sum()
+    n_all = int(cells["c"].sum())
+    pw = 10.0 ** int(ndigits)
+    out = {"grp": [], "n": [], "psi": []}
+    for grp, g in cells.groupby("grp", sort=True):
+        n_g = int(g["c"].sum())
+        by_bin = dict(zip(g["bin"].astype(int), g["c"].astype(int)))
+        s = 0.0
+        for b in range(B):
+            p = float(by_bin.get(b, 0) + 1) / float(n_g + B)
+            q = float(int(corpus.get(b, 0)) + 1) / float(n_all + B)
+            s = s + (p - q) * math.log(p / q)
+        out["grp"].append(grp)
+        out["n"].append(n_g)
+        out["psi"].append(math.floor(s * pw + 0.5) / pw if s >= 0
+                          else -math.floor(-s * pw + 0.5) / pw)
+    return pd.DataFrame(
+        {"grp": out["grp"], "n": np.asarray(out["n"], np.int64),
+         "psi": np.asarray(out["psi"], np.float64)}
+    )

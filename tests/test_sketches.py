@@ -407,3 +407,43 @@ class TestKMV:
         out = kmv_distinct(empty, "v", k=8)
         assert out["n_kept"].iloc[0] == 0
         assert out["est_distinct"].iloc[0] == 0.0
+
+
+def test_psi_numeric_exact(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.stats import psi_numeric
+
+    rng = np.random.RandomState(12)
+    n = 3000
+    grp = rng.choice(["a", "b"], n)
+    x = np.where(grp == "a", rng.uniform(0, 100, n),
+                 rng.uniform(30, 130, n))  # shifted distribution
+    x[5] = -7.0    # underflow bin
+    x[6] = 999.0   # overflow bin
+    df = pd.DataFrame({"g": grp, "v": x})
+    ds = rd.from_pandas(df).repartition(5)
+    out = psi_numeric(ds, "v", "g", lo=0.0, hi=100.0, n_bins=10
+                      ).set_index("grp")
+
+    B = 12
+    raw = np.floor((x - 0.0) * 10.0 / 100.0)
+    b = (np.clip(raw, -1, 10) + 1).astype(int)
+    corpus = np.bincount(b, minlength=B)
+    for gname in ["a", "b"]:
+        m = grp == gname
+        cb = np.bincount(b[m], minlength=B)
+        n_g = int(m.sum())
+        s = 0.0
+        for k in range(B):
+            p = float(cb[k] + 1) / float(n_g + B)
+            q = float(corpus[k] + 1) / float(n + B)
+            s = s + (p - q) * math.log(p / q)
+        want = math.floor(s * 1e6 + 0.5) / 1e6 if s >= 0 else \
+            -math.floor(-s * 1e6 + 0.5) / 1e6
+        assert out.loc[gname, "psi"] == want
+        assert out.loc[gname, "n"] == n_g
+    # a shifted group must register positive drift
+    assert out.loc["b", "psi"] > 0.1
