@@ -2618,6 +2618,21 @@ def _q_psi(sf_dir: str):
     )
 
 
+def _q_ewma(sf_dir: str):
+    """Per-user EWMA level of event values (α=0.2, (ts, id) fold
+    order, first value seeds the state)."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.relational import ewma_by_key
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "value", "event_id"],
+    )
+    return ewma_by_key(ds, "user_id", "ts", "value", "event_id",
+                       alpha=0.2)
+
+
 def _q_davies_bouldin(sf_dir: str):
     """Clustering-quality eval: Davies-Bouldin (RMS form) over the
     fixed-point kmeans clusters of the embeddings table."""
@@ -3370,6 +3385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "merge_report_part": _q_merge_report,
         "davies_bouldin_embeddings": _q_davies_bouldin,
         "psi_orders": _q_psi,
+        "ewma_events": _q_ewma,
         "band_join_orders": _q_band_join,
         "golden_record_part": _q_golden_record,
         "blocking_quality_part": _q_blocking_quality,
@@ -5253,6 +5269,28 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         "em_fs_customer": _em_fs_oracle(n_iter=15),
+        "ewma_events": """
+            WITH e AS (
+              SELECT user_id, event_id, ts, (value)::DOUBLE AS x
+              FROM events
+              WHERE user_id IS NOT NULL AND value IS NOT NULL
+            ), f AS (
+              SELECT user_id,
+                     count(*)::BIGINT AS n,
+                     list_reduce(
+                       list(x ORDER BY ts, event_id),
+                       (s, x) -> (0.2)::DOUBLE * x
+                                 + ((1.0)::DOUBLE - (0.2)::DOUBLE) * s
+                     ) AS s
+              FROM e GROUP BY user_id
+            )
+            SELECT user_id, n,
+                   CASE WHEN s >= 0
+                        THEN floor(s * 1000000.0 + 0.5) / 1000000.0
+                        ELSE -floor(-s * 1000000.0 + 0.5) / 1000000.0
+                   END AS ewma
+            FROM f
+        """,
         "psi_orders": """
             WITH base AS (
               SELECT (o_orderpriority)::VARCHAR AS grp,

@@ -1856,3 +1856,80 @@ def cube_aggregate(
     out = out.drop(columns=["cents"])
     out["n"] = out["n"].astype(np.int64)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def ewma_by_key(
+    ds: ray.data.Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    alpha: float = 0.2,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Exponentially weighted moving average per key: fold the key's
+    events in (ts, id) order through ``s ← α·x + (1−α)·s`` (seeded with
+    the first value) and emit the final smoothed level → rows
+    (key, n, ewma) — the streaming-smoothing primitive for per-entity
+    price/score/sensor levels.
+
+    Parity recipe: the fold is pinned-order IEEE doubles — numpy's
+    elementwise ``α·x + β·s`` (no FMA) is exactly DuckDB's
+    ``list_reduce(list(x ORDER BY ts, id), (s, x) -> α·x + β·s)`` when
+    β is computed as ``1.0 − α`` on BOTH sides (1−0.2 is NOT the double
+    literal 0.8); readout is the repo's signed half-up 6dp.
+
+    Scale shape: one ≤``n_buckets`` key-hash exchange; inside a bucket
+    one lexsort orders every key's segment and the fold runs as
+    max-segment-length vectorized sweeps ACROSS keys (gather at
+    ``starts + j``), so per-row work is O(1) with no Python per-row
+    loop; null keys/values drop (mirrored by the oracle's WHERE).
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    a = float(alpha)
+    b = 1.0 - a
+
+    def prep(t: pa.Table) -> pa.Table:
+        from record_matcher_ray.core.hashkernels import column_hash64
+
+        ok = pc.and_(pc.is_valid(t[key_col]), pc.is_valid(t[val_col]))
+        t = t.filter(ok)
+        bk = column_hash64(t[key_col]) % np.uint64(n_buckets)
+        return pa.table(
+            {key_col: t[key_col], id_col: t[id_col],
+             ts_col: pc.cast(t[ts_col], pa.int64()),
+             "__x__": pc.cast(t[val_col], pa.float64()),
+             "__eb__": pa.array(bk.astype(np.int64))}
+        )
+
+    def local(t: pa.Table) -> pa.Table:
+        ktype = t.schema.field(key_col).type
+        if len(t) == 0:
+            return pa.table({key_col: pa.array([], ktype),
+                             "n": pa.array([], pa.int64()),
+                             "ewma": pa.array([], pa.float64())})
+        order, first, _ = _per_key_sorted(t, key_col, ts_col, id_col)
+        x = t["__x__"].to_numpy()[order]
+        n = len(x)
+        starts = np.nonzero(first)[0]
+        sizes = np.diff(np.append(starts, n))
+        s = x[starts].copy()
+        max_len = int(sizes.max())
+        for j in range(1, max_len):
+            act = np.nonzero(sizes > j)[0]
+            s[act] = a * x[starts[act] + j] + b * s[act]
+        ew = np.where(s >= 0, np.floor(s * 1e6 + 0.5),
+                      -np.floor(-s * 1e6 + 0.5)) / 1e6
+        return pa.table(
+            {key_col: t[key_col].take(pa.array(order[starts])),
+             "n": pa.array(sizes.astype(np.int64)),
+             "ewma": pa.array(ew)}
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("__eb__")
+        .map_groups(lambda t: local(t.drop_columns(["__eb__"])),
+                    batch_format="pyarrow")
+    )

@@ -2314,3 +2314,53 @@ class TestParetoFrontier:
         ds = rd.from_pandas(df).repartition(4)
         with _pytest.raises(ValueError, match="max_partial_rows"):
             pareto_frontier(ds, "x", "y", max_partial_rows=50)
+
+
+def test_ewma_by_key(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.relational import ewma_by_key
+
+    rng = np.random.RandomState(91)
+    n = 3_000
+    df = pd.DataFrame(
+        {"event_id": np.arange(n, dtype=np.int64),
+         "user_id": rng.randint(0, 50, size=n).astype(np.int64),
+         "ts": rng.randint(0, 10**9, size=n).astype(np.int64),
+         "value": rng.uniform(-50, 50, size=n)}
+    )
+    df.loc[5, "value"] = np.nan  # dropped both sides
+    out = (
+        ewma_by_key(rd.from_pandas(df).repartition(9), alpha=0.3)
+        .to_pandas().set_index("user_id")
+    )
+    rep = df.dropna(subset=["value"]).sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    a, b = 0.3, 1.0 - 0.3
+    for u, grp in rep.groupby("user_id"):
+        xs = grp["value"].to_numpy()
+        s = xs[0]
+        for x in xs[1:]:
+            s = a * x + b * s
+        want = (np.floor(s * 1e6 + 0.5) if s >= 0
+                else -np.floor(-s * 1e6 + 0.5)) / 1e6
+        assert out.loc[u, "n"] == len(xs)
+        assert out.loc[u, "ewma"] == want  # bit-exact pinned fold
+    assert len(out) == rep["user_id"].nunique()
+
+
+def test_ewma_single_event_and_empty(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.relational import ewma_by_key
+
+    df = pd.DataFrame(
+        {"event_id": [1], "user_id": [7], "ts": [100], "value": [3.25]}
+    )
+    out = ewma_by_key(rd.from_pandas(df)).to_pandas()
+    assert out["ewma"].tolist() == [3.25] and out["n"].tolist() == [1]
+
+    empty = df.iloc[:0]
+    out2 = ewma_by_key(rd.from_pandas(empty)).to_pandas()
+    assert len(out2) == 0
