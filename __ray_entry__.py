@@ -2633,6 +2633,20 @@ def _q_ewma(sf_dir: str):
                        alpha=0.2)
 
 
+def _q_benford(sf_dir: str):
+    """Benford first-digit χ² forensics of order amounts per priority
+    class (exact integer digit counts, pinned double χ² fold)."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.stats import benford_digit_test
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_totalprice"],
+    )
+    return benford_digit_test(ds, "o_totalprice", "o_orderpriority")
+
+
 def _q_davies_bouldin(sf_dir: str):
     """Clustering-quality eval: Davies-Bouldin (RMS form) over the
     fixed-point kmeans clusters of the embeddings table."""
@@ -3386,6 +3400,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "davies_bouldin_embeddings": _q_davies_bouldin,
         "psi_orders": _q_psi,
         "ewma_events": _q_ewma,
+        "benford_orders": _q_benford,
         "band_join_orders": _q_band_join,
         "golden_record_part": _q_golden_record,
         "blocking_quality_part": _q_blocking_quality,
@@ -5269,6 +5284,46 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         "em_fs_customer": _em_fs_oracle(n_iter=15),
+        "benford_orders": """
+            WITH base AS (
+              SELECT (o_orderpriority)::VARCHAR AS grp,
+                     (floor((o_totalprice)::DOUBLE * (100.0)::DOUBLE
+                            + (0.5)::DOUBLE))::BIGINT AS cents
+              FROM orders
+              WHERE o_orderpriority IS NOT NULL
+                AND o_totalprice IS NOT NULL
+            ), posv AS (
+              SELECT grp, (substr(cents::VARCHAR, 1, 1))::BIGINT AS digit
+              FROM base WHERE cents > 0
+            ), cells AS (
+              SELECT grp, digit, count(*)::BIGINT AS c
+              FROM posv GROUP BY 1, 2
+            ), gt AS (
+              SELECT grp, sum(c)::BIGINT AS n FROM cells GROUP BY grp
+            ), digits AS (
+              SELECT unnest(generate_series(1, 9)) AS d
+            ), grid AS (
+              SELECT gt.grp, gt.n, digits.d FROM gt CROSS JOIN digits
+            ), contrib AS (
+              SELECT grid.grp, grid.d,
+                     (coalesce(cells.c, 0))::DOUBLE AS c,
+                     (grid.n)::DOUBLE
+                       * (ln((1.0)::DOUBLE
+                             + (1.0)::DOUBLE / (grid.d)::DOUBLE)
+                          / ln((10.0)::DOUBLE)) AS e
+              FROM grid
+              LEFT JOIN cells ON cells.grp = grid.grp
+                             AND cells.digit = grid.d
+            ), folded AS (
+              SELECT grp,
+                     list_sum(list((c - e) * (c - e) / e ORDER BY d))
+                       AS s
+              FROM contrib GROUP BY grp
+            )
+            SELECT f.grp, gt.n,
+                   floor(f.s * 1000000.0 + 0.5) / 1000000.0 AS chi2
+            FROM folded f JOIN gt ON gt.grp = f.grp
+        """,
         "ewma_events": """
             WITH e AS (
               SELECT user_id, event_id, ts, (value)::DOUBLE AS x

@@ -785,3 +785,89 @@ def psi_numeric(
         {"grp": out["grp"], "n": np.asarray(out["n"], np.int64),
          "psi": np.asarray(out["psi"], np.float64)}
     )
+
+
+def benford_digit_test(
+    ds: ray.data.Dataset,
+    value_col: str,
+    group_col: str,
+    *,
+    cents_scale: float = 100.0,
+    ndigits: int = 6,
+) -> pd.DataFrame:
+    """Benford's-law forensics per group: χ² deviation of the
+    first-significant-digit distribution of positive amounts from the
+    Benford expectation ``p_d = ln(1 + 1/d)/ln(10)`` → DataFrame
+    (grp, n, chi2) sorted by grp — the fraud/synthetic-data screen for
+    amount columns.
+
+    Values are quantized to integer cents (half-up) and the leading
+    digit extracted by pure-integer division, so every count is EXACT
+    and partitioning-invariant; non-positive / null amounts drop (the
+    oracle's WHERE mirrors this). χ² folds digits 1..9 in ascending
+    order with one pinned double chain per digit — replayable
+    bit-for-bit by a DuckDB grid + ``list_sum`` oracle (the PSI
+    pattern, stats.psi_numeric).
+
+    Scale shape: one streaming pass of per-block (group, digit) count
+    partials; the exchange is ≤ groups×9 cells.
+    """
+    import math
+
+    def partial(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(t[group_col]), pc.is_valid(t[value_col]))
+        sub = t.filter(ok)
+        x = pc.cast(sub[value_col], pa.float64()).to_numpy()
+        cents = np.floor(x * cents_scale + 0.5).astype(np.int64)
+        pos = cents > 0
+        cents = cents[pos]
+        g = pc.cast(sub[group_col], pa.string()).to_numpy(
+            zero_copy_only=False
+        )[pos]
+        d = cents.copy()
+        while True:
+            big = d >= 10
+            if not big.any():
+                break
+            d[big] //= 10
+        codes, uniq = pd.factorize(g)
+        key = codes.astype(np.int64) * 10 + d
+        uk, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {"grp": pa.array(uniq[(uk // 10)].astype(object), pa.string()),
+             "digit": pa.array((uk % 10).astype(np.int64)),
+             "c": pa.array(cnt.astype(np.int64))}
+        )
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["grp", "digit"])
+        .sum("c")
+        .to_pandas()
+    )
+    if len(cells) == 0 or "grp" not in cells.columns:
+        return pd.DataFrame(
+            {"grp": pd.Series([], dtype="object"),
+             "n": pd.Series([], dtype="int64"),
+             "chi2": pd.Series([], dtype="float64")}
+        )
+    cells = cells.rename(columns={"sum(c)": "c"})
+    ln10 = math.log(10.0)
+    pw = 10.0 ** int(ndigits)
+    out = {"grp": [], "n": [], "chi2": []}
+    for grp, g in cells.groupby("grp", sort=True):
+        n_g = int(g["c"].sum())
+        by_d = dict(zip(g["digit"].astype(int), g["c"].astype(int)))
+        s = 0.0
+        for d in range(1, 10):
+            p = math.log(1.0 + 1.0 / float(d)) / ln10
+            e = float(n_g) * p
+            c = float(by_d.get(d, 0))
+            s = s + (c - e) * (c - e) / e
+        out["grp"].append(grp)
+        out["n"].append(n_g)
+        out["chi2"].append(math.floor(s * pw + 0.5) / pw)
+    return pd.DataFrame(
+        {"grp": out["grp"], "n": np.asarray(out["n"], np.int64),
+         "chi2": np.asarray(out["chi2"], np.float64)}
+    )

@@ -447,3 +447,55 @@ def test_psi_numeric_exact(ray_session):
         assert out.loc[gname, "n"] == n_g
     # a shifted group must register positive drift
     assert out.loc["b", "psi"] > 0.1
+
+
+def test_benford_digit_test(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.stats import benford_digit_test
+
+    rng = np.random.RandomState(11)
+    # group "b": log-uniform amounts (Benford-ish, low chi2);
+    # group "u": constant leading digit 5 (maximal deviation)
+    benf = np.exp(rng.uniform(0, np.log(10**6), size=4000))
+    unif = rng.uniform(5000, 5999, size=4000)
+    df = pd.DataFrame(
+        {"g": ["b"] * 4000 + ["u"] * 4000,
+         "v": np.concatenate([benf, unif])}
+    )
+    df.loc[0, "v"] = -3.0   # non-positive drops
+    df.loc[1, "v"] = np.nan
+    out = (
+        benford_digit_test(rd.from_pandas(df).repartition(7), "v", "g")
+        .set_index("grp")
+    )
+    # exact mirror
+    ln10 = math.log(10.0)
+    for grp in ("b", "u"):
+        sub = df[(df["g"] == grp) & df["v"].notna()]
+        cents = np.floor(sub["v"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        cents = cents[cents > 0]
+        digits = np.array([int(str(c)[0]) for c in cents])
+        n = len(digits)
+        s = 0.0
+        for d in range(1, 10):
+            p = math.log(1.0 + 1.0 / float(d)) / ln10
+            e = float(n) * p
+            c = float((digits == d).sum())
+            s = s + (c - e) * (c - e) / e
+        want = math.floor(s * 1e6 + 0.5) / 1e6
+        assert out.loc[grp, "chi2"] == want
+        assert out.loc[grp, "n"] == n
+    assert out.loc[u"u", "chi2"] > 100 * out.loc["b", "chi2"]
+
+
+def test_benford_empty(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.stats import benford_digit_test
+
+    df = pd.DataFrame({"g": ["a"], "v": [-1.0]})  # nothing positive
+    out = benford_digit_test(rd.from_pandas(df), "v", "g")
+    assert len(out) == 0
