@@ -2633,6 +2633,21 @@ def _q_ewma(sf_dir: str):
                        alpha=0.2)
 
 
+def _q_cusum(sf_dir: str):
+    """Per-user two-sided CUSUM drift statistics of event values
+    (target 0, slack 0.5, alarm threshold 40, (ts, id) fold order)."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.relational import cusum_by_key
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "value", "event_id"],
+    )
+    return cusum_by_key(ds, "user_id", "ts", "value", "event_id",
+                        target=0.0, slack=0.5, threshold=40.0)
+
+
 def _q_benford(sf_dir: str):
     """Benford first-digit χ² forensics of order amounts per priority
     class (exact integer digit counts, pinned double χ² fold)."""
@@ -3400,6 +3415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "davies_bouldin_embeddings": _q_davies_bouldin,
         "psi_orders": _q_psi,
         "ewma_events": _q_ewma,
+        "cusum_events": _q_cusum,
         "benford_orders": _q_benford,
         "band_join_orders": _q_band_join,
         "golden_record_part": _q_golden_record,
@@ -5344,6 +5360,44 @@ def oracle_sql() -> dict[str, str]:
                         THEN floor(s * 1000000.0 + 0.5) / 1000000.0
                         ELSE -floor(-s * 1000000.0 + 0.5) / 1000000.0
                    END AS ewma
+            FROM f
+        """,
+        "cusum_events": """
+            WITH e AS (
+              SELECT user_id, event_id, ts, (value)::DOUBLE AS x
+              FROM events
+              WHERE user_id IS NOT NULL AND value IS NOT NULL
+            ), f AS (
+              SELECT user_id,
+                     count(*)::BIGINT AS n,
+                     list_reduce(
+                       list_prepend((0.0)::DOUBLE,
+                                    list(x ORDER BY ts, event_id)),
+                       (s, x) -> greatest((0.0)::DOUBLE,
+                                          s + x - (0.0)::DOUBLE
+                                            - (0.5)::DOUBLE)
+                     ) AS hi,
+                     list_reduce(
+                       list_prepend((0.0)::DOUBLE,
+                                    list(x ORDER BY ts, event_id)),
+                       (s, x) -> greatest((0.0)::DOUBLE,
+                                          s - x + (0.0)::DOUBLE
+                                            - (0.5)::DOUBLE)
+                     ) AS lo
+              FROM e GROUP BY user_id
+            )
+            SELECT user_id, n,
+                   CASE WHEN hi >= 0
+                        THEN floor(hi * 1000000.0 + 0.5) / 1000000.0
+                        ELSE -floor(-hi * 1000000.0 + 0.5) / 1000000.0
+                   END AS cusum_hi,
+                   CASE WHEN lo >= 0
+                        THEN floor(lo * 1000000.0 + 0.5) / 1000000.0
+                        ELSE -floor(-lo * 1000000.0 + 0.5) / 1000000.0
+                   END AS cusum_lo,
+                   (CASE WHEN hi > (40.0)::DOUBLE
+                              OR lo > (40.0)::DOUBLE
+                         THEN 1 ELSE 0 END)::INTEGER AS alarm
             FROM f
         """,
         "psi_orders": """

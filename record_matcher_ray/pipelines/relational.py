@@ -1933,3 +1933,96 @@ def ewma_by_key(
         .map_groups(lambda t: local(t.drop_columns(["__eb__"])),
                     batch_format="pyarrow")
     )
+
+
+def cusum_by_key(
+    ds: ray.data.Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    target: float = 0.0,
+    slack: float = 0.5,
+    threshold: float = 5.0,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-key two-sided CUSUM drift detector (Page 1954): fold the
+    key's values in (ts, id) order through
+
+        hi ← max(0, hi + x − target − slack)
+        lo ← max(0, lo − x + target − slack)
+
+    from hi = lo = 0 and emit the final statistics plus an alarm flag
+    (``hi > threshold OR lo > threshold``) → rows
+    (key, n, cusum_hi, cusum_lo, alarm) — the classic sequential
+    change-point primitive for per-entity metric streams.
+
+    Parity recipe: both updates are pinned-order IEEE doubles —
+    numpy's ``max(0, ((s + x) − target) − slack)`` left-associated chain
+    is exactly DuckDB's ``list_reduce(list(x ORDER BY ts, id),
+    (s, x) -> greatest(0, s + x - target - slack))``; the alarm compare
+    runs on identical doubles both sides; readout is the repo's signed
+    half-up 6dp.
+
+    Scale shape: identical to `ewma_by_key` — one ≤``n_buckets``
+    key-hash exchange, one lexsort per bucket, the fold runs as
+    max-segment-length vectorized sweeps ACROSS keys; null keys/values
+    drop (mirrored by the oracle's WHERE).
+    """
+    tg, k, h = float(target), float(slack), float(threshold)
+    if not k >= 0.0:
+        raise ValueError(f"slack must be >= 0, got {slack}")
+
+    def prep(t: pa.Table) -> pa.Table:
+        from record_matcher_ray.core.hashkernels import column_hash64
+
+        ok = pc.and_(pc.is_valid(t[key_col]), pc.is_valid(t[val_col]))
+        t = t.filter(ok)
+        bk = column_hash64(t[key_col]) % np.uint64(n_buckets)
+        return pa.table(
+            {key_col: t[key_col], id_col: t[id_col],
+             ts_col: pc.cast(t[ts_col], pa.int64()),
+             "__x__": pc.cast(t[val_col], pa.float64()),
+             "__cb__": pa.array(bk.astype(np.int64))}
+        )
+
+    def _round6(v: np.ndarray) -> np.ndarray:
+        return np.where(v >= 0, np.floor(v * 1e6 + 0.5),
+                        -np.floor(-v * 1e6 + 0.5)) / 1e6
+
+    def local(t: pa.Table) -> pa.Table:
+        ktype = t.schema.field(key_col).type
+        if len(t) == 0:
+            return pa.table({key_col: pa.array([], ktype),
+                             "n": pa.array([], pa.int64()),
+                             "cusum_hi": pa.array([], pa.float64()),
+                             "cusum_lo": pa.array([], pa.float64()),
+                             "alarm": pa.array([], pa.int32())})
+        order, first, _ = _per_key_sorted(t, key_col, ts_col, id_col)
+        x = t["__x__"].to_numpy()[order]
+        n = len(x)
+        starts = np.nonzero(first)[0]
+        sizes = np.diff(np.append(starts, n))
+        hi = np.zeros(len(starts), dtype=np.float64)
+        lo = np.zeros(len(starts), dtype=np.float64)
+        max_len = int(sizes.max())
+        for j in range(max_len):
+            act = np.nonzero(sizes > j)[0]
+            xj = x[starts[act] + j]
+            hi[act] = np.maximum(0.0, hi[act] + xj - tg - k)
+            lo[act] = np.maximum(0.0, lo[act] - xj + tg - k)
+        alarm = ((hi > h) | (lo > h)).astype(np.int32)
+        return pa.table(
+            {key_col: t[key_col].take(pa.array(order[starts])),
+             "n": pa.array(sizes.astype(np.int64)),
+             "cusum_hi": pa.array(_round6(hi)),
+             "cusum_lo": pa.array(_round6(lo)),
+             "alarm": pa.array(alarm)}
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("__cb__")
+        .map_groups(lambda t: local(t.drop_columns(["__cb__"])),
+                    batch_format="pyarrow")
+    )

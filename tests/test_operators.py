@@ -2364,3 +2364,72 @@ def test_ewma_single_event_and_empty(ray_session):
     empty = df.iloc[:0]
     out2 = ewma_by_key(rd.from_pandas(empty)).to_pandas()
     assert len(out2) == 0
+
+
+def test_cusum_by_key(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.relational import cusum_by_key
+
+    rng = np.random.RandomState(17)
+    n = 2_000
+    df = pd.DataFrame(
+        {"event_id": np.arange(n, dtype=np.int64),
+         "user_id": rng.randint(0, 40, size=n).astype(np.int64),
+         "ts": rng.randint(0, 10**9, size=n).astype(np.int64),
+         "value": rng.uniform(-3, 3, size=n)}
+    )
+    df.loc[11, "value"] = np.nan  # dropped both sides
+    out = (
+        cusum_by_key(rd.from_pandas(df).repartition(7),
+                     target=0.5, slack=0.25, threshold=4.0)
+        .to_pandas().set_index("user_id")
+    )
+    rep = df.dropna(subset=["value"]).sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    tg, k, h = 0.5, 0.25, 4.0
+
+    def r6(v):
+        return (np.floor(v * 1e6 + 0.5) if v >= 0
+                else -np.floor(-v * 1e6 + 0.5)) / 1e6
+
+    for u, grp in rep.groupby("user_id"):
+        hi = lo = 0.0
+        for x in grp["value"].to_numpy():
+            hi = max(0.0, hi + x - tg - k)
+            lo = max(0.0, lo - x + tg - k)
+        assert out.loc[u, "cusum_hi"] == r6(hi)  # bit-exact pinned fold
+        assert out.loc[u, "cusum_lo"] == r6(lo)
+        assert out.loc[u, "alarm"] == int(hi > h or lo > h)
+        assert out.loc[u, "n"] == len(grp)
+    assert len(out) == rep["user_id"].nunique()
+
+
+def test_cusum_detects_shift(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.relational import cusum_by_key
+
+    # user 0: zero-mean noise -> no alarm; user 1: level shift -> alarm
+    n = 200
+    vals = np.concatenate([np.tile([0.4, -0.4], n // 2),
+                           np.full(n, 1.5)])
+    df = pd.DataFrame(
+        {"event_id": np.arange(2 * n, dtype=np.int64),
+         "user_id": np.repeat([0, 1], n).astype(np.int64),
+         "ts": np.tile(np.arange(n, dtype=np.int64), 2),
+         "value": vals}
+    )
+    out = (
+        cusum_by_key(rd.from_pandas(df), target=0.0, slack=0.5,
+                     threshold=10.0)
+        .to_pandas().set_index("user_id").sort_index()
+    )
+    assert out.loc[0, "alarm"] == 0
+    assert out.loc[1, "alarm"] == 1
+    assert out.loc[1, "cusum_hi"] > 10.0
+
+    empty = df.iloc[:0]
+    out2 = cusum_by_key(rd.from_pandas(empty)).to_pandas()
+    assert len(out2) == 0
