@@ -2648,6 +2648,19 @@ def _q_cusum(sf_dir: str):
                         target=0.0, slack=0.5, threshold=40.0)
 
 
+def _q_zipf(sf_dir: str):
+    """Zipf's-law OLS fit (ln freq ~ ln rank) over the corpus's
+    top-128 terms."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.terms import zipf_fit
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return zipf_fit(ds, k=128)
+
+
 def _q_benford(sf_dir: str):
     """Benford first-digit χ² forensics of order amounts per priority
     class (exact integer digit counts, pinned double χ² fold)."""
@@ -3416,6 +3429,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "psi_orders": _q_psi,
         "ewma_events": _q_ewma,
         "cusum_events": _q_cusum,
+        "zipf_docs": _q_zipf,
         "benford_orders": _q_benford,
         "band_join_orders": _q_band_join,
         "golden_record_part": _q_golden_record,
@@ -5361,6 +5375,69 @@ def oracle_sql() -> dict[str, str]:
                         ELSE -floor(-s * 1000000.0 + 0.5) / 1000000.0
                    END AS ewma
             FROM f
+        """,
+        "zipf_docs": """
+            WITH t AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(coalesce(text, '')),
+                                         '[^a-z0-9]+', ' ', 'g')) AS nt
+              FROM documents
+            ), tok AS (
+              SELECT unnest(string_split(nt, ' ')) AS term
+              FROM t WHERE len(nt) > 0
+            ), c AS (
+              SELECT term, count(*)::BIGINT AS n_occ FROM tok GROUP BY term
+            ), top AS (
+              SELECT n_occ,
+                     row_number() OVER (ORDER BY n_occ DESC, term ASC) AS r
+              FROM c ORDER BY n_occ DESC, term ASC LIMIT 128
+            ), p AS (
+              SELECT r, ln((r)::DOUBLE) AS x, ln((n_occ)::DOUBLE) AS y
+              FROM top
+            ), f AS (
+              SELECT count(*)::BIGINT AS n,
+                     list_reduce(list_prepend((0.0)::DOUBLE,
+                                              list(x ORDER BY r)),
+                                 (s, v) -> s + v) AS sx,
+                     list_reduce(list_prepend((0.0)::DOUBLE,
+                                              list(y ORDER BY r)),
+                                 (s, v) -> s + v) AS sy,
+                     list_reduce(list_prepend((0.0)::DOUBLE,
+                                              list(x * y ORDER BY r)),
+                                 (s, v) -> s + v) AS sxy,
+                     list_reduce(list_prepend((0.0)::DOUBLE,
+                                              list(x * x ORDER BY r)),
+                                 (s, v) -> s + v) AS sxx
+              FROM p
+            ), g AS (
+              SELECT n,
+                     CASE WHEN n < 2
+                               OR (n)::DOUBLE * sxx - sx * sx = (0.0)::DOUBLE
+                          THEN NULL
+                          ELSE ((n)::DOUBLE * sxy - sx * sy)
+                               / ((n)::DOUBLE * sxx - sx * sx)
+                     END AS slope,
+                     sx, sy
+              FROM f
+            ), h AS (
+              SELECT n, slope,
+                     CASE WHEN slope IS NULL THEN NULL
+                          ELSE (sy - slope * sx) / (n)::DOUBLE
+                     END AS icept
+              FROM g
+            )
+            SELECT n AS n_terms,
+                   CASE WHEN slope IS NULL THEN NULL
+                        WHEN slope >= 0
+                        THEN floor(slope * 1000000.0 + 0.5) / 1000000.0
+                        ELSE -floor(-slope * 1000000.0 + 0.5) / 1000000.0
+                   END AS slope,
+                   CASE WHEN icept IS NULL THEN NULL
+                        WHEN icept >= 0
+                        THEN floor(icept * 1000000.0 + 0.5) / 1000000.0
+                        ELSE -floor(-icept * 1000000.0 + 0.5) / 1000000.0
+                   END AS intercept
+            FROM h
         """,
         "cusum_events": """
             WITH e AS (

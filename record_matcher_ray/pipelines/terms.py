@@ -924,3 +924,61 @@ def term_kl_divergence(
          "n_tokens": np.asarray(out["n_tokens"], np.int64),
          "kl": np.asarray(out["kl"], np.float64)}
     )
+
+
+def zipf_fit(
+    ds: ray.data.Dataset,
+    k: int = 128,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Zipf's-law diagnostic: OLS fit of ln(frequency) against ln(rank)
+    over the corpus's top-``k`` terms → ONE row
+    (n_terms, slope, intercept) — a corpus-health fingerprint (natural
+    text sits near slope ≈ −1; template/spam corpora flatten it).
+
+    Parity recipe: term counts come from the distributed `top_terms`
+    exchange (exact integers); the fit folds the ≤``k`` (ln rank,
+    ln count) points SEQUENTIALLY in rank order — pinned-order IEEE
+    doubles replayed by DuckDB ``list_reduce`` folds seeded via
+    ``list_prepend(0.0)`` — and the slope/intercept close with one
+    division each in the same association order (``math.log`` is libm
+    log, identical to DuckDB ``ln``). Readout: signed half-up 6dp.
+
+    Scale shape: all corpus-sized work is `top_terms`' partial-count
+    exchange (volume ≤ distinct terms, never corpus tokens); the driver
+    touches exactly ``k`` rows.
+    """
+    import math
+
+    rows = top_terms(ds, k=k, text_col=text_col, id_col=id_col).take_all()
+    n = len(rows)
+    if n < 2:
+        return pa.table({"n_terms": pa.array([n], pa.int64()),
+                         "slope": pa.array([None], pa.float64()),
+                         "intercept": pa.array([None], pa.float64())})
+    sx = sy = sxy = sxx = 0.0
+    for r, row in enumerate(rows, start=1):  # k rows, driver-side
+        x = math.log(float(r))
+        y = math.log(float(row["n_occ"]))
+        sx = sx + x
+        sy = sy + y
+        sxy = sxy + x * y
+        sxx = sxx + x * x
+    nd = float(n)
+    den = nd * sxx - sx * sx
+    if den == 0.0:
+        slope = intercept = None
+    else:
+        slope = (nd * sxy - sx * sy) / den
+        intercept = (sy - slope * sx) / nd
+
+    def r6(v):
+        if v is None:
+            return None
+        return (math.floor(v * 1e6 + 0.5) if v >= 0
+                else -math.floor(-v * 1e6 + 0.5)) / 1e6
+
+    return pa.table({"n_terms": pa.array([n], pa.int64()),
+                     "slope": pa.array([r6(slope)], pa.float64()),
+                     "intercept": pa.array([r6(intercept)], pa.float64())})

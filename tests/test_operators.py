@@ -2433,3 +2433,47 @@ def test_cusum_detects_shift(ray_session):
     empty = df.iloc[:0]
     out2 = cusum_by_key(rd.from_pandas(empty)).to_pandas()
     assert len(out2) == 0
+
+
+def test_zipf_fit(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.terms import zipf_fit
+
+    # exact Zipf counts: term i (1-based) appears round(1000/i) times
+    rows = []
+    for i in range(1, 21):
+        rows.extend([f"t{i:02d}"] * round(1000 / i))
+    df = pd.DataFrame(
+        {"doc_id": np.arange(len(rows), dtype=np.int64),
+         "text": rows}
+    )
+    out = zipf_fit(rd.from_pandas(df).repartition(5), k=20).to_pandas()
+    assert out["n_terms"].tolist() == [20]
+    # mirror: sequential fold in rank order, identical association
+    counts = sorted(
+        ((rows.count(f"t{i:02d}"), f"t{i:02d}") for i in range(1, 21)),
+        key=lambda p: (-p[0], p[1]),
+    )
+    sx = sy = sxy = sxx = 0.0
+    for r, (c, _) in enumerate(counts, start=1):
+        x, y = math.log(float(r)), math.log(float(c))
+        sx = sx + x
+        sy = sy + y
+        sxy = sxy + x * y
+        sxx = sxx + x * x
+    nd = 20.0
+    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    icept = (sy - slope * sx) / nd
+    r6 = lambda v: (math.floor(v * 1e6 + 0.5) if v >= 0
+                    else -math.floor(-v * 1e6 + 0.5)) / 1e6
+    assert out["slope"].iloc[0] == r6(slope)
+    assert out["intercept"].iloc[0] == r6(icept)
+    assert -1.1 < out["slope"].iloc[0] < -0.9  # near ideal Zipf
+
+    tiny = pd.DataFrame({"doc_id": [0], "text": ["only only only"]})
+    out2 = zipf_fit(rd.from_pandas(tiny)).to_pandas()
+    assert out2["n_terms"].tolist() == [1]
+    assert out2["slope"].isna().all() and out2["intercept"].isna().all()
