@@ -2648,6 +2648,24 @@ def _q_cusum(sf_dir: str):
                         target=0.0, slack=0.5, threshold=40.0)
 
 
+def _q_dedup_keep_best(sf_dir: str):
+    """Keep-best exact dedup: group docs by NORMALIZED text (NFC,
+    lower, collapsed whitespace), keeper = longest original (tie: min
+    doc_id); full (doc_id, keeper_id) assignment."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.analysis import normalize_text
+    from record_matcher_ray.pipelines.dedup import exact_dedup_keep_best
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "n_chars"],
+    )
+    return exact_dedup_keep_best(
+        normalize_text(ds), ["text"], "doc_id", "n_chars", emit_all=True
+    )
+
+
 def _q_zipf(sf_dir: str):
     """Zipf's-law OLS fit (ln freq ~ ln rank) over the corpus's
     top-128 terms."""
@@ -3430,6 +3448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ewma_events": _q_ewma,
         "cusum_events": _q_cusum,
         "zipf_docs": _q_zipf,
+        "dedup_keep_best_docs": _q_dedup_keep_best,
         "benford_orders": _q_benford,
         "band_join_orders": _q_band_join,
         "golden_record_part": _q_golden_record,
@@ -5375,6 +5394,23 @@ def oracle_sql() -> dict[str, str]:
                         ELSE -floor(-s * 1000000.0 + 0.5) / 1000000.0
                    END AS ewma
             FROM f
+        """,
+        "dedup_keep_best_docs": r"""
+            WITH n AS (
+              SELECT doc_id, n_chars,
+                     regexp_replace(
+                       regexp_replace(
+                         lower(nfc_normalize(coalesce(text, ''))),
+                         '\s+', ' ', 'g'),
+                       '^ | $', '', 'g') AS nt
+              FROM documents
+            )
+            SELECT doc_id,
+                   first_value(doc_id) OVER (
+                     PARTITION BY nt
+                     ORDER BY n_chars DESC, doc_id ASC
+                   ) AS keeper_id
+            FROM n
         """,
         "zipf_docs": """
             WITH t AS (

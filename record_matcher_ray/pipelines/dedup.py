@@ -1436,3 +1436,51 @@ def minhash_decontam(
         )
 
     return res["pairs"].map_batches(decode, batch_format="pyarrow")
+
+
+def exact_dedup_keep_best(
+    ds: ray.data.Dataset,
+    columns: list[str],
+    id_col: str,
+    pref_col: str,
+    n_buckets: int = 256,
+    emit_all: bool = False,
+) -> ray.data.Dataset:
+    """Policy dedup where the keeper is the group row with the HIGHEST
+    ``pref_col`` (ties broken by min ``id_col``) — the keep-best-copy
+    selection every training-data dedup pass needs when duplicates
+    differ in provenance quality (keep the longest original, the
+    highest-scored crawl, the newest snapshot) instead of
+    `exact_dup_groups`' keep-first-id. → (keeper_id, dup_id) pairs for
+    the losers, or with ``emit_all`` the full (``id_col``, keeper_id)
+    assignment (singletons map to themselves, the
+    `tuple_representatives` shape).
+
+    Scale shape: identical to `exact_dup_groups` — ONE bounded
+    ≤``n_buckets`` tuple-hash exchange, winner selection vectorized per
+    bucket (sort + group-transform, never per distinct value).
+    """
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            [pref_col, id_col], ascending=[False, True], kind="stable"
+        )
+        keeper = df.groupby(columns, sort=False, dropna=False)[
+            id_col
+        ].transform("first")
+        if emit_all:
+            return pd.DataFrame(
+                {id_col: df[id_col].to_numpy(dtype=np.int64),
+                 "keeper_id": keeper.to_numpy(dtype=np.int64)}
+            )
+        dup = df[id_col] != keeper
+        return pd.DataFrame(
+            {"keeper_id": keeper[dup].to_numpy(dtype=np.int64),
+             "dup_id": df[id_col][dup].to_numpy(dtype=np.int64)}
+        )
+
+    return (
+        _with_tuple_bucket(ds, columns, n_buckets)
+        .groupby("__xb__")
+        .map_groups(pairs, batch_format="pandas")
+    )

@@ -1,0 +1,60 @@
+"""Dedup policy-variant tests (keep-best selection)."""
+
+import numpy as np
+import pandas as pd
+
+
+def test_exact_dedup_keep_best(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.dedup import exact_dedup_keep_best
+
+    df = pd.DataFrame(
+        {"doc_id": np.arange(8, dtype=np.int64),
+         "text": ["a", "a", "a", "b", "b", "c", "d", "d"],
+         "pref": np.array([5, 9, 9, 3, 3, 1, 2, 2], dtype=np.int64)}
+    )
+    out = (
+        exact_dedup_keep_best(
+            rd.from_pandas(df).repartition(4), ["text"], "doc_id", "pref"
+        )
+        .to_pandas().sort_values("dup_id").reset_index(drop=True)
+    )
+    # group a: pref 9 tie between ids 1,2 -> keeper 1; losers 0,2
+    # group b: pref tie -> keeper 3; loser 4
+    # group c: singleton -> no rows; group d: keeper 6; loser 7
+    want = pd.DataFrame(
+        {"keeper_id": np.array([1, 1, 3, 6], dtype=np.int64),
+         "dup_id": np.array([0, 2, 4, 7], dtype=np.int64)}
+    )
+    pd.testing.assert_frame_equal(out[["keeper_id", "dup_id"]], want)
+
+    empty = df.iloc[:0]
+    out2 = exact_dedup_keep_best(
+        rd.from_pandas(empty), ["text"], "doc_id", "pref"
+    ).to_pandas()
+    assert len(out2) == 0
+
+
+def test_exact_dedup_keep_best_emit_all(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.dedup import exact_dedup_keep_best
+
+    df = pd.DataFrame(
+        {"doc_id": np.arange(5, dtype=np.int64),
+         "text": ["a", "a", "b", "c", "c"],
+         "pref": np.array([1, 7, 4, 2, 2], dtype=np.int64)}
+    )
+    out = (
+        exact_dedup_keep_best(
+            rd.from_pandas(df).repartition(3), ["text"], "doc_id",
+            "pref", emit_all=True
+        )
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    want = pd.DataFrame(
+        {"doc_id": np.arange(5, dtype=np.int64),
+         "keeper_id": np.array([1, 1, 2, 3, 3], dtype=np.int64)}
+    )
+    pd.testing.assert_frame_equal(out, want)
