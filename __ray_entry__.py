@@ -2648,6 +2648,20 @@ def _q_cusum(sf_dir: str):
                         target=0.0, slack=0.5, threshold=40.0)
 
 
+def _q_adamic_adar(sf_dir: str):
+    """Adamic-Adar link-prediction affinity between parts sharing
+    orders (weight 1/ln(basket size), support >= 2)."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.itemsets import adamic_adar_items
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    return adamic_adar_items(ds, "l_orderkey", "l_partkey",
+                             min_support=2, max_basket=256)
+
+
 def _q_dedup_keep_best(sf_dir: str):
     """Keep-best exact dedup: group docs by NORMALIZED text (NFC,
     lower, collapsed whitespace), keeper = longest original (tie: min
@@ -3449,6 +3463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cusum_events": _q_cusum,
         "zipf_docs": _q_zipf,
         "dedup_keep_best_docs": _q_dedup_keep_best,
+        "adamic_adar_lineitem": _q_adamic_adar,
         "benford_orders": _q_benford,
         "band_join_orders": _q_band_join,
         "golden_record_part": _q_golden_record,
@@ -5394,6 +5409,41 @@ def oracle_sql() -> dict[str, str]:
                         ELSE -floor(-s * 1000000.0 + 0.5) / 1000000.0
                    END AS ewma
             FROM f
+        """,
+        "adamic_adar_lineitem": """
+            WITH it AS (
+              SELECT DISTINCT l_orderkey AS bk, l_partkey AS itm
+              FROM lineitem
+              WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+            ), good AS (
+              SELECT bk, count(*)::BIGINT AS m FROM it GROUP BY bk
+              HAVING count(*) <= 256
+            ), kept AS (
+              SELECT it.bk, it.itm FROM it JOIN good USING (bk)
+            ), w AS (
+              SELECT bk,
+                     CASE WHEN m >= 2
+                          THEN (floor((1000000000.0)::DOUBLE
+                                      / ln((m)::DOUBLE)
+                                      + (0.5)::DOUBLE))::BIGINT
+                          ELSE 0 END AS wu
+              FROM good
+            ), p AS (
+              SELECT a.itm AS item_a, b.itm AS item_b,
+                     count(*)::BIGINT AS support,
+                     (sum(w.wu))::BIGINT AS aa_units
+              FROM kept a
+              JOIN kept b ON a.bk = b.bk AND a.itm < b.itm
+              JOIN w ON w.bk = a.bk
+              GROUP BY 1, 2 HAVING count(*) >= 2
+            )
+            SELECT (item_a)::BIGINT AS item_a,
+                   (item_b)::BIGINT AS item_b,
+                   support,
+                   floor((aa_units)::DOUBLE / (1000000000.0)::DOUBLE
+                         * (1000000.0)::DOUBLE + (0.5)::DOUBLE)
+                   / (1000000.0)::DOUBLE AS aa
+            FROM p
         """,
         "dedup_keep_best_docs": r"""
             WITH n AS (

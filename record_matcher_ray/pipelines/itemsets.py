@@ -312,3 +312,117 @@ def item_cooccurrence_similarity(
         )
 
     return merged.map_batches(score, batch_format="pyarrow")
+
+
+def adamic_adar_items(
+    ds: ray.data.Dataset,
+    basket_col: str,
+    item_col: str,
+    *,
+    min_support: int = 2,
+    max_basket: int = 256,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Adamic–Adar item affinity (Adamic & Adar 2003, the classic
+    link-prediction weight): for items a < b,
+
+        AA(a, b) = Σ_{baskets containing both} 1 / ln(|basket|)
+
+    → rows (item_a, item_b, support, aa) for pairs co-occurring in ≥
+    ``min_support`` baskets — rare shared contexts count more than
+    giant ones, the standard upgrade over raw co-occurrence counts for
+    "who-links-next" recommendation and entity-graph completion.
+
+    Parity recipe: each kept basket's weight is quantized ONCE to
+    integer nano-units — ``floor(1e9 / ln(size) + 0.5)`` with libm
+    ln and one double division, identical in numpy and DuckDB — so the
+    per-pair sum is EXACT int64 (order/partition invariant); the aa
+    readout is one int→double cast, one double division, half-up 6dp.
+
+    Scale shape: identical to `basket_pairs` — one ≤``n_buckets``
+    basket-hash exchange with the ``max_basket`` quadratic-blowup cap
+    (dropped baskets are deterministic and mirrored by the oracle),
+    per-basket pair enumeration fully vectorized with weights segment-
+    summed via sorted ``np.add.reduceat`` (exact, no float bincount),
+    then one bounded ``groupby(item_a, item_b)`` merge.
+    """
+    if min_support < 1:
+        raise ValueError(f"min_support must be >= 1, got {min_support}")
+    if max_basket < 2:
+        raise ValueError(f"max_basket must be >= 2, got {max_basket}")
+
+    def project(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(t[basket_col]), pc.is_valid(t[item_col]))
+        sub = t.filter(ok)
+        b = column_hash64(sub[basket_col]) % np.uint64(n_buckets)
+        return pa.table(
+            {"__b__": pa.array(b.astype(np.int64)),
+             "bk": sub[basket_col], "it": sub[item_col]}
+        )
+
+    def _empty() -> pa.Table:
+        z = pa.array([], pa.int64())
+        return pa.table({"item_a": z, "item_b": z,
+                         "support": pa.array([], pa.int64()),
+                         "aa_units": pa.array([], pa.int64())})
+
+    def gen_pairs(t: pa.Table) -> pa.Table:
+        bk = t["bk"].to_numpy(zero_copy_only=False)
+        it = t["it"].to_numpy(zero_copy_only=False)
+        if len(bk) == 0:
+            return _empty()
+        is_, seg_id = _distinct_capped(bk, it, max_basket)
+        if len(is_) == 0:
+            return _empty()
+        m = np.bincount(seg_id).astype(np.int64)
+        wseg = np.zeros(len(m), np.int64)
+        big = m >= 2
+        wseg[big] = np.floor(
+            1e9 / np.log(m[big].astype(np.float64)) + 0.5
+        ).astype(np.int64)
+        # per-pair-instance weight, segment-summed in (a, b) order
+        starts = np.concatenate(([0], np.cumsum(m)))[:-1]
+        within = np.arange(len(is_), dtype=np.int64) - starts[seg_id]
+        counts = m[seg_id] - 1 - within
+        tot = int(counts.sum())
+        if tot == 0:
+            return _empty()
+        first = np.repeat(np.arange(len(is_), dtype=np.int64), counts)
+        cstart = np.concatenate(([0], np.cumsum(counts)))
+        j_off = np.arange(tot, dtype=np.int64) - cstart[first] + 1
+        a = is_[first].astype(np.int64)
+        b = is_[first + j_off].astype(np.int64)
+        w = wseg[seg_id[first]]
+        po = np.lexsort((b, a))
+        a, b, w = a[po], b[po], w[po]
+        newp = np.empty(len(a), bool)
+        newp[0] = True
+        newp[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        gstarts = np.nonzero(newp)[0]
+        cnt = np.diff(np.append(gstarts, len(a))).astype(np.int64)
+        ws = np.add.reduceat(w, gstarts)
+        return pa.table(
+            {"item_a": pa.array(a[newp]), "item_b": pa.array(b[newp]),
+             "support": pa.array(cnt), "aa_units": pa.array(ws)}
+        )
+
+    pairs = (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby("__b__")
+        .map_groups(gen_pairs, batch_format="pyarrow")
+        .groupby(["item_a", "item_b"])
+        .aggregate(Sum("support", alias_name="support"),
+                   Sum("aa_units", alias_name="aa_units"))
+    )
+    ms = int(min_support)
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["support"], ms))
+        u = t["aa_units"].to_numpy().astype(np.float64)
+        aa = np.floor(u / 1e9 * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {"item_a": t["item_a"], "item_b": t["item_b"],
+             "support": t["support"], "aa": pa.array(aa)}
+        )
+
+    return pairs.map_batches(finish, batch_format="pyarrow")

@@ -131,3 +131,54 @@ def test_item_cooccurrence_empty(ray_session):
                   "it": pa.array([], pa.int64())})
     )
     assert item_cooccurrence_similarity(ds, "bk", "it").count() == 0
+
+
+def test_adamic_adar_items(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.itemsets import adamic_adar_items
+
+    # baskets: 10:{1,2,3} 11:{1,2} 12:{1,2} 13:{4,5} (support 1 -> cut)
+    df = pd.DataFrame(
+        {"bk": np.array([10, 10, 10, 11, 11, 12, 12, 13, 13, 10],
+                        dtype=np.int64),  # dup (10,1) row collapses
+         "it": np.array([1, 2, 3, 1, 2, 1, 2, 4, 5, 1],
+                        dtype=np.int64)}
+    )
+    out = (
+        adamic_adar_items(rd.from_pandas(df).repartition(4), "bk", "it",
+                          min_support=2)
+        .to_pandas().sort_values(["item_a", "item_b"])
+        .reset_index(drop=True)
+    )
+    w3 = math.floor(1e9 / math.log(3.0) + 0.5)
+    w2 = math.floor(1e9 / math.log(2.0) + 0.5)
+    # only (1,2) has support >= 2: baskets 10 (size 3), 11, 12 (size 2)
+    assert out["item_a"].tolist() == [1]
+    assert out["item_b"].tolist() == [2]
+    assert out["support"].tolist() == [3]
+    units = w3 + w2 + w2
+    want = np.floor(units / 1e9 * 1e6 + 0.5) / 1e6
+    assert out["aa"].tolist() == [want]
+
+
+def test_adamic_adar_caps_and_empty(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.itemsets import adamic_adar_items
+
+    # an oversized basket (> max_basket) drops entirely
+    big = pd.DataFrame(
+        {"bk": np.zeros(10, dtype=np.int64),
+         "it": np.arange(10, dtype=np.int64)}
+    )
+    out = adamic_adar_items(
+        rd.from_pandas(big), "bk", "it", min_support=1, max_basket=5
+    ).to_pandas()
+    assert len(out) == 0
+
+    empty = big.iloc[:0]
+    out2 = adamic_adar_items(rd.from_pandas(empty), "bk", "it").to_pandas()
+    assert len(out2) == 0
