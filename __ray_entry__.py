@@ -2648,6 +2648,19 @@ def _q_cusum(sf_dir: str):
                         target=0.0, slack=0.5, threshold=40.0)
 
 
+def _q_heaps(sf_dir: str):
+    """Heaps'-law vocabulary-growth curve: per doc (ascending doc_id),
+    new terms introduced, token count, running vocab/token totals."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.terms import heaps_curve
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return heaps_curve(ds)
+
+
 def _q_adamic_adar(sf_dir: str):
     """Adamic-Adar link-prediction affinity between parts sharing
     orders (weight 1/ln(basket size), support >= 2)."""
@@ -3464,6 +3477,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zipf_docs": _q_zipf,
         "dedup_keep_best_docs": _q_dedup_keep_best,
         "adamic_adar_lineitem": _q_adamic_adar,
+        "heaps_docs": _q_heaps,
         "benford_orders": _q_benford,
         "band_join_orders": _q_band_join,
         "golden_record_part": _q_golden_record,
@@ -5409,6 +5423,37 @@ def oracle_sql() -> dict[str, str]:
                         ELSE -floor(-s * 1000000.0 + 0.5) / 1000000.0
                    END AS ewma
             FROM f
+        """,
+        "heaps_docs": """
+            WITH t AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(coalesce(text, '')),
+                                         '[^a-z0-9]+', ' ', 'g')) AS nt
+              FROM documents
+            ), tok AS (
+              SELECT doc_id, unnest(string_split(nt, ' ')) AS term
+              FROM t WHERE len(nt) > 0
+            ), fd AS (
+              SELECT term, min(doc_id) AS fdoc FROM tok GROUP BY term
+            ), newt AS (
+              SELECT fdoc AS doc_id, count(*)::BIGINT AS n_new
+              FROM fd GROUP BY fdoc
+            ), dt AS (
+              SELECT doc_id, count(*)::BIGINT AS n_tok
+              FROM tok GROUP BY doc_id
+            ), j AS (
+              SELECT d.doc_id,
+                     (coalesce(n.n_new, 0))::BIGINT AS n_new,
+                     (coalesce(k.n_tok, 0))::BIGINT AS n_tok
+              FROM documents d
+              LEFT JOIN newt n ON d.doc_id = n.doc_id
+              LEFT JOIN dt k ON d.doc_id = k.doc_id
+            )
+            SELECT doc_id, n_new, n_tok,
+                   (sum(n_new) OVER (ORDER BY doc_id))::BIGINT AS vocab,
+                   (sum(n_tok) OVER (ORDER BY doc_id))::BIGINT
+                     AS cum_tokens
+            FROM j
         """,
         "adamic_adar_lineitem": """
             WITH it AS (

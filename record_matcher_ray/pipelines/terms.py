@@ -982,3 +982,123 @@ def zipf_fit(
     return pa.table({"n_terms": pa.array([n], pa.int64()),
                      "slope": pa.array([r6(slope)], pa.float64()),
                      "intercept": pa.array([r6(intercept)], pa.float64())})
+
+
+def heaps_curve(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Heaps'-law vocabulary-growth curve: scanning the corpus in
+    ascending ``id_col`` order, → one row per document
+    (id, n_new — terms first seen in this doc, n_tok — its token count,
+    vocab / cum_tokens — running totals). Plotting vocab against
+    cum_tokens is the classic V = K·nᵝ corpus-health diagnostic
+    (template-heavy or deduplicated corpora bend the curve).
+
+    All-integer output — hash-exact against the SQL window replay with
+    no float pinning needed.
+
+    Scale shape: first-occurrence docs come from ONE distinct-term
+    exchange (per-block (term, min doc) partials, volume ≤ distinct
+    terms — the `top_terms` shape); per-doc rows merge in ONE doc-id
+    groupby of sentinel partials (no join); the running totals use the
+    `global_row_number` two-pass layout — one sort exchange, then
+    per-block (first-id, block-sum) heads (a few bytes per block)
+    prefix-summed on the driver and broadcast, never a second shuffle
+    or a driver data pull.
+    """
+    from ray.data.aggregate import Min
+
+    def tok_partial(t: pa.Table) -> pa.Table:
+        toks, doc_idx, _ = _block_tokens(t[text_col])
+        ids = t[id_col].to_numpy()
+        if len(toks) == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "fdoc": pa.array([], pa.int64())})
+        codes, uniq = pd.factorize(toks)
+        docs = ids[doc_idx].astype(np.int64)
+        # sort-based segmented min (CLAUDE.md: never ufunc.at scatter)
+        order = np.lexsort((docs, codes))
+        cs, ds_ = codes[order], docs[order]
+        firstm = np.concatenate(([True], cs[1:] != cs[:-1]))
+        return pa.table(
+            {"term": pa.array(uniq[cs[firstm]].astype(object),
+                              pa.string()),
+             "fdoc": pa.array(ds_[firstm])}
+        )
+
+    first = (
+        ds.map_batches(tok_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Min("fdoc", alias_name="fdoc"))
+    )
+
+    def new_counts(t: pa.Table) -> pa.Table:
+        # sentinel partial: (doc, n_new, 0)
+        return pa.table({id_col: t["fdoc"],
+                         "n_new": pa.array(np.ones(len(t), np.int64)),
+                         "n_tok": pa.array(np.zeros(len(t), np.int64))})
+
+    def tok_counts(t: pa.Table) -> pa.Table:
+        _, doc_idx, n_per = _block_tokens(t[text_col])
+        ids = t[id_col].to_numpy().astype(np.int64)
+        return pa.table({id_col: pa.array(ids),
+                         "n_new": pa.array(np.zeros(len(t), np.int64)),
+                         "n_tok": pa.array(n_per.astype(np.int64))})
+
+    per_doc = (
+        first.map_batches(new_counts, batch_format="pyarrow")
+        .union(ds.map_batches(tok_counts, batch_format="pyarrow"))
+        .groupby(id_col)
+        .aggregate(Sum("n_new", alias_name="n_new"),
+                   Sum("n_tok", alias_name="n_tok"))
+    )
+
+    m = per_doc.sort(id_col).materialize()  # consumed by both passes
+
+    def head(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "__sn__": pa.array([], pa.int64()),
+                             "__st__": pa.array([], pa.int64())})
+        return pa.table(
+            {id_col: t[id_col].slice(0, 1),
+             "__sn__": pa.array([int(pc.sum(t["n_new"]).as_py())],
+                                pa.int64()),
+             "__st__": pa.array([int(pc.sum(t["n_tok"]).as_py())],
+                                pa.int64())}
+        )
+
+    heads = m.map_batches(head, batch_size=None,
+                          batch_format="pyarrow").to_pandas()
+    if heads.empty:
+        def emptyc(t: pa.Table) -> pa.Table:
+            z = pa.array([], pa.int64())
+            return pa.table({id_col: z, "n_new": z, "n_tok": z,
+                             "vocab": z, "cum_tokens": z})
+        return m.map_batches(emptyc, batch_format="pyarrow")
+    heads = heads.sort_values(id_col).reset_index(drop=True)
+    sn = heads["__sn__"].to_numpy(dtype=np.int64)
+    st = heads["__st__"].to_numpy(dtype=np.int64)
+    offs = {
+        int(k): (int(a), int(b))
+        for k, a, b in zip(heads[id_col].to_numpy(),
+                           np.cumsum(sn) - sn, np.cumsum(st) - st)
+    }
+
+    def assign(t: pa.Table) -> pa.Table:
+        z = pa.array([], pa.int64())
+        if len(t) == 0:
+            return pa.table({id_col: z, "n_new": z, "n_tok": z,
+                             "vocab": z, "cum_tokens": z})
+        on, ot = offs[t[id_col][0].as_py()]
+        nn = t["n_new"].to_numpy()
+        nt = t["n_tok"].to_numpy()
+        return pa.table(
+            {id_col: t[id_col], "n_new": t["n_new"], "n_tok": t["n_tok"],
+             "vocab": pa.array(on + np.cumsum(nn).astype(np.int64)),
+             "cum_tokens": pa.array(ot + np.cumsum(nt).astype(np.int64))}
+        )
+
+    return m.map_batches(assign, batch_size=None, batch_format="pyarrow")

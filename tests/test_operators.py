@@ -2477,3 +2477,42 @@ def test_zipf_fit(ray_session):
     out2 = zipf_fit(rd.from_pandas(tiny)).to_pandas()
     assert out2["n_terms"].tolist() == [1]
     assert out2["slope"].isna().all() and out2["intercept"].isna().all()
+
+
+def test_heaps_curve(ray_session):
+    import re
+
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.terms import heaps_curve
+
+    docs = ["the cat sat", "the dog", "", "cat dog bird", "THE! bird?"]
+    df = pd.DataFrame(
+        {"doc_id": np.array([3, 7, 9, 12, 20], dtype=np.int64),
+         "text": docs}
+    )
+    out = (
+        heaps_curve(rd.from_pandas(df).repartition(3))
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # pure-python mirror
+    seen = set()
+    vocab = cum = 0
+    rows = []
+    for did, text in sorted(zip(df["doc_id"], docs)):
+        toks = [w for w in re.sub(r"[^a-z0-9]+", " ", text.lower())
+                .strip().split(" ") if w]
+        new = len({t for t in toks if t not in seen})
+        seen.update(toks)
+        vocab += new
+        cum += len(toks)
+        rows.append((did, new, len(toks), vocab, cum))
+    want = pd.DataFrame(
+        rows, columns=["doc_id", "n_new", "n_tok", "vocab", "cum_tokens"]
+    ).astype(np.int64)
+    pd.testing.assert_frame_equal(out, want)
+    assert out["vocab"].iloc[-1] == 5  # the cat sat dog bird
+
+    empty = df.iloc[:0]
+    out2 = heaps_curve(rd.from_pandas(empty)).to_pandas()
+    assert len(out2) == 0
