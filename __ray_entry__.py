@@ -2648,6 +2648,76 @@ def _q_cusum(sf_dir: str):
                         target=0.0, slack=0.5, threshold=40.0)
 
 
+def _q_labelprop(sf_dir: str):
+    """Deterministic synchronous label propagation (4 rounds, min-label
+    ties) over the bidirectional part<->supplier graph of lineitem."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from record_matcher_ray.pipelines.graph import label_propagation
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    )
+
+    def edges(t: pa.Table) -> pa.Table:
+        p = t["l_partkey"].to_numpy().astype(np.int64)
+        s = t["l_suppkey"].to_numpy().astype(np.int64) + _PR_OFF
+        return pa.table(
+            {"src": pa.array(np.concatenate([p, s])),
+             "dst": pa.array(np.concatenate([s, p]))}
+        )
+
+    return label_propagation(
+        li.map_batches(edges, batch_format="pyarrow"), iters=4
+    )
+
+
+def _labelprop_oracle(iters: int = 4) -> str:
+    """Replay of pipelines/graph.label_propagation: one chained CTE per
+    round; most-frequent in-neighbor label with min-label ties via
+    row_number; integer-exact throughout."""
+    sql = [f"""
+        WITH edges AS (
+          SELECT l_partkey::BIGINT AS src,
+                 l_suppkey::BIGINT + {_PR_OFF} AS dst
+          FROM lineitem
+          UNION ALL
+          SELECT l_suppkey::BIGINT + {_PR_OFF} AS src,
+                 l_partkey::BIGINT AS dst
+          FROM lineitem
+        ), nodes AS (
+          SELECT DISTINCT node FROM (
+            SELECT src AS node FROM edges
+            UNION ALL SELECT dst FROM edges)
+        ), lab0 AS (
+          SELECT node, node AS lab FROM nodes
+        )"""]
+    for i in range(1, iters + 1):
+        sql.append(f""",
+        lab{i} AS (
+          SELECT nd.node, coalesce(w.lab, p.lab) AS lab
+          FROM nodes nd
+          JOIN lab{i - 1} p ON p.node = nd.node
+          LEFT JOIN (
+            SELECT dst AS node, lab FROM (
+              SELECT e.dst, l.lab,
+                     row_number() OVER (
+                       PARTITION BY e.dst
+                       ORDER BY count(*) DESC, l.lab ASC
+                     ) AS rn
+              FROM edges e JOIN lab{i - 1} l ON l.node = e.src
+              GROUP BY e.dst, l.lab
+            ) q WHERE rn = 1
+          ) w ON w.node = nd.node
+        )""")
+    sql.append(f"""
+        SELECT node, lab AS label FROM lab{iters}
+    """)
+    return "".join(sql)
+
+
 def _q_heaps(sf_dir: str):
     """Heaps'-law vocabulary-growth curve: per doc (ascending doc_id),
     new terms introduced, token count, running vocab/token totals."""
@@ -3478,6 +3548,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_best_docs": _q_dedup_keep_best,
         "adamic_adar_lineitem": _q_adamic_adar,
         "heaps_docs": _q_heaps,
+        "labelprop_lineitem": _q_labelprop,
         "benford_orders": _q_benford,
         "band_join_orders": _q_band_join,
         "golden_record_part": _q_golden_record,
@@ -5424,6 +5495,7 @@ def oracle_sql() -> dict[str, str]:
                    END AS ewma
             FROM f
         """,
+        "labelprop_lineitem": _labelprop_oracle(iters=4),
         "heaps_docs": """
             WITH t AS (
               SELECT doc_id,

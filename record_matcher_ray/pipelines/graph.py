@@ -422,3 +422,127 @@ def bfs_hops(
         pa.table({"node": pa.array(nodes[reach]),
                   "hops": pa.array(dist[reach])})
     )
+
+
+def label_propagation(
+    ds: ray.data.Dataset,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    *,
+    iters: int = 4,
+    n_buckets: int = 64,
+    max_broadcast_nodes: int = 50_000_000,
+) -> pd.DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007, LPA) →
+    DataFrame (node:int64, label:int64) after ``iters`` rounds. Every
+    node starts labeled with its own id; each round every node with
+    inbound edges adopts the most frequent label among its in-neighbors
+    (ties → smallest label), others keep theirs. Deterministic by
+    construction — the min-label tie-break plus synchronous updates
+    remove LPA's usual run-to-run wobble, so any partitioning yields
+    the identical labeling (community detection for entity graphs,
+    template-cluster discovery over near-dup edges).
+
+    Scale shape: per round the label vector is broadcast (``ray.put``,
+    the `pagerank` layout with the same ``max_broadcast_nodes`` guard)
+    and counting runs as TWO bounded exchanges, both integer-exact:
+    per-block (dst, label) packed-key partial counts →
+    ``groupby(key).sum`` → ≤``n_buckets`` dst-hash argmax (lexsorted,
+    vectorized). No driver pull of edges; the driver holds only the
+    O(nodes) label vector, exactly like `pagerank`'s rank vector.
+    """
+    from ray.data.aggregate import Sum
+
+    def node_partial(t: pa.Table) -> pa.Table:
+        s = t[src_col].to_numpy().astype(np.int64)
+        d = t[dst_col].to_numpy().astype(np.int64)
+        return pa.table(
+            {"node": pa.array(np.unique(np.concatenate([s, d])))}
+        )
+
+    nd_parts = ds.map_batches(
+        node_partial, batch_format="pyarrow"
+    ).to_pandas()
+    if nd_parts.empty:
+        return pd.DataFrame({"node": pd.array([], dtype=np.int64),
+                             "label": pd.array([], dtype=np.int64)})
+    nodes = np.unique(nd_parts["node"].to_numpy(dtype=np.int64))
+    n = len(nodes)
+    if n > max_broadcast_nodes:
+        raise ValueError(
+            f"label_propagation broadcasts the node table and this graph "
+            f"has {n} nodes (> max_broadcast_nodes={max_broadcast_nodes}); "
+            f"switch to the BSP join layout at this scale."
+        )
+    if n >= (1 << 31):
+        raise ValueError("label_propagation packs (dst, label) into one "
+                         "int64 and needs n < 2**31 nodes")
+    nodes_ref = ray.put(nodes)
+
+    def to_idx(t: pa.Table) -> pa.Table:
+        nd = ray.get(nodes_ref)
+        si = np.searchsorted(nd, t[src_col].to_numpy().astype(np.int64))
+        di = np.searchsorted(nd, t[dst_col].to_numpy().astype(np.int64))
+        return pa.table({"si": pa.array(si.astype(np.int64)),
+                         "di": pa.array(di.astype(np.int64))})
+
+    edges = ds.map_batches(to_idx, batch_format="pyarrow").materialize()
+
+    lab = np.arange(n, dtype=np.int64)  # label = index into nodes
+    nn = np.int64(n)
+    for _ in range(int(iters)):
+        lab_ref = ray.put(lab)
+
+        def count_partial(t: pa.Table, lab_ref=lab_ref) -> pa.Table:
+            lv = ray.get(lab_ref)
+            key = t["di"].to_numpy() * nn + lv[t["si"].to_numpy()]
+            ks = np.sort(key)
+            firstm = np.concatenate(([True], ks[1:] != ks[:-1])) \
+                if len(ks) else np.array([], bool)
+            starts = np.nonzero(firstm)[0]
+            cnt = np.diff(np.append(starts, len(ks))).astype(np.int64)
+            return pa.table({"key": pa.array(ks[firstm]),
+                             "cnt": pa.array(cnt)})
+
+        counts = (
+            edges.map_batches(count_partial, batch_format="pyarrow")
+            .groupby("key")
+            .aggregate(Sum("cnt", alias_name="cnt"))
+        )
+
+        def bucket(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "__gb__",
+                pa.array(((t["key"].to_numpy() // nn) % n_buckets)
+                         .astype(np.int64)),
+            )
+
+        def argmax(t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                z = pa.array([], pa.int64())
+                return pa.table({"node_idx": z, "new_lab": z})
+            key = t["key"].to_numpy()
+            cnt = t["cnt"].to_numpy()
+            dst = key // nn
+            lbl = key % nn
+            order = np.lexsort((lbl, -cnt, dst))
+            d_s = dst[order]
+            firstm = np.concatenate(([True], d_s[1:] != d_s[:-1]))
+            return pa.table(
+                {"node_idx": pa.array(d_s[firstm]),
+                 "new_lab": pa.array(lbl[order][firstm])}
+            )
+
+        upd = (
+            counts.map_batches(bucket, batch_format="pyarrow")
+            .groupby("__gb__")
+            .map_groups(lambda t: argmax(t.drop_columns(["__gb__"])),
+                        batch_format="pyarrow")
+            .to_pandas()
+        )
+        nxt = lab.copy()
+        nxt[upd["node_idx"].to_numpy(dtype=np.int64)] = \
+            upd["new_lab"].to_numpy(dtype=np.int64)
+        lab = nxt
+
+    return pd.DataFrame({"node": nodes, "label": nodes[lab]})

@@ -145,3 +145,64 @@ class TestTriangleCount:
 
     def test_empty(self, ray_session):
         assert self._run([(3, 3)]) == (0, 0, 0)
+
+
+def test_label_propagation(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.graph import label_propagation
+
+    # two cliques {0,1,2} and {10,11,12} joined by one weak bridge
+    cl1 = [(0, 1), (1, 2), (0, 2)]
+    cl2 = [(10, 11), (11, 12), (10, 12)]
+    bridge = [(2, 10)]
+    und = cl1 + cl2 + bridge
+    src = np.array([a for a, b in und] + [b for a, b in und],
+                   dtype=np.int64)
+    dst = np.array([b for a, b in und] + [a for a, b in und],
+                   dtype=np.int64)
+    df = pd.DataFrame({"src": src, "dst": dst})
+    out = label_propagation(
+        rd.from_pandas(df).repartition(3), iters=4
+    ).set_index("node")["label"]
+
+    # python mirror: synchronous LPA, most-frequent in-label, min ties
+    import collections
+    lab = {v: v for v in sorted(set(src) | set(dst))}
+    for _ in range(4):
+        nxt = dict(lab)
+        inb = collections.defaultdict(list)
+        for s, d in zip(src, dst):
+            inb[d].append(lab[s])
+        for v, labs in inb.items():
+            c = collections.Counter(labs)
+            best = max(c.items(), key=lambda kv: (kv[1], -kv[0]))
+            nxt[v] = min(l for l in c if c[l] == best[1])
+        lab = nxt
+    for v, want in lab.items():
+        assert out.loc[v] == want
+    # the two cliques end in different communities
+    assert len({out.loc[0], out.loc[1], out.loc[2]}) == 1
+    assert len({out.loc[10], out.loc[11], out.loc[12]}) == 1
+    assert out.loc[0] != out.loc[10]
+
+    empty = df.iloc[:0]
+    out2 = label_propagation(rd.from_pandas(empty))
+    assert len(out2) == 0
+
+
+def test_label_propagation_partition_invariant(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.graph import label_propagation
+
+    rng = np.random.RandomState(3)
+    src = rng.randint(0, 60, size=400).astype(np.int64)
+    dst = rng.randint(0, 60, size=400).astype(np.int64)
+    df = pd.DataFrame({"src": src, "dst": dst})
+    a = label_propagation(rd.from_pandas(df).repartition(2), iters=3)
+    b = label_propagation(rd.from_pandas(df).repartition(11), iters=3)
+    pd.testing.assert_frame_equal(
+        a.sort_values("node").reset_index(drop=True),
+        b.sort_values("node").reset_index(drop=True),
+    )
