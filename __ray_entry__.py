@@ -2648,6 +2648,85 @@ def _q_cusum(sf_dir: str):
                         target=0.0, slack=0.5, threshold=40.0)
 
 
+def _q_match_1to1(sf_dir: str):
+    """One-to-one assignment over the prefix-blocked Jaro-Winkler pair
+    stream: local-max (mutual-best) rounds, each part name matched at
+    most once."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.linkage import (
+        greedy_max_matching,
+        jw_prefix_join,
+    )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_name"]
+    )
+    pairs = jw_prefix_join(ds, "p_name", threshold=75.0, prefix_len=2)
+    return greedy_max_matching(pairs, "name_a", "name_b", "jw_sim",
+                               rounds=3)
+
+
+def _match_1to1_oracle(rounds: int = 3) -> str:
+    """Replay of linkage.greedy_max_matching over the jw_prefix_part
+    pair stream: per round, nominations via row_number (score desc,
+    partner asc), mutual edges matched, touched nodes filtered."""
+    sql = ["""
+        WITH v AS (
+          SELECT DISTINCT p_name AS name FROM part
+          WHERE length(p_name) >= 2
+        ), e0 AS (
+          SELECT * FROM (
+            SELECT a.name AS name_a, b.name AS name_b,
+                   round(100.0 * jaro_winkler_similarity(a.name, b.name),
+                         6) AS jw_sim
+            FROM v a JOIN v b
+              ON substr(a.name, 1, 2) = substr(b.name, 1, 2)
+             AND a.name < b.name
+          ) WHERE jw_sim >= (75.0)::DOUBLE
+        )"""]
+    for i in range(1, rounds + 1):
+        sql.append(f""",
+        n{i} AS (
+          SELECT name_a, name_b, jw_sim FROM (
+            SELECT name_a, name_b, jw_sim,
+                   row_number() OVER (
+                     PARTITION BY node
+                     ORDER BY jw_sim DESC, other ASC
+                   ) AS rn
+            FROM (
+              SELECT name_a AS node, name_b AS other,
+                     name_a, name_b, jw_sim FROM e{i - 1}
+              UNION ALL
+              SELECT name_b AS node, name_a AS other,
+                     name_a, name_b, jw_sim FROM e{i - 1}
+            )
+          ) WHERE rn = 1
+        ),
+        m{i} AS (
+          SELECT name_a, name_b, min(jw_sim) AS jw_sim,
+                 ({i})::BIGINT AS rnd
+          FROM n{i} GROUP BY name_a, name_b HAVING count(*) = 2
+        ),
+        t{i} AS (
+          SELECT name_a AS nd FROM m{i}
+          UNION ALL SELECT name_b FROM m{i}
+        ),
+        e{i} AS (
+          SELECT * FROM e{i - 1}
+          WHERE name_a NOT IN (SELECT nd FROM t{i})
+            AND name_b NOT IN (SELECT nd FROM t{i})
+        )""")
+    union = "\n          UNION ALL ".join(
+        f"SELECT name_a, name_b, jw_sim, rnd FROM m{i}"
+        for i in range(1, rounds + 1)
+    )
+    sql.append(f"""
+        {union}
+    """)
+    return "".join(sql)
+
+
 def _q_labelprop(sf_dir: str):
     """Deterministic synchronous label propagation (4 rounds, min-label
     ties) over the bidirectional part<->supplier graph of lineitem."""
@@ -3549,6 +3628,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adamic_adar_lineitem": _q_adamic_adar,
         "heaps_docs": _q_heaps,
         "labelprop_lineitem": _q_labelprop,
+        "match_1to1_part": _q_match_1to1,
         "benford_orders": _q_benford,
         "band_join_orders": _q_band_join,
         "golden_record_part": _q_golden_record,
@@ -5496,6 +5576,7 @@ def oracle_sql() -> dict[str, str]:
             FROM f
         """,
         "labelprop_lineitem": _labelprop_oracle(iters=4),
+        "match_1to1_part": _match_1to1_oracle(rounds=3),
         "heaps_docs": """
             WITH t AS (
               SELECT doc_id,

@@ -2040,3 +2040,154 @@ def merge_conflict_report(
         .groupby("__mcb__")
         .map_groups(report, batch_format="pandas")
     )
+
+
+def greedy_max_matching(
+    pairs: ray.data.Dataset,
+    a_col: str,
+    b_col: str,
+    score_col: str,
+    *,
+    rounds: int = 3,
+    n_buckets: int = 64,
+    max_matched_broadcast: int = 50_000_000,
+):
+    """One-to-one matching over a scored pair stream by LOCAL-MAX
+    rounds (Preis 1999 / the parallel greedy 1/2-approximation): per
+    round every node nominates its best incident edge (score desc,
+    partner asc — a total order because partners are distinct per
+    node), edges nominated by BOTH endpoints are matched, and all edges
+    touching matched nodes drop; repeat. → pandas DataFrame
+    (a_col, b_col, score_col, rnd) — the assignment step that turns
+    an ER similarity join into one-to-one links (each record matched at
+    most once), deterministic under any partitioning.
+
+    The sequential greedy (take globally-best edge, remove, repeat) is
+    inherently serial; local-max is its standard distributed
+    counterpart and yields the same matching whenever scores are
+    distinct along conflict chains. Fixed ``rounds`` keeps the oracle a
+    finite CTE chain; unmatched leftovers after the last round stay
+    unmatched (documented — matched set grows monotonically with
+    rounds).
+
+    Scale shape: per round TWO bounded exchanges (node-hash nominate →
+    edge-tuple mutual check), both vectorized (factorized lexsort
+    argmax, never per-node groups); the driver holds only the matched
+    edges (≤ nodes/2 rows, ``max_matched_broadcast`` guard) and
+    broadcasts the matched-node set for the edge filter. Early-exits
+    when a round matches nothing.
+    """
+    import pandas as pd
+
+    def explode(t: pa.Table) -> pa.Table:
+        def cat(x: pa.ChunkedArray | pa.Array, y) -> pa.Array:
+            if isinstance(x, pa.ChunkedArray):
+                x = x.combine_chunks()
+            if isinstance(y, pa.ChunkedArray):
+                y = y.combine_chunks()
+            return pa.concat_arrays([x, y])
+
+        a, b, s = t[a_col], t[b_col], t[score_col]
+        both = pa.table(
+            {"__node__": cat(a, b), "__other__": cat(b, a),
+             a_col: cat(a, a), b_col: cat(b, b), score_col: cat(s, s)}
+        )
+        hb = column_hash64(both["__node__"]) % np.uint64(n_buckets)
+        return both.append_column("__nb__", pa.array(hb.astype(np.int64)))
+
+    def nominate(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t.drop_columns(["__node__", "__other__"])
+        import pandas as pd  # worker-side
+
+        ncode, _ = pd.factorize(
+            t["__node__"].to_numpy(zero_copy_only=False)
+        )
+        oc_raw, ouniq = pd.factorize(
+            t["__other__"].to_numpy(zero_copy_only=False)
+        )
+        # order codes so int compare == value compare
+        rank = np.empty(len(ouniq), np.int64)
+        rank[np.argsort(ouniq)] = np.arange(len(ouniq), dtype=np.int64)
+        ocode = rank[oc_raw]
+        sc = t[score_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.lexsort((ocode, -sc, ncode))
+        n_s = ncode[order]
+        firstm = np.concatenate(([True], n_s[1:] != n_s[:-1]))
+        pick = order[firstm]
+        return t.take(pa.array(pick)).drop_columns(
+            ["__node__", "__other__"]
+        )
+
+    def mutual(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return t
+        import pandas as pd  # worker-side
+
+        ca, ua = pd.factorize(t[a_col].to_numpy(zero_copy_only=False))
+        cb, ub = pd.factorize(t[b_col].to_numpy(zero_copy_only=False))
+        codes = ca.astype(np.int64) * np.int64(len(ub)) + cb
+        ks = np.sort(codes)
+        dup_keys = ks[:-1][ks[1:] == ks[:-1]]  # edges nominated twice
+        mask = np.isin(codes, dup_keys)
+        idx = np.nonzero(mask)[0]
+        c_m = codes[idx]
+        o = np.argsort(c_m, kind="stable")
+        firstm = np.concatenate(([True], c_m[o][1:] != c_m[o][:-1])) \
+            if len(o) else np.array([], bool)
+        return t.take(pa.array(idx[o][firstm]))
+
+    remaining = pairs.materialize()
+    matched_frames: list = []
+    for rnd in range(1, int(rounds) + 1):
+        if remaining.count() == 0:
+            break
+        nom = (
+            remaining.map_batches(explode, batch_format="pyarrow")
+            .groupby("__nb__")
+            .map_groups(lambda t: nominate(t.drop_columns(["__nb__"])),
+                        batch_format="pyarrow")
+        )
+        from record_matcher_ray.pipelines.dedup import _with_tuple_bucket
+
+        mut = (
+            _with_tuple_bucket(nom, [a_col, b_col], n_buckets, "__mb__")
+            .groupby("__mb__")
+            .map_groups(lambda t: mutual(t.drop_columns(["__mb__"])),
+                        batch_format="pyarrow")
+        )
+        m = mut.to_pandas()
+        if len(m) == 0:
+            break
+        if len(m) > max_matched_broadcast:
+            raise ValueError(
+                f"greedy_max_matching round {rnd} matched {len(m)} edges "
+                f"(> max_matched_broadcast); raise the cap or shard the "
+                f"matched-node filter."
+            )
+        m = m[[a_col, b_col, score_col]].copy()
+        m["rnd"] = np.int64(rnd)
+        matched_frames.append(m)
+        taken = pa.array(
+            np.concatenate([m[a_col].to_numpy(), m[b_col].to_numpy()])
+        )
+        taken_ref = ray.put(taken)
+
+        def drop_taken(t: pa.Table, taken_ref=taken_ref) -> pa.Table:
+            tk = ray.get(taken_ref)
+            bad = pc.or_(pc.is_in(t[a_col], value_set=tk),
+                         pc.is_in(t[b_col], value_set=tk))
+            return t.filter(pc.invert(bad))
+
+        remaining = remaining.map_batches(
+            drop_taken, batch_format="pyarrow"
+        ).materialize()
+
+    if not matched_frames:
+        return pd.DataFrame(
+            {a_col: pd.array([], dtype=object),
+             b_col: pd.array([], dtype=object),
+             score_col: pd.array([], dtype=np.float64),
+             "rnd": pd.array([], dtype=np.int64)}
+        )
+    return pd.concat(matched_frames, ignore_index=True)

@@ -1215,3 +1215,58 @@ def test_merge_conflict_report(ray_session):
     assert rows[1]["n_conflict_cols"] == 1
     assert rows[2]["nd_brand"] == 1 and rows[2]["nd_size"] == 1
     assert rows[2]["n_conflict_cols"] == 0
+
+
+def test_greedy_max_matching(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.linkage import greedy_max_matching
+
+    # path graph a-b-c-d with scores: b-c best, so round1 = {b-c};
+    # round2 then matches nothing (a-b, c-d both gone? no: a-b and c-d
+    # survive since only b,c taken -> a-b dropped (b taken), c-d dropped)
+    pairs = pd.DataFrame(
+        {"a": ["a", "b", "c"], "b": ["b", "c", "d"],
+         "s": [5.0, 9.0, 5.0]}
+    )
+    out = greedy_max_matching(
+        rd.from_pandas(pairs).repartition(2), "a", "b", "s", rounds=3
+    ).sort_values(["a"]).reset_index(drop=True)
+    assert out["a"].tolist() == ["b"]
+    assert out["b"].tolist() == ["c"]
+    assert out["rnd"].tolist() == [1]
+
+    # two disjoint edges both match in round 1; a chain where the
+    # second-best pair matches in round 2
+    pairs2 = pd.DataFrame(
+        {"a": ["a", "b", "x"], "b": ["b", "c", "y"],
+         "s": [9.0, 5.0, 7.0]}
+    )
+    out2 = greedy_max_matching(
+        rd.from_pandas(pairs2), "a", "b", "s", rounds=3
+    ).sort_values(["a"]).reset_index(drop=True)
+    assert out2["a"].tolist() == ["a", "x"]
+    assert out2["rnd"].tolist() == [1, 1]
+
+    # chain needing round 2: c-d matches after b taken by a
+    pairs3 = pd.DataFrame(
+        {"a": ["a", "b", "c"], "b": ["b", "c", "d"],
+         "s": [9.0, 7.0, 5.0]}
+    )
+    out3 = greedy_max_matching(
+        rd.from_pandas(pairs3), "a", "b", "s", rounds=3
+    ).sort_values(["a"]).reset_index(drop=True)
+    assert out3["a"].tolist() == ["a", "c"]
+    assert out3["b"].tolist() == ["b", "d"]
+    assert out3["rnd"].tolist() == [1, 2]
+
+    # tie scores: partner-asc tie-break picks the smaller partner
+    pairs4 = pd.DataFrame(
+        {"a": ["m", "m"], "b": ["n", "p"], "s": [5.0, 5.0]}
+    )
+    out4 = greedy_max_matching(rd.from_pandas(pairs4), "a", "b", "s")
+    assert out4["b"].tolist() == ["n"]
+
+    empty = pairs.iloc[:0]
+    out5 = greedy_max_matching(rd.from_pandas(empty), "a", "b", "s")
+    assert len(out5) == 0 and set(out5.columns) == {"a", "b", "s", "rnd"}
