@@ -1765,6 +1765,23 @@ def _q_kmv(sf_dir: str):
     return kmv_distinct(ds, "o_custkey", k=256)
 
 
+def _q_kmv_setops(sf_dir: str):
+    """KMV set-operation estimates (k=256) between the distinct
+    o_custkey set of orders and the c_custkey set of customer:
+    union / Jaccard / intersection from two bottom-k sketches."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.sketches import kmv_set_ops
+
+    a = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    )
+    b = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    )
+    return kmv_set_ops(a, b, "o_custkey", "c_custkey", k=256)
+
+
 def _q_approx_distinct(sf_dir: str):
     """HyperLogLog approximate distinct o_custkey per o_orderstatus plus
     a global 'ALL' row (p=12) — fixed-size mergeable partials, raw
@@ -3549,6 +3566,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_order_per_customer": _q_latest_order,
         "approx_distinct_orders": _q_approx_distinct,
         "kmv_orders": _q_kmv,
+        "kmv_setops_orders": _q_kmv_setops,
         "countmin_orders": _q_countmin,
         "quantile_filter_docs": _q_quantile_filter,
         "winsorize_docs": _q_winsorize,
@@ -4041,12 +4059,60 @@ def _sketch_oracles() -> dict[str, str]:
                END AS est_distinct
         FROM agg
     """
+    # KMV set-ops replay (sketches.kmv_set_ops): union-of-bottom-ks is a
+    # valid union sketch; overlap fraction estimates Jaccard.
+    kmv_setops = f"""
+        WITH ha AS (
+          SELECT DISTINCT ({hu}) AS hu
+          FROM (SELECT o_custkey AS v FROM orders)
+        ), ka AS (SELECT hu FROM ha ORDER BY hu LIMIT {kmv_k}),
+        hb AS (
+          SELECT DISTINCT ({hu}) AS hu
+          FROM (SELECT c_custkey AS v FROM customer)
+        ), kb AS (SELECT hu FROM hb ORDER BY hu LIMIT {kmv_k}),
+        ku AS (
+          SELECT hu FROM (
+            SELECT DISTINCT hu FROM (
+              SELECT hu FROM ka UNION ALL SELECT hu FROM kb)
+          ) ORDER BY hu LIMIT {kmv_k}
+        ), agg AS (
+          SELECT count(*)::BIGINT AS n_u,
+                 coalesce(max(hu), 0)::UBIGINT AS kth
+          FROM ku
+        ), ov AS (
+          SELECT count(*)::BIGINT AS ov FROM ku
+          WHERE hu IN (SELECT hu FROM ka)
+            AND hu IN (SELECT hu FROM kb)
+        ), sides AS (
+          SELECT (SELECT count(*) FROM ka)::BIGINT AS n_a,
+                 (SELECT count(*) FROM kb)::BIGINT AS n_b
+        ), est AS (
+          SELECT n_u, kth, ov, n_a, n_b,
+                 CASE WHEN n_u = 0 THEN (0.0)::DOUBLE
+                      WHEN n_u < {kmv_k} THEN (n_u)::DOUBLE
+                      ELSE {kmv_k - 1}.0::DOUBLE * {C264}
+                           / (kth)::DOUBLE
+                 END AS eu,
+                 CASE WHEN n_u = 0 THEN (0.0)::DOUBLE
+                      ELSE (ov)::DOUBLE / (n_u)::DOUBLE
+                 END AS jac
+          FROM agg CROSS JOIN ov CROSS JOIN sides
+        )
+        SELECT {kmv_k}::BIGINT AS k, n_a, n_b, n_u AS n_union,
+               kth AS kth_union, ov AS overlap,
+               floor(eu * 1000000.0 + 0.5) / 1000000.0 AS est_union,
+               floor(jac * 1000000.0 + 0.5) / 1000000.0 AS jaccard,
+               floor(jac * eu * 1000000.0 + 0.5) / 1000000.0
+                 AS est_intersection
+        FROM est
+    """
     return {
         "approx_distinct_orders": hll,
         "kmeans_embeddings": _kmeans_oracle(),
         "davies_bouldin_embeddings": _davies_bouldin_oracle(),
         "countmin_orders": cm,
         "kmv_orders": kmv,
+        "kmv_setops_orders": kmv_setops,
     }
 
 

@@ -534,3 +534,71 @@ def heavy_hitters(
          "cnt": pa.array(wins["cnt"].to_numpy(np.int64))}
     )
     return ray.data.from_arrow(out)
+
+
+def kmv_set_ops(
+    ds_a: ray.data.Dataset,
+    ds_b: ray.data.Dataset,
+    col_a: str,
+    col_b: str,
+    k: int = 256,
+) -> pd.DataFrame:
+    """KMV set-operation estimates between two keyed datasets (Beyer et
+    al. 2007): bottom-k distinct-hash sketches of each side combine into
+    a valid sketch of the UNION (bottom-k of the union of bottom-ks),
+    and the fraction of the union sketch present in BOTH side sketches
+    estimates Jaccard — yielding distinct-union, Jaccard and
+    distinct-intersection estimates from two tiny sketches. The sketch
+    algebra step that makes KMV (unlike HLL registers) support
+    intersections. → ONE row (k, n_a, n_b, n_union, kth_union, overlap,
+    est_union, jaccard, est_intersection).
+
+    Deterministic/replayable: sketches are set-semantics bottom-k of
+    splitmix64 hashes (partition/merge-order invariant); when the union
+    sketch holds < k hashes nothing was truncated on either side so the
+    union count is EXACT; estimators are pinned-order doubles
+    ((k−1)·2⁶⁴ is exact in a double), readout half-up 6dp.
+
+    Scale shape: per-block bottom-k partials (k×8 bytes each) per side —
+    no exchange at all; the driver merges O(blocks·k) hashes.
+    """
+    def _merged(ds: ray.data.Dataset, col: str) -> np.ndarray:
+        parts = kmv_partials(ds, col, k=k).to_pandas()
+        if len(parts) == 0:
+            return np.empty(0, np.uint64)
+        u = np.unique(np.concatenate(
+            [np.asarray(r, dtype=np.uint64) for r in parts["hs"]]
+        ))
+        return u[:k]
+
+    ka = _merged(ds_a, col_a)
+    kb = _merged(ds_b, col_b)
+    un = np.unique(np.concatenate([ka, kb]))[:k]
+    n_u = len(un)
+    kth = int(un[-1]) if n_u else 0
+    overlap = int(np.sum(np.isin(un, ka) & np.isin(un, kb)))
+    if n_u == 0:
+        est_union = jac = inter = 0.0
+    else:
+        if n_u < k:
+            est_union = float(n_u)  # exact — no truncation anywhere
+        else:
+            est_union = float(k - 1) * 18446744073709551616.0 / float(kth)
+        jac = float(overlap) / float(n_u)
+        inter = jac * est_union
+
+    def r6(v: float) -> float:
+        import math
+        return math.floor(v * 1e6 + 0.5) / 1e6
+
+    return pd.DataFrame({
+        "k": pd.Series([k], dtype=np.int64),
+        "n_a": pd.Series([len(ka)], dtype=np.int64),
+        "n_b": pd.Series([len(kb)], dtype=np.int64),
+        "n_union": pd.Series([n_u], dtype=np.int64),
+        "kth_union": pd.Series([kth], dtype=np.uint64),
+        "overlap": pd.Series([overlap], dtype=np.int64),
+        "est_union": pd.Series([r6(est_union)], dtype=np.float64),
+        "jaccard": pd.Series([r6(jac)], dtype=np.float64),
+        "est_intersection": pd.Series([r6(inter)], dtype=np.float64),
+    })

@@ -499,3 +499,46 @@ def test_benford_empty(ray_session):
     df = pd.DataFrame({"g": ["a"], "v": [-1.0]})  # nothing positive
     out = benford_digit_test(rd.from_pandas(df), "v", "g")
     assert len(out) == 0
+
+
+def test_kmv_set_ops_exact_small(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.sketches import kmv_set_ops
+
+    a = pd.DataFrame({"v": np.arange(0, 60, dtype=np.int64)})
+    b = pd.DataFrame({"v": np.arange(40, 100, dtype=np.int64)})
+    out = kmv_set_ops(
+        rd.from_pandas(a).repartition(4), rd.from_pandas(b).repartition(3),
+        "v", "v", k=256,
+    )
+    # k > all distincts -> everything exact
+    assert out["n_a"].iloc[0] == 60 and out["n_b"].iloc[0] == 60
+    assert out["n_union"].iloc[0] == 100
+    assert out["overlap"].iloc[0] == 20
+    assert out["est_union"].iloc[0] == 100.0
+    assert out["jaccard"].iloc[0] == 0.2
+    assert out["est_intersection"].iloc[0] == 20.0
+
+
+def test_kmv_set_ops_estimates(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.sketches import kmv_set_ops
+
+    rng = np.random.RandomState(5)
+    a = pd.DataFrame({"v": rng.permutation(20_000)[:10_000].astype(np.int64)})
+    b = pd.DataFrame({"v": (np.arange(5_000, 15_000)).astype(np.int64)})
+    out = kmv_set_ops(rd.from_pandas(a), rd.from_pandas(b), "v", "v",
+                      k=512)
+    # truth: |A|=10k |B|=10k, overlap = |A ∩ [5000,15000)| ~ 5k
+    union_true = len(set(a["v"]) | set(b["v"]))
+    inter_true = len(set(a["v"]) & set(b["v"]))
+    assert abs(out["est_union"].iloc[0] - union_true) / union_true < 0.15
+    assert abs(out["est_intersection"].iloc[0] - inter_true) \
+        / max(inter_true, 1) < 0.25
+
+    empty = a.iloc[:0]
+    z = kmv_set_ops(rd.from_pandas(empty), rd.from_pandas(empty),
+                    "v", "v")
+    assert z["n_union"].iloc[0] == 0 and z["est_union"].iloc[0] == 0.0
