@@ -2650,6 +2650,23 @@ def _q_ewma(sf_dir: str):
                        alpha=0.2)
 
 
+def _q_welch(sf_dir: str):
+    """Welch two-sample t-test per order priority: does o_totalprice
+    differ between status 'F' and status 'O' orders?"""
+    import ray.data
+
+    from record_matcher_ray.pipelines.stats import welch_t_by_group
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_orderstatus", "o_totalprice"],
+    )
+    return welch_t_by_group(
+        ds, "o_orderpriority", "o_orderstatus", "o_totalprice",
+        "F", "O",
+    )
+
+
 def _q_cusum(sf_dir: str):
     """Per-user two-sided CUSUM drift statistics of event values
     (target 0, slack 0.5, alarm threshold 40, (ts, id) fold order)."""
@@ -3567,6 +3584,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "approx_distinct_orders": _q_approx_distinct,
         "kmv_orders": _q_kmv,
         "kmv_setops_orders": _q_kmv_setops,
+        "welch_orders": _q_welch,
         "countmin_orders": _q_countmin,
         "quantile_filter_docs": _q_quantile_filter,
         "winsorize_docs": _q_winsorize,
@@ -5725,6 +5743,76 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY n_chars DESC, doc_id ASC
                    ) AS keeper_id
             FROM n
+        """,
+        "welch_orders": """
+            WITH base AS (
+              SELECT o_orderpriority AS g,
+                     (o_orderstatus)::VARCHAR AS l,
+                     (floor((o_totalprice)::DOUBLE * (100.0)::DOUBLE
+                            + (0.5)::DOUBLE))::BIGINT AS c
+              FROM orders
+              WHERE o_orderpriority IS NOT NULL
+                AND o_totalprice IS NOT NULL
+                AND (o_orderstatus)::VARCHAR IN ('F', 'O')
+            ), agg AS (
+              SELECT g, l, count(*)::BIGINT AS n,
+                     (sum((c)::HUGEINT))::HUGEINT AS s,
+                     (sum((c)::HUGEINT * (c)::HUGEINT))::HUGEINT AS q
+              FROM base GROUP BY g, l
+            ), j AS (
+              SELECT a.g, a.n AS na, b.n AS nb, a.s AS sa, b.s AS sb,
+                     a.q AS qa, b.q AS qb
+              FROM (SELECT * FROM agg WHERE l = 'F') a
+              JOIN (SELECT * FROM agg WHERE l = 'O') b USING (g)
+              WHERE a.n >= 2 AND b.n >= 2
+            ), d AS (
+              SELECT g, na, nb,
+                     (sa)::DOUBLE / (na)::DOUBLE AS ma,
+                     (sb)::DOUBLE / (nb)::DOUBLE AS mb,
+                     ((qa)::DOUBLE - (sa)::DOUBLE * (sa)::DOUBLE
+                        / (na)::DOUBLE)
+                       / ((na)::DOUBLE - (1.0)::DOUBLE) AS va,
+                     ((qb)::DOUBLE - (sb)::DOUBLE * (sb)::DOUBLE
+                        / (nb)::DOUBLE)
+                       / ((nb)::DOUBLE - (1.0)::DOUBLE) AS vb
+              FROM j
+            ), e AS (
+              SELECT g, na, nb, ma, mb, va, vb,
+                     va / (na)::DOUBLE + vb / (nb)::DOUBLE AS se2
+              FROM d
+            ), f AS (
+              SELECT g, na, nb, se2,
+                     (ma - mb) / (100.0)::DOUBLE AS md,
+                     CASE WHEN se2 <= (0.0)::DOUBLE THEN NULL
+                          ELSE (ma - mb) / sqrt(se2) END AS ts,
+                     CASE WHEN se2 <= (0.0)::DOUBLE THEN NULL
+                          ELSE se2 * se2
+                               / ((va / (na)::DOUBLE)
+                                    * (va / (na)::DOUBLE)
+                                    / ((na)::DOUBLE - (1.0)::DOUBLE)
+                                  + (vb / (nb)::DOUBLE)
+                                    * (vb / (nb)::DOUBLE)
+                                    / ((nb)::DOUBLE - (1.0)::DOUBLE))
+                     END AS dfree
+              FROM e
+            )
+            SELECT g AS o_orderpriority, na AS n_a, nb AS n_b,
+                   CASE WHEN md >= 0
+                        THEN floor(md * 1000000.0 + 0.5) / 1000000.0
+                        ELSE -floor(-md * 1000000.0 + 0.5) / 1000000.0
+                   END AS mean_diff,
+                   CASE WHEN ts IS NULL THEN NULL
+                        WHEN ts >= 0
+                        THEN floor(ts * 1000000.0 + 0.5) / 1000000.0
+                        ELSE -floor(-ts * 1000000.0 + 0.5) / 1000000.0
+                   END AS t_stat,
+                   CASE WHEN dfree IS NULL THEN NULL
+                        WHEN dfree >= 0
+                        THEN floor(dfree * 1000000.0 + 0.5) / 1000000.0
+                        ELSE -floor(-dfree * 1000000.0 + 0.5)
+                             / 1000000.0
+                   END AS df
+            FROM f
         """,
         "zipf_docs": """
             WITH t AS (

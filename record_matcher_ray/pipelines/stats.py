@@ -871,3 +871,131 @@ def benford_digit_test(
         {"grp": out["grp"], "n": np.asarray(out["n"], np.int64),
          "chi2": np.asarray(out["chi2"], np.float64)}
     )
+
+
+_WELCH_QMAX = 90_000_000  # |c| bound so 1024·c² < 2**63 in _exact_sum
+
+
+def welch_t_by_group(
+    ds: ray.data.Dataset,
+    group_col: str,
+    label_col: str,
+    val_col: str,
+    label_a: str,
+    label_b: str,
+    *,
+    scale: float = 100.0,
+    ndigits: int = 6,
+) -> pd.DataFrame:
+    """Welch's unequal-variance two-sample t-test per group (Welch
+    1947): within each ``group_col`` value, compare ``val_col`` between
+    rows labeled ``label_a`` and ``label_b`` → one row per group with
+    both labels present (n ≥ 2 each):
+    (group, n_a, n_b, mean_diff, t_stat, df) — mean_diff in original
+    units, df by Welch–Satterthwaite. The A/B-comparison primitive for
+    per-segment metric shifts.
+
+    Parity recipe: values quantize once to integer units
+    (``floor(v·scale + 0.5)``), per-(group,label) Σx/Σx² accumulate
+    EXACTLY (decimal128 partials like `linear_fit` — immune to block
+    layout), and the entire readout is one pinned-order double chain
+    (means, sample variances, se², t, df — each int→double conversion
+    and operation in a fixed order the DuckDB oracle replays
+    bit-for-bit; sqrt is libm both sides). Zero-variance groups emit
+    NULL t/df. Readout signed half-up ``ndigits``.
+
+    Scale shape: ONE streaming pass; each block's partial is a few rows
+    per (group, label) — no shuffle at all; the driver merges
+    O(groups) integers.
+    """
+    import math
+
+    def partial(t: pa.Table) -> pa.Table:
+        lv = pc.cast(t[label_col], pa.string())
+        keep = pc.and_(
+            pc.and_(pc.is_valid(t[group_col]), pc.is_valid(t[val_col])),
+            pc.is_in(lv, value_set=pa.array([label_a, label_b])),
+        )
+        sub = t.filter(keep)
+        out_g, out_l, out_n, out_s, out_q = [], [], [], [], []
+        if len(sub):
+            g = sub[group_col].to_numpy(zero_copy_only=False)
+            l = pc.cast(sub[label_col], pa.string()).to_numpy(
+                zero_copy_only=False)
+            c = np.floor(
+                pc.cast(sub[val_col], pa.float64()).to_numpy() * scale
+                + 0.5
+            ).astype(np.int64)
+            if np.abs(c).max() > _WELCH_QMAX:
+                raise ValueError(
+                    f"welch_t_by_group quantized values exceed "
+                    f"|{_WELCH_QMAX}|; lower `scale`."
+                )
+            import pandas as pd  # worker-side
+
+            codes, uniq = pd.factorize(
+                pd.MultiIndex.from_arrays([g, l])
+            )
+            for i, (gv, lv_) in enumerate(uniq):
+                m = codes == i
+                out_g.append(gv)
+                out_l.append(lv_)
+                out_n.append(int(m.sum()))
+                cm = c[m]
+                out_s.append(_exact_sum(cm))
+                out_q.append(_exact_sum(cm * cm))
+        return pa.table(
+            {"g": pa.array(out_g, pa.string()),
+             "l": pa.array(out_l, pa.string()),
+             "n": pa.array(out_n, pa.int64()),
+             "s": pa.array(out_s, pa.decimal128(38, 0)),
+             "q": pa.array(out_q, pa.decimal128(38, 0))}
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    rows = []
+    if len(parts):
+        parts["s"] = parts["s"].map(int)
+        parts["q"] = parts["q"].map(int)
+        agg = parts.groupby(["g", "l"], sort=True).agg(
+            n=("n", "sum"), s=("s", "sum"), q=("q", "sum")
+        ).reset_index()
+        piv = {(r.g, r.l): (int(r.n), int(r.s), int(r.q))
+               for r in agg.itertuples()}
+        for gv in sorted({k[0] for k in piv}):
+            if (gv, label_a) not in piv or (gv, label_b) not in piv:
+                continue
+            na, sa, qa = piv[(gv, label_a)]
+            nb, sb, qb = piv[(gv, label_b)]
+            if na < 2 or nb < 2:
+                continue
+            naD, nbD = float(na), float(nb)
+            ma = float(sa) / naD
+            mb = float(sb) / nbD
+            va = (float(qa) - float(sa) * float(sa) / naD) / (naD - 1.0)
+            vb = (float(qb) - float(sb) * float(sb) / nbD) / (nbD - 1.0)
+            se2 = va / naD + vb / nbD
+            mean_diff = (ma - mb) / float(scale)
+            if se2 <= 0.0:
+                t_stat = df = None
+            else:
+                t_stat = (ma - mb) / math.sqrt(se2)
+                df = se2 * se2 / (
+                    (va / naD) * (va / naD) / (naD - 1.0)
+                    + (vb / nbD) * (vb / nbD) / (nbD - 1.0)
+                )
+
+            def r6(v):
+                if v is None:
+                    return None
+                p = 10.0 ** ndigits
+                return (math.floor(v * p + 0.5) if v >= 0
+                        else -math.floor(-v * p + 0.5)) / p
+
+            rows.append((gv, na, nb, r6(mean_diff), r6(t_stat), r6(df)))
+    return pd.DataFrame(
+        rows, columns=[group_col, "n_a", "n_b", "mean_diff",
+                       "t_stat", "df"]
+    ).astype({group_col: object, "n_a": np.int64, "n_b": np.int64,
+              "mean_diff": np.float64, "t_stat": np.float64,
+              "df": np.float64})

@@ -542,3 +542,65 @@ def test_kmv_set_ops_estimates(ray_session):
     z = kmv_set_ops(rd.from_pandas(empty), rd.from_pandas(empty),
                     "v", "v")
     assert z["n_union"].iloc[0] == 0 and z["est_union"].iloc[0] == 0.0
+
+
+def test_welch_t_by_group(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.stats import welch_t_by_group
+
+    rng = np.random.RandomState(23)
+    n = 4_000
+    df = pd.DataFrame(
+        {"grp": rng.choice(["g1", "g2"], size=n),
+         "lab": rng.choice(["A", "B", "C"], size=n),
+         "val": np.round(rng.normal(100, 15, size=n), 2)}
+    )
+    # shift B in g2
+    df.loc[(df.grp == "g2") & (df.lab == "B"), "val"] += 25.0
+    out = welch_t_by_group(
+        rd.from_pandas(df).repartition(7), "grp", "lab", "val", "A", "B"
+    ).set_index("grp")
+
+    for gv, sub in df[df.lab.isin(["A", "B"])].groupby("grp"):
+        a = np.floor(sub[sub.lab == "A"]["val"].to_numpy() * 100 + 0.5)
+        b = np.floor(sub[sub.lab == "B"]["val"].to_numpy() * 100 + 0.5)
+        # exact-moment mirror of the pinned chain
+        na, nb = float(len(a)), float(len(b))
+        sa, sb = float(int(a.sum())), float(int(b.sum()))
+        qa = float(int((a * a).sum()))
+        qb = float(int((b * b).sum()))
+        ma, mb = sa / na, sb / nb
+        va = (qa - sa * sa / na) / (na - 1.0)
+        vb = (qb - sb * sb / nb) / (nb - 1.0)
+        se2 = va / na + vb / nb
+        t = (ma - mb) / math.sqrt(se2)
+        r6 = lambda v: (math.floor(v * 1e6 + 0.5) if v >= 0
+                        else -math.floor(-v * 1e6 + 0.5)) / 1e6
+        assert out.loc[gv, "t_stat"] == r6(t)
+        assert out.loc[gv, "n_a"] == int(na)
+    # the shifted group must be strongly significant, the other not
+    assert out.loc["g2", "t_stat"] < -10
+    assert abs(out.loc["g1", "t_stat"]) < 4
+
+
+def test_welch_skips_thin_groups(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.stats import welch_t_by_group
+
+    df = pd.DataFrame(
+        {"grp": ["x", "x", "x", "y"],
+         "lab": ["A", "A", "B", "A"],  # x lacks 2 B rows; y lacks B
+         "val": [1.0, 2.0, 3.0, 4.0]}
+    )
+    out = welch_t_by_group(rd.from_pandas(df), "grp", "lab", "val",
+                           "A", "B")
+    assert len(out) == 0
+
+    empty = df.iloc[:0]
+    out2 = welch_t_by_group(rd.from_pandas(empty), "grp", "lab", "val",
+                            "A", "B")
+    assert len(out2) == 0
