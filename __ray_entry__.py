@@ -607,6 +607,96 @@ def _q_pagerank(sf_dir: str):
     return pagerank(li.map_batches(edges, batch_format="pyarrow"), iters=4)
 
 
+def _q_ppr(sf_dir: str):
+    """Personalized PageRank (random walk with restart): 4 iterations,
+    restart at parts whose partkey % 97 == 0, over the bidirectional
+    part<->supplier graph."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from record_matcher_ray.pipelines.graph import pagerank
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    )
+
+    def edges(t: pa.Table) -> pa.Table:
+        p = t["l_partkey"].to_numpy().astype(np.int64)
+        s = t["l_suppkey"].to_numpy().astype(np.int64) + _PR_OFF
+        return pa.table(
+            {"src": pa.array(np.concatenate([p, s])),
+             "dst": pa.array(np.concatenate([s, p]))}
+        )
+
+    pk = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey"]
+    ).to_pandas()["p_partkey"].to_numpy(dtype=np.int64)
+    seeds = pk[pk % 97 == 0]
+    return pagerank(li.map_batches(edges, batch_format="pyarrow"),
+                    iters=4, seeds=seeds)
+
+
+def _ppr_oracle(iters: int = 4, total_bits: int = 40,
+                d_num: int = 85, d_den: int = 100) -> str:
+    """Bit-exact replay of pipelines/graph.pagerank with seeds: teleport
+    mass only at seed nodes (partkey % 97 == 0), init 2^bits // |seeds|;
+    all arithmetic non-negative HUGEINT so `//` equals Python floor."""
+    total = 1 << total_bits
+    tele = (f"(({d_den - d_num} * (SELECT init FROM consts)) "
+            f"// {d_den})")
+    sql = [f"""
+        WITH edges AS (
+          SELECT l_partkey::BIGINT AS src,
+                 l_suppkey::BIGINT + {_PR_OFF} AS dst
+          FROM lineitem
+          UNION ALL
+          SELECT l_suppkey::BIGINT + {_PR_OFF} AS src,
+                 l_partkey::BIGINT AS dst
+          FROM lineitem
+        ), deg AS (
+          SELECT src AS node, count(*)::HUGEINT AS outd
+          FROM edges GROUP BY src
+        ), nodes AS (
+          SELECT DISTINCT node FROM (
+            SELECT src AS node FROM edges
+            UNION ALL SELECT dst FROM edges)
+        ), seeds AS (
+          SELECT node FROM nodes
+          WHERE node < {_PR_OFF} AND node % 97 = 0
+        ), consts AS (
+          SELECT ({total}::HUGEINT
+                  // (SELECT count(*) FROM seeds)) AS init
+        ), pr0 AS (
+          SELECT nd.node,
+                 CASE WHEN s.node IS NOT NULL
+                      THEN (SELECT init FROM consts)
+                      ELSE 0::HUGEINT END AS pr
+          FROM nodes nd LEFT JOIN seeds s ON s.node = nd.node
+        )"""]
+    for i in range(1, iters + 1):
+        sql.append(f""",
+        pr{i} AS (
+          SELECT nd.node,
+                 CASE WHEN sd.node IS NOT NULL THEN {tele}
+                      ELSE 0::HUGEINT END
+                 + ({d_num} * coalesce(f.s, 0)) // {d_den} AS pr
+          FROM nodes nd
+          LEFT JOIN seeds sd ON sd.node = nd.node
+          LEFT JOIN (
+            SELECT e.dst AS node, sum(p.pr // g.outd) AS s
+            FROM edges e
+            JOIN pr{i - 1} p ON p.node = e.src
+            JOIN deg g ON g.node = e.src
+            GROUP BY e.dst
+          ) f ON f.node = nd.node
+        )""")
+    sql.append(f"""
+        SELECT node, pr::BIGINT AS pr FROM pr{iters}
+    """)
+    return "".join(sql)
+
+
 def _pagerank_oracle(iters: int = 4, total_bits: int = 40,
                      d_num: int = 85, d_den: int = 100) -> str:
     """Bit-exact replay of pipelines/graph.pagerank: every iteration is a
@@ -3585,6 +3675,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_orders": _q_kmv,
         "kmv_setops_orders": _q_kmv_setops,
         "welch_orders": _q_welch,
+        "ppr_lineitem": _q_ppr,
         "countmin_orders": _q_countmin,
         "quantile_filter_docs": _q_quantile_filter,
         "winsorize_docs": _q_winsorize,
@@ -5204,6 +5295,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
         """,
         "pagerank_lineitem": _pagerank_oracle(),
+        "ppr_lineitem": _ppr_oracle(),
         "linear_fit_lineitem": """
             WITH q AS (
               SELECT CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS x,

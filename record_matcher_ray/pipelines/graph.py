@@ -43,19 +43,28 @@ def pagerank(
     d_den: int = 100,
     total_bits: int = 40,
     max_broadcast_nodes: int = 50_000_000,
+    seeds: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """→ DataFrame (node:int64, pr:int64) — rank mass in integer units of
     2**-``total_bits`` after ``iters`` synchronous updates with damping
     ``d_num/d_den``:
 
         contrib(u) = pr(u) // outdeg(u)            (0 for dangling u)
-        pr'(v) = ((d_den - d_num) * INIT) // d_den
+        pr'(v) = ((d_den - d_num) * INIT) // d_den    (teleport)
                  + (d_num * Σ_{(u,v)∈E} contrib(u)) // d_den
 
     with ``INIT = 2**total_bits // N`` and parallel edges counted with
     multiplicity. Floors leak a little mass (standard for integer PR);
     ordering is unaffected. Dense per-block inflow partials are float64
     ``np.bincount`` sums, exact because total mass ≤ 2**total_bits < 2**53.
+
+    With ``seeds`` (an int64 array of node ids) this becomes
+    PERSONALIZED PageRank (random walk with restart): the teleport term
+    applies only at seed nodes with ``INIT = 2**total_bits // |seeds|``
+    and the walk starts there (non-seed init 0) — proximity-to-the-seed-
+    set scoring for entity-graph expansion ("records related to this
+    cluster"). Identical integer arithmetic, identically
+    partition-invariant; seed ids absent from the graph are ignored.
     """
     if total_bits > 52:
         raise ValueError("total_bits must be ≤ 52 so bincount sums stay "
@@ -101,9 +110,23 @@ def pagerank(
 
     edges = ds.map_batches(to_idx, batch_format="pyarrow").materialize()
 
-    init = (1 << total_bits) // n
-    teleport = ((d_den - d_num) * init) // d_den
-    pr = np.full(n, init, dtype=np.int64)
+    if seeds is None:
+        init = (1 << total_bits) // n
+        teleport = np.int64(((d_den - d_num) * init) // d_den)
+        pr = np.full(n, init, dtype=np.int64)
+    else:
+        sd = np.unique(np.asarray(seeds, dtype=np.int64))
+        pos = np.searchsorted(nodes, sd)
+        ok = (pos < n) & (nodes[np.clip(pos, 0, n - 1)] == sd)
+        seed_idx = pos[ok]
+        if len(seed_idx) == 0:
+            raise ValueError("personalized pagerank: no seed id is "
+                             "present in the graph")
+        init = (1 << total_bits) // len(seed_idx)
+        teleport = np.zeros(n, dtype=np.int64)
+        teleport[seed_idx] = ((d_den - d_num) * init) // d_den
+        pr = np.zeros(n, dtype=np.int64)
+        pr[seed_idx] = init
     outd_ref = ray.put(outd)
 
     for _ in range(iters):

@@ -206,3 +206,43 @@ def test_label_propagation_partition_invariant(ray_session):
         a.sort_values("node").reset_index(drop=True),
         b.sort_values("node").reset_index(drop=True),
     )
+
+
+def test_personalized_pagerank(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.graph import pagerank
+
+    # star around 0 plus a far pair 10-11; restart at {0}
+    und = [(0, 1), (0, 2), (0, 3), (10, 11)]
+    src = np.array([a for a, b in und] + [b for a, b in und],
+                   dtype=np.int64)
+    dst = np.array([b for a, b in und] + [a for a, b in und],
+                   dtype=np.int64)
+    df = pd.DataFrame({"src": src, "dst": dst})
+    out = pagerank(rd.from_pandas(df), iters=4,
+                   seeds=np.array([0], dtype=np.int64)
+                   ).set_index("node")["pr"]
+    # python mirror (integer PPR)
+    nodes = sorted(set(src) | set(dst))
+    idx = {v: i for i, v in enumerate(nodes)}
+    outd = {v: 0 for v in nodes}
+    for s in src:
+        outd[s] += 1
+    total = 1 << 40
+    init = total // 1
+    pr = {v: (init if v == 0 else 0) for v in nodes}
+    for _ in range(4):
+        inflow = {v: 0 for v in nodes}
+        for s, d in zip(src, dst):
+            inflow[d] += pr[s] // outd[s]
+        pr = {v: ((15 * init) // 100 if v == 0 else 0)
+              + (85 * inflow[v]) // 100 for v in nodes}
+    for v in nodes:
+        assert out.loc[v] == pr[v]
+    # all mass near the seed; the detached pair gets none
+    assert out.loc[10] == 0 and out.loc[11] == 0
+    assert out.loc[0] > out.loc[1] > 0
+
+    with pytest.raises(ValueError, match="no seed id"):
+        pagerank(rd.from_pandas(df), seeds=np.array([99], dtype=np.int64))
