@@ -2772,6 +2772,19 @@ def _q_cusum(sf_dir: str):
                         target=0.0, slack=0.5, threshold=40.0)
 
 
+def _q_canopy(sf_dir: str):
+    """Canopy blocking over distinct part names: token-set Jaccard,
+    loose 0.34 / tight 0.75, ascending-name center order."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.linkage import canopy_clusters
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_name"]
+    )
+    return canopy_clusters(ds, "p_name", t_loose=0.34, t_tight=0.75)
+
+
 def _q_match_1to1(sf_dir: str):
     """One-to-one assignment over the prefix-blocked Jaro-Winkler pair
     stream: local-max (mutual-best) rounds, each part name matched at
@@ -3756,6 +3769,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heaps_docs": _q_heaps,
         "labelprop_lineitem": _q_labelprop,
         "match_1to1_part": _q_match_1to1,
+        "canopy_part": _q_canopy,
         "benford_orders": _q_benford,
         "band_join_orders": _q_band_join,
         "golden_record_part": _q_golden_record,
@@ -5753,6 +5767,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         "labelprop_lineitem": _labelprop_oracle(iters=4),
         "match_1to1_part": _match_1to1_oracle(rounds=3),
+        "canopy_part": """
+            WITH RECURSIVE base AS (
+              SELECT name,
+                     list_sort(list_distinct(string_split(name, ' ')))
+                       AS toks
+              FROM (SELECT DISTINCT p_name AS name FROM part
+                    WHERE p_name IS NOT NULL)
+            ),
+            rt(elem, toks, ctr, member, remaining) AS (
+              SELECT name, toks, NULL::VARCHAR, false, true FROM base
+              UNION ALL
+              SELECT elem, toks, ctr,
+                     (len(list_intersect(toks, ctoks)))::DOUBLE
+                       / (len(list_distinct(toks || ctoks)))::DOUBLE
+                       >= (0.34)::DOUBLE,
+                     (len(list_intersect(toks, ctoks)))::DOUBLE
+                       / (len(list_distinct(toks || ctoks)))::DOUBLE
+                       < (0.75)::DOUBLE
+              FROM (
+                SELECT elem, toks,
+                       first_value(elem) OVER (ORDER BY elem) AS ctr,
+                       first_value(toks) OVER (ORDER BY elem) AS ctoks
+                FROM rt WHERE remaining
+              )
+            )
+            SELECT elem AS value, ctr AS center FROM rt WHERE member
+        """,
         "heaps_docs": """
             WITH t AS (
               SELECT doc_id,

@@ -2191,3 +2191,78 @@ def greedy_max_matching(
              "rnd": pd.array([], dtype=np.int64)}
         )
     return pd.concat(matched_frames, ignore_index=True)
+
+
+def canopy_clusters(
+    ds: ray.data.Dataset,
+    text_col: str,
+    *,
+    t_loose: float = 0.34,
+    t_tight: float = 0.75,
+    max_distinct: int = 1_000_000,
+):
+    """Canopy clustering (McCallum, Nigam & Ungar, KDD 2000) — the
+    classic cheap-distance ER blocking: repeatedly take the smallest
+    unprocessed value as a canopy CENTER, put every remaining value
+    with token-set Jaccard ≥ ``t_loose`` into that canopy (values may
+    belong to several canopies), and retire values with Jaccard ≥
+    ``t_tight``; expensive pairwise scoring then runs only within
+    canopies. → pandas DataFrame (value, center) memberships.
+
+    Deterministic: centers are chosen in ascending value order (ASCII
+    byte order — numpy str sort == DuckDB VARCHAR min for ASCII), the
+    similarity is |A∩B| / |A∪B| over ``split(' ')`` token SETS with one
+    int→double division per pair (bit-identical to the oracle's
+    ``list_intersect`` / ``list_distinct`` counts), so thresholds cut
+    identically both sides.
+
+    Scale shape: the DISTINCT value set rides one per-block-distinct
+    pass to the driver (``max_distinct`` guard — the greedy scan is
+    inherently sequential, the same documented driver-side shape as
+    `graph.pagerank`'s node table); per center the Jaccard sweep is one
+    vectorized ``np.isin`` + ``reduceat`` over the flattened token
+    index, never a Python pair loop. Total work O(canopies · tokens).
+    """
+    import pandas as pd
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        v = t[text_col]
+        v = v.filter(pc.is_valid(v))
+        u = np.unique(v.to_numpy(zero_copy_only=False))
+        return pa.table({"v": pa.array(u.astype(object), pa.string())})
+
+    parts = ds.map_batches(
+        distinct_partial, batch_format="pyarrow"
+    ).to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"value": pd.array([], dtype=object),
+                             "center": pd.array([], dtype=object)})
+    names = np.unique(parts["v"].to_numpy())
+    n = len(names)
+    if n > max_distinct:
+        raise ValueError(
+            f"canopy_clusters holds the distinct value set on the driver "
+            f"and got {n} values (> max_distinct={max_distinct}); block "
+            f"first (prefix/soundex) or raise the cap."
+        )
+    tok_sets = [sorted(set(s.split(" "))) for s in names]
+    lens = np.array([len(ts) for ts in tok_sets], dtype=np.int64)
+    flat = np.concatenate([np.asarray(ts, dtype=object)
+                           for ts in tok_sets])
+    starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+
+    remaining = np.ones(n, dtype=bool)
+    out_v: list = []
+    out_c: list = []
+    while remaining.any():
+        c = int(np.argmax(remaining))
+        mask = np.isin(flat, np.asarray(tok_sets[c], dtype=object))
+        inter = np.add.reduceat(mask.astype(np.int64), starts) \
+            if len(flat) else np.zeros(n, np.int64)
+        union = lens + lens[c] - inter
+        jac = inter.astype(np.float64) / union.astype(np.float64)
+        member = remaining & (jac >= t_loose)
+        out_v.extend(names[member])
+        out_c.extend([names[c]] * int(member.sum()))
+        remaining &= jac < t_tight
+    return pd.DataFrame({"value": out_v, "center": out_c})

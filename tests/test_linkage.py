@@ -1270,3 +1270,40 @@ def test_greedy_max_matching(ray_session):
     empty = pairs.iloc[:0]
     out5 = greedy_max_matching(rd.from_pandas(empty), "a", "b", "s")
     assert len(out5) == 0 and set(out5.columns) == {"a", "b", "s", "rnd"}
+
+
+def test_canopy_clusters(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.linkage import canopy_clusters
+
+    names = ["red apple pie", "green apple pie", "red plum tart",
+             "green plum tart", "blue cheese", "red apple pie"]
+    df = pd.DataFrame({"t": names})
+    out = canopy_clusters(
+        rd.from_pandas(df).repartition(3), "t",
+        t_loose=0.34, t_tight=0.75,
+    )
+    got = set(zip(out["value"], out["center"]))
+    # python mirror of the greedy
+    uniq = sorted(set(names))
+    sets = {s: set(s.split(" ")) for s in uniq}
+    rem = list(uniq)
+    want = set()
+    while rem:
+        c = rem[0]
+        nxt = []
+        for e in rem:
+            j = len(sets[c] & sets[e]) / len(sets[c] | sets[e])
+            if j >= 0.34:
+                want.add((e, c))
+            if j < 0.75:
+                nxt.append(e)
+        rem = nxt
+    assert got == want
+    # every distinct value appears in at least one canopy
+    assert set(out["value"]) == set(uniq)
+
+    empty = df.iloc[:0]
+    z = canopy_clusters(rd.from_pandas(empty), "t")
+    assert len(z) == 0
