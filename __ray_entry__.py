@@ -2772,6 +2772,20 @@ def _q_cusum(sf_dir: str):
                         target=0.0, slack=0.5, threshold=40.0)
 
 
+def _q_soft_tfidf(sf_dir: str):
+    """SoftTFIDF similarity join over distinct part names (2-char
+    prefix blocks, token-JW theta 90, score threshold 40)."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.linkage import soft_tfidf_join
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_name"]
+    )
+    return soft_tfidf_join(ds, "p_name", theta=90.0, threshold=40.0,
+                           prefix_len=2)
+
+
 def _q_canopy(sf_dir: str):
     """Canopy blocking over distinct part names: token-set Jaccard,
     loose 0.34 / tight 0.75, ascending-name center order."""
@@ -3770,6 +3784,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "labelprop_lineitem": _q_labelprop,
         "match_1to1_part": _q_match_1to1,
         "canopy_part": _q_canopy,
+        "soft_tfidf_part": _q_soft_tfidf,
         "benford_orders": _q_benford,
         "band_join_orders": _q_band_join,
         "golden_record_part": _q_golden_record,
@@ -5767,6 +5782,81 @@ def oracle_sql() -> dict[str, str]:
         """,
         "labelprop_lineitem": _labelprop_oracle(iters=4),
         "match_1to1_part": _match_1to1_oracle(rounds=3),
+        "soft_tfidf_part": """
+            WITH v AS (
+              SELECT DISTINCT p_name AS name FROM part
+              WHERE p_name IS NOT NULL AND length(p_name) >= 2
+            ), nv AS (
+              SELECT count(*)::BIGINT AS n FROM v
+            ), tk AS (
+              SELECT name,
+                     (list_sort(list_distinct(list_filter(
+                        string_split(regexp_replace(lower(name),
+                                                    '[^a-z0-9]+', ' ',
+                                                    'g'), ' '),
+                        x -> x <> ''))))[1:16] AS toks
+              FROM v
+            ), tok AS (
+              SELECT name, unnest(toks) AS w FROM tk
+            ), df AS (
+              SELECT w, count(*)::BIGINT AS df FROM tok GROUP BY w
+            ), idf AS (
+              SELECT w, ln((1.0)::DOUBLE
+                           + (SELECT n FROM nv)::DOUBLE
+                             / (df)::DOUBLE) AS idf
+              FROM df
+            ), wt AS (
+              SELECT t.name, t.w, i.idf FROM tok t JOIN idf i USING (w)
+            ), nrm AS (
+              SELECT name,
+                     sqrt(list_reduce(
+                       list_prepend((0.0)::DOUBLE,
+                                    list(idf * idf ORDER BY w)),
+                       (s, x) -> s + x)) AS nrm
+              FROM wt GROUP BY name
+            ), p AS (
+              SELECT a.name AS name_a, b.name AS name_b
+              FROM v a JOIN v b
+                ON substr(a.name, 1, 2) = substr(b.name, 1, 2)
+               AND a.name < b.name
+            ), cx AS (
+              SELECT p.name_a, p.name_b, wa.w, wa.idf AS idf_a,
+                     wb.w AS u, wb.idf AS idf_b,
+                     round(100.0 * jaro_winkler_similarity(wa.w, wb.w),
+                           6) AS jw
+              FROM p
+              JOIN wt wa ON wa.name = p.name_a
+              JOIN wt wb ON wb.name = p.name_b
+            ), best AS (
+              SELECT name_a, name_b, w, idf_a, idf_b, jw FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY name_a, name_b, w
+                  ORDER BY jw DESC, u ASC) AS rn
+                FROM cx
+              ) WHERE rn = 1
+            ), co AS (
+              SELECT b.name_a, b.name_b, b.w,
+                     CASE WHEN b.jw >= (90.0)::DOUBLE
+                          THEN b.idf_a / na.nrm * (b.idf_b / nb.nrm)
+                               * (b.jw / (100.0)::DOUBLE)
+                          ELSE (0.0)::DOUBLE END AS c
+              FROM best b
+              JOIN nrm na ON na.name = b.name_a
+              JOIN nrm nb ON nb.name = b.name_b
+            ), sc AS (
+              SELECT name_a, name_b,
+                     list_reduce(
+                       list_prepend((0.0)::DOUBLE,
+                                    list(c ORDER BY w)),
+                       (s, x) -> s + x) * (100.0)::DOUBLE AS s
+              FROM co GROUP BY name_a, name_b
+            )
+            SELECT name_a, name_b,
+                   floor(s * 1000000.0 + 0.5) / 1000000.0 AS st_sim
+            FROM sc
+            WHERE floor(s * 1000000.0 + 0.5) / 1000000.0
+                  >= (40.0)::DOUBLE
+        """,
         "canopy_part": """
             WITH RECURSIVE base AS (
               SELECT name,

@@ -1307,3 +1307,68 @@ def test_canopy_clusters(ray_session):
     empty = df.iloc[:0]
     z = canopy_clusters(rd.from_pandas(empty), "t")
     assert len(z) == 0
+
+
+def test_soft_tfidf_join(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.linkage import soft_tfidf_join
+
+    # 4 distinct names in one prefix block ('ac'); "corp" is filler
+    names = ["acme corp", "acme corpp", "acero corp", "acme widgets",
+             "acme corp"]  # dup row collapses
+    df = pd.DataFrame({"t": names})
+    out = (
+        soft_tfidf_join(rd.from_pandas(df).repartition(3), "t",
+                        theta=90.0, threshold=1.0, prefix_len=2)
+        .to_pandas().set_index(["name_a", "name_b"])["st_sim"]
+    )
+
+    # python mirror
+    from record_matcher_ray.functions.scorers import (
+        jaro_winkler_elementwise,
+    )
+
+    uniq = sorted(set(names))
+    toks = {s: sorted(set(w for w in s.split(" ") if w)) for s in uniq}
+    n = float(len(uniq))
+    df_c: dict = {}
+    for s in uniq:
+        for w in toks[s]:
+            df_c[w] = df_c.get(w, 0) + 1
+    idf = {w: math.log(1.0 + n / float(c)) for w, c in df_c.items()}
+
+    def nrm(s):
+        t = 0.0
+        for w in toks[s]:
+            t = t + idf[w] * idf[w]
+        return math.sqrt(t)
+
+    def jw(a, b):
+        return round(float(jaro_winkler_elementwise(
+            np.array([a], object), np.array([b], object))[0]), 6)
+
+    import itertools
+    for a, b in itertools.combinations(uniq, 2):
+        s = 0.0
+        for w in toks[a]:
+            cand = sorted(toks[b], key=lambda u: (-jw(w, u), u))
+            u = cand[0]
+            j = jw(w, u)
+            if j >= 90.0:
+                s = s + idf[w] / nrm(a) * (idf[u] / nrm(b)) * (j / 100.0)
+        st = (math.floor(s * 100.0 * 1e6 + 0.5) / 1e6
+              if s >= 0 else None)
+        if st is not None and st >= 1.0:
+            assert out.loc[(a, b)] == st, (a, b)
+        else:
+            assert (a, b) not in out.index
+    # rare-token pairs outscore filler-only overlap
+    assert out.loc[("acme corp", "acme corpp")] > \
+        out.loc[("acero corp", "acme corp")]
+
+    empty = df.iloc[:0]
+    z = soft_tfidf_join(rd.from_pandas(empty), "t").to_pandas()
+    assert len(z) == 0
