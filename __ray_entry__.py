@@ -2740,6 +2740,23 @@ def _q_ewma(sf_dir: str):
                        alpha=0.2)
 
 
+def _q_interval_union(sf_dir: str):
+    """Gaps-and-islands coverage: 1-hour exposure windows per event,
+    merged into maximal islands per user."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.relational import (
+        interval_union_by_key,
+    )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id"],
+    )
+    return interval_union_by_key(ds, "user_id", "ts", "event_id",
+                                 duration_us=3_600_000_000)
+
+
 def _q_welch(sf_dir: str):
     """Welch two-sample t-test per order priority: does o_totalprice
     differ between status 'F' and status 'O' orders?"""
@@ -3703,6 +3720,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_setops_orders": _q_kmv_setops,
         "welch_orders": _q_welch,
         "ppr_lineitem": _q_ppr,
+        "interval_union_events": _q_interval_union,
         "countmin_orders": _q_countmin,
         "quantile_filter_docs": _q_quantile_filter,
         "winsorize_docs": _q_winsorize,
@@ -5966,6 +5984,35 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY n_chars DESC, doc_id ASC
                    ) AS keeper_id
             FROM n
+        """,
+        "interval_union_events": """
+            WITH iv AS (
+              SELECT user_id, event_id, epoch_us(ts) AS s,
+                     epoch_us(ts) + 3600000000 AS e
+              FROM events WHERE user_id IS NOT NULL
+            ), w AS (
+              SELECT user_id, event_id, s, e,
+                     max(e) OVER (
+                       PARTITION BY user_id
+                       ORDER BY s, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS pm
+              FROM iv
+            ), f AS (
+              SELECT user_id, event_id, s, e,
+                     CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END
+                       AS ni
+              FROM w
+            ), g AS (
+              SELECT user_id, s, e,
+                     sum(ni) OVER (
+                       PARTITION BY user_id
+                       ORDER BY s, event_id) AS isl
+              FROM f
+            )
+            SELECT user_id, min(s) AS island_start,
+                   max(e) AS island_end, count(*)::BIGINT AS n_events
+            FROM g GROUP BY user_id, isl
         """,
         "welch_orders": """
             WITH base AS (

@@ -2026,3 +2026,81 @@ def cusum_by_key(
         .map_groups(lambda t: local(t.drop_columns(["__cb__"])),
                     batch_format="pyarrow")
     )
+
+
+def interval_union_by_key(
+    ds: ray.data.Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    duration_us: int = 3_600_000_000,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Gaps-and-islands interval union per key: each event opens an
+    interval [ts, ts + duration_us); overlapping or touching intervals
+    of the same key merge into islands → rows
+    (key, island_start, island_end, n_events) — the coverage primitive
+    behind uptime/session-coverage/exposure-window questions that
+    `sessionize` (gap-based) doesn't answer.
+
+    All-integer µs arithmetic — hash-exact against the SQL window
+    replay (running max of interval end, new island when start exceeds
+    it) with no float pinning.
+
+    Scale shape: one ≤``n_buckets`` key-hash exchange; inside a bucket
+    one lexsort orders every key's intervals and the running max runs
+    as max-segment-length vectorized sweeps ACROSS keys (the
+    `ewma_by_key` layout); island stats close with order-independent
+    ``reduceat`` min/max.
+    """
+    dur = np.int64(int(duration_us))
+
+    def prep(t: pa.Table) -> pa.Table:
+        from record_matcher_ray.core.hashkernels import column_hash64
+
+        t = t.filter(pc.is_valid(t[key_col]))
+        bk = column_hash64(t[key_col]) % np.uint64(n_buckets)
+        return pa.table(
+            {key_col: t[key_col], id_col: t[id_col],
+             ts_col: pc.cast(t[ts_col], pa.int64()),
+             "__ib__": pa.array(bk.astype(np.int64))}
+        )
+
+    def local(t: pa.Table) -> pa.Table:
+        ktype = t.schema.field(key_col).type
+        z = pa.array([], pa.int64())
+        if len(t) == 0:
+            return pa.table({key_col: pa.array([], ktype),
+                             "island_start": z, "island_end": z,
+                             "n_events": z})
+        order, first, _ = _per_key_sorted(t, key_col, ts_col, id_col)
+        s = t[ts_col].to_numpy()[order]
+        e = s + dur
+        n = len(s)
+        starts = np.nonzero(first)[0]
+        sizes = np.diff(np.append(starts, n))
+        # running max of e with per-key reset (lockstep sweep)
+        rmax = np.empty(n, np.int64)
+        rmax[starts] = e[starts]
+        for j in range(1, int(sizes.max())):
+            idx = starts[np.nonzero(sizes > j)[0]] + j
+            rmax[idx] = np.maximum(rmax[idx - 1], e[idx])
+        new_isl = first | (s > np.concatenate(([np.iinfo(np.int64).min],
+                                               rmax[:-1])))
+        isl_start = np.nonzero(new_isl)[0]
+        cnt = np.diff(np.append(isl_start, n)).astype(np.int64)
+        i_start = s[isl_start]
+        i_end = np.maximum.reduceat(e, isl_start)
+        return pa.table(
+            {key_col: t[key_col].take(pa.array(order[isl_start])),
+             "island_start": pa.array(i_start),
+             "island_end": pa.array(i_end),
+             "n_events": pa.array(cnt)}
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("__ib__")
+        .map_groups(lambda t: local(t.drop_columns(["__ib__"])),
+                    batch_format="pyarrow")
+    )

@@ -2516,3 +2516,50 @@ def test_heaps_curve(ray_session):
     empty = df.iloc[:0]
     out2 = heaps_curve(rd.from_pandas(empty)).to_pandas()
     assert len(out2) == 0
+
+
+def test_interval_union_by_key(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.relational import (
+        interval_union_by_key,
+    )
+
+    # user 1: [0,10) [5,15) [15,25) merge (touching merges);
+    #         [40,50) separate. user 2: single.
+    df = pd.DataFrame(
+        {"user_id": np.array([1, 1, 1, 1, 2], dtype=np.int64),
+         "ts": np.array([0, 5, 15, 40, 7], dtype=np.int64),
+         "event_id": np.arange(5, dtype=np.int64)}
+    )
+    out = (
+        interval_union_by_key(
+            rd.from_pandas(df).repartition(3), duration_us=10
+        )
+        .to_pandas().sort_values(["user_id", "island_start"])
+        .reset_index(drop=True)
+    )
+    want = pd.DataFrame(
+        {"user_id": np.array([1, 1, 2], dtype=np.int64),
+         "island_start": np.array([0, 40, 7], dtype=np.int64),
+         "island_end": np.array([25, 50, 17], dtype=np.int64),
+         "n_events": np.array([3, 1, 1], dtype=np.int64)}
+    )
+    pd.testing.assert_frame_equal(out, want)
+
+    # out-of-order input + containment: [0,100) swallows [10,20)
+    df2 = pd.DataFrame(
+        {"user_id": np.array([7, 7, 7], dtype=np.int64),
+         "ts": np.array([30, 0, 10], dtype=np.int64),
+         "event_id": np.array([2, 0, 1], dtype=np.int64)}
+    )
+    out2 = interval_union_by_key(
+        rd.from_pandas(df2), duration_us=100
+    ).to_pandas()
+    assert out2["island_start"].tolist() == [0]
+    assert out2["island_end"].tolist() == [130]
+    assert out2["n_events"].tolist() == [3]
+
+    empty = df.iloc[:0]
+    z = interval_union_by_key(rd.from_pandas(empty)).to_pandas()
+    assert len(z) == 0
