@@ -2104,3 +2104,121 @@ def interval_union_by_key(
         .map_groups(lambda t: local(t.drop_columns(["__ib__"])),
                     batch_format="pyarrow")
     )
+
+
+def attribute_conversions(
+    ds: ray.data.Dataset,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    conversion: str = "purchase",
+    channels: tuple[str, ...] = ("click", "view"),
+    lookback_us: int = 604_800_000_000,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Last-touch marketing attribution: each ``conversion`` event
+    attributes to the key's most recent PRECEDING ``channels`` event
+    (order (ts, id)) if it happened within ``lookback_us``
+    → one row per conversion
+    (id, key, conv_ts, attributed_id, attributed_type, lag_us) with
+    NULLs for unattributed conversions. The who-gets-credit primitive
+    of funnel analytics.
+
+    All-integer/string output — hash-exact against the SQL
+    ``last_value(... IGNORE NULLS)`` window replay with the identical
+    (ts, id) frame and lookback cut.
+
+    Scale shape: one ≤``n_buckets`` key-hash exchange; the
+    carry-last-channel state sweeps vectorized ACROSS keys per row
+    rank (the `ewma_by_key` lockstep layout — no per-row Python).
+    """
+    look = np.int64(int(lookback_us))
+    chan = list(channels)
+
+    def prep(t: pa.Table) -> pa.Table:
+        from record_matcher_ray.core.hashkernels import column_hash64
+
+        tv = pc.cast(t[type_col], pa.string())
+        keep = pc.and_(
+            pc.is_valid(t[key_col]),
+            pc.is_in(tv, value_set=pa.array(chan + [conversion])),
+        )
+        t = t.filter(keep)
+        tv = pc.cast(t[type_col], pa.string())
+        bk = column_hash64(t[key_col]) % np.uint64(n_buckets)
+        # type code: index into channels, -1 for the conversion type
+        code = np.full(len(t), -1, np.int8)
+        tn = tv.to_numpy(zero_copy_only=False)
+        for i, c in enumerate(chan):
+            code[tn == c] = np.int8(i)
+        return pa.table(
+            {key_col: t[key_col], id_col: t[id_col],
+             ts_col: pc.cast(t[ts_col], pa.int64()),
+             "__tc__": pa.array(code),
+             "__ab__": pa.array(bk.astype(np.int64))}
+        )
+
+    def local(t: pa.Table) -> pa.Table:
+        ktype = t.schema.field(key_col).type
+        z = pa.array([], pa.int64())
+        empty = pa.table(
+            {id_col: z, key_col: pa.array([], ktype),
+             "conv_ts": pa.array([], pa.int64()),
+             "attributed_id": pa.array([], pa.int64()),
+             "attributed_type": pa.array([], pa.string()),
+             "lag_us": pa.array([], pa.int64())}
+        )
+        if len(t) == 0:
+            return empty
+        order, first, _ = _per_key_sorted(t, key_col, ts_col, id_col)
+        ts = t[ts_col].to_numpy()[order]
+        ids = t[id_col].to_numpy()[order]
+        code = t["__tc__"].to_numpy()[order]
+        n = len(ts)
+        starts = np.nonzero(first)[0]
+        sizes = np.diff(np.append(starts, n))
+        nseg = len(starts)
+        st_ts = np.zeros(nseg, np.int64)
+        st_id = np.zeros(nseg, np.int64)
+        st_code = np.full(nseg, -1, np.int8)
+        src_ts = np.empty(n, np.int64)
+        src_id = np.empty(n, np.int64)
+        src_code = np.full(n, -1, np.int8)
+        for j in range(int(sizes.max())):
+            act = np.nonzero(sizes > j)[0]
+            idx = starts[act] + j
+            # conversions read the state (preceding rows only)
+            src_ts[idx] = st_ts[act]
+            src_id[idx] = st_id[act]
+            src_code[idx] = st_code[act]
+            # channel rows update the state
+            ch = code[idx] >= 0
+            st_ts[act[ch]] = ts[idx[ch]]
+            st_id[act[ch]] = ids[idx[ch]]
+            st_code[act[ch]] = code[idx[ch]]
+        conv = code == -1
+        c_ts, c_id = ts[conv], ids[conv]
+        c_sts, c_sid = src_ts[conv], src_id[conv]
+        c_sc = src_code[conv]
+        hit = (c_sc >= 0) & (c_ts - c_sts <= look)
+        lag = c_ts - c_sts
+        type_map = np.asarray(chan + [""], dtype=object)
+        at = type_map[np.where(hit, c_sc, len(chan))]
+        miss = ~hit
+        return pa.table(
+            {id_col: pa.array(c_id),
+             key_col: t[key_col].take(
+                 pa.array(order[np.nonzero(conv)[0]])),
+             "conv_ts": pa.array(c_ts),
+             "attributed_id": pa.array(c_sid, pa.int64(), mask=miss),
+             "attributed_type": pa.array(at, pa.string(), mask=miss),
+             "lag_us": pa.array(lag, pa.int64(), mask=miss)}
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("__ab__")
+        .map_groups(lambda t: local(t.drop_columns(["__ab__"])),
+                    batch_format="pyarrow")
+    )

@@ -2563,3 +2563,39 @@ def test_interval_union_by_key(ray_session):
     empty = df.iloc[:0]
     z = interval_union_by_key(rd.from_pandas(empty)).to_pandas()
     assert len(z) == 0
+
+
+def test_attribute_conversions(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.relational import (
+        attribute_conversions,
+    )
+
+    # user 1: click@10 view@20 purchase@25 (-> view, lag 5)
+    #         purchase@100 with lookback 50 -> view@20 too old -> NULL
+    # user 2: purchase@5 with no prior channel -> NULL
+    # user 3: view@7 purchase@7 same-ts: purchase id greater -> view
+    df = pd.DataFrame(
+        {"user_id": np.array([1, 1, 1, 1, 2, 3, 3], dtype=np.int64),
+         "ts": np.array([10, 20, 25, 100, 5, 7, 7], dtype=np.int64),
+         "event_id": np.array([0, 1, 2, 3, 4, 5, 6], dtype=np.int64),
+         "event_type": ["click", "view", "purchase", "purchase",
+                        "purchase", "view", "purchase"]}
+    )
+    out = (
+        attribute_conversions(rd.from_pandas(df).repartition(3),
+                              lookback_us=50)
+        .to_pandas().set_index("event_id").sort_index()
+    )
+    assert out.loc[2, "attributed_id"] == 1
+    assert out.loc[2, "attributed_type"] == "view"
+    assert out.loc[2, "lag_us"] == 5
+    assert pd.isna(out.loc[3, "attributed_id"])  # too old
+    assert pd.isna(out.loc[4, "attributed_id"])  # no prior channel
+    assert out.loc[6, "attributed_id"] == 5      # same-ts, id order
+    assert len(out) == 4
+
+    empty = df.iloc[:0]
+    z = attribute_conversions(rd.from_pandas(empty)).to_pandas()
+    assert len(z) == 0
