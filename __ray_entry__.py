@@ -2756,6 +2756,22 @@ def _q_attribution(sf_dir: str):
     return attribute_conversions(ds)
 
 
+def _q_attribution_first(sf_dir: str):
+    """First-touch attribution: purchases credit the user's FIRST
+    preceding click/view (unattributed if outside 7 days)."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.relational import (
+        attribute_conversions,
+    )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+    return attribute_conversions(ds, touch="first")
+
+
 def _q_interval_union(sf_dir: str):
     """Gaps-and-islands coverage: 1-hour exposure windows per event,
     merged into maximal islands per user."""
@@ -3738,6 +3754,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ppr_lineitem": _q_ppr,
         "interval_union_events": _q_interval_union,
         "attribution_events": _q_attribution,
+        "attribution_first_events": _q_attribution_first,
         "countmin_orders": _q_countmin,
         "quantile_filter_docs": _q_quantile_filter,
         "winsorize_docs": _q_winsorize,
@@ -6001,6 +6018,48 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY n_chars DESC, doc_id ASC
                    ) AS keeper_id
             FROM n
+        """,
+        "attribution_first_events": """
+            WITH e AS (
+              SELECT user_id, event_id, epoch_us(ts) AS ts,
+                     (event_type)::VARCHAR AS et
+              FROM events
+              WHERE user_id IS NOT NULL
+                AND (event_type)::VARCHAR IN
+                    ('click', 'view', 'purchase')
+            ), w AS (
+              SELECT user_id, event_id, ts, et,
+                     first_value(CASE WHEN et IN ('click', 'view')
+                                      THEN event_id END IGNORE NULLS)
+                       OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS src_id,
+                     first_value(CASE WHEN et IN ('click', 'view')
+                                      THEN ts END IGNORE NULLS)
+                       OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS src_ts,
+                     first_value(CASE WHEN et IN ('click', 'view')
+                                      THEN et END IGNORE NULLS)
+                       OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS src_et
+              FROM e
+            )
+            SELECT event_id, user_id, ts AS conv_ts,
+                   CASE WHEN src_ts IS NOT NULL
+                             AND ts - src_ts <= 604800000000
+                        THEN src_id END AS attributed_id,
+                   CASE WHEN src_ts IS NOT NULL
+                             AND ts - src_ts <= 604800000000
+                        THEN src_et END AS attributed_type,
+                   CASE WHEN src_ts IS NOT NULL
+                             AND ts - src_ts <= 604800000000
+                        THEN ts - src_ts END AS lag_us
+            FROM w WHERE et = 'purchase'
         """,
         "attribution_events": """
             WITH e AS (

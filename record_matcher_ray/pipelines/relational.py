@@ -2116,11 +2116,13 @@ def attribute_conversions(
     channels: tuple[str, ...] = ("click", "view"),
     lookback_us: int = 604_800_000_000,
     n_buckets: int = 64,
+    touch: str = "last",
 ) -> ray.data.Dataset:
-    """Last-touch marketing attribution: each ``conversion`` event
-    attributes to the key's most recent PRECEDING ``channels`` event
-    (order (ts, id)) if it happened within ``lookback_us``
-    → one row per conversion
+    """Last-touch (or, with ``touch="first"``, first-touch) marketing
+    attribution: each ``conversion`` event attributes to the key's most
+    recent — or the key's FIRST — PRECEDING ``channels`` event
+    (order (ts, id)); unattributed when that touch is outside
+    ``lookback_us`` → one row per conversion
     (id, key, conv_ts, attributed_id, attributed_type, lag_us) with
     NULLs for unattributed conversions. The who-gets-credit primitive
     of funnel analytics.
@@ -2133,6 +2135,8 @@ def attribute_conversions(
     carry-last-channel state sweeps vectorized ACROSS keys per row
     rank (the `ewma_by_key` lockstep layout — no per-row Python).
     """
+    if touch not in ("last", "first"):
+        raise ValueError(f"touch must be 'last' or 'first', got {touch!r}")
     look = np.int64(int(lookback_us))
     chan = list(channels)
 
@@ -2194,6 +2198,8 @@ def attribute_conversions(
             src_code[idx] = st_code[act]
             # channel rows update the state
             ch = code[idx] >= 0
+            if touch == "first":  # keep the earliest touch forever
+                ch &= st_code[act] < 0
             st_ts[act[ch]] = ts[idx[ch]]
             st_id[act[ch]] = ids[idx[ch]]
             st_code[act[ch]] = code[idx[ch]]

@@ -2599,3 +2599,34 @@ def test_attribute_conversions(ray_session):
     empty = df.iloc[:0]
     z = attribute_conversions(rd.from_pandas(empty)).to_pandas()
     assert len(z) == 0
+
+
+def test_attribute_conversions_first_touch(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.relational import (
+        attribute_conversions,
+    )
+
+    # click@10 view@20 purchase@25: first-touch credits click@10
+    df = pd.DataFrame(
+        {"user_id": np.array([1, 1, 1], dtype=np.int64),
+         "ts": np.array([10, 20, 25], dtype=np.int64),
+         "event_id": np.array([0, 1, 2], dtype=np.int64),
+         "event_type": ["click", "view", "purchase"]}
+    )
+    out = attribute_conversions(
+        rd.from_pandas(df), lookback_us=50, touch="first"
+    ).to_pandas()
+    assert out["attributed_id"].tolist() == [0]
+    assert out["attributed_type"].tolist() == ["click"]
+
+    # expired first touch stays unattributed even with a fresh later one
+    out2 = attribute_conversions(
+        rd.from_pandas(df), lookback_us=12, touch="first"
+    ).to_pandas()
+    assert pd.isna(out2["attributed_id"]).all()
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="touch"):
+        attribute_conversions(rd.from_pandas(df), touch="median")
