@@ -2789,6 +2789,19 @@ def _q_interval_union(sf_dir: str):
                                  duration_us=3_600_000_000)
 
 
+def _q_gini(sf_dir: str):
+    """Gini concentration of order spend per priority class."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.stats import gini_by_group
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_totalprice"],
+    )
+    return gini_by_group(ds, "o_orderpriority", "o_totalprice")
+
+
 def _q_welch(sf_dir: str):
     """Welch two-sample t-test per order priority: does o_totalprice
     differ between status 'F' and status 'O' orders?"""
@@ -3751,6 +3764,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_orders": _q_kmv,
         "kmv_setops_orders": _q_kmv_setops,
         "welch_orders": _q_welch,
+        "gini_orders": _q_gini,
         "ppr_lineitem": _q_ppr,
         "interval_union_events": _q_interval_union,
         "attribution_events": _q_attribution,
@@ -6131,6 +6145,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, min(s) AS island_start,
                    max(e) AS island_end, count(*)::BIGINT AS n_events
             FROM g GROUP BY user_id, isl
+        """,
+        "gini_orders": """
+            WITH b AS (
+              SELECT o_orderpriority AS g,
+                     (floor((o_totalprice)::DOUBLE * (100.0)::DOUBLE
+                            + (0.5)::DOUBLE))::BIGINT AS c
+              FROM orders
+              WHERE o_orderpriority IS NOT NULL
+                AND o_totalprice IS NOT NULL
+            ), r AS (
+              SELECT g, c,
+                     row_number() OVER (PARTITION BY g ORDER BY c)
+                       AS i
+              FROM b
+            ), a AS (
+              SELECT g, count(*)::BIGINT AS n,
+                     (sum((c)::HUGEINT))::HUGEINT AS s0,
+                     (sum((i)::HUGEINT * (c)::HUGEINT))::HUGEINT AS s1
+              FROM r GROUP BY g
+            ), d AS (
+              SELECT g, n,
+                     CASE WHEN s0 <= 0 THEN NULL
+                          ELSE (2.0)::DOUBLE * (s1)::DOUBLE
+                               / ((n)::DOUBLE * (s0)::DOUBLE)
+                               - ((n)::DOUBLE + (1.0)::DOUBLE)
+                                 / (n)::DOUBLE
+                     END AS v
+              FROM a
+            )
+            SELECT g AS o_orderpriority, n,
+                   CASE WHEN v IS NULL THEN NULL
+                        WHEN v >= 0
+                        THEN floor(v * 1000000.0 + 0.5) / 1000000.0
+                        ELSE -floor(-v * 1000000.0 + 0.5) / 1000000.0
+                   END AS gini
+            FROM d
         """,
         "welch_orders": """
             WITH base AS (

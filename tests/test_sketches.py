@@ -604,3 +604,42 @@ def test_welch_skips_thin_groups(ray_session):
     out2 = welch_t_by_group(rd.from_pandas(empty), "grp", "lab", "val",
                             "A", "B")
     assert len(out2) == 0
+
+
+def test_gini_by_group(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.stats import gini_by_group
+
+    rng = np.random.RandomState(41)
+    df = pd.DataFrame(
+        {"grp": np.repeat(["eq", "skew"], 500),
+         "val": np.concatenate([
+             np.full(500, 10.0),                 # perfect equality
+             rng.pareto(1.5, size=500) * 10.0,   # heavy skew
+         ])}
+    )
+    out = (
+        gini_by_group(rd.from_pandas(df).repartition(6), "grp", "val")
+        .to_pandas().set_index("grp")
+    )
+    # mirror: sorted-rank formula on cents
+    for g, sub in df.groupby("grp"):
+        c = np.floor(sub["val"].to_numpy() * 100 + 0.5).astype(np.int64)
+        c.sort()
+        s0 = int(c.sum())
+        s1 = int((np.arange(1, len(c) + 1) * c).sum())
+        nD = float(len(c))
+        v = 2.0 * float(s1) / (nD * float(s0)) - (nD + 1.0) / nD
+        want = (math.floor(v * 1e6 + 0.5) if v >= 0
+                else -math.floor(-v * 1e6 + 0.5)) / 1e6
+        assert out.loc[g, "gini"] == want
+        assert out.loc[g, "n"] == len(c)
+    assert out.loc["eq", "gini"] == 0.0
+    assert out.loc["skew", "gini"] > 0.4
+
+    empty = df.iloc[:0]
+    z = gini_by_group(rd.from_pandas(empty), "grp", "val").to_pandas()
+    assert len(z) == 0
