@@ -3010,6 +3010,18 @@ def _labelprop_oracle(iters: int = 4) -> str:
     return "".join(sql)
 
 
+def _q_chao1(sf_dir: str):
+    """Chao1 unseen-vocabulary estimate from exact term counts."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.terms import chao1_vocab
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return chao1_vocab(ds)
+
+
 def _q_heaps(sf_dir: str):
     """Heaps'-law vocabulary-growth curve: per doc (ascending doc_id),
     new terms introduced, token count, running vocab/token totals."""
@@ -3847,6 +3859,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_best_docs": _q_dedup_keep_best,
         "adamic_adar_lineitem": _q_adamic_adar,
         "heaps_docs": _q_heaps,
+        "chao1_docs": _q_chao1,
         "labelprop_lineitem": _q_labelprop,
         "match_1to1_part": _q_match_1to1,
         "canopy_part": _q_canopy,
@@ -5949,6 +5962,36 @@ def oracle_sql() -> dict[str, str]:
               )
             )
             SELECT elem AS value, ctr AS center FROM rt WHERE member
+        """,
+        "chao1_docs": """
+            WITH t AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(coalesce(text, '')),
+                                         '[^a-z0-9]+', ' ', 'g')) AS nt
+              FROM documents
+            ), tok AS (
+              SELECT unnest(string_split(nt, ' ')) AS term
+              FROM t WHERE len(nt) > 0
+            ), c AS (
+              SELECT term, count(*)::BIGINT AS n_occ
+              FROM tok GROUP BY term
+            ), f AS (
+              SELECT count(*)::BIGINT AS d,
+                     (sum(CASE WHEN n_occ = 1 THEN 1 ELSE 0 END))::BIGINT
+                       AS f1,
+                     (sum(CASE WHEN n_occ = 2 THEN 1 ELSE 0 END))::BIGINT
+                       AS f2
+              FROM c
+            )
+            SELECT coalesce(d, 0) AS n_terms, coalesce(f1, 0) AS f1,
+                   coalesce(f2, 0) AS f2,
+                   CASE WHEN coalesce(f2, 0) = 0 THEN NULL
+                        ELSE floor(((d)::DOUBLE
+                                    + (f1)::DOUBLE * (f1)::DOUBLE
+                                      / ((2.0)::DOUBLE * (f2)::DOUBLE))
+                                   * 1000000.0 + 0.5) / 1000000.0
+                   END AS chao1
+            FROM f
         """,
         "heaps_docs": """
             WITH t AS (

@@ -1102,3 +1102,75 @@ def heaps_curve(
         )
 
     return m.map_batches(assign, batch_size=None, batch_format="pyarrow")
+
+
+def chao1_vocab(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> pa.Table:
+    """Chao1 species-richness estimate of the corpus vocabulary
+    (Chao 1984): from exact term-frequency counts,
+
+        chao1 = D + f1² / (2·f2)
+
+    with D = observed distinct terms, f1/f2 = singleton/doubleton
+    counts → ONE row (n_terms, f1, f2, chao1) — "how much vocabulary
+    haven't we crawled yet", the coverage sibling of `heaps_curve`
+    (NULL chao1 when f2 = 0).
+
+    Parity: counts are exact integers off the `top_terms` partial-count
+    exchange; the estimate is one pinned double chain
+    (D + (f1·f1) / (2·f2)), readout half-up 6dp.
+
+    Scale shape: the term-count exchange (volume ≤ distinct terms) plus
+    a per-block (D, f1, f2) integer partial — three numbers per block —
+    merged on the driver.
+    """
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks, _, _ = _block_tokens(t[text_col])
+        if len(toks) == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "n_occ": pa.array([], pa.int64())})
+        codes, uniq = pd.factorize(toks)
+        n_occ = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {"term": pa.array(uniq.astype(object), pa.string()),
+             "n_occ": pa.array(n_occ)}
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("n_occ", alias_name="n_occ"))
+    )
+
+    def fpartial(t: pa.Table) -> pa.Table:
+        c = t["n_occ"].to_numpy()
+        return pa.table(
+            {"d": pa.array([len(c)], pa.int64()),
+             "f1": pa.array([int((c == 1).sum())], pa.int64()),
+             "f2": pa.array([int((c == 2).sum())], pa.int64())}
+        )
+
+    parts = counts.map_batches(fpartial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        d = f1 = f2 = 0
+    else:
+        d = int(parts["d"].sum())
+        f1 = int(parts["f1"].sum())
+        f2 = int(parts["f2"].sum())
+    if f2 == 0:
+        chao = None
+    else:
+        v = float(d) + float(f1) * float(f1) / (2.0 * float(f2))
+        chao = (math.floor(v * 1e6 + 0.5) if v >= 0
+                else -math.floor(-v * 1e6 + 0.5)) / 1e6
+    return pa.table({"n_terms": pa.array([d], pa.int64()),
+                     "f1": pa.array([f1], pa.int64()),
+                     "f2": pa.array([f2], pa.int64()),
+                     "chao1": pa.array([chao], pa.float64())})

@@ -2630,3 +2630,31 @@ def test_attribute_conversions_first_touch(ray_session):
     import pytest as _pt
     with _pt.raises(ValueError, match="touch"):
         attribute_conversions(rd.from_pandas(df), touch="median")
+
+
+def test_chao1_vocab(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.terms import chao1_vocab
+
+    # counts: a:3 b:1 c:1 d:2 e:2 f:2 -> D=6 f1=2 f2=3
+    df = pd.DataFrame(
+        {"doc_id": np.arange(4, dtype=np.int64),
+         "text": ["a a b", "a c d", "d e e", "f f"]}
+    )
+    out = chao1_vocab(rd.from_pandas(df).repartition(3)).to_pandas()
+    assert out["n_terms"].tolist() == [6]
+    assert out["f1"].tolist() == [2]
+    assert out["f2"].tolist() == [3]
+    want = 6.0 + 2.0 * 2.0 / (2.0 * 3.0)
+    import math
+    assert out["chao1"].iloc[0] == math.floor(want * 1e6 + 0.5) / 1e6
+
+    # f2 = 0 -> NULL estimate
+    df2 = pd.DataFrame({"doc_id": [0], "text": ["x y z"]})
+    out2 = chao1_vocab(rd.from_pandas(df2)).to_pandas()
+    assert out2["chao1"].isna().all()
+
+    empty = df.iloc[:0]
+    z = chao1_vocab(rd.from_pandas(empty)).to_pandas()
+    assert z["n_terms"].tolist() == [0] and z["chao1"].isna().all()
