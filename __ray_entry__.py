@@ -2802,6 +2802,19 @@ def _q_gini(sf_dir: str):
     return gini_by_group(ds, "o_orderpriority", "o_totalprice")
 
 
+def _q_theil(sf_dir: str):
+    """Theil T inequality of order spend per priority class."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.stats import theil_by_group
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_totalprice"],
+    )
+    return theil_by_group(ds, "o_orderpriority", "o_totalprice")
+
+
 def _q_welch(sf_dir: str):
     """Welch two-sample t-test per order priority: does o_totalprice
     differ between status 'F' and status 'O' orders?"""
@@ -3777,6 +3790,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_setops_orders": _q_kmv_setops,
         "welch_orders": _q_welch,
         "gini_orders": _q_gini,
+        "theil_orders": _q_theil,
         "ppr_lineitem": _q_ppr,
         "interval_union_events": _q_interval_union,
         "attribution_events": _q_attribution,
@@ -6188,6 +6202,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, min(s) AS island_start,
                    max(e) AS island_end, count(*)::BIGINT AS n_events
             FROM g GROUP BY user_id, isl
+        """,
+        "theil_orders": """
+            WITH b AS (
+              SELECT o_orderpriority AS g,
+                     (floor((o_totalprice)::DOUBLE * (100.0)::DOUBLE
+                            + (0.5)::DOUBLE))::BIGINT AS c
+              FROM orders
+              WHERE o_orderpriority IS NOT NULL
+                AND o_totalprice IS NOT NULL
+            ), a AS (
+              SELECT g, count(*)::BIGINT AS n,
+                     (sum((c)::HUGEINT))::HUGEINT AS s
+              FROM b GROUP BY g
+            ), t AS (
+              SELECT b.g, a.n, a.s, b.c,
+                     CASE WHEN b.c <= 0 OR a.s <= 0 THEN (0.0)::DOUBLE
+                          ELSE (b.c)::DOUBLE / (a.s)::DOUBLE
+                               * ln((b.c)::DOUBLE * (a.n)::DOUBLE
+                                    / (a.s)::DOUBLE)
+                     END AS term
+              FROM b JOIN a USING (g)
+            ), f AS (
+              SELECT g, min(n) AS n, min(s) AS s,
+                     list_reduce(
+                       list_prepend((0.0)::DOUBLE,
+                                    list(term ORDER BY c)),
+                       (acc, x) -> acc + x) AS th
+              FROM t GROUP BY g
+            )
+            SELECT g AS o_orderpriority, n,
+                   CASE WHEN s <= 0 THEN NULL
+                        WHEN th >= 0
+                        THEN floor(th * 1000000.0 + 0.5) / 1000000.0
+                        ELSE -floor(-th * 1000000.0 + 0.5) / 1000000.0
+                   END AS theil
+            FROM f
         """,
         "gini_orders": """
             WITH b AS (

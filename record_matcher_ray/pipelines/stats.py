@@ -1097,3 +1097,110 @@ def gini_by_group(
         .map_groups(lambda t: local(t.drop_columns(["__gb__"])),
                     batch_format="pyarrow")
     )
+
+
+def theil_by_group(
+    ds: ray.data.Dataset,
+    group_col: str,
+    val_col: str,
+    *,
+    scale: float = 100.0,
+    ndigits: int = 6,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Theil T inequality index per group over non-negative values:
+
+        T = Σᵢ (xᵢ/S) · ln(xᵢ·n/S)        (S = Σ x, terms with x ≤ 0 drop)
+
+    → rows (group, n, theil) — the decomposable entropy-based
+    concentration measure, 0 at perfect equality, ln(n) at maximal.
+    Complements `gini_by_group` (rank-based) with a log-scale-sensitive
+    reading.
+
+    Parity recipe: values quantize once to integer units; n and S are
+    exact integers; each term is one pinned double chain
+    ``(c/S)·ln(c·n/S)`` (libm ln both sides) and the per-group sum
+    folds in ascending-value order — equal values contribute identical
+    addends, so the oracle's ``list(term ORDER BY c)`` needs no
+    tie-break. Readout signed half-up ``ndigits``; groups with S ≤ 0
+    emit NULL.
+
+    Scale shape: ONE ≤``n_buckets`` group-hash exchange; inside a
+    bucket one lexsort orders every group's values and the fold runs as
+    max-segment-length lockstep sweeps across groups (`ewma_by_key`
+    layout).
+    """
+    import math
+
+    def prep(t: pa.Table) -> pa.Table:
+        from record_matcher_ray.core.hashkernels import column_hash64
+
+        ok = pc.and_(pc.is_valid(t[group_col]), pc.is_valid(t[val_col]))
+        t = t.filter(ok)
+        c = np.floor(
+            pc.cast(t[val_col], pa.float64()).to_numpy() * scale + 0.5
+        ).astype(np.int64)
+        if len(c) and np.abs(c).max() > _WELCH_QMAX:
+            raise ValueError(
+                f"theil_by_group quantized values exceed |{_WELCH_QMAX}|; "
+                f"lower `scale`."
+            )
+        bk = column_hash64(t[group_col]) % np.uint64(n_buckets)
+        return pa.table(
+            {group_col: t[group_col], "__c__": pa.array(c),
+             "__tb__": pa.array(bk.astype(np.int64))}
+        )
+
+    def local(t: pa.Table) -> pa.Table:
+        gtype = t.schema.field(group_col).type
+        if len(t) == 0:
+            return pa.table({group_col: pa.array([], gtype),
+                             "n": pa.array([], pa.int64()),
+                             "theil": pa.array([], pa.float64())})
+        import pandas as pd  # worker-side
+
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        c = t["__c__"].to_numpy()
+        gc, _ = pd.factorize(g)
+        order = np.lexsort((c, gc))
+        g_s, c_s = gc[order], c[order]
+        starts = np.nonzero(
+            np.concatenate(([True], g_s[1:] != g_s[:-1]))
+        )[0]
+        sizes = np.diff(np.append(starts, len(g_s)))
+        # exact per-group totals (chunked int folds)
+        s_tot = [
+            _exact_sum(c_s[si:si + sz]) for si, sz in zip(starts, sizes)
+        ]
+        nseg = len(starts)
+        nD = sizes.astype(np.float64)
+        sD = np.array([float(v) for v in s_tot], np.float64)
+        ok_g = np.array([v > 0 for v in s_tot])
+        # per-row term, then ascending-value lockstep fold per group
+        seg_of = np.repeat(np.arange(nseg, dtype=np.int64), sizes)
+        cD = c_s.astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            term = np.where(
+                (c_s > 0) & ok_g[seg_of],
+                cD / sD[seg_of] * np.log(cD * nD[seg_of] / sD[seg_of]),
+                0.0,
+            )
+        from record_matcher_ray.pipelines.linkage import _lockstep_fold
+
+        th = _lockstep_fold(seg_of, term, nseg)
+        p = 10.0 ** ndigits
+        out = np.where(th >= 0, np.floor(th * p + 0.5),
+                       -np.floor(-th * p + 0.5)) / p
+        return pa.table(
+            {group_col: t[group_col].take(pa.array(order[starts])),
+             "n": pa.array(sizes.astype(np.int64)),
+             "theil": pa.array(out, pa.float64(),
+                               mask=~ok_g)}
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("__tb__")
+        .map_groups(lambda t: local(t.drop_columns(["__tb__"])),
+                    batch_format="pyarrow")
+    )

@@ -643,3 +643,44 @@ def test_gini_by_group(ray_session):
     empty = df.iloc[:0]
     z = gini_by_group(rd.from_pandas(empty), "grp", "val").to_pandas()
     assert len(z) == 0
+
+
+def test_theil_by_group(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.stats import theil_by_group
+
+    rng = np.random.RandomState(47)
+    df = pd.DataFrame(
+        {"grp": np.repeat(["eq", "skew"], 400),
+         "val": np.concatenate([
+             np.full(400, 25.0),
+             rng.pareto(1.2, size=400) * 10.0 + 0.01,
+         ])}
+    )
+    out = (
+        theil_by_group(rd.from_pandas(df).repartition(5), "grp", "val")
+        .to_pandas().set_index("grp")
+    )
+    # mirror: sorted ascending-value fold of the pinned term chain
+    for g, sub in df.groupby("grp"):
+        c = np.sort(np.floor(sub["val"].to_numpy() * 100 + 0.5)
+                    .astype(np.int64))
+        S = float(int(c.sum()))
+        nD = float(len(c))
+        th = 0.0
+        for x in c:
+            if x > 0:
+                xD = float(x)
+                th = th + xD / S * math.log(xD * nD / S)
+        want = (math.floor(th * 1e6 + 0.5) if th >= 0
+                else -math.floor(-th * 1e6 + 0.5)) / 1e6
+        assert out.loc[g, "theil"] == want
+    assert out.loc["eq", "theil"] == 0.0
+    assert out.loc["skew", "theil"] > 0.3
+
+    empty = df.iloc[:0]
+    z = theil_by_group(rd.from_pandas(empty), "grp", "val").to_pandas()
+    assert len(z) == 0
