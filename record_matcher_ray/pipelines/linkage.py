@@ -2225,6 +2225,14 @@ def canopy_clusters(
     """
     import pandas as pd
 
+    # t_tight > 1.0 would never retire a center (self-Jaccard is 1.0) —
+    # an infinite greedy loop; t_loose > t_tight inverts the semantics.
+    if not (0.0 < t_loose <= t_tight <= 1.0):
+        raise ValueError(
+            f"canopy thresholds must satisfy 0 < t_loose <= t_tight <= 1; "
+            f"got t_loose={t_loose}, t_tight={t_tight}"
+        )
+
     def distinct_partial(t: pa.Table) -> pa.Table:
         v = t[text_col]
         v = v.filter(pc.is_valid(v))
@@ -2274,7 +2282,15 @@ def _lockstep_fold(
     """Left-fold (seeded at 0.0) of ``vals`` within consecutive
     ``seg_id`` segments, vectorized ACROSS segments (the monge_elkan
     lockstep loop): bit-identical to DuckDB's seeded ``list_reduce``
-    ordered fold — numpy's reduceat/sum pairwise order is NOT."""
+    ordered fold — numpy's reduceat/sum pairwise order is NOT.
+
+    Two layouts, picked by whichever needs fewer interpreter
+    iterations (ADVICE r3: low-cardinality groupings made the lockstep
+    sweep O(rows/groups) Python steps): many-narrow segments sweep in
+    lockstep across segments (max-width iterations); few-wide segments
+    fold each with ``np.add.accumulate`` (strictly sequential in-order
+    C accumulation — same op order as the lockstep fold; the 0.0 seed
+    only differs on an all(-0.0) segment, where both round to 0)."""
     out = np.zeros(n_out, np.float64)
     if len(seg_id) == 0:
         return out
@@ -2282,9 +2298,15 @@ def _lockstep_fold(
         np.concatenate(([True], seg_id[1:] != seg_id[:-1]))
     )[0]
     width = np.diff(np.concatenate((starts, [len(seg_id)])))
-    for k in range(int(width.max())):
-        m = width > k
-        out[seg_id[starts[m]]] = out[seg_id[starts[m]]] + vals[starts[m] + k]
+    if int(width.max()) <= len(starts):
+        for k in range(int(width.max())):
+            m = width > k
+            out[seg_id[starts[m]]] = (
+                out[seg_id[starts[m]]] + vals[starts[m] + k]
+            )
+    else:
+        for si, w in zip(starts, width):
+            out[seg_id[si]] = np.add.accumulate(vals[si:si + w])[-1]
     return out
 
 

@@ -2137,6 +2137,14 @@ def attribute_conversions(
     """
     if touch not in ("last", "first"):
         raise ValueError(f"touch must be 'last' or 'first', got {touch!r}")
+    # the conversion type appearing in channels would overwrite its -1
+    # code below and silently empty the output; dup channels shadow too
+    if conversion in channels:
+        raise ValueError(
+            f"conversion type {conversion!r} must not be in channels"
+        )
+    if len(set(channels)) != len(channels):
+        raise ValueError(f"duplicate channel names in {channels!r}")
     look = np.int64(int(lookback_us))
     chan = list(channels)
 

@@ -33,6 +33,21 @@ def _exact_sum(a: np.ndarray) -> int:
     return tot
 
 
+def _exact_sum_budget(a: np.ndarray, bound: int) -> int:
+    """`_exact_sum` for elements whose magnitude may exceed the _CHUNK
+    invariant: the chunk size is budgeted so chunk · bound < 2**63
+    (budget the headroom, not a fixed row count — CLAUDE.md rule).
+    ``bound`` must be ≥ max|element|; elements themselves must fit int64
+    (caller guards)."""
+    if bound <= 0:
+        return _exact_sum(a)
+    chunk = max(1, min(_CHUNK, (2**63 - 1) // (bound + 1)))
+    tot = 0
+    for i in range(0, len(a), chunk):
+        tot += int(a[i:i + chunk].sum(dtype=np.int64))
+    return tot
+
+
 _QMAX = 30_000_000  # |cents| bound so v² ≤ 9e14 and 1024·v² < 2**63
 
 
@@ -1072,7 +1087,16 @@ def gini_by_group(
             seg = c_s[si:si + sz]
             i1 = np.arange(1, sz + 1, dtype=np.int64)
             s0 = _exact_sum(seg)
-            s1 = _exact_sum(i1 * seg)
+            # rank-weighted elements are i·c, |i·c| ≤ sz·max|c| — i1*seg
+            # itself must fit int64, and the partial-sum chunking must be
+            # budgeted to that bound, not the fixed 1024 (ADVICE r3)
+            mx = int(np.abs(seg).max()) if sz else 0
+            if sz * mx >= 2**63:
+                raise ValueError(
+                    f"gini_by_group group of {sz} rows at max |value| "
+                    f"{mx} overflows int64 rank weighting; lower `scale`."
+                )
+            s1 = _exact_sum_budget(i1 * seg, sz * mx)
             out_g.append(si)
             out_n.append(int(sz))
             if s0 <= 0:

@@ -1308,6 +1308,39 @@ def test_canopy_clusters(ray_session):
     z = canopy_clusters(rd.from_pandas(empty), "t")
     assert len(z) == 0
 
+    # threshold validation (ADVICE r3: t_tight > 1 never retires a
+    # center -> infinite loop; inverted thresholds flip semantics)
+    import pytest as _pt
+    for bad in [{"t_tight": 1.5}, {"t_loose": 0.9, "t_tight": 0.5},
+                {"t_loose": 0.0}, {"t_loose": -0.1}]:
+        with _pt.raises(ValueError, match="canopy thresholds"):
+            canopy_clusters(rd.from_pandas(df), "t", **bad)
+
+
+def test_lockstep_fold_paths():
+    # both layouts (lockstep sweep vs per-segment accumulate) must give
+    # bit-identical ordered folds; force each by segment-shape choice
+    from record_matcher_ray.pipelines.linkage import _lockstep_fold
+
+    rng = np.random.default_rng(7)
+
+    def brute(seg, vals, n):
+        out = np.zeros(n)
+        for s, v in zip(seg, vals):
+            out[s] = out[s] + v
+        return out
+
+    # few wide segments -> accumulate path
+    seg = np.repeat(np.arange(3), [500, 700, 1])
+    vals = rng.standard_normal(len(seg)) * 1e3
+    got = _lockstep_fold(seg, vals, 3)
+    assert np.array_equal(got, brute(seg, vals, 3))
+    # many narrow segments -> lockstep path
+    seg2 = np.repeat(np.arange(400), rng.integers(1, 4, 400))
+    vals2 = rng.standard_normal(len(seg2))
+    got2 = _lockstep_fold(seg2, vals2, 400)
+    assert np.array_equal(got2, brute(seg2, vals2, 400))
+
 
 def test_soft_tfidf_join(ray_session):
     import math

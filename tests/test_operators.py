@@ -2630,6 +2630,15 @@ def test_attribute_conversions_first_touch(ray_session):
     import pytest as _pt
     with _pt.raises(ValueError, match="touch"):
         attribute_conversions(rd.from_pandas(df), touch="median")
+    # ADVICE r3: conversion listed in channels silently emptied output
+    with _pt.raises(ValueError, match="must not be in channels"):
+        attribute_conversions(
+            rd.from_pandas(df), channels=("click", "purchase")
+        )
+    with _pt.raises(ValueError, match="duplicate channel"):
+        attribute_conversions(
+            rd.from_pandas(df), channels=("click", "click")
+        )
 
 
 def test_chao1_vocab(ray_session):

@@ -645,6 +645,25 @@ def test_gini_by_group(ray_session):
     assert len(z) == 0
 
 
+def test_exact_sum_budget():
+    # ADVICE r3: rank-weighted gini elements (i*c) can exceed the fixed
+    # 1024-chunk int64 invariant; the budgeted variant must stay exact
+    from record_matcher_ray.pipelines.stats import (
+        _exact_sum, _exact_sum_budget,
+    )
+
+    rng = np.random.default_rng(3)
+    big = rng.integers(2**55, 2**56, size=5000, dtype=np.int64)
+    want = sum(int(v) for v in big)
+    assert _exact_sum_budget(big, 2**56) == want
+    # the fixed-chunk variant DOES wrap on these magnitudes
+    assert _exact_sum(big) != want
+    # small-magnitude arrays agree with the fixed-chunk fast path
+    small = rng.integers(-10**6, 10**6, size=4096, dtype=np.int64)
+    assert _exact_sum_budget(small, 10**6) == _exact_sum(small)
+    assert _exact_sum_budget(small, 0) == _exact_sum(small)
+
+
 def test_theil_by_group(ray_session):
     import math
 
