@@ -2131,29 +2131,38 @@ def _q_media_frames(sf_dir: str):
 
 
 def _q_media_real(sf_dir: str):
-    """REAL multimodal decode end-to-end (r3): genuinely decodable PNG and
-    PCM-WAV payloads flow through resize (decode → nearest-resize →
-    re-encode) then featurize with ``decoder='real'`` (stdlib codecs;
+    """REAL multimodal decode end-to-end (r3/r4): genuinely decodable PNG
+    images, PCM-WAV audio and AVI video (raw-DIB / MPNG frames) flow
+    through resize (decode → nearest-resize → re-encode) then featurize
+    with ``decoder='real'`` (stdlib codecs — stages/mediacodec.py;
     PIL/pyav picked up via import guards when present). Deterministic
     outputs (content-derived features, no RNG), so the driver's rows-only
-    check sees a stable table; videos have no stdlib codec and surface as
-    decoded=False rows rather than vanishing."""
+    check sees a stable table. r4 closed the video stub: every kind now
+    decodes for real (decoded=True for ALL rows) and the video payloads
+    additionally ride FrameSampler(mode='real')."""
     import pandas as pd
     import ray.data
 
     from record_matcher_ray.stages.multimodal import (
         featurize_media,
         resize_media,
+        sample_frames,
         synth_media_table,
     )
 
-    ds = ray.data.from_arrow(
-        synth_media_table(n=96, seed=3, real_payloads=True)
-    )
+    tbl = synth_media_table(n=96, seed=3, real_payloads=True)
+    ds = ray.data.from_arrow(tbl)
     feats = featurize_media(
         resize_media(ds, 8, 8, mode="real", concurrency=2),
         decoder="real", on_undecodable="null", concurrency=2,
     ).take_batch(200, batch_format="pyarrow")
+    # real frame sampling over the same table: per-video frame counts
+    frames = sample_frames(
+        ray.data.from_arrow(tbl), fps=4.0, mode="real", concurrency=2
+    ).take_batch(1000, batch_format="pyarrow")
+    import collections
+
+    nframes = collections.Counter(frames["media_id"].to_pylist())
     fl = feats["features"].to_pylist()
     return pd.DataFrame(
         {
@@ -2164,6 +2173,9 @@ def _q_media_real(sf_dir: str):
             "feat_mean": [
                 round(float(np.mean(f)), 6) if f is not None else None
                 for f in fl
+            ],
+            "n_real_frames": [
+                nframes.get(m, 0) for m in feats["media_id"].to_pylist()
             ],
         }
     ).sort_values("media_id").reset_index(drop=True)

@@ -481,8 +481,128 @@ def run_scaling() -> None:
     )
 
 
+RESUME_ENTITIES = int(
+    os.environ.get("GRAFT_RESUME_ENTITIES", str(CORPUS_ENTITIES))
+)
+RESUME_SHARDS = int(os.environ.get("GRAFT_RESUME_SHARDS", "4"))
+
+
+def run_resume_proof() -> None:
+    """Kill-and-resume evidence at bench scale (north_rule checkpoint
+    claim): run the checkpointed flagship job, SIGKILL it mid-stage once
+    half the assignment-shard manifests exist, resubmit the identical
+    command, and verify (a) the resume run's lineage accounting shows the
+    completed partitions were SKIPPED (read back, not rescored) and (b)
+    the resumed output is value-identical to an uninterrupted control run
+    in a fresh checkpoint root. Prints ONE JSON line with both wall times,
+    the skip counts and the output-checksum comparison."""
+    import glob
+    import shutil
+
+    base = "/tmp/rmr_resume_proof"
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    d = _corpus_dir(RESUME_ENTITIES)  # build/cache the corpus untimed
+    fp = f"corpus-{RESUME_ENTITIES}-seed42"
+    env = dict(os.environ, PYTHONPATH=REPO)
+
+    def cmd(ckpt: str, out: str) -> list[str]:
+        return [
+            sys.executable, os.path.join(REPO, "jobs", "docmatch_job.py"),
+            "--corpus", f"{d}/corpus.parquet",
+            "--registry", f"{d}/registry.parquet",
+            "--out", out, "--checkpoint", ckpt,
+            "--num-cpus", str(NUM_CPUS),
+            "--shards", str(RESUME_SHARDS), "--fingerprint", fp,
+        ]
+
+    ck_r, out_r = f"{base}/ckpt_resume", f"{base}/out_resume"
+    ck_c, out_c = f"{base}/ckpt_control", f"{base}/out_control"
+    manifest_glob = f"{ck_r}/stage=assignments/part=*.manifest.json"
+    kill_after = max(1, RESUME_SHARDS // 2)
+
+    # ---- run 1: start, SIGKILL mid-pipeline ------------------------------
+    t0 = time.time()
+    proc = subprocess.Popen(
+        cmd(ck_r, out_r), env=env,
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    finished_early = False
+    while proc.poll() is None:
+        if len(glob.glob(manifest_glob)) >= kill_after:
+            proc.kill()
+            proc.wait()
+            break
+        time.sleep(0.25)
+    else:
+        finished_early = True  # too fast to catch — proof degenerates
+    t_killed = round(time.time() - t0, 2)
+    manifests_at_kill = sorted(
+        os.path.basename(m).split("=")[1].split(".")[0]
+        for m in glob.glob(manifest_glob)
+    )
+
+    # ---- run 2: resubmit the identical command to completion -------------
+    t0 = time.time()
+    r = subprocess.run(cmd(ck_r, out_r), env=env, capture_output=True,
+                       text=True, check=True)
+    t_resume = round(time.time() - t0, 2)
+    resume_report = json.loads(r.stdout.strip().splitlines()[-1])
+
+    # ---- run 3: uninterrupted control in a fresh checkpoint root ---------
+    t0 = time.time()
+    c = subprocess.run(cmd(ck_c, out_c), env=env, capture_output=True,
+                       text=True, check=True)
+    t_control = round(time.time() - t0, 2)
+    control_report = json.loads(c.stdout.strip().splitlines()[-1])
+
+    # ---- value-identical outputs (order-insensitive checksum) ------------
+    import duckdb
+
+    con = duckdb.connect()
+
+    def checksums(out_dir: str) -> dict:
+        an, ah = con.execute(
+            f"SELECT count(*), sum(hash(x_id, match_status, winner_y_id, "
+            f"winner_score, rows_matched, match_score, demoted))::HUGEINT "
+            f"FROM read_parquet('{out_dir}/assignments/*.parquet')"
+        ).fetchone()
+        cn, ch = con.execute(
+            f"SELECT count(*), sum(hash(node, component))::HUGEINT "
+            f"FROM read_parquet('{out_dir}/clusters/*.parquet')"
+        ).fetchone()
+        return {"assign_rows": int(an), "assign_hash": int(ah),
+                "cluster_rows": int(cn), "cluster_hash": int(ch)}
+
+    cs_r, cs_c = checksums(out_r), checksums(out_c)
+    skipped = resume_report.get("skipped_partitions", [])
+    expected_skips = [f"assignments/{p}" for p in manifests_at_kill]
+    print(json.dumps({
+        "metric": "resume_proof",
+        "ok": (not finished_early
+               and cs_r == cs_c
+               and sorted(skipped) == sorted(expected_skips)
+               and len(skipped) >= kill_after),
+        "corpus_entities": RESUME_ENTITIES,
+        "n_shards": RESUME_SHARDS,
+        "killed_after_sec": t_killed,
+        "manifests_done_at_kill": manifests_at_kill,
+        "resume_wall_sec": t_resume,
+        "resume_skipped": skipped,
+        "resume_computed": resume_report.get("computed_partitions", []),
+        "control_wall_sec": t_control,
+        "control_computed": control_report.get("computed_partitions", []),
+        "outputs_identical": cs_r == cs_c,
+        "checksums": {"resume": cs_r, "control": cs_c},
+        "num_cpus": NUM_CPUS,
+        "finished_before_kill": finished_early,
+    }))
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
+    elif "--resume-proof" in sys.argv:
+        run_resume_proof()
     else:
         run_suite(only=os.environ.get("GRAFT_BENCH_ONLY"))

@@ -44,6 +44,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="checkpoint root; enables resumable execution")
     p.add_argument("--num-cpus", type=int, default=None,
                    help="local-mode CPU cap (ignored on a cluster)")
+    p.add_argument("--shards", type=int, default=4,
+                   help="checkpoint shard count (with --checkpoint)")
+    p.add_argument("--fingerprint", default="",
+                   help="input fingerprint recorded in manifests; a "
+                        "mismatch forces recompute instead of stale reuse")
     args = p.parse_args(argv)
 
     import ray
@@ -67,15 +72,22 @@ def main(argv: list[str] | None = None) -> int:
     corpus = read_table(args.corpus)
     registry = read_table(args.registry)
     if args.checkpoint:
-        res = match_documents_checkpointed(corpus, registry, args.checkpoint)
+        res = match_documents_checkpointed(
+            corpus, registry, args.checkpoint,
+            n_shards=args.shards, fingerprint=args.fingerprint,
+        )
     else:
         res = match_documents(corpus, registry)
     res.assignments.write_parquet(f"{args.out.rstrip('/')}/assignments")
     res.clusters.write_parquet(f"{args.out.rstrip('/')}/clusters")
-    print(json.dumps(
-        {"wall_s": round(time.time() - t0, 2),
-         "counters": dict(res.counters)}
-    ))
+    report = {"wall_s": round(time.time() - t0, 2),
+              "counters": dict(res.counters)}
+    if args.checkpoint:
+        # lineage accounting: which partitions were reused vs recomputed —
+        # the resume-proof evidence (state/checkpoint.py manifests)
+        report["skipped_partitions"] = res.runner.skipped
+        report["computed_partitions"] = res.runner.computed
+    print(json.dumps(report))
     ray.shutdown()
     return 0
 

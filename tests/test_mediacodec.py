@@ -135,11 +135,9 @@ def test_real_featurize_dataset(ray_session):
     mids, kinds, feats = run()
     assert len(mids) == 18
     for kind, fv in zip(kinds, feats):
-        if kind in ("image", "audio"):
-            assert fv is not None and len(fv) == 16
-            assert np.isfinite(fv).all()
-        else:  # video: no stdlib codec → null under on_undecodable="null"
-            assert fv is None
+        # r4: ALL kinds decode for real — video via the stdlib AVI codec
+        assert fv is not None and len(fv) == 16, kind
+        assert np.isfinite(fv).all()
     # deterministic across runs
     _, _, feats2 = run()
     for x, y in zip(feats, feats2):
@@ -189,12 +187,45 @@ def test_resize_then_frame_sample_chain(ray_session):
     assert (got["frame_idx"] >= 0).all()
 
 
-def test_frame_sampler_real_mode_guarded():
-    try:
-        import av  # noqa: F401
-    except ImportError:
-        with pytest.raises(NotImplementedError):
-            FrameSampler(mode="real")
+def test_avi_roundtrip_and_mjpg_rejection():
+    rng = np.random.RandomState(5)
+    frames = [rng.randint(0, 256, (9, 14, 3), np.uint8) for _ in range(4)]
+    for codec in ("raw", "mpng"):
+        payload = mc.encode_avi(frames, fps=5.0, codec=codec)
+        assert mc.sniff_mime(payload) == "video/avi"
+        got, fps = mc.decode_avi(payload)
+        assert fps == 5.0 and len(got) == 4
+        for a, b in zip(frames, got):
+            assert np.array_equal(a, b)
+    # odd width exercises the 4-byte DIB stride padding
+    f2 = [rng.randint(0, 256, (3, 5, 3), np.uint8)]
+    assert np.array_equal(mc.decode_avi(mc.encode_avi(f2, fps=1))[0][0],
+                          f2[0])
+    with pytest.raises(ValueError):
+        mc.decode_avi(b"RIFF\x00\x00\x00\x00WAVE")  # not AVI
+    with pytest.raises(ValueError):
+        mc.encode_avi([], fps=1)
+
+
+def test_frame_sampler_real_mode_stdlib():
+    """r4: FrameSampler(mode='real') works in-sandbox via the AVI codec —
+    the last NotImplementedError stub is closed."""
+    rng = np.random.RandomState(8)
+    frames = [rng.randint(0, 256, (6, 6, 3), np.uint8) for _ in range(8)]
+    payload = mc.encode_avi(frames, fps=4.0, codec="raw")
+    import pyarrow as pa
+
+    t = pa.table({
+        "media_id": ["v0"], "kind": ["video"],
+        "payload": pa.array([payload], pa.binary()),
+        "duration_ms": pa.array([2000], pa.int32()),
+    })
+    out = FrameSampler(fps=2.0, mode="real")(t)
+    # 8 source frames at 4 fps = 2 s; sampling at 2 fps → every 2nd frame
+    assert out["frame_idx"].to_pylist() == [0, 1, 2, 3]
+    assert out["ts_ms"].to_pylist() == [0, 500, 1000, 1500]
+    got = np.frombuffer(out["frame"][0].as_py(), np.uint8).reshape(6, 6, 3)
+    assert np.array_equal(got, frames[0])
 
 
 def test_resizer_real_mode_constructs_without_pil():

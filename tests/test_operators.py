@@ -306,14 +306,12 @@ def test_media_featurizer_plumbing(ray_session):
     a = out.sort_values("media_id")["features"].tolist()
     b = out2.sort_values("media_id")["features"].tolist()
     assert all(np.allclose(x, y) for x, y in zip(a, b))
-    # real decoder: undecodable bytes raise; video needs pyav (guarded)
+    # real decoder: undecodable bytes raise for every kind (video too —
+    # the r4 stdlib AVI codec replaced the NotImplementedError guard)
     with pytest.raises(ValueError):
         MediaFeaturizer(decoder="real")._decode_real(b"x", "image")
-    try:
-        import av  # noqa: F401
-    except ImportError:
-        with pytest.raises(NotImplementedError):
-            MediaFeaturizer(decoder="real")._decode_real(b"x", "video")
+    with pytest.raises(ValueError):
+        MediaFeaturizer(decoder="real")._decode_real(b"x", "video")
 
 
 def test_hash_join(ray_session):
@@ -1079,19 +1077,26 @@ class TestMultimodalResizeFrames:
         assert g["ts_ms"].tolist() == [i * 500 for i in range(len(g))]
 
     def test_real_mode_availability(self, ray_session):
-        """r3: resize real mode works via the stdlib codecs (see
-        test_mediacodec.py); frame-sample real mode stays guarded on pyav
-        (no stdlib video codec)."""
+        """r3/r4: BOTH real modes work via the stdlib codecs — resize
+        (PNG/BMP) and frame-sample (AVI); drive the real frame sampler
+        end-to-end over the actor pool."""
+        import ray.data as rd
+
         from record_matcher_ray.stages.multimodal import (
-            _HAVE_AV,
-            FrameSampler,
             MediaResizer,
+            sample_frames,
+            synth_media_table,
         )
 
         MediaResizer(mode="real")  # constructs without PIL
-        if not _HAVE_AV:
-            with pytest.raises(NotImplementedError):
-                FrameSampler(mode="real")
+        tbl = synth_media_table(n=12, seed=9, real_payloads=True)
+        out = sample_frames(
+            rd.from_arrow(tbl), fps=4.0, mode="real", concurrency=2
+        ).to_pandas()
+        n_video = sum(1 for k in tbl["kind"].to_pylist() if k == "video")
+        assert out["media_id"].nunique() == n_video
+        # every sampled frame is a real decoded 8x8 RGB frame
+        assert all(len(f) == 8 * 8 * 3 for f in out["frame"])
 
 
 def test_filter_by_quantile_global_and_grouped(ray_session):
