@@ -240,7 +240,9 @@ def bench_ann() -> dict:
 
     from record_matcher_ray.pipelines.similarity import brute_force_topk
 
-    ds = rd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    ds = rd.read_parquet(
+        f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
     head = pq.read_table(
         f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
     ).slice(0, 64)
@@ -599,10 +601,93 @@ def run_resume_proof() -> None:
     }))
 
 
+DELTA_MOD = int(os.environ.get("GRAFT_DELTA_MOD", "10"))  # 1-in-N delta
+
+
+def run_delta_proof() -> None:
+    """Incremental-matching evidence (VERDICT r3 item #3): at bench scale,
+    a 1-in-``DELTA_MOD`` delta of corpus docs matched against the
+    PRE-BUILT registry index must cost a small fraction of a full
+    re-match. Reports full wall, one-time index-build wall, delta wall
+    (index skipped — asserted via the lineage accounting) and the ratio."""
+    import shutil
+
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.docmatch import (
+        build_doc_index,
+        match_documents,
+        match_documents_delta,
+    )
+
+    d = _corpus_dir()
+    root = "/tmp/rmr_delta_proof_index"
+    shutil.rmtree(root, ignore_errors=True)
+    corpus = f"{d}/corpus.parquet"
+    registry = f"{d}/registry.parquet"
+
+    def delta_ds():
+        def keep(t: pa.Table) -> pa.Table:
+            rid = pc.cast(
+                pc.utf8_slice_codeunits(t["doc_id"], 1, 99), pa.int64()
+            )
+            return t.filter(pa.array(np.mod(rid.to_numpy(), DELTA_MOD) == 0))
+
+        return rd.read_parquet(corpus).map_batches(
+            keep, batch_format="pyarrow"
+        )
+
+    t0 = time.time()
+    full = match_documents(rd.read_parquet(corpus), rd.read_parquet(registry))
+    n_full = full.assignments.count()
+    t_full = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    build_doc_index(rd.read_parquet(registry), root,
+                    fingerprint="delta-proof")
+    t_index = round(time.time() - t0, 2)
+
+    t0 = time.time()
+    res = match_documents_delta(delta_ds(), rd.read_parquet(registry), root,
+                                fingerprint="delta-proof")
+    n_delta = res.assignments.count()
+    t_delta = round(time.time() - t0, 2)
+    ray.shutdown()
+    print(json.dumps({
+        "metric": "delta_proof",
+        "ok": res.runner.computed == [] and n_delta > 0,
+        "corpus_entities": CORPUS_ENTITIES,
+        "delta_fraction": round(1.0 / DELTA_MOD, 3),
+        "full_wall_sec": t_full,
+        "index_build_sec": t_index,
+        "delta_wall_sec": t_delta,
+        "delta_over_full": round(t_delta / t_full, 3),
+        "full_rows": n_full,
+        "delta_rows": n_delta,
+        "index_skipped_in_delta": res.runner.skipped,
+        "num_cpus": NUM_CPUS,
+    }))
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
     elif "--resume-proof" in sys.argv:
         run_resume_proof()
+    elif "--delta-proof" in sys.argv:
+        run_delta_proof()
     else:
         run_suite(only=os.environ.get("GRAFT_BENCH_ONLY"))

@@ -148,6 +148,14 @@ _CARRY_CACHE: dict = {}
 
 
 @ray.remote(num_cpus=0)
+def _key_partial(t: pa.Table) -> np.ndarray:
+    """Distinct int64 blocking keys of one key block (delta pruning)."""
+    if len(t) == 0 or "key" not in t.column_names:
+        return np.empty(0, np.int64)
+    return np.unique(t["key"].to_numpy())
+
+
+@ray.remote(num_cpus=0)
 def _rid_partial(t: pa.Table) -> np.ndarray:
     """8 B/row rid column of one block — the only bytes that leave it."""
     if len(t) == 0 or "rid" not in t.column_names:
@@ -283,6 +291,19 @@ def _flat_route(
     return refs, ids, blk, pos
 
 
+def _normalize_carry_cols(t: pa.Table, carry: list[str]) -> pa.Table:
+    """Scorer-column normalization (string, non-null, single chunk) —
+    shared by the in-run flats pass and the persisted-index read-back so
+    score_bucket's zero-copy block views hold on both paths."""
+    for c in carry:
+        if c in t.column_names:
+            arr = pc.fill_null(pc.cast(t[c], pa.string()), "")
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            t = t.set_column(t.column_names.index(c), c, arr)
+    return t
+
+
 class DocMatchResult:
     def __init__(self, assignments, edges, clusters, counters):
         self.assignments = assignments  # Dataset: x_id, status, winner_y_id, ...
@@ -305,6 +326,7 @@ def match_documents(
     n_buckets: int = 256,
     reduce_driver_cap: int = 500_000,
     shuffle_partitions: int | None = None,
+    y_prepared: "tuple[ray.data.Dataset, ray.data.Dataset] | None" = None,
 ) -> DocMatchResult:
     """x_docs / y_docs: (doc_id, spans) tables (corpus schema). Returns
     per-x assignments, accepted-pair edges and entity clusters.
@@ -312,7 +334,13 @@ def match_documents(
     ``progress``: optional per-stage driver callback ``(stage, info)`` —
     fired after flatten, pair scoring, per-x reduce, assignments,
     unmatched backfill, edges and clustering (the Ray-path analogue of the
-    reference's ``update_func``, matcher.py:320-332)."""
+    reference's ``update_func``, matcher.py:320-332).
+
+    ``y_prepared``: optional pre-built registry side ``(y_flat, y_keys)``
+    — a MATERIALIZED normalized-flats dataset and its expanded key table
+    (as written by :func:`build_doc_index`). When given, ``y_docs`` is
+    ignored and the y-side flatten + key expansion are skipped entirely —
+    the incremental/delta path (:func:`match_documents_delta`)."""
     cfg = cfg or default_doc_config()
 
     def _tick(stage: str, info: dict) -> None:
@@ -330,9 +358,11 @@ def match_documents(
     x_pipe = x_docs.map_batches(flatten_spans, batch_format="pyarrow").map_batches(
         add_int_ids, batch_format="pyarrow"
     )
-    y_pipe = y_docs.map_batches(flatten_spans, batch_format="pyarrow").map_batches(
-        add_int_ids, batch_format="pyarrow"
-    )
+    y_pipe = None
+    if y_prepared is None:
+        y_pipe = y_docs.map_batches(
+            flatten_spans, batch_format="pyarrow"
+        ).map_batches(add_int_ids, batch_format="pyarrow")
 
     x_match_cols = cfg.x_match_columns()
     y_need_cols = cfg.y_columns_needed()
@@ -346,13 +376,7 @@ def match_documents(
         # the whole corpus (total CPU grew with worker count, pure
         # anti-scaling); normalized blocks make the views zero-copy plasma
         # references shared by all workers.
-        for c in carry:
-            if c in t.column_names:
-                arr = pc.fill_null(pc.cast(t[c], pa.string()), "")
-                if isinstance(arr, pa.ChunkedArray):
-                    arr = arr.combine_chunks()
-                t = t.set_column(t.column_names.index(c), c, arr)
-        return t
+        return _normalize_carry_cols(t, carry)
 
     if shuffle_partitions is None:
         ncpu = int(ray.cluster_resources().get("CPU", 32))
@@ -367,17 +391,54 @@ def match_documents(
         _fx = _ex.submit(
             x_pipe.map_batches(_normalize_carry, batch_format="pyarrow").materialize
         )
-        _fy = _ex.submit(
-            y_pipe.map_batches(_normalize_carry, batch_format="pyarrow").materialize
-        )
+        if y_prepared is None:
+            _fy = _ex.submit(
+                y_pipe.map_batches(_normalize_carry, batch_format="pyarrow").materialize
+            )
+            y_flat = _fy.result()
+        else:
+            y_flat = y_prepared[0]
         x_flat = _fx.result()
-        y_flat = _fy.result()
     xk = x_flat.map_batches(
         KeyExpander(0, [], num_perm, seed, n_buckets), batch_format="pyarrow"
     )
-    yk = y_flat.map_batches(
-        KeyExpander(1, [], num_perm, seed, n_buckets), batch_format="pyarrow"
+    yk = (
+        y_prepared[1]
+        if y_prepared is not None
+        else y_flat.map_batches(
+            KeyExpander(1, [], num_perm, seed, n_buckets),
+            batch_format="pyarrow",
+        )
     )
+    if y_prepared is not None:
+        # DELTA semi-join pruning: the registry key table is sized to the
+        # FULL y side, but a delta's x emits few distinct keys — y key
+        # rows whose key appears in no x row can never form a pair group
+        # (score_bucket requires both sides), so filter them out BEFORE
+        # the blocking shuffle. The x key set is collected via per-block
+        # num_cpus=0 partials (narrow column only) and broadcast once;
+        # above the cap (50M keys ≈ 400 MB) the pruning is skipped — at
+        # that size the delta is no longer small and a full shuffle is
+        # the right shape anyway.
+        xk = xk.materialize()
+        key_parts = ray.get(
+            [_key_partial.remote(r) for r in xk.to_arrow_refs()]
+        )
+        xkeys = (
+            np.unique(np.concatenate(key_parts))
+            if key_parts
+            else np.empty(0, np.int64)
+        )
+        if 0 < len(xkeys) <= 50_000_000:
+            xkeys_ref = ray.put(xkeys)
+
+            def _prune_y_keys(t: pa.Table) -> pa.Table:
+                ks = ray.get(xkeys_ref)  # zero-copy plasma numpy
+                k = t["key"].to_numpy()
+                pos = np.minimum(np.searchsorted(ks, k), len(ks) - 1)
+                return t.filter(pa.array(ks[pos] == k))
+
+            yk = yk.map_batches(_prune_y_keys, batch_format="pyarrow")
     keys_mat = xk.union(yk).repartition(shuffle_partitions).materialize()
 
     n_x_total = x_flat.count()
@@ -1059,5 +1120,106 @@ def match_documents_checkpointed(
         {"matches_accepted": edges.count(), "shards": n_shards}
     )
     res = DocMatchResult(assignments, edges, clusters, counters)
+    res.runner = runner
+    return res
+
+
+def build_doc_index(
+    y_docs: ray.data.Dataset,
+    root: str,
+    *,
+    cfg: MatchConfig | None = None,
+    num_perm: int = 64,
+    seed: int = 1,
+    n_buckets: int = 256,
+    fingerprint: str = "",
+) -> "StageRunner":
+    """Build (or reuse) the PERSISTENT registry-side index: normalized
+    flats (stage ``y_flat``) and expanded blocking keys (stage
+    ``y_keys``), checkpointed with lineage manifests under ``root``.
+
+    A 100-TB deployment never re-derives the static registry side per
+    run — the reference recomputes its group index every call
+    (records.py:106-132), which is fine at 10^3 rows and prohibitive at
+    10^9. Both stages are :class:`StageRunner` partitions: a second call
+    with the same fingerprint skips them entirely, and a killed build
+    resumes. The key-derivation parameters are folded into the manifest
+    fingerprint so an index built with different ``num_perm``/``seed``/
+    ``n_buckets`` is recomputed, never silently reused."""
+    from record_matcher_ray.state.checkpoint import StageRunner
+
+    cfg = cfg or default_doc_config()
+    carry = sorted(set(cfg.x_match_columns()) | set(cfg.y_columns_needed()))
+    fp = f"{fingerprint}|perm{num_perm}-seed{seed}-b{n_buckets}"
+    runner = StageRunner(root, fingerprint=fp)
+
+    runner.run(
+        "y_flat",
+        lambda: (
+            y_docs.map_batches(flatten_spans, batch_format="pyarrow")
+            .map_batches(add_int_ids, batch_format="pyarrow")
+            .map_batches(lambda t: _normalize_carry_cols(t, carry),
+                         batch_format="pyarrow")
+        ),
+    )
+
+    def keys_fn() -> ray.data.Dataset:
+        from record_matcher_ray.state.checkpoint import read_partition
+
+        return read_partition(root, "y_flat", "all").map_batches(
+            KeyExpander(1, [], num_perm, seed, n_buckets),
+            batch_format="pyarrow",
+        )
+
+    runner.run("y_keys", keys_fn)
+    return runner
+
+
+def match_documents_delta(
+    x_new_docs: ray.data.Dataset,
+    y_docs: ray.data.Dataset,
+    root: str,
+    *,
+    cfg: MatchConfig | None = None,
+    num_perm: int = 64,
+    seed: int = 1,
+    n_buckets: int = 256,
+    fingerprint: str = "",
+    **kw,
+) -> DocMatchResult:
+    """Incremental matching: match ONLY ``x_new_docs`` (the day's arriving
+    delta) against the registry, reusing the checkpointed registry index
+    (``build_doc_index``) instead of re-flattening and re-key-expanding
+    the static y side. First call builds the index; subsequent calls skip
+    it via the lineage manifests, so a 10% delta costs roughly the x-side
+    work plus the (cheap) index read-back — not a full re-match.
+
+    Returns the standard :class:`DocMatchResult` restricted to the new
+    docs; ``res.runner`` carries the index skip/compute accounting."""
+    cfg = cfg or default_doc_config()
+    runner = build_doc_index(
+        y_docs, root, cfg=cfg, num_perm=num_perm, seed=seed,
+        n_buckets=n_buckets, fingerprint=fingerprint,
+    )
+    from record_matcher_ray.state.checkpoint import read_partition
+
+    carry = sorted(set(cfg.x_match_columns()) | set(cfg.y_columns_needed()))
+    # read back ONLY rid + the scorer (carry) columns: the long `body`
+    # fed key expansion at index-build time and never rides again — at
+    # registry scale it is most of the flats' bytes. Re-assert the
+    # single-chunk guarantee after the parquet round-trip (score_bucket's
+    # views are zero-copy only over single-chunk columns).
+    need = ["rid"] + carry
+    y_flat = (
+        read_partition(root, "y_flat", "all", columns=need)
+        .map_batches(lambda t: _normalize_carry_cols(t, carry),
+                     batch_format="pyarrow")
+        .materialize()
+    )
+    yk = read_partition(root, "y_keys", "all")
+    res = match_documents(
+        x_new_docs, None, cfg, num_perm=num_perm, seed=seed,
+        n_buckets=n_buckets, y_prepared=(y_flat, yk), **kw
+    )
     res.runner = runner
     return res

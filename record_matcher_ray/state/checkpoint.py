@@ -52,8 +52,12 @@ def is_complete(root: str, stage: str, part: str, fingerprint: str | None = None
     return os.path.isdir(_part_dir(root, stage, part))
 
 
-def read_partition(root: str, stage: str, part: str) -> ray.data.Dataset:
-    return ray.data.read_parquet(_part_dir(root, stage, part))
+def read_partition(
+    root: str, stage: str, part: str, columns: list[str] | None = None
+) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        _part_dir(root, stage, part), columns=columns
+    )
 
 
 def manifest(root: str, stage: str, part: str) -> dict:

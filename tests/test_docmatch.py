@@ -210,3 +210,54 @@ def test_docmatch_progress_hook(ray_session, corpus_dir):
     assert events == ["flatten", "uniqueness", "pair_scoring", "reduce",
                       "flips", "finalize", "assignments", "edges",
                       "clustering"]
+
+
+def test_docmatch_delta_matches_full(ray_session, corpus_dir, tmp_path):
+    """Incremental path (VERDICT r3 item #3): a delta run over a subset of
+    x docs against the persisted registry index must equal a direct
+    match_documents run on the same subset, and the second delta must SKIP
+    the index stages via the lineage manifests."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.docmatch import (
+        match_documents,
+        match_documents_delta,
+    )
+
+    y = rd.read_parquet(f"{corpus_dir}/registry.parquet")
+
+    def subset(mod: int):
+        def keep(t: pa.Table) -> pa.Table:
+            rid = pc.cast(
+                pc.utf8_slice_codeunits(t["doc_id"], 1, 99), pa.int64()
+            )
+            return t.filter(pa.array(np.mod(rid.to_numpy(), 10) == mod))
+
+        return rd.read_parquet(f"{corpus_dir}/corpus.parquet").map_batches(
+            keep, batch_format="pyarrow"
+        )
+
+    root = str(tmp_path / "regidx")
+    d1 = match_documents_delta(subset(0), y, root, fingerprint="c120")
+    assert sorted(d1.runner.computed) == ["y_flat/all", "y_keys/all"]
+    full = match_documents(subset(0), y)
+    a = d1.assignments.to_pandas().sort_values("x_id").reset_index(drop=True)
+    b = full.assignments.to_pandas().sort_values("x_id").reset_index(drop=True)
+    assert a.equals(b)
+
+    # second delta (different subset): index stages skipped, not rebuilt
+    d2 = match_documents_delta(subset(1), y, root, fingerprint="c120")
+    assert sorted(d2.runner.skipped) == ["y_flat/all", "y_keys/all"]
+    assert d2.runner.computed == []
+    full2 = match_documents(subset(1), y)
+    a2 = d2.assignments.to_pandas().sort_values("x_id").reset_index(drop=True)
+    b2 = full2.assignments.to_pandas().sort_values("x_id").reset_index(drop=True)
+    assert a2.equals(b2)
+
+    # a different key-derivation parameter invalidates the index
+    d3 = match_documents_delta(subset(1), y, root, fingerprint="c120",
+                               num_perm=32)
+    assert sorted(d3.runner.computed) == ["y_flat/all", "y_keys/all"]
