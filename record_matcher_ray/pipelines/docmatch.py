@@ -136,6 +136,11 @@ class KeyExpander:
 # closure-referenced globals per task (see CLAUDE.md)
 _CARRY_CACHE: dict = {}
 
+# driver-side warm registry-index cache for repeated delta runs in one
+# session (match_documents_delta): {(root, fp, params) -> (y_flat, yk,
+# yset_ref)}; single entry — a session serves one registry at a time
+_DELTA_INDEX_CACHE: dict = {}
+
 
 # ---- per-block remote partials (multi-node-safe driver reads) -----------
 # r2's driver fast paths did `ray.get(ds.to_arrow_refs())` and projected
@@ -411,15 +416,28 @@ def match_documents(
         )
     )
     if y_prepared is not None:
-        # DELTA semi-join pruning: the registry key table is sized to the
-        # FULL y side, but a delta's x emits few distinct keys — y key
-        # rows whose key appears in no x row can never form a pair group
-        # (score_bucket requires both sides), so filter them out BEFORE
-        # the blocking shuffle. The x key set is collected via per-block
-        # num_cpus=0 partials (narrow column only) and broadcast once;
-        # above the cap (50M keys ≈ 400 MB) the pruning is skipped — at
+        # DELTA semi-join pruning, both directions. (a) x keys absent
+        # from the registry's scoreable-key set (y_keyset: keys with
+        # y-width ≤ cap) can never pair — prune them first (the common
+        # filler-band keys are the bulk of x key mass). (b) y key rows
+        # whose key appears in no surviving x row can't pair either —
+        # prune them BEFORE the blocking shuffle. Both sets ride as ONE
+        # plasma broadcast each (sorted int64, zero-copy in tasks);
+        # above the cap (50M keys ≈ 400 MB) pruning is skipped — at
         # that size the delta is no longer small and a full shuffle is
-        # the right shape anyway.
+        # the right shape anyway. Consequence (documented at
+        # build_doc_index): `blocks_dropped` counts only x-width
+        # overflows on the delta path; assignments are unchanged.
+        yset_ref = y_prepared[2] if len(y_prepared) > 2 else None
+        if yset_ref is not None:
+
+            def _prune_x_keys(t: pa.Table) -> pa.Table:
+                ks = ray.get(yset_ref)  # zero-copy plasma numpy
+                k = t["key"].to_numpy()
+                pos = np.minimum(np.searchsorted(ks, k), len(ks) - 1)
+                return t.filter(pa.array(ks[pos] == k))
+
+            xk = xk.map_batches(_prune_x_keys, batch_format="pyarrow")
         xk = xk.materialize()
         key_parts = ray.get(
             [_key_partial.remote(r) for r in xk.to_arrow_refs()]
@@ -1132,6 +1150,7 @@ def build_doc_index(
     num_perm: int = 64,
     seed: int = 1,
     n_buckets: int = 256,
+    max_block_side: int = 32,
     fingerprint: str = "",
 ) -> "StageRunner":
     """Build (or reuse) the PERSISTENT registry-side index: normalized
@@ -1150,7 +1169,8 @@ def build_doc_index(
 
     cfg = cfg or default_doc_config()
     carry = sorted(set(cfg.x_match_columns()) | set(cfg.y_columns_needed()))
-    fp = f"{fingerprint}|perm{num_perm}-seed{seed}-b{n_buckets}"
+    fp = (f"{fingerprint}|perm{num_perm}-seed{seed}-b{n_buckets}"
+          f"-cap{max_block_side}")
     runner = StageRunner(root, fingerprint=fp)
 
     runner.run(
@@ -1166,12 +1186,53 @@ def build_doc_index(
     def keys_fn() -> ray.data.Dataset:
         from record_matcher_ray.state.checkpoint import read_partition
 
-        return read_partition(root, "y_flat", "all").map_batches(
+        ks = read_partition(root, "y_flat", "all").map_batches(
             KeyExpander(1, [], num_perm, seed, n_buckets),
             batch_format="pyarrow",
         )
 
+        # drop keys whose Y-side width exceeds the scoring cap AT BUILD
+        # TIME: score_bucket drops any group with ny > max_block_side
+        # (non-discriminative fat band buckets), so their y rows can
+        # never score — at the 1M-entity corpus they are the MAJORITY of
+        # the raw key mass (common filler-text bands) and sorting them
+        # per bucket dominated the delta's scoring wall. One ≤n_buckets
+        # exchange, one-time. Consequence (documented): a delta run's
+        # `blocks_dropped` counter no longer counts ny-overflow groups —
+        # assignments are unchanged (those groups never emit pairs).
+        def drop_fat(t: pa.Table) -> pa.Table:
+            k = t["key"].to_numpy()
+            order = np.argsort(k, kind="stable")
+            ks_s = k[order]
+            bounds = np.nonzero(
+                np.concatenate(([True], ks_s[1:] != ks_s[:-1]))
+            )[0]
+            sizes = np.diff(np.append(bounds, len(ks_s)))
+            keep = np.repeat(sizes <= max_block_side, sizes)
+            return t.take(pa.array(order[keep]))
+
+        return ks.groupby("bucket").map_groups(
+            drop_fat, batch_format="pyarrow"
+        )
+
     runner.run("y_keys", keys_fn)
+
+    def keyset_fn() -> ray.data.Dataset:
+        from record_matcher_ray.state.checkpoint import read_partition
+
+        # per-block distinct is enough (the delta load np.unique-merges);
+        # this is the broadcastable "which keys exist on the y side at
+        # scoreable width" set used to prune the DELTA's x keys
+        def uniq(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"key": pa.array(np.unique(t["key"].to_numpy()))}
+            )
+
+        return read_partition(root, "y_keys", "all", columns=["key"]).map_batches(
+            uniq, batch_format="pyarrow"
+        )
+
+    runner.run("y_keyset", keyset_fn)
     return runner
 
 
@@ -1200,26 +1261,48 @@ def match_documents_delta(
     runner = build_doc_index(
         y_docs, root, cfg=cfg, num_perm=num_perm, seed=seed,
         n_buckets=n_buckets, fingerprint=fingerprint,
+        max_block_side=kw.get("max_block_side", 32),
     )
     from record_matcher_ray.state.checkpoint import read_partition
 
     carry = sorted(set(cfg.x_match_columns()) | set(cfg.y_columns_needed()))
-    # read back ONLY rid + the scorer (carry) columns: the long `body`
-    # fed key expansion at index-build time and never rides again — at
-    # registry scale it is most of the flats' bytes. Re-assert the
-    # single-chunk guarantee after the parquet round-trip (score_bucket's
-    # views are zero-copy only over single-chunk columns).
-    need = ["rid"] + carry
-    y_flat = (
-        read_partition(root, "y_flat", "all", columns=need)
-        .map_batches(lambda t: _normalize_carry_cols(t, carry),
-                     batch_format="pyarrow")
-        .materialize()
-    )
-    yk = read_partition(root, "y_keys", "all")
+    cache_key = (root, fingerprint, num_perm, seed, n_buckets,
+                 tuple(carry), kw.get("max_block_side", 32))
+    cached = _DELTA_INDEX_CACHE.get("entry")
+    if cached is not None and cached[0] == cache_key:
+        y_flat, yk, yset_ref = cached[1]
+    else:
+        # read back ONLY rid + the scorer (carry) columns: the long
+        # `body` fed key expansion at index-build time and never rides
+        # again — at registry scale it is most of the flats' bytes.
+        # Re-assert the single-chunk guarantee after the parquet
+        # round-trip (score_bucket's views are zero-copy only over
+        # single-chunk columns).
+        need = ["rid"] + carry
+        y_flat = (
+            read_partition(root, "y_flat", "all", columns=need)
+            .map_batches(lambda t: _normalize_carry_cols(t, carry),
+                         batch_format="pyarrow")
+            .materialize()
+        )
+        yk = read_partition(root, "y_keys", "all").materialize()
+        set_parts = ray.get(
+            [_key_partial.remote(r)
+             for r in read_partition(
+                 root, "y_keyset", "all"
+             ).to_arrow_refs()]
+        )
+        yset = (np.unique(np.concatenate(set_parts)) if set_parts
+                else np.empty(0, np.int64))
+        yset_ref = ray.put(yset) if len(yset) else None
+        # one live entry: a daily-delta service processes many arriving
+        # batches against ONE registry index per session — keep its
+        # plasma-resident form (flats + key table + keyset) warm so only
+        # the first delta pays the load
+        _DELTA_INDEX_CACHE["entry"] = (cache_key, (y_flat, yk, yset_ref))
     res = match_documents(
         x_new_docs, None, cfg, num_perm=num_perm, seed=seed,
-        n_buckets=n_buckets, y_prepared=(y_flat, yk), **kw
+        n_buckets=n_buckets, y_prepared=(y_flat, yk, yset_ref), **kw
     )
     res.runner = runner
     return res

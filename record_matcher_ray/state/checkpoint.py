@@ -55,8 +55,18 @@ def is_complete(root: str, stage: str, part: str, fingerprint: str | None = None
 def read_partition(
     root: str, stage: str, part: str, columns: list[str] | None = None
 ) -> ray.data.Dataset:
+    # partitioning=None: the checkpoint layout's stage=/part= path
+    # segments would otherwise be hive-parsed into two STRING columns
+    # that silently ride every downstream exchange (~20 B/row). With an
+    # explicit columns list the hive columns are excluded by the list
+    # itself — and Ray 2.49's parquet datasource raises UnboundLocalError
+    # on columns= + partitioning=None together, so pass only one.
+    if columns is not None:
+        return ray.data.read_parquet(
+            _part_dir(root, stage, part), columns=columns
+        )
     return ray.data.read_parquet(
-        _part_dir(root, stage, part), columns=columns
+        _part_dir(root, stage, part), partitioning=None
     )
 
 
@@ -123,7 +133,7 @@ class StageRunner:
             ds = fn(part)
             ds.write_parquet(tmp_dir)
             os.rename(tmp_dir, final_dir)
-            done = ray.data.read_parquet(final_dir)
+            done = ray.data.read_parquet(final_dir, partitioning=None)
             m = {
                 "status": "done",
                 "stage": stage,

@@ -111,3 +111,27 @@ def test_docmatch_checkpointed_resume(ray_session, tmp_path):
     a2 = res2.assignments.to_pandas().sort_values("x_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a1, a2)
     assert res2.counters["matches_accepted"] == n_edges_1
+
+
+def test_read_partition_no_hive_columns(ray_session, tmp_path):
+    """r4 regression: the stage=/part= path segments must NOT be
+    hive-parsed into extra string columns that ride every downstream
+    exchange."""
+    import pandas as pd
+    import ray.data as rd
+
+    from record_matcher_ray.state.checkpoint import (
+        StageRunner,
+        read_partition,
+    )
+
+    root = str(tmp_path / "ck")
+    runner = StageRunner(root, fingerprint="f1")
+    out = runner.run(
+        "keys", lambda: rd.from_pandas(pd.DataFrame({"k": [1, 2, 3]}))
+    )
+    assert out.schema().names == ["k"]
+    again = read_partition(root, "keys", "all")
+    assert again.schema().names == ["k"]
+    pruned = read_partition(root, "keys", "all", columns=["k"])
+    assert pruned.schema().names == ["k"]

@@ -242,7 +242,9 @@ def test_docmatch_delta_matches_full(ray_session, corpus_dir, tmp_path):
 
     root = str(tmp_path / "regidx")
     d1 = match_documents_delta(subset(0), y, root, fingerprint="c120")
-    assert sorted(d1.runner.computed) == ["y_flat/all", "y_keys/all"]
+    assert sorted(d1.runner.computed) == [
+        "y_flat/all", "y_keys/all", "y_keyset/all"
+    ]
     full = match_documents(subset(0), y)
     a = d1.assignments.to_pandas().sort_values("x_id").reset_index(drop=True)
     b = full.assignments.to_pandas().sort_values("x_id").reset_index(drop=True)
@@ -250,7 +252,9 @@ def test_docmatch_delta_matches_full(ray_session, corpus_dir, tmp_path):
 
     # second delta (different subset): index stages skipped, not rebuilt
     d2 = match_documents_delta(subset(1), y, root, fingerprint="c120")
-    assert sorted(d2.runner.skipped) == ["y_flat/all", "y_keys/all"]
+    assert sorted(d2.runner.skipped) == [
+        "y_flat/all", "y_keys/all", "y_keyset/all"
+    ]
     assert d2.runner.computed == []
     full2 = match_documents(subset(1), y)
     a2 = d2.assignments.to_pandas().sort_values("x_id").reset_index(drop=True)
@@ -260,4 +264,6 @@ def test_docmatch_delta_matches_full(ray_session, corpus_dir, tmp_path):
     # a different key-derivation parameter invalidates the index
     d3 = match_documents_delta(subset(1), y, root, fingerprint="c120",
                                num_perm=32)
-    assert sorted(d3.runner.computed) == ["y_flat/all", "y_keys/all"]
+    assert sorted(d3.runner.computed) == [
+        "y_flat/all", "y_keys/all", "y_keyset/all"
+    ]
