@@ -703,6 +703,94 @@ def run_delta_proof() -> None:
     }))
 
 
+SKEW_ALPHA = float(os.environ.get("GRAFT_SKEW_ALPHA", "1.3"))
+
+
+def run_skew_proof() -> None:
+    """Skew stress at bench scale (VERDICT r3 item #6): a Zipf-keyed
+    corpus variant (docs-per-entity ~ capped Pareto(α) — celebrity
+    entities with hundreds of mentions) must run the flagship pipeline
+    within 1.5× of the uniform corpus's PER-DOC wall; the pairs-by-key-
+    tag histogram records what the per-side caps admitted vs dropped.
+    The zipf corpus is sized (by a generator probe) to ≈ the uniform
+    corpus's doc count so raw walls are comparable too."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.docmatch import (
+        match_documents,
+        pairs_by_key_tag,
+    )
+    from record_matcher_ray.sources.corpus import generate_corpus
+
+    d_uni = _corpus_dir()
+    n_docs_uni = pq.read_metadata(f"{d_uni}/truth.parquet").num_rows
+
+    # size the zipf corpus to the uniform doc count via a 20k-entity probe
+    probe_dir = f"/tmp/rmr_skew_probe_{SKEW_ALPHA}"
+    if not os.path.exists(f"{probe_dir}/truth.parquet"):
+        generate_corpus(probe_dir, n_entities=20_000, seed=43,
+                        zipf_docs=SKEW_ALPHA)
+    rate = pq.read_metadata(f"{probe_dir}/truth.parquet").num_rows / 20_000
+    n_ent_zipf = max(1000, int(n_docs_uni / rate))
+    d_zipf = f"/tmp/rmr_skew_corpus_{n_ent_zipf}_{SKEW_ALPHA}"
+    if not os.path.exists(f"{d_zipf}/truth.parquet"):
+        generate_corpus(d_zipf, n_entities=n_ent_zipf, seed=43,
+                        zipf_docs=SKEW_ALPHA)
+    n_docs_zipf = pq.read_metadata(f"{d_zipf}/truth.parquet").num_rows
+
+    def run(d: str) -> tuple[float, dict]:
+        t0 = time.time()
+        res = match_documents(
+            rd.read_parquet(f"{d}/corpus.parquet"),
+            rd.read_parquet(f"{d}/registry.parquet"),
+        )
+        n = res.assignments.count()
+        return round(time.time() - t0, 2), {
+            "rows": n, "pairs_scored": int(res.counters["pairs_scored"]),
+            "matches": int(res.counters["matches_accepted"]),
+            "blocks_dropped": int(res.counters.get("blocks_dropped", 0)),
+        }
+
+    # interleave a warmup-ish order: uniform first (cached corpus, warm
+    # workers), then zipf, then uniform again — report min per leg
+    t_uni1, m_uni = run(d_uni)
+    t_zipf, m_zipf = run(d_zipf)
+    t_uni2, _ = run(d_uni)
+    t_uni = min(t_uni1, t_uni2)
+
+    hist = pairs_by_key_tag(
+        rd.read_parquet(f"{d_zipf}/corpus.parquet"),
+        rd.read_parquet(f"{d_zipf}/registry.parquet"),
+    )
+    ray.shutdown()
+    per_doc_ratio = (t_zipf / n_docs_zipf) / (t_uni / n_docs_uni)
+    print(json.dumps({
+        "metric": "skew_proof",
+        "ok": per_doc_ratio <= 1.5,
+        "zipf_alpha": SKEW_ALPHA,
+        "docs_uniform": n_docs_uni,
+        "docs_zipf": n_docs_zipf,
+        "zipf_entities": n_ent_zipf,
+        "wall_uniform_sec": t_uni,
+        "wall_zipf_sec": t_zipf,
+        "per_doc_wall_ratio": round(per_doc_ratio, 3),
+        "uniform_counters": m_uni,
+        "zipf_counters": m_zipf,
+        "pairs_by_key_tag_zipf": hist.to_dict(orient="records"),
+        "num_cpus": NUM_CPUS,
+    }))
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
@@ -710,5 +798,7 @@ if __name__ == "__main__":
         run_resume_proof()
     elif "--delta-proof" in sys.argv:
         run_delta_proof()
+    elif "--skew-proof" in sys.argv:
+        run_skew_proof()
     else:
         run_suite(only=os.environ.get("GRAFT_BENCH_ONLY"))

@@ -1306,3 +1306,89 @@ def match_documents_delta(
     )
     res.runner = runner
     return res
+
+
+def pairs_by_key_tag(
+    x_docs: ray.data.Dataset,
+    y_docs: ray.data.Dataset,
+    *,
+    num_perm: int = 64,
+    seed: int = 1,
+    n_buckets: int = 256,
+    max_block_side: int = 32,
+    shuffle_partitions: int = 64,
+) -> pd.DataFrame:
+    """Diagnostic histogram for skew probes (CLAUDE.md rule: probe
+    pairs-by-key-tag before growing a corpus): per blocking-key FAMILY
+    (1=exact title, 2=title n-gram, 3=body minhash band, 4=media), the
+    candidate pairs an UNCAPPED pass would admit vs what the per-side
+    cap admits/drops — the direct reading of whether LSH bucket caps are
+    holding a skewed corpus's quadratic blocks in check. Same key
+    derivation as :func:`match_documents`; one bounded exchange."""
+
+    def expand(side: int):
+        def pipe(docs: ray.data.Dataset) -> ray.data.Dataset:
+            return (
+                docs.map_batches(flatten_spans, batch_format="pyarrow")
+                .map_batches(add_int_ids, batch_format="pyarrow")
+                .map_batches(KeyExpander(side, [], num_perm, seed, n_buckets),
+                             batch_format="pyarrow")
+            )
+
+        return pipe
+
+    keys = (
+        expand(0)(x_docs).union(expand(1)(y_docs))
+        .repartition(shuffle_partitions)
+    )
+    hist_schema = pa.schema(
+        [("tag", pa.int64()), ("groups", pa.int64()),
+         ("dropped_groups", pa.int64()), ("admitted_pairs", pa.int64()),
+         ("dropped_pairs", pa.int64()), ("max_side", pa.int64())]
+    )
+
+    def hist(t: pa.Table) -> pa.Table:
+        n = len(t)
+        if n == 0:
+            return hist_schema.empty_table()
+        k = t["key"].to_numpy()
+        side = t["side"].to_numpy()
+        order = np.lexsort((side, k))
+        ks, ss = k[order], side[order]
+        bounds = np.nonzero(np.concatenate(([True], ks[1:] != ks[:-1])))[0]
+        sizes = np.diff(np.append(bounds, n))
+        nx = np.add.reduceat((ss == 0).astype(np.int64), bounds)
+        ny = sizes - nx
+        both = (nx > 0) & (ny > 0)
+        ok = both & (nx <= max_block_side) & (ny <= max_block_side)
+        pairs = nx * ny
+        tag = (ks[bounds] >> np.int64(58)).astype(np.int64)
+        out = {"tag": [], "groups": [], "dropped_groups": [],
+               "admitted_pairs": [], "dropped_pairs": [], "max_side": []}
+        for tg in np.unique(tag):
+            m = tag == tg
+            out["tag"].append(int(tg))
+            out["groups"].append(int((m & both).sum()))
+            out["dropped_groups"].append(int((m & both & ~ok).sum()))
+            out["admitted_pairs"].append(int(pairs[m & ok].sum()))
+            out["dropped_pairs"].append(int(pairs[m & both & ~ok].sum()))
+            out["max_side"].append(
+                int(np.maximum(nx[m], ny[m]).max()) if m.any() else 0
+            )
+        return pa.table(out, schema=hist_schema)
+
+    parts = (
+        keys.groupby("bucket")
+        .map_groups(hist, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if parts.empty:
+        return parts
+    agg = parts.groupby("tag").agg(
+        groups=("groups", "sum"),
+        dropped_groups=("dropped_groups", "sum"),
+        admitted_pairs=("admitted_pairs", "sum"),
+        dropped_pairs=("dropped_pairs", "sum"),
+        max_side=("max_side", "max"),
+    ).reset_index()
+    return agg.sort_values("tag").reset_index(drop=True)

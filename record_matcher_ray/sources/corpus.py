@@ -128,9 +128,16 @@ def generate_corpus(
     distractor_frac: float = 0.15,
     noise: float = 0.08,
     seed: int = 42,
+    zipf_docs: float | None = None,
+    zipf_cap: int = 200,
 ) -> dict[str, str]:
     """Write registry.parquet / corpus.parquet / truth.parquet under
-    ``out_dir``; returns the path map. Deterministic in (args)."""
+    ``out_dir``; returns the path map. Deterministic in (args).
+
+    ``zipf_docs``: when set, docs-per-entity follows a heavy-tailed
+    Pareto(α=zipf_docs) capped at ``zipf_cap`` instead of uniform
+    1..max — the skew-stress corpus variant (a few celebrity entities
+    with hundreds of mentions, a long tail with one)."""
     rng = random.Random(seed)
     entities = [_entity(rng, e) for e in range(n_entities)]
 
@@ -144,7 +151,11 @@ def generate_corpus(
     corpus_rows, truth_rows = [], []
     i = 0
     for ent in entities:
-        for _ in range(rng.randrange(1, max_docs_per_entity + 1)):
+        if zipf_docs is not None:
+            n_docs = min(int(rng.paretovariate(zipf_docs)), zipf_cap)
+        else:
+            n_docs = rng.randrange(1, max_docs_per_entity + 1)
+        for _ in range(n_docs):
             corpus_rows.append(
                 {"doc_id": f"x{i:08d}",
                  "spans": _doc_spans(rng, ent, noisy=True, noise=noise)}

@@ -104,3 +104,64 @@ def test_salted_path_matches_reference(ray_session, reference):
         gv = got.loc[idx, "matched_tag"]
         wv = wrow["matched_tag"]
         assert (gv == wv) or (wv is None and (gv is None or gv != gv)), idx
+
+
+def test_zipf_corpus_and_pairs_by_key_tag(ray_session, tmp_path):
+    """r4 skew stress pieces: the Zipf corpus variant is deterministic and
+    heavy-tailed, and the pairs-by-key-tag histogram matches a brute-force
+    per-key count on the same keys."""
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.docmatch import pairs_by_key_tag
+    from record_matcher_ray.sources.corpus import generate_corpus
+
+    a = tmp_path / "za"
+    b = tmp_path / "zb"
+    generate_corpus(str(a), n_entities=300, seed=11, zipf_docs=1.3)
+    generate_corpus(str(b), n_entities=300, seed=11, zipf_docs=1.3)
+    ta = pq.read_table(f"{a}/corpus.parquet")
+    assert ta.equals(pq.read_table(f"{b}/corpus.parquet"))
+    truth = pq.read_table(f"{a}/truth.parquet").to_pandas()
+    per_ent = truth[truth["entity_id"] >= 0].groupby("entity_id").size()
+    assert per_ent.max() >= 10  # heavy tail present
+    assert (per_ent == 1).sum() > len(per_ent) * 0.4  # long tail of singletons
+
+    hist = pairs_by_key_tag(
+        rd.read_parquet(f"{a}/corpus.parquet"),
+        rd.read_parquet(f"{a}/registry.parquet"),
+        max_block_side=32,
+    )
+    assert set(hist["tag"]) <= {1, 2, 3, 4}
+    # brute-force mirror over the same key expansion
+    import numpy as np
+
+    from record_matcher_ray.pipelines.docmatch import KeyExpander
+    from record_matcher_ray.stages.flatten import add_int_ids, flatten_spans
+
+    def keys_of(path, side):
+        t = add_int_ids(flatten_spans(pq.read_table(path)))
+        return KeyExpander(side, [], 64, 1, 256)(t)
+
+    kx = keys_of(f"{a}/corpus.parquet", 0)
+    ky = keys_of(f"{a}/registry.parquet", 1)
+    import collections
+
+    cx, cy = collections.Counter(), collections.Counter()
+    for kk in kx["key"].to_numpy():
+        cx[int(kk)] += 1
+    for kk in ky["key"].to_numpy():
+        cy[int(kk)] += 1
+    want = collections.defaultdict(lambda: [0, 0])  # tag -> [admitted, dropped]
+    for kk in set(cx) & set(cy):
+        tag = kk >> 58
+        p = cx[kk] * cy[kk]
+        if cx[kk] <= 32 and cy[kk] <= 32:
+            want[tag][0] += p
+        else:
+            want[tag][1] += p
+    got = hist.set_index("tag")
+    for tag, (adm, drp) in want.items():
+        assert got.loc[tag, "admitted_pairs"] == adm, tag
+        assert got.loc[tag, "dropped_pairs"] == drp, tag
