@@ -659,6 +659,47 @@ def _em_fs_oracle(n_iter: int = 15) -> str:
     return "".join(parts)
 
 
+def _q_snm(sf_dir: str):
+    """Sorted-neighborhood blocking over part names: candidate pairs
+    within a window-8 slide of the (p_name, p_partkey) sort order."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.linkage import (
+        sorted_neighborhood_pairs,
+    )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    )
+    return sorted_neighborhood_pairs(ds, ["p_name"], "p_partkey", window=8)
+
+
+def _q_auc(sf_dir: str):
+    """ROC AUC of l_extendedprice as a predictor of returnflag='R' —
+    the rank-sum identity with half-credit ties, exact-integer partials
+    and ONE double division."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from record_matcher_ray.pipelines.linkage import auc_score
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_extendedprice", "l_returnflag"],
+    )
+
+    def lab(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "s": t["l_extendedprice"],
+            "lab": pc.cast(pc.equal(t["l_returnflag"], "R"), pa.int64()),
+        })
+
+    return auc_score(ds.map_batches(lab, batch_format="pyarrow"),
+                     "s", "lab")
+
+
 def queries():
     return {
         "edjoin_part": _q_edjoin,
@@ -679,11 +720,54 @@ def queries():
         "compare_vectors_customer": _q_compare_vectors,
         "jw_prefix_part": _q_jw_prefix,
         "er_pipeline_customer": _q_er_pipeline,
+        "snm_part": _q_snm,
+        "auc_lineitem": _q_auc,
     }
 
 
 def oracles():
     return {
+        "snm_part": """
+            WITH r AS (
+              SELECT p_partkey,
+                     row_number() OVER (ORDER BY p_name, p_partkey) AS rn
+              FROM part
+            )
+            SELECT a.p_partkey AS x_id, b.p_partkey AS y_id,
+                   (b.rn - a.rn)::BIGINT AS gap
+            FROM r a JOIN r b
+              ON b.rn > a.rn AND b.rn < a.rn + 8
+        """,
+        "auc_lineitem": """
+            WITH t AS (
+              SELECT (floor(l_extendedprice * 100.0 + 0.5))::BIGINT AS q,
+                     (CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS lab
+              FROM lineitem
+            ),
+            c AS (
+              SELECT q, sum(lab)::HUGEINT AS pos,
+                     sum(1 - lab)::HUGEINT AS neg
+              FROM t GROUP BY q
+            ),
+            w AS (
+              SELECT q, pos, neg,
+                     coalesce(sum(neg) OVER (ORDER BY q
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0)::HUGEINT AS nb
+              FROM c
+            ),
+            s AS (
+              SELECT sum(pos)::HUGEINT AS p,
+                     sum(neg)::HUGEINT AS nn,
+                     sum(pos * (2 * nb + neg))::HUGEINT AS num2
+              FROM w
+            )
+            SELECT (p + nn)::BIGINT AS n, p::BIGINT AS n_pos,
+                   nn::BIGINT AS n_neg,
+                   floor((num2::DOUBLE) / ((2 * p * nn)::DOUBLE)
+                         * 1000000.0 + 0.5) / 1000000.0 AS auc
+            FROM s
+        """,
         "edjoin_part": """
             WITH c AS (
               SELECT a.p_partkey AS x_id, b.p_partkey AS y_id,

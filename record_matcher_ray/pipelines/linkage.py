@@ -2548,3 +2548,217 @@ def soft_tfidf_join(
     return m.groupby("kb").map_groups(
         score_block, batch_format="pyarrow"
     )
+
+
+def sorted_neighborhood_pairs(
+    ds: ray.data.Dataset,
+    sort_cols: list[str],
+    id_col: str,
+    *,
+    window: int = 8,
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Sorted-neighborhood blocking (Hernández & Stolfo, SIGMOD 1995 —
+    the classic merge/purge method): sort all records by ``sort_cols``
+    and emit every candidate pair within a sliding ``window`` of the
+    sort order → rows (x_id, y_id, gap) with gap = rank distance
+    (1..window-1), ordered-pair ids by rank. The complement to key-equality
+    blocking for near-boundary matches (reference blocks only on exact
+    group keys, records.py:106-132 — SNM catches pairs an exact key
+    split apart).
+
+    Scale shape: one global sort (`relational.global_row_number`'s
+    two-pass dense ranks), then each row ships to ~2 window-aligned
+    range groups hashed into ≤``n_buckets`` buckets; pairs are emitted
+    vectorized per rank gap (window-1 shifted compares, no per-row
+    Python). Exchange is O(rows), pair output O(rows · window).
+    """
+    if window < 2:
+        raise ValueError("window must be >= 2")
+    from record_matcher_ray.pipelines.relational import global_row_number
+
+    rn = global_row_number(
+        ds.select_columns(sorted(set(sort_cols + [id_col]))),
+        sort_cols + [id_col], rn_col="__rn__",
+    )
+    w = int(window)
+
+    def to_groups(t: pa.Table) -> pa.Table:
+        from record_matcher_ray.core.hashkernels import mix64
+
+        r = t["__rn__"].to_numpy()
+        ids = t[id_col]
+        g_own = r // w
+        # each row joins its own range group and the previous one, so any
+        # pair with rank gap < w shares >= 1 group; a pair is EMITTED only
+        # in the LEFT row's own group (unique emission)
+        g = np.concatenate([g_own, g_own - 1])
+        rr = np.concatenate([r, r])
+        own = np.concatenate(
+            [np.ones(len(r), bool), np.zeros(len(r), bool)]
+        )
+        keep = g >= 0
+        idx = pa.array(np.concatenate([np.arange(len(r), dtype=np.int64)] * 2)[keep])
+        bk = (mix64(g[keep].astype(np.uint64))
+              % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table({
+            "__g__": pa.array(g[keep]),
+            "__b__": pa.array(bk),
+            "__rn__": pa.array(rr[keep]),
+            "__own__": pa.array(own[keep]),
+            id_col: pc.take(ids, idx),
+        })
+
+    def emit(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema([
+            ("x_id", t.schema.field(id_col).type),
+            ("y_id", t.schema.field(id_col).type),
+            ("gap", pa.int64()),
+        ])
+        n = len(t)
+        if n == 0:
+            return out_schema.empty_table()
+        g = t["__g__"].to_numpy()
+        r = t["__rn__"].to_numpy()
+        own = t["__own__"].to_numpy()
+        order = np.lexsort((r, g))
+        g_s, r_s, own_s = g[order], r[order], own[order]
+        ids = pc.take(t[id_col].combine_chunks(), pa.array(order))
+        xs, ys, gaps = [], [], []
+        # vectorized per rank gap: partner k positions ahead in the same
+        # group; ranks are dense so position gap == rank gap
+        for k in range(1, w):
+            left = np.arange(n - k)
+            ok = (
+                (g_s[left] == g_s[left + k])
+                & own_s[left]
+                & (r_s[left + k] - r_s[left] < w)
+            )
+            li = left[ok]
+            xs.append(li)
+            ys.append(li + k)
+            gaps.append((r_s[li + k] - r_s[li]).astype(np.int64))
+        if not xs or not sum(len(x) for x in xs):
+            return out_schema.empty_table()
+        xi = np.concatenate(xs)
+        yi = np.concatenate(ys)
+        return pa.table({
+            "x_id": pc.take(ids, pa.array(xi)),
+            "y_id": pc.take(ids, pa.array(yi)),
+            "gap": pa.array(np.concatenate(gaps)),
+        })
+
+    return (
+        rn.map_batches(to_groups, batch_format="pyarrow")
+        .groupby("__b__")
+        .map_groups(lambda t: emit(t.drop_columns(["__b__"])),
+                    batch_format="pyarrow")
+    )
+
+
+def auc_score(
+    ds: ray.data.Dataset,
+    score_col: str,
+    label_col: str,
+    *,
+    scale: float = 100.0,
+    ndigits: int = 6,
+    max_distinct: int = 5_000_000,
+) -> "pd.DataFrame":
+    """ROC AUC of a linkage (or any) score against binary labels via the
+    exact rank-sum identity — the standard evaluation of a pairwise
+    match scorer beyond the fixed-threshold P/R/F1 of `pairwise_eval`:
+
+        AUC = [ Σ_q pos_q · (2·neg_below(q) + neg_q) ] / (2·P·N)
+
+    (ties get the conventional half credit). → one row
+    (n, n_pos, n_neg, auc).
+
+    Parity recipe: scores quantize once to integer units
+    (``floor(v·scale + 0.5)``); per-(quantized score, label) counts
+    reduce through one ≤256-bucket exchange as exact integers; the
+    numerator accumulates in Python arbitrary precision and ONE double
+    division + round(``ndigits``) produces the result — the DuckDB
+    window replay is hash-exact. Null scores/labels drop.
+
+    Scale shape: per-block pre-aggregated (score, label) counts, one
+    bounded exchange, then a driver fold over the DISTINCT quantized
+    scores (``max_distinct`` guard — same documented driver shape as
+    `graph.pagerank`'s node table).
+    """
+    import math
+
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        from record_matcher_ray.core.hashkernels import mix64
+
+        ok = pc.and_(pc.is_valid(t[score_col]), pc.is_valid(t[label_col]))
+        t = t.filter(ok)
+        q = np.floor(
+            pc.cast(t[score_col], pa.float64()).to_numpy() * scale + 0.5
+        ).astype(np.int64)
+        lab = (pc.cast(t[label_col], pa.int64()).to_numpy() != 0)
+        import pandas as _pd
+
+        codes, uniq = _pd.factorize(q * 2 + lab.astype(np.int64))
+        cnt = np.bincount(codes).astype(np.int64)
+        bk = (mix64(uniq.astype(np.uint64))
+              % np.uint64(256)).astype(np.int64)
+        return pa.table({
+            "__k__": pa.array(uniq),
+            "__c__": pa.array(cnt),
+            "__b__": pa.array(bk),
+        })
+
+    def merge(t: pa.Table) -> pa.Table:
+        k = t["__k__"].to_numpy()
+        c = t["__c__"].to_numpy()
+        import pandas as _pd
+
+        codes, uniq = _pd.factorize(k)
+        return pa.table({
+            "__k__": pa.array(uniq),
+            "__c__": pa.array(np.bincount(codes, weights=c).astype(np.int64)),
+        })
+
+    parts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__b__")
+        .map_groups(lambda t: merge(t.drop_columns(["__b__"])),
+                    batch_format="pyarrow")
+        .to_pandas()
+    )
+    if len(parts) > max_distinct:
+        raise ValueError(
+            f"auc_score: {len(parts)} distinct (score,label) cells exceed "
+            f"max_distinct={max_distinct}; lower `scale`."
+        )
+    if parts.empty:
+        return pd.DataFrame({"n": [0], "n_pos": [0], "n_neg": [0],
+                             "auc": [None]})
+    k = parts["__k__"].to_numpy()
+    c = parts["__c__"].to_numpy()
+    q = k >> 1
+    lab = (k & 1).astype(bool)
+    order = np.argsort(q, kind="stable")
+    # collapse to per-score (pos, neg) counts, ascending score
+    qs, cs, ls = q[order], c[order], lab[order]
+    bounds = np.nonzero(np.concatenate(([True], qs[1:] != qs[:-1])))[0]
+    sizes = np.diff(np.append(bounds, len(qs)))
+    pos = np.add.reduceat(np.where(ls, cs, 0), bounds)
+    neg = np.add.reduceat(np.where(ls, 0, cs), bounds)
+    P = int(pos.sum())
+    N = int(neg.sum())
+    if P == 0 or N == 0:
+        return pd.DataFrame({"n": [P + N], "n_pos": [P], "n_neg": [N],
+                             "auc": [None]})
+    neg_below = np.concatenate(([0], np.cumsum(neg)[:-1]))
+    num2 = 0
+    for p_i, nb, n_i in zip(pos, neg_below, neg):
+        num2 += int(p_i) * (2 * int(nb) + int(n_i))
+    v = float(num2) / float(2 * P * N)
+    p10 = 10.0 ** ndigits
+    auc = math.floor(v * p10 + 0.5) / p10
+    return pd.DataFrame({"n": [P + N], "n_pos": [P], "n_neg": [N],
+                         "auc": [auc]})

@@ -1405,3 +1405,70 @@ def test_soft_tfidf_join(ray_session):
     empty = df.iloc[:0]
     z = soft_tfidf_join(rd.from_pandas(empty), "t").to_pandas()
     assert len(z) == 0
+
+
+def test_sorted_neighborhood_pairs(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.linkage import (
+        sorted_neighborhood_pairs,
+    )
+
+    rng = np.random.default_rng(13)
+    names = [f"name{int(v):03d}" for v in rng.integers(0, 60, 200)]
+    df = pd.DataFrame({"nm": names, "rid": np.arange(200, dtype=np.int64)})
+    w = 5
+    out = sorted_neighborhood_pairs(
+        rd.from_pandas(df).repartition(7), ["nm"], "rid", window=w
+    ).to_pandas()
+    # brute force: global sort, all pairs within window
+    order = sorted(range(200), key=lambda i: (names[i], i))
+    want = set()
+    for a in range(200):
+        for b in range(a + 1, min(a + w, 200)):
+            want.add((order[a], order[b], b - a))
+    got = set(zip(out["x_id"], out["y_id"], out["gap"]))
+    assert got == want
+    assert len(out) == len(want)  # no duplicate emissions
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="window"):
+        sorted_neighborhood_pairs(rd.from_pandas(df), ["nm"], "rid",
+                                  window=1)
+
+
+def test_auc_score(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.linkage import auc_score
+
+    rng = np.random.default_rng(17)
+    n = 3000
+    lab = (rng.random(n) < 0.3).astype(np.int64)
+    # separable-ish scores with heavy ties (quantization stress)
+    score = np.round(rng.normal(lab * 1.2, 1.0), 1)
+    df = pd.DataFrame({"s": score, "lab": lab})
+    out = auc_score(rd.from_pandas(df).repartition(6), "s", "lab")
+    # mirror: pairwise count with half credit for ties over quantized q
+    q = np.floor(score * 100 + 0.5).astype(np.int64)
+    pos_q = q[lab == 1]
+    neg_q = q[lab == 0]
+    num2 = 0
+    for pq in pos_q:
+        num2 += 2 * int((neg_q < pq).sum()) + int((neg_q == pq).sum())
+    import math
+
+    want = math.floor(
+        num2 / (2 * len(pos_q) * len(neg_q)) * 1e6 + 0.5
+    ) / 1e6
+    assert out["auc"].iloc[0] == want
+    assert out["n"].iloc[0] == n
+    assert out["n_pos"].iloc[0] == int(lab.sum())
+
+    # degenerate: single-class input -> null auc
+    one = pd.DataFrame({"s": [1.0, 2.0], "lab": [1, 1]})
+    z = auc_score(rd.from_pandas(one), "s", "lab")
+    assert z["auc"].iloc[0] is None or pd.isna(z["auc"].iloc[0])
+    # empty input
+    z2 = auc_score(rd.from_pandas(df.iloc[:0]), "s", "lab")
+    assert z2["n"].iloc[0] == 0
