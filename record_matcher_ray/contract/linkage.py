@@ -700,6 +700,21 @@ def _q_auc(sf_dir: str):
                      "s", "lab")
 
 
+def _q_bcubed(sf_dir: str):
+    """B-cubed extrinsic clustering eval: market segment as the predicted
+    clustering of customers vs nation as truth — per-record overlap
+    credit, pinned-order fold parity."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.linkage import bcubed_eval
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_mktsegment", "c_nationkey"],
+    )
+    return bcubed_eval(ds, "c_mktsegment", "c_nationkey")
+
+
 def queries():
     return {
         "edjoin_part": _q_edjoin,
@@ -722,11 +737,41 @@ def queries():
         "er_pipeline_customer": _q_er_pipeline,
         "snm_part": _q_snm,
         "auc_lineitem": _q_auc,
+        "bcubed_customer": _q_bcubed,
     }
 
 
 def oracles():
     return {
+        "bcubed_customer": """
+            WITH cells AS (
+              SELECT c_mktsegment AS p, c_nationkey AS t,
+                     count(*)::HUGEINT AS c
+              FROM customer GROUP BY 1, 2
+            ),
+            tot AS (SELECT sum(c)::HUGEINT AS n FROM cells),
+            pt AS (
+              SELECT p, (sum(c * c)::DOUBLE) / (sum(c)::DOUBLE) AS term
+              FROM cells GROUP BY p
+            ),
+            tt AS (
+              SELECT t, (sum(c * c)::DOUBLE) / (sum(c)::DOUBLE) AS term
+              FROM cells GROUP BY t
+            ),
+            pr AS (SELECT list_reduce(list(term ORDER BY p),
+                                      (a, b) -> a + b) AS s FROM pt),
+            rc AS (SELECT list_reduce(list(term ORDER BY t),
+                                      (a, b) -> a + b) AS s FROM tt)
+            SELECT n::BIGINT AS n,
+                   floor(pr.s / (n::DOUBLE) * 1000000.0 + 0.5)
+                     / 1000000.0 AS b3_precision,
+                   floor(rc.s / (n::DOUBLE) * 1000000.0 + 0.5)
+                     / 1000000.0 AS b3_recall,
+                   floor(2.0 * (pr.s / (n::DOUBLE)) * (rc.s / (n::DOUBLE))
+                         / (pr.s / (n::DOUBLE) + rc.s / (n::DOUBLE))
+                         * 1000000.0 + 0.5) / 1000000.0 AS b3_f1
+            FROM tot, pr, rc
+        """,
         "snm_part": """
             WITH r AS (
               SELECT p_partkey,

@@ -2762,3 +2762,114 @@ def auc_score(
     auc = math.floor(v * p10 + 0.5) / p10
     return pd.DataFrame({"n": [P + N], "n_pos": [P], "n_neg": [N],
                          "auc": [auc]})
+
+
+def bcubed_eval(
+    ds: ray.data.Dataset,
+    pred_col: str,
+    truth_col: str,
+    *,
+    ndigits: int = 6,
+    max_distinct: int = 5_000_000,
+) -> "pd.DataFrame":
+    """B-cubed (B³) extrinsic clustering evaluation (Bagga & Baldwin,
+    1998 — the standard ER cluster metric; unlike pairwise P/R it
+    credits partial cluster overlap per RECORD):
+
+        P = (1/N) Σ_c (Σ_t n_ct²) / n_c
+        R = (1/N) Σ_t (Σ_c n_ct²) / n_t
+        F = 2PR / (P + R)
+
+    over records with non-null pred and truth labels → one row
+    (n, b3_precision, b3_recall, b3_f1).
+
+    Parity recipe: the (pred, truth) contingency cells reduce through
+    one ≤256-bucket exchange as exact integer counts; each cluster's
+    Σ n² numerator stays an exact Python int, its single double
+    division and the ascending-cluster-id fold are pinned-order (the
+    DuckDB ``list_reduce`` replay is hash-exact), and the final P/R/F
+    divisions round to ``ndigits``.
+
+    Scale shape: per-block pre-aggregated cell counts, one bounded
+    exchange, then a driver fold over DISTINCT cells (``max_distinct``
+    guard — the documented driver-side shape of `graph.pagerank`)."""
+    import math
+
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        from record_matcher_ray.core.hashkernels import column_hash64, mix64
+
+        ok = pc.and_(pc.is_valid(t[pred_col]), pc.is_valid(t[truth_col]))
+        t = t.filter(ok)
+        import pandas as _pd
+
+        p = t[pred_col].to_numpy(zero_copy_only=False)
+        tr = t[truth_col].to_numpy(zero_copy_only=False)
+        codes, uniq = _pd.factorize(
+            _pd.MultiIndex.from_arrays([p, tr])
+        )
+        cnt = np.bincount(codes).astype(np.int64)
+        up = pa.array([u[0] for u in uniq])
+        ut = pa.array([u[1] for u in uniq])
+        bk = (
+            (mix64(column_hash64(up) * np.uint64(1099511628211))
+             ^ column_hash64(ut)) % np.uint64(256)
+        ).astype(np.int64)
+        return pa.table({
+            "__p__": up, "__t__": ut, "__c__": pa.array(cnt),
+            "__b__": pa.array(bk),
+        })
+
+    def merge(t: pa.Table) -> pa.Table:
+        import pandas as _pd
+
+        p = t["__p__"].to_numpy(zero_copy_only=False)
+        tr = t["__t__"].to_numpy(zero_copy_only=False)
+        c = t["__c__"].to_numpy()
+        codes, uniq = _pd.factorize(_pd.MultiIndex.from_arrays([p, tr]))
+        cnt = np.bincount(codes, weights=c).astype(np.int64)
+        return pa.table({
+            "__p__": pa.array([u[0] for u in uniq]),
+            "__t__": pa.array([u[1] for u in uniq]),
+            "__c__": pa.array(cnt),
+        })
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__b__")
+        .map_groups(lambda t: merge(t.drop_columns(["__b__"])),
+                    batch_format="pyarrow")
+        .to_pandas()
+    )
+    if len(cells) > max_distinct:
+        raise ValueError(
+            f"bcubed_eval: {len(cells)} contingency cells exceed "
+            f"max_distinct={max_distinct}"
+        )
+    if cells.empty:
+        return pd.DataFrame({"n": [0], "b3_precision": [None],
+                             "b3_recall": [None], "b3_f1": [None]})
+    n_total = int(cells["__c__"].sum())
+
+    def side(which: str) -> float:
+        # ascending-cluster-id pinned fold of (Σ n_ct²)/n_cluster
+        g = cells.groupby(which, sort=True)
+        acc = 0.0
+        for _key, sub in g:
+            num = sum(int(v) * int(v) for v in sub["__c__"])
+            den = int(sub["__c__"].sum())
+            acc = acc + float(num) / float(den)
+        return acc
+
+    p10 = 10.0 ** ndigits
+    prec = side("__p__") / float(n_total)
+    rec = side("__t__") / float(n_total)
+    f1 = (2.0 * prec * rec / (prec + rec)) if (prec + rec) > 0 else 0.0
+    rnd = lambda v: math.floor(v * p10 + 0.5) / p10  # noqa: E731
+    return pd.DataFrame({
+        "n": [n_total],
+        "b3_precision": [rnd(prec)],
+        "b3_recall": [rnd(rec)],
+        "b3_f1": [rnd(f1)],
+    })

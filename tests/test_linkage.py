@@ -1472,3 +1472,40 @@ def test_auc_score(ray_session):
     # empty input
     z2 = auc_score(rd.from_pandas(df.iloc[:0]), "s", "lab")
     assert z2["n"].iloc[0] == 0
+
+
+def test_bcubed_eval(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.linkage import bcubed_eval
+
+    rng = np.random.default_rng(23)
+    n = 800
+    truth = rng.integers(0, 12, n)
+    pred = truth.copy()
+    flip = rng.random(n) < 0.25      # 25% of records mis-clustered
+    pred[flip] = rng.integers(0, 12, flip.sum())
+    df = pd.DataFrame({"pred": pred, "truth": truth})
+    out = bcubed_eval(rd.from_pandas(df).repartition(5), "pred", "truth")
+    # brute-force per-record mirror
+    import collections
+    import math
+
+    cell = collections.Counter(zip(pred, truth))
+    n_p = collections.Counter(pred)
+    n_t = collections.Counter(truth)
+    P = sum(cell[(p, t)] ** 2 / n_p[p] for p, t in cell) / n
+    R = sum(cell[(p, t)] ** 2 / n_t[t] for p, t in cell) / n
+    assert abs(out["b3_precision"].iloc[0] - P) < 1e-5
+    assert abs(out["b3_recall"].iloc[0] - R) < 1e-5
+    F = 2 * P * R / (P + R)
+    assert abs(out["b3_f1"].iloc[0] - F) < 1e-5
+    assert out["n"].iloc[0] == n
+    # perfect clustering scores 1.0 everywhere
+    perfect = bcubed_eval(
+        rd.from_pandas(pd.DataFrame({"pred": truth, "truth": truth})),
+        "pred", "truth",
+    )
+    assert perfect["b3_f1"].iloc[0] == 1.0
+    z = bcubed_eval(rd.from_pandas(df.iloc[:0]), "pred", "truth")
+    assert z["n"].iloc[0] == 0
