@@ -288,6 +288,19 @@ def _q_tfidf_pairs(sf_dir: str):
     return tfidf_cosine_pairs(ds, threshold=0.5, max_df=100)
 
 
+def _q_ndcg(sf_dir: str):
+    """nDCG@10 of the BM25 ranking vs a term-overlap relevance grade —
+    pinned-order DCG/IDCG folds, libm log2 both sides."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.terms import ndcg_at_k
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return ndcg_at_k(ds, "merge scan vector window", k=10)
+
+
 def queries():
     return {
         "top_terms_docs": _q_top_terms,
@@ -303,11 +316,82 @@ def queries():
         "zipf_docs": _q_zipf,
         "heaps_docs": _q_heaps,
         "chao1_docs": _q_chao1,
+        "ndcg_docs": _q_ndcg,
     }
 
 
 def oracles():
     return {
+        "ndcg_docs": """
+            WITH t AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(coalesce(text, '')),
+                                         '[^a-z0-9]+', ' ', 'g')) AS nt
+              FROM documents
+            ), tok AS (
+              SELECT doc_id, unnest(string_split(nt, ' ')) AS term
+              FROM t WHERE len(nt) > 0
+            ), q AS (
+              SELECT unnest(['merge', 'scan', 'vector', 'window']) AS term
+            ), consts AS (
+              SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+                     (SELECT count(*) FROM tok)::DOUBLE AS n_toks
+            ), dl AS (
+              SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id
+            ), df AS (
+              SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
+              WHERE term IN (SELECT term FROM q) GROUP BY term
+            ), tf AS (
+              SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+              WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term
+            ), scored AS (
+              SELECT tf.doc_id,
+                     round(sum(
+                       ln((consts.n_docs - df.df + 0.5) / (df.df + 0.5)
+                          + 1.0)
+                       * tf.tf * (1.2 + 1.0)
+                       / (tf.tf + 1.2 * (1.0 - 0.75
+                          + 0.75 * dl.dl
+                            / (consts.n_toks / consts.n_docs)))
+                     ), 6) AS bm25
+              FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+              CROSS JOIN consts
+              GROUP BY tf.doc_id
+            ), ranked AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rn
+              FROM scored QUALIFY rn <= 10
+            ), rel AS (
+              SELECT d.doc_id,
+                     coalesce((SELECT count(DISTINCT tok.term) FROM tok
+                               WHERE tok.doc_id = d.doc_id
+                                 AND tok.term IN (SELECT term FROM q)),
+                              0)::BIGINT AS rel
+              FROM documents d
+            ), dcg AS (
+              SELECT coalesce(list_reduce(
+                       list((rel.rel::DOUBLE) / log2((rn + 1)::DOUBLE)
+                            ORDER BY rn), (a, b) -> a + b), 0.0) AS v
+              FROM ranked JOIN rel USING (doc_id)
+            ), ideal AS (
+              SELECT rel,
+                     row_number() OVER (ORDER BY rel DESC, doc_id) AS rn
+              FROM rel QUALIFY rn <= 10
+            ), idcg AS (
+              SELECT coalesce(list_reduce(
+                       list((rel::DOUBLE) / log2((rn + 1)::DOUBLE)
+                            ORDER BY rn), (a, b) -> a + b), 0.0) AS v
+              FROM ideal
+            )
+            SELECT 10::BIGINT AS k,
+                   floor(dcg.v * 1000000.0 + 0.5) / 1000000.0 AS dcg,
+                   floor(idcg.v * 1000000.0 + 0.5) / 1000000.0 AS idcg,
+                   CASE WHEN idcg.v > 0
+                        THEN floor(dcg.v / idcg.v * 1000000.0 + 0.5)
+                             / 1000000.0
+                        ELSE NULL END AS ndcg
+            FROM dcg, idcg
+        """,
         "chao1_docs": """
             WITH t AS (
               SELECT doc_id,

@@ -1174,3 +1174,96 @@ def chao1_vocab(
                      "f1": pa.array([f1], pa.int64()),
                      "f2": pa.array([f2], pa.int64()),
                      "chao1": pa.array([chao], pa.float64())})
+
+
+def ndcg_at_k(
+    ds: ray.data.Dataset,
+    query: str,
+    k: int = 10,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ndigits: int = 6,
+) -> "pd.DataFrame":
+    """nDCG@k of the BM25 ranking against a term-overlap relevance
+    oracle — the standard graded search-quality metric completing the
+    eval story around `bm25_topk` / `hybrid_search`:
+
+        rel(doc) = |{query terms} ∩ {doc terms}|     (graded 0..|q|)
+        DCG@k  = Σ_{i=1..k} rel(doc_i) / log2(i + 1)   (BM25 rank order)
+        IDCG@k = the same fold over the k largest rel values corpus-wide
+        nDCG@k = DCG / IDCG
+
+    → one row (k, dcg, idcg, ndcg), each rounded to ``ndigits``; ndcg
+    NULL when the corpus has no relevant documents.
+
+    Parity recipe: rel values are exact small integers; both folds run
+    in PINNED order (rank ascending / ideal-rel descending) with one
+    double division per step (libm log2 both sides — the DuckDB
+    ``list_reduce`` replay is hash-exact). Scale shape: the ranking is
+    `bm25_topk`'s two streaming passes; relevance adds ONE more
+    zero-shuffle pass emitting per-block (rel histogram, rel of the k
+    ranked ids) partials — exchange volume independent of corpus size.
+    """
+    import math
+
+    import pandas as pd
+
+    terms = sorted(set(_normalize(pa.array([query]))[0].as_py().split()))
+    top = bm25_topk(ds, query, k, text_col=text_col, id_col=id_col)
+    top_ids = [r[id_col] for r in top.take(k)]
+    id_set = set(top_ids)
+    max_rel = len(terms)
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks, doc_idx, _ = _block_tokens(t[text_col])
+        n = len(t)
+        rel = np.zeros(n, np.int64)
+        for term in terms:
+            hit = np.zeros(n, bool)
+            m = toks == term
+            hit[np.unique(doc_idx[m])] = True
+            rel += hit
+        hist = np.bincount(rel, minlength=max_rel + 1).astype(np.int64)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        sel = np.nonzero(np.isin(ids, np.array(sorted(id_set))))[0] \
+            if id_set else np.empty(0, np.int64)
+        return pa.table({
+            "kind": pa.array(
+                ["h"] * (max_rel + 1) + ["r"] * len(sel)),
+            "key": pa.array(
+                list(range(max_rel + 1))
+                + [int(ids[i]) for i in sel], pa.int64()),
+            "val": pa.array(
+                [int(v) for v in hist] + [int(rel[i]) for i in sel],
+                pa.int64()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    hist = np.zeros(max_rel + 1, np.int64)
+    rel_of = {}
+    for _, row in parts.iterrows():
+        if row["kind"] == "h":
+            hist[int(row["key"])] += int(row["val"])
+        else:
+            rel_of[int(row["key"])] = int(row["val"])
+
+    dcg = 0.0
+    for i, did in enumerate(top_ids):
+        dcg = dcg + float(rel_of.get(int(did), 0)) / math.log2(i + 2.0)
+    idcg = 0.0
+    pos = 0
+    for rv in range(max_rel, 0, -1):  # ideal ranking: rel desc, zeros add 0
+        cnt = int(hist[rv])
+        for _ in range(min(cnt, k - pos)):
+            idcg = idcg + float(rv) / math.log2(pos + 2.0)
+            pos += 1
+        if pos >= k:
+            break
+    p10 = 10.0 ** ndigits
+    rnd = lambda v: math.floor(v * p10 + 0.5) / p10  # noqa: E731
+    ndcg = rnd(dcg / idcg) if idcg > 0 else None
+    return pd.DataFrame({
+        "k": [int(k)], "dcg": [rnd(dcg)], "idcg": [rnd(idcg)],
+        "ndcg": [ndcg],
+    })

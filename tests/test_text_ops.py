@@ -765,3 +765,44 @@ def test_term_kl_divergence_exact(ray_session):
     )
     out2 = term_kl_divergence(same, "src")
     assert (out2["kl"] == 0.0).all()
+
+
+def test_ndcg_at_k(ray_session):
+    import math
+
+    import pandas as pd
+
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.terms import bm25_topk, ndcg_at_k
+
+    docs = [
+        "merge scan vector window merge",       # rel 4
+        "merge scan",                           # rel 2
+        "vector soup",                          # rel 1
+        "nothing relevant here",                # rel 0
+        "window window window",                 # rel 1
+        "scan vector window",                   # rel 3
+    ] + [f"filler text {i}" for i in range(20)]
+    df = pd.DataFrame({"doc_id": np.arange(len(docs), dtype=np.int64),
+                       "text": docs})
+    ds = rd.from_pandas(df).repartition(4)
+    q = "merge scan vector window"
+    out = ndcg_at_k(ds, q, k=4)
+    # mirror: brute force over the same ranking
+    terms = set(q.split())
+
+    def rel(s):
+        return len(terms & set(s.split()))
+
+    top = [r["doc_id"] for r in bm25_topk(ds, q, 4).take(4)]
+    dcg = sum(rel(docs[d]) / math.log2(i + 2) for i, d in enumerate(top))
+    ideal = sorted((rel(s) for s in docs), reverse=True)[:4]
+    idcg = sum(v / math.log2(i + 2) for i, v in enumerate(ideal))
+    assert abs(out["dcg"].iloc[0] - dcg) < 1e-6
+    assert abs(out["idcg"].iloc[0] - idcg) < 1e-6
+    assert abs(out["ndcg"].iloc[0] - dcg / idcg) < 1e-6
+    # no relevant docs -> NULL ndcg
+    z = ndcg_at_k(rd.from_pandas(
+        pd.DataFrame({"doc_id": np.int64([1]), "text": ["xyz"]})), q, k=3)
+    assert z["ndcg"].iloc[0] is None or pd.isna(z["ndcg"].iloc[0])
