@@ -324,10 +324,49 @@ def _labelprop_oracle(iters: int = 4) -> str:
     return "".join(sql)
 
 
+def _q_merge_components(sf_dir: str):
+    """Incremental cluster maintenance: the chain clustering of
+    `connected_components_docs` as the EXISTING assignment, plus a delta
+    of bridge edges (d, d+7) for d % 21 == 0 — merged labels must equal
+    a full recompute over the union (pinned by the recursive-CTE
+    oracle). Companion of docmatch.match_documents_delta."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from record_matcher_ray.pipelines.cluster import (
+        connected_components,
+        merge_components,
+    )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+
+    def base_edges(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy().astype(np.int64)
+        m = did % 7 != 6
+        return pa.table({"u": pa.array(did[m]), "v": pa.array(did[m] + 1)})
+
+    old = connected_components(
+        docs.map_batches(base_edges, batch_format="pyarrow")
+    )
+
+    def delta_edges(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy().astype(np.int64)
+        m = did % 21 == 0
+        return pa.table({"u": pa.array(did[m]), "v": pa.array(did[m] + 7)})
+
+    return merge_components(
+        old, docs.map_batches(delta_edges, batch_format="pyarrow")
+    )
+
+
 def queries():
     return {
         "pagerank_lineitem": _q_pagerank,
         "connected_components_docs": _q_connected_components,
+        "merge_components_docs": _q_merge_components,
         "ppr_lineitem": _q_ppr,
         "triangles_orders": _q_triangles,
         "labelprop_lineitem": _q_labelprop,
@@ -337,6 +376,25 @@ def queries():
 
 def oracles():
     return {
+        "merge_components_docs": """
+            WITH RECURSIVE e0 AS (
+              SELECT doc_id AS a, doc_id + 1 AS b
+              FROM documents WHERE doc_id % 7 <> 6
+              UNION ALL
+              SELECT doc_id, doc_id + 7
+              FROM documents WHERE doc_id % 21 = 0
+            ), e AS (
+              SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0
+            ), nodes AS (
+              SELECT DISTINCT a AS node FROM e
+            ), walk(node, r) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT w.node, e.b FROM walk w JOIN e ON e.a = w.r
+            )
+            SELECT node, min(r)::BIGINT AS component
+            FROM walk GROUP BY node
+        """,
         "pagerank_lineitem": _pagerank_oracle(),
         "ppr_lineitem": _ppr_oracle(),
         "connected_components_docs": """

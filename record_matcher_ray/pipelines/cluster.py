@@ -201,3 +201,109 @@ def _connected_components_bsp(edges, u, v, max_iter) -> ray.data.Dataset:
                             "component": t["label"].combine_chunks()}),
         batch_format="pyarrow",
     )
+
+
+def merge_components(
+    clusters: ray.data.Dataset,
+    new_edges: ray.data.Dataset,
+    *,
+    node_col: str = "node",
+    comp_col: str = "component",
+    u: str = "u",
+    v: str = "v",
+    max_touched: int = 50_000_000,
+) -> ray.data.Dataset:
+    """Incremental cluster maintenance — the clustering completion of the
+    delta-matching path (`docmatch.match_documents_delta`): fold a small
+    batch of NEW edges into an existing min-label component assignment
+    WITHOUT re-clustering the whole graph. Result is value-identical to
+    `connected_components` over (old star edges ∪ new edges): only
+    components touched by a new edge (plus brand-new nodes) are
+    relabeled; every other assignment streams through untouched.
+
+    Scale shape: the touched-component id set is collected from the new
+    edges' endpoints via one broadcast-filter pass over ``clusters``
+    (new-edge endpoints → their old components — small for a delta),
+    then a driver union-find over ONLY touched members + new edges
+    (``max_touched`` guard); untouched rows pass through with zero
+    shuffle. Old labels are already min-node ids (the
+    `connected_components` contract), so pass-through equals what a full
+    recompute would emit."""
+    eb = [t for t in ray.get(new_edges.materialize().to_arrow_refs())
+          if len(t)]
+    if not eb:
+        return clusters
+    uu = np.concatenate([t[u].to_numpy() for t in eb]).astype(np.int64)
+    vv = np.concatenate([t[v].to_numpy() for t in eb]).astype(np.int64)
+    end_nodes = np.unique(np.concatenate([uu, vv]))
+    ends_ref = ray.put(end_nodes)
+
+    clusters = clusters.materialize()
+
+    # pass 1: old components touched by any new-edge endpoint
+    @ray.remote(num_cpus=0)
+    def touched_partial(t: pa.Table) -> np.ndarray:
+        ends = ray.get(ends_ref)
+        n = t[node_col].to_numpy()
+        pos = np.minimum(np.searchsorted(ends, n), len(ends) - 1)
+        hit = ends[pos] == n
+        return np.unique(t[comp_col].to_numpy()[hit])
+
+    parts = ray.get(
+        [touched_partial.remote(r) for r in clusters.to_arrow_refs()]
+    )
+    touched = (np.unique(np.concatenate(parts)) if parts
+               else np.empty(0, np.int64))
+    touched_ref = ray.put(touched)
+
+    # pass 2: pull ONLY touched members (star edges) to the driver
+    @ray.remote(num_cpus=0)
+    def members_partial(t: pa.Table) -> pa.Table:
+        tc = ray.get(touched_ref)
+        c = t[comp_col].to_numpy()
+        if len(tc):
+            pos = np.minimum(np.searchsorted(tc, c), len(tc) - 1)
+            hit = tc[pos] == c
+        else:
+            hit = np.zeros(len(c), bool)
+        return t.filter(pa.array(hit))
+
+    member_tbls = [
+        t for t in ray.get(
+            [members_partial.remote(r) for r in clusters.to_arrow_refs()]
+        ) if len(t)
+    ]
+    n_touched = sum(len(t) for t in member_tbls)
+    if n_touched > max_touched:
+        raise ValueError(
+            f"merge_components: {n_touched} touched members exceed "
+            f"max_touched={max_touched}; run connected_components over "
+            f"the full edge union instead."
+        )
+    if member_tbls:
+        mn = np.concatenate([t[node_col].to_numpy() for t in member_tbls])
+        mc = np.concatenate([t[comp_col].to_numpy() for t in member_tbls])
+        star_u = np.concatenate([mn, uu])
+        star_v = np.concatenate([mc, vv])
+    else:
+        star_u, star_v = uu, vv
+    nodes, roots = connected_components_arrays(
+        star_u.astype(np.int64), star_v.astype(np.int64)
+    )
+    relabeled = pa.table(
+        {node_col: pa.array(nodes), comp_col: pa.array(roots)}
+    )
+    # NOTE: the local CC treats old component IDS as nodes too — they are
+    # min member ids, hence real nodes of their component, so the labels
+    # stay node-ids and the min is taken over true members ∪ endpoints.
+
+    def untouched(t: pa.Table) -> pa.Table:
+        tc = ray.get(touched_ref)
+        c = t[comp_col].to_numpy()
+        if len(tc) == 0:
+            return t
+        pos = np.minimum(np.searchsorted(tc, c), len(tc) - 1)
+        return t.filter(pa.array(tc[pos] != c))
+
+    passthrough = clusters.map_batches(untouched, batch_format="pyarrow")
+    return passthrough.union(ray.data.from_arrow(relabeled))

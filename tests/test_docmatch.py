@@ -267,3 +267,49 @@ def test_docmatch_delta_matches_full(ray_session, corpus_dir, tmp_path):
     assert sorted(d3.runner.computed) == [
         "y_flat/all", "y_keys/all", "y_keyset/all"
     ]
+
+
+def test_merge_components_incremental(ray_session):
+    """Incremental cluster maintenance == full recompute over the edge
+    union, with untouched components passing through by identity."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.cluster import (
+        connected_components,
+        merge_components,
+    )
+
+    rng = np.random.default_rng(31)
+    # base graph: 400 nodes in chains of 4
+    base_u = np.arange(0, 400, dtype=np.int64)
+    base_v = (base_u // 4) * 4  # star to chain head
+    base = rd.from_pandas(pd.DataFrame({"u": base_u, "v": base_v}))
+    old = connected_components(base).materialize()
+
+    # delta: 30 random bridge edges + 5 edges touching brand-new nodes
+    nu = rng.integers(0, 400, 30)
+    nv = rng.integers(0, 400, 30)
+    extra_u = np.array([1000, 1001, 1002, 1003, 7], dtype=np.int64)
+    extra_v = np.array([1001, 1002, 500, 501, 1000], dtype=np.int64)
+    new_edges = pd.DataFrame({
+        "u": np.concatenate([nu, extra_u]).astype(np.int64),
+        "v": np.concatenate([nv, extra_v]).astype(np.int64),
+    })
+    merged = merge_components(
+        old, rd.from_pandas(new_edges)
+    ).to_pandas().set_index("node")["component"].to_dict()
+
+    # full recompute over star(old) + new edges
+    star = old.to_pandas().rename(columns={"node": "u", "component": "v"})
+    full = connected_components(
+        rd.from_pandas(pd.concat([star, new_edges], ignore_index=True))
+    ).to_pandas().set_index("node")["component"].to_dict()
+    assert merged == full
+
+    # empty delta passes the clustering through unchanged
+    same = merge_components(
+        old, rd.from_pandas(new_edges.iloc[:0])
+    ).to_pandas().set_index("node")["component"].to_dict()
+    assert same == old.to_pandas().set_index("node")["component"].to_dict()
