@@ -235,6 +235,22 @@ def _q_benford(sf_dir: str):
     return benford_digit_test(ds, "o_totalprice", "o_orderpriority")
 
 
+def _q_ks(sf_dir: str):
+    """Two-sample KS distance between open ('O') and finished ('F')
+    orders' totalprice distributions — exact integer cdf max, one double
+    division."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.stats import ks_test_two_sample
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_totalprice"],
+    )
+    return ks_test_two_sample(ds, "o_orderstatus", "o_totalprice",
+                              "O", "F")
+
+
 def queries():
     return {
         "linear_fit_lineitem": _q_linear_fit,
@@ -249,11 +265,42 @@ def queries():
         "psi_orders": _q_psi,
         "benford_orders": _q_benford,
         "entropy_customer_segments": _q_grouped_entropy,
+        "ks_orders": _q_ks,
     }
 
 
 def oracles():
     return {
+        "ks_orders": """
+            WITH t AS (
+              SELECT (floor(o_totalprice * 100.0 + 0.5))::BIGINT AS q,
+                     o_orderstatus AS lab
+              FROM orders
+              WHERE o_orderstatus IN ('O', 'F')
+                AND o_totalprice IS NOT NULL
+            ), c AS (
+              SELECT q,
+                     sum(CASE WHEN lab = 'O' THEN 1 ELSE 0 END)::HUGEINT
+                       AS ca,
+                     sum(CASE WHEN lab = 'F' THEN 1 ELSE 0 END)::HUGEINT
+                       AS cb
+              FROM t GROUP BY q
+            ), s AS (
+              SELECT sum(ca)::HUGEINT AS na, sum(cb)::HUGEINT AS nb FROM c
+            ), w AS (
+              SELECT sum(ca) OVER (ORDER BY q)::HUGEINT AS cuma,
+                     sum(cb) OVER (ORDER BY q)::HUGEINT AS cumb
+              FROM c
+            ), m AS (
+              SELECT max(abs(w.cuma * s.nb - w.cumb * s.na))::HUGEINT
+                       AS num
+              FROM w, s
+            )
+            SELECT s.na::BIGINT AS n_a, s.nb::BIGINT AS n_b,
+                   floor((m.num::DOUBLE) / ((s.na * s.nb)::DOUBLE)
+                         * 1000000.0 + 0.5) / 1000000.0 AS d
+            FROM s, m
+        """,
         "linear_fit_lineitem": """
             WITH q AS (
               SELECT CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS x,

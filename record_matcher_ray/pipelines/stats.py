@@ -1228,3 +1228,106 @@ def theil_by_group(
         .map_groups(lambda t: local(t.drop_columns(["__tb__"])),
                     batch_format="pyarrow")
     )
+
+
+def ks_test_two_sample(
+    ds: ray.data.Dataset,
+    label_col: str,
+    val_col: str,
+    label_a: str,
+    label_b: str,
+    *,
+    scale: float = 100.0,
+    ndigits: int = 6,
+    max_distinct: int = 5_000_000,
+) -> pd.DataFrame:
+    """Two-sample Kolmogorov–Smirnov distance between the ``val_col``
+    distributions of rows labeled ``label_a`` vs ``label_b`` — the
+    classic nonparametric drift detector complementing `term_kl` (text)
+    and `welch_t_by_group` (means):
+
+        D = max_v | F_a(v) − F_b(v) |
+
+    → one row (n_a, n_b, d). EXACT: values quantize once to integer
+    units; with cumulative counts cumA/cumB at each distinct value,
+    D = max |cumA·n_b − cumB·n_a| / (n_a·n_b) — the max runs entirely
+    in integers, ONE double division at the end (the DuckDB window
+    replay is hash-exact). Rows with other labels or nulls drop; an
+    empty side yields NULL d.
+
+    Scale shape: per-block (value, label) count partials through one
+    ≤256-bucket exchange, then a driver fold over DISTINCT values
+    (``max_distinct`` guard — the documented driver-side shape)."""
+    import math
+
+    def partial(t: pa.Table) -> pa.Table:
+        from record_matcher_ray.core.hashkernels import mix64
+
+        lv = pc.cast(t[label_col], pa.string())
+        keep = pc.and_(
+            pc.is_valid(t[val_col]),
+            pc.is_in(lv, value_set=pa.array([label_a, label_b])),
+        )
+        t2 = t.filter(keep)
+        lv2 = pc.cast(t2[label_col], pa.string()).to_numpy(
+            zero_copy_only=False)
+        q = np.floor(
+            pc.cast(t2[val_col], pa.float64()).to_numpy() * scale + 0.5
+        ).astype(np.int64)
+        is_a = (lv2 == label_a).astype(np.int64)
+        codes, uniq = pd.factorize(q * 2 + is_a)
+        cnt = np.bincount(codes).astype(np.int64)
+        bk = (mix64(uniq.astype(np.uint64))
+              % np.uint64(256)).astype(np.int64)
+        return pa.table({"__k__": pa.array(uniq), "__c__": pa.array(cnt),
+                         "__b__": pa.array(bk)})
+
+    def merge(t: pa.Table) -> pa.Table:
+        k = t["__k__"].to_numpy()
+        c = t["__c__"].to_numpy()
+        codes, uniq = pd.factorize(k)
+        return pa.table({
+            "__k__": pa.array(uniq),
+            "__c__": pa.array(np.bincount(codes, weights=c).astype(np.int64)),
+        })
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__b__")
+        .map_groups(lambda t: merge(t.drop_columns(["__b__"])),
+                    batch_format="pyarrow")
+        .to_pandas()
+    )
+    if len(cells) > max_distinct:
+        raise ValueError(
+            f"ks_test_two_sample: {len(cells)} distinct cells exceed "
+            f"max_distinct={max_distinct}; lower `scale`."
+        )
+    if cells.empty:
+        return pd.DataFrame({"n_a": [0], "n_b": [0], "d": [None]})
+    k = cells["__k__"].to_numpy()
+    c = cells["__c__"].to_numpy()
+    q = k >> 1
+    a_side = (k & 1).astype(bool)
+    order = np.argsort(q, kind="stable")
+    qs, cs, as_ = q[order], c[order], a_side[order]
+    bounds = np.nonzero(np.concatenate(([True], qs[1:] != qs[:-1])))[0]
+    ca = np.add.reduceat(np.where(as_, cs, 0), bounds)
+    cb = np.add.reduceat(np.where(as_, 0, cs), bounds)
+    n_a, n_b = int(ca.sum()), int(cb.sum())
+    if n_a == 0 or n_b == 0:
+        return pd.DataFrame({"n_a": [n_a], "n_b": [n_b], "d": [None]})
+    cum_a = np.cumsum(ca)
+    cum_b = np.cumsum(cb)
+    # exact integer max of |cumA*n_b - cumB*n_a|
+    num = 0
+    for x, y in zip(cum_a, cum_b):
+        v = abs(int(x) * n_b - int(y) * n_a)
+        if v > num:
+            num = v
+    d = float(num) / float(n_a * n_b)
+    p10 = 10.0 ** ndigits
+    return pd.DataFrame({
+        "n_a": [n_a], "n_b": [n_b],
+        "d": [math.floor(d * p10 + 0.5) / p10],
+    })

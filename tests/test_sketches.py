@@ -703,3 +703,47 @@ def test_theil_by_group(ray_session):
     empty = df.iloc[:0]
     z = theil_by_group(rd.from_pandas(empty), "grp", "val").to_pandas()
     assert len(z) == 0
+
+
+def test_ks_test_two_sample(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.stats import ks_test_two_sample
+
+    rng = np.random.RandomState(29)
+    na, nb = 1200, 900
+    df = pd.DataFrame({
+        "lab": ["A"] * na + ["B"] * nb + ["other", "other"],
+        "val": np.concatenate([
+            np.round(rng.normal(10, 2, na), 2),
+            np.round(rng.normal(11, 2.5, nb), 2),
+            [0.0, 0.0],
+        ]),
+    })
+    out = ks_test_two_sample(
+        rd.from_pandas(df).repartition(5), "lab", "val", "A", "B"
+    )
+    # mirror: exact integer cdf walk
+    qa = np.sort(np.floor(df[df.lab == "A"]["val"].to_numpy() * 100 + 0.5)
+                 .astype(np.int64))
+    qb = np.sort(np.floor(df[df.lab == "B"]["val"].to_numpy() * 100 + 0.5)
+                 .astype(np.int64))
+    allq = np.unique(np.concatenate([qa, qb]))
+    num = max(
+        abs(int(np.searchsorted(qa, v, "right")) * nb
+            - int(np.searchsorted(qb, v, "right")) * na)
+        for v in allq
+    )
+    import math
+
+    want = math.floor(num / (na * nb) * 1e6 + 0.5) / 1e6
+    assert out["d"].iloc[0] == want
+    assert out["n_a"].iloc[0] == na and out["n_b"].iloc[0] == nb
+    # identical distributions -> d == 0
+    same = pd.DataFrame({"lab": ["A", "B"] * 50, "val": [1.0, 1.0] * 50})
+    z = ks_test_two_sample(rd.from_pandas(same), "lab", "val", "A", "B")
+    assert z["d"].iloc[0] == 0.0
+    # one empty side -> NULL
+    z2 = ks_test_two_sample(
+        rd.from_pandas(df[df.lab == "A"]), "lab", "val", "A", "B")
+    assert z2["d"].iloc[0] is None or pd.isna(z2["d"].iloc[0])
