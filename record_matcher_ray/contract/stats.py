@@ -251,6 +251,20 @@ def _q_ks(sf_dir: str):
                               "O", "F")
 
 
+def _q_chi2(sf_dir: str):
+    """Pearson chi-square independence of order status x priority —
+    exact integer numerators per cell, pinned (a, b) fold."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.stats import chi_square_independence
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_orderpriority"],
+    )
+    return chi_square_independence(ds, "o_orderstatus", "o_orderpriority")
+
+
 def queries():
     return {
         "linear_fit_lineitem": _q_linear_fit,
@@ -266,11 +280,49 @@ def queries():
         "benford_orders": _q_benford,
         "entropy_customer_segments": _q_grouped_entropy,
         "ks_orders": _q_ks,
+        "chi2_orders": _q_chi2,
     }
 
 
 def oracles():
     return {
+        "chi2_orders": """
+            WITH base AS (
+              SELECT o_orderstatus AS a, o_orderpriority AS b
+              FROM orders
+              WHERE o_orderstatus IS NOT NULL
+                AND o_orderpriority IS NOT NULL
+            ), tot AS (
+              SELECT count(*)::HUGEINT AS n FROM base
+            ), ra AS (
+              SELECT a, count(*)::HUGEINT AS r FROM base GROUP BY a
+            ), cb AS (
+              SELECT b, count(*)::HUGEINT AS c FROM base GROUP BY b
+            ), obs AS (
+              SELECT a, b, count(*)::HUGEINT AS o FROM base GROUP BY a, b
+            ), cells AS (
+              SELECT ra.a, cb.b, coalesce(obs.o, 0)::HUGEINT AS o,
+                     ra.r, cb.c
+              FROM ra CROSS JOIN cb
+              LEFT JOIN obs ON obs.a = ra.a AND obs.b = cb.b
+            ), terms AS (
+              SELECT cells.a, cells.b,
+                     (((o * n - r * c) * (o * n - r * c))::DOUBLE)
+                       / ((n * r * c)::DOUBLE) AS term
+              FROM cells, tot
+            ), f AS (
+              SELECT list_reduce(list(term ORDER BY a, b),
+                                 (x, y) -> x + y) AS chi
+              FROM terms
+            )
+            SELECT tot.n::BIGINT AS n,
+                   (SELECT count(*) FROM ra)::BIGINT AS n_rows,
+                   (SELECT count(*) FROM cb)::BIGINT AS n_cols,
+                   (((SELECT count(*) FROM ra) - 1)
+                    * ((SELECT count(*) FROM cb) - 1))::BIGINT AS dof,
+                   floor(f.chi * 1000000.0 + 0.5) / 1000000.0 AS chi2
+            FROM tot, f
+        """,
         "ks_orders": """
             WITH t AS (
               SELECT (floor(o_totalprice * 100.0 + 0.5))::BIGINT AS q,

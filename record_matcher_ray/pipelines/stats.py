@@ -1331,3 +1331,101 @@ def ks_test_two_sample(
         "n_a": [n_a], "n_b": [n_b],
         "d": [math.floor(d * p10 + 0.5) / p10],
     })
+
+
+def chi_square_independence(
+    ds: ray.data.Dataset,
+    col_a: str,
+    col_b: str,
+    *,
+    ndigits: int = 6,
+    max_cells: int = 1_000_000,
+) -> pd.DataFrame:
+    """Pearson χ² test of independence between two categorical columns
+    (the association screen between, e.g., a data source and a quality
+    label) → one row (n, n_rows, n_cols, dof, chi2):
+
+        χ² = Σ_cells (O·n − r·c)² / (n·r·c)
+
+    over the contingency table (O = cell count, r/c = marginals; the
+    algebraically-equivalent all-integer-numerator form avoids the
+    classic (O−E)²/E float accumulation). Null values in either column
+    drop; dof = (rows−1)(cols−1); a degenerate table (one row or one
+    column) yields chi2 = 0.
+
+    Parity recipe: cell and marginal counts are exact integers; each
+    cell's term does its numerator in Python big ints and ONE double
+    division, folded in PINNED (a-value, b-value) ascending order — the
+    DuckDB ``list_reduce`` replay is hash-exact.
+
+    Scale shape: per-block pre-aggregated cell partials, one ≤256-bucket
+    exchange, then a driver fold over DISTINCT cells (``max_cells``
+    guard)."""
+    import math
+
+    def partial(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(t[col_a]), pc.is_valid(t[col_b]))
+        t = t.filter(ok)
+        a = pc.cast(t[col_a], pa.string()).to_numpy(zero_copy_only=False)
+        b = pc.cast(t[col_b], pa.string()).to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(pd.MultiIndex.from_arrays([a, b]))
+        cnt = np.bincount(codes).astype(np.int64)
+        from record_matcher_ray.core.hashkernels import column_hash64, mix64
+
+        ua = pa.array([u[0] for u in uniq], pa.string())
+        ub = pa.array([u[1] for u in uniq], pa.string())
+        bk = (
+            (mix64(column_hash64(ua) * np.uint64(1099511628211))
+             ^ column_hash64(ub)) % np.uint64(256)
+        ).astype(np.int64)
+        return pa.table({"__a__": ua, "__b__": ub, "__c__": pa.array(cnt),
+                         "__k__": pa.array(bk)})
+
+    def merge(t: pa.Table) -> pa.Table:
+        a = t["__a__"].to_numpy(zero_copy_only=False)
+        b = t["__b__"].to_numpy(zero_copy_only=False)
+        c = t["__c__"].to_numpy()
+        codes, uniq = pd.factorize(pd.MultiIndex.from_arrays([a, b]))
+        cnt = np.bincount(codes, weights=c).astype(np.int64)
+        return pa.table({
+            "__a__": pa.array([u[0] for u in uniq], pa.string()),
+            "__b__": pa.array([u[1] for u in uniq], pa.string()),
+            "__c__": pa.array(cnt),
+        })
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__k__")
+        .map_groups(lambda t: merge(t.drop_columns(["__k__"])),
+                    batch_format="pyarrow")
+        .to_pandas()
+    )
+    if len(cells) > max_cells:
+        raise ValueError(
+            f"chi_square_independence: {len(cells)} cells exceed "
+            f"max_cells={max_cells}"
+        )
+    if cells.empty:
+        return pd.DataFrame({"n": [0], "n_rows": [0], "n_cols": [0],
+                             "dof": [0], "chi2": [None]})
+    n = int(cells["__c__"].sum())
+    ra = cells.groupby("__a__")["__c__"].sum().to_dict()
+    cb = cells.groupby("__b__")["__c__"].sum().to_dict()
+    n_rows, n_cols = len(ra), len(cb)
+    dof = (n_rows - 1) * (n_cols - 1)
+    # observed cells in pinned (a, b) order; ZERO cells contribute
+    # (0·n − r·c)²/(n·r·c) = r·c/n too — enumerate the full cross product
+    obs = {(r["__a__"], r["__b__"]): int(r["__c__"])
+           for _, r in cells.iterrows()}
+    acc = 0.0
+    for av in sorted(ra):
+        for bv in sorted(cb):
+            o = obs.get((av, bv), 0)
+            r, c = int(ra[av]), int(cb[bv])
+            num = o * n - r * c
+            acc = acc + float(num * num) / float(n * r * c)
+    p10 = 10.0 ** ndigits
+    return pd.DataFrame({
+        "n": [n], "n_rows": [n_rows], "n_cols": [n_cols], "dof": [dof],
+        "chi2": [math.floor(acc * p10 + 0.5) / p10],
+    })

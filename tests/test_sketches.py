@@ -747,3 +747,32 @@ def test_ks_test_two_sample(ray_session):
     z2 = ks_test_two_sample(
         rd.from_pandas(df[df.lab == "A"]), "lab", "val", "A", "B")
     assert z2["d"].iloc[0] is None or pd.isna(z2["d"].iloc[0])
+
+
+def test_chi_square_independence(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.stats import chi_square_independence
+
+    rng = np.random.RandomState(37)
+    n = 3000
+    a = rng.choice(["x", "y", "z"], n, p=[0.5, 0.3, 0.2])
+    # b depends on a for some rows -> nonzero chi2
+    b = np.where(rng.rand(n) < 0.4, a, rng.choice(["x", "y", "z"], n))
+    df = pd.DataFrame({"a": a, "b": b})
+    out = chi_square_independence(rd.from_pandas(df).repartition(6),
+                                  "a", "b")
+    # classic (O-E)^2/E mirror
+    ct = pd.crosstab(df["a"], df["b"])
+    exp = np.outer(ct.sum(1), ct.sum(0)) / n
+    want = ((ct.to_numpy() - exp) ** 2 / exp).sum()
+    assert abs(out["chi2"].iloc[0] - want) < 1e-4
+    assert out["dof"].iloc[0] == 4
+    assert out["n"].iloc[0] == n
+    # independence-by-construction scores near zero per cell count
+    ind = pd.DataFrame({"a": ["p", "q"] * 500, "b": ["u", "v"] * 500})
+    z = chi_square_independence(rd.from_pandas(ind), "a", "b")
+    assert z["chi2"].iloc[0] == 1000.0  # perfectly dependent 2x2 actually
+    emp = chi_square_independence(rd.from_pandas(df.iloc[:0]), "a", "b")
+    assert emp["n"].iloc[0] == 0
+    assert emp["n_rows"].iloc[0] == 0
