@@ -362,11 +362,36 @@ def _q_merge_components(sf_dir: str):
     )
 
 
+def _q_transitivity(sf_dir: str):
+    """Global transitivity of the orders contact graph (same mod-512
+    derivation as triangles_orders): 3 x triangles / wedges."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from record_matcher_ray.pipelines.graph import transitivity_audit
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+
+    def edges(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pa.array(t["o_orderkey"].to_numpy() % 512),
+            "dst": pa.array(t["o_custkey"].to_numpy() % 512),
+        })
+
+    return transitivity_audit(
+        orders.map_batches(edges, batch_format="pyarrow")
+    )
+
+
 def queries():
     return {
         "pagerank_lineitem": _q_pagerank,
         "connected_components_docs": _q_connected_components,
         "merge_components_docs": _q_merge_components,
+        "transitivity_orders": _q_transitivity,
         "ppr_lineitem": _q_ppr,
         "triangles_orders": _q_triangles,
         "labelprop_lineitem": _q_labelprop,
@@ -376,6 +401,37 @@ def queries():
 
 def oracles():
     return {
+        "transitivity_orders": """
+            WITH raw AS (
+              SELECT (o_orderkey % 512) AS u, (o_custkey % 512) AS v
+              FROM orders
+            ), e AS (
+              SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+              FROM raw WHERE u <> v
+            ), deg AS (
+              SELECT x, count(*)::HUGEINT AS d FROM
+                (SELECT a AS x FROM e UNION ALL SELECT b FROM e)
+              GROUP BY x
+            ), w AS (
+              SELECT sum(d * (d - 1) // 2)::HUGEINT AS wedges FROM deg
+            ), t AS (
+              SELECT count(*)::HUGEINT AS tri
+              FROM e e1
+              JOIN e e2 ON e2.a = e1.b
+              JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+            )
+            SELECT
+              (SELECT count(*) FROM deg)::BIGINT AS n_nodes,
+              (SELECT count(*) FROM e)::BIGINT AS n_edges,
+              w.wedges::BIGINT AS n_wedges,
+              t.tri::BIGINT AS n_triangles,
+              CASE WHEN w.wedges > 0
+                   THEN floor((3.0)::DOUBLE * (t.tri::DOUBLE)
+                              / (w.wedges::DOUBLE) * 1000000.0 + 0.5)
+                        / 1000000.0
+                   ELSE NULL END AS transitivity
+            FROM w, t
+        """,
         "merge_components_docs": """
             WITH RECURSIVE e0 AS (
               SELECT doc_id AS a, doc_id + 1 AS b

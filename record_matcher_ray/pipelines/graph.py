@@ -569,3 +569,74 @@ def label_propagation(
         lab = nxt
 
     return pd.DataFrame({"node": nodes, "label": nodes[lab]})
+
+
+def transitivity_audit(
+    ds: ray.data.Dataset,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    *,
+    ndigits: int = 6,
+    **kw,
+) -> pd.DataFrame:
+    """Global transitivity (clustering coefficient) of the undirected
+    simple graph induced by an edge list → one row (n_nodes, n_edges,
+    n_wedges, n_triangles, transitivity = 3·T / W, NULL when W = 0).
+
+    The ER consistency diagnostic: over ACCEPTED match pairs, a low
+    transitivity means many a~b, b~c pairs whose a~c edge the matcher
+    rejected — exactly the triangles the reference's duplicate pass
+    (matcher.py:366-447) silently splits. Wedge count W = Σ_v d(v)·
+    (d(v)−1)/2 over exact integer degrees; T from `triangle_count`
+    (same dedupe semantics); ONE double division, half-up ``ndigits``.
+
+    Scale shape: triangle_count's bounded exchanges plus one extra
+    degree pass over the deduped edge keys (integer partials)."""
+    import math
+
+    tri = triangle_count(ds, src_col, dst_col, **kw)
+    n_tri = int(tri["n_triangles"].iloc[0])
+    n_nodes = int(tri["n_nodes"].iloc[0])
+    n_edges = int(tri["n_edges"].iloc[0])
+
+    def edge_partial(t: pa.Table) -> pa.Table:
+        s = t[src_col].to_numpy().astype(np.int64)
+        d = t[dst_col].to_numpy().astype(np.int64)
+        m = s != d
+        lo = np.minimum(s[m], d[m])
+        hi = np.maximum(s[m], d[m])
+        # block-local dedupe; global dedupe by groupby below
+        u = np.unique(np.stack([lo, hi], axis=1), axis=0)
+        return pa.table({"a": pa.array(u[:, 0]), "b": pa.array(u[:, 1])})
+
+    dedup = (
+        ds.map_batches(edge_partial, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .count()
+    )
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        both = np.concatenate([
+            t["a"].to_numpy().astype(np.int64),
+            t["b"].to_numpy().astype(np.int64),
+        ])
+        un, cn = np.unique(both, return_counts=True)
+        return pa.table({"i": pa.array(un),
+                         "d": pa.array(cn.astype(np.int64))})
+
+    dp = dedup.map_batches(deg_partial, batch_format="pyarrow").to_pandas()
+    if dp.empty:
+        wedges = 0
+    else:
+        deg = dp.groupby("i")["d"].sum().to_numpy(dtype=np.int64)
+        wedges = sum(int(d) * (int(d) - 1) // 2 for d in deg)
+    p10 = 10.0 ** ndigits
+    trans = (
+        math.floor(3.0 * float(n_tri) / float(wedges) * p10 + 0.5) / p10
+        if wedges > 0 else None
+    )
+    return pd.DataFrame({
+        "n_nodes": [n_nodes], "n_edges": [n_edges],
+        "n_wedges": [wedges], "n_triangles": [n_tri],
+        "transitivity": [trans],
+    })

@@ -246,3 +246,45 @@ def test_personalized_pagerank(ray_session):
 
     with pytest.raises(ValueError, match="no seed id"):
         pagerank(rd.from_pandas(df), seeds=np.array([99], dtype=np.int64))
+
+
+def test_transitivity_audit(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.graph import transitivity_audit
+
+    rng = np.random.default_rng(41)
+    # random graph with duplicate + reversed + self-loop noise
+    e = rng.integers(0, 40, size=(400, 2))
+    df = pd.DataFrame({"src": e[:, 0], "dst": e[:, 1]})
+    out = transitivity_audit(rd.from_pandas(df).repartition(5))
+    # brute force on the simple graph
+    edges = {tuple(sorted(p)) for p in e if p[0] != p[1]}
+    import collections
+
+    deg = collections.Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    tri = 0
+    nodes = sorted(deg)
+    es = set(edges)
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1:]:
+            if (a, b) not in es:
+                continue
+            for c in nodes:
+                if c > b and (a, c) in es and (b, c) in es:
+                    tri += 1
+    assert out["n_wedges"].iloc[0] == wedges
+    assert out["n_triangles"].iloc[0] == tri
+    assert out["n_edges"].iloc[0] == len(edges)
+    want = math.floor(3.0 * tri / wedges * 1e6 + 0.5) / 1e6
+    assert out["transitivity"].iloc[0] == want
+    # triangle-free star: transitivity 0
+    star = pd.DataFrame({"src": [0] * 5, "dst": [1, 2, 3, 4, 5]})
+    z = transitivity_audit(rd.from_pandas(star))
+    assert z["transitivity"].iloc[0] == 0.0 and z["n_wedges"].iloc[0] == 10
