@@ -433,6 +433,21 @@ def _pii_oracles() -> dict[str, str]:
     }
 
 
+def _q_capture_recapture(sf_dir: str):
+    """Lincoln-Petersen residual-duplicate estimate from prefix/suffix
+    dup detectors over the documents table."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.dedup import (
+        capture_recapture_dup_estimate,
+    )
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return capture_recapture_dup_estimate(ds, affix_len=16)
+
+
 def queries():
     return {
         "dedup_exact_docs": _q_dedup_exact_docs,
@@ -452,11 +467,40 @@ def queries():
         "minhash_decontam_docs": _q_minhash_decontam,
         "contamination_docs": _q_containment,
         "dedup_keep_best_docs": _q_dedup_keep_best,
+        "capture_recapture_docs": _q_capture_recapture,
     }
 
 
 def oracles():
     return {
+        "capture_recapture_docs": """
+            WITH t AS (
+              SELECT trim(regexp_replace(lower(coalesce(text, '')),
+                                         '[^a-z0-9]+', ' ', 'g')) AS nt
+              FROM documents
+            ), k AS (
+              SELECT left(nt, 16) AS pre, left(reverse(nt), 16) AS suf
+              FROM t
+            ), pp AS (
+              SELECT sum(c * (c - 1) // 2)::HUGEINT AS a FROM
+                (SELECT count(*)::HUGEINT AS c FROM k GROUP BY pre)
+            ), ss AS (
+              SELECT sum(c * (c - 1) // 2)::HUGEINT AS b FROM
+                (SELECT count(*)::HUGEINT AS c FROM k GROUP BY suf)
+            ), bb AS (
+              SELECT sum(c * (c - 1) // 2)::HUGEINT AS ab FROM
+                (SELECT count(*)::HUGEINT AS c FROM k GROUP BY pre, suf)
+            )
+            SELECT pp.a::BIGINT AS n_prefix_pairs,
+                   ss.b::BIGINT AS n_suffix_pairs,
+                   bb.ab::BIGINT AS n_both_pairs,
+                   CASE WHEN bb.ab > 0
+                        THEN floor((pp.a::DOUBLE) * (ss.b::DOUBLE)
+                                   / (bb.ab::DOUBLE) * 1000000.0 + 0.5)
+                             / 1000000.0
+                        ELSE NULL END AS estimate
+            FROM pp, ss, bb
+        """,
         "dedup_exact_docs": """
             SELECT text, min(doc_id) AS keeper_id, count(*) AS n_copies
             FROM documents GROUP BY text

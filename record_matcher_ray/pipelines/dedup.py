@@ -1484,3 +1484,98 @@ def exact_dedup_keep_best(
         .groupby("__xb__")
         .map_groups(pairs, batch_format="pandas")
     )
+
+
+def capture_recapture_dup_estimate(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    affix_len: int = 16,
+    ndigits: int = 6,
+) -> "pd.DataFrame":
+    """Lincoln–Petersen capture–recapture estimate of the TOTAL
+    duplicate-pair population from two cheap independent-ish detectors —
+    the "how many dups did dedup miss" reading a 100-TB pipeline needs
+    when it cannot enumerate ground truth:
+
+        A = pairs sharing the normalized text PREFIX (first ``affix_len``
+            chars), B = pairs sharing the SUFFIX; N̂ = |A|·|B| / |A∩B|.
+
+    → one row (n_prefix_pairs, n_suffix_pairs, n_both_pairs, estimate)
+    with estimate NULL when |A∩B| = 0. Docs shorter than ``affix_len``
+    use their whole normalized text on both sides.
+
+    EXACT pair counts without materializing a single pair: |A| =
+    Σ_groups g·(g−1)/2 over prefix groups, |B| likewise over suffix
+    groups, and |A∩B| over (prefix, suffix) groups — three bounded
+    hash aggregates of group SIZES (the no-quadratic-blocks rule). One
+    double division at the readout; the DuckDB replay is hash-exact.
+    The independence assumption is the standard capture–recapture
+    caveat (correlated detectors bias N̂ low) — documented, not hidden.
+    """
+    import math
+
+    import pandas as pd
+
+    from record_matcher_ray.pipelines.terms import _normalize
+
+    def partial(t: pa.Table) -> pa.Table:
+        nt = _normalize(t[text_col])
+        pre = pc.utf8_slice_codeunits(nt, 0, affix_len)
+        # suffix key as prefix-of-reversed: equality of the reversed
+        # prefix == equality of the suffix (slice bounds must be scalars)
+        suf = pc.utf8_slice_codeunits(pc.utf8_reverse(nt), 0, affix_len)
+        import pandas as _pd
+
+        pn = pre.to_numpy(zero_copy_only=False)
+        sn = suf.to_numpy(zero_copy_only=False)
+        rows = []
+        for tag, keys in (("p", [pn]), ("s", [sn]), ("b", [pn, sn])):
+            if len(keys) == 1:
+                codes, _u = _pd.factorize(keys[0])
+            else:
+                codes, _u = _pd.factorize(
+                    _pd.MultiIndex.from_arrays(keys))
+            cnt = np.bincount(codes).astype(np.int64)
+            key_strs = (
+                _u if len(keys) == 1
+                else np.array([f"{a}\x01{b}" for a, b in _u], dtype=object)
+            )
+            rows.append(pa.table({
+                "tag": pa.array([tag] * len(cnt)),
+                "key": pa.array(np.asarray(key_strs, dtype=object),
+                                pa.string()),
+                "c": pa.array(cnt),
+            }))
+        return pa.concat_tables(rows)
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["tag", "key"])
+        .sum("c")
+        .to_pandas()
+    )
+    if counts.empty:
+        return pd.DataFrame({"n_prefix_pairs": [0], "n_suffix_pairs": [0],
+                             "n_both_pairs": [0],
+                             "estimate": pd.Series([np.nan],
+                                                   dtype="float64")})
+    ccol = [c for c in counts.columns if c.startswith("sum")][0]
+    totals = {"p": 0, "s": 0, "b": 0}
+    for tag, g in counts.groupby("tag"):
+        totals[tag] = sum(
+            int(v) * (int(v) - 1) // 2 for v in g[ccol]
+        )
+    a, b, ab = totals["p"], totals["s"], totals["b"]
+    est = np.nan
+    if ab > 0:
+        p10 = 10.0 ** ndigits
+        est = math.floor(
+            float(a) * float(b) / float(ab) * p10 + 0.5
+        ) / p10
+    return pd.DataFrame({
+        "n_prefix_pairs": [a], "n_suffix_pairs": [b],
+        "n_both_pairs": [ab],
+        "estimate": pd.Series([est], dtype="float64"),
+    })

@@ -58,3 +58,54 @@ def test_exact_dedup_keep_best_emit_all(ray_session):
          "keeper_id": np.array([1, 1, 2, 3, 3], dtype=np.int64)}
     )
     pd.testing.assert_frame_equal(out, want)
+
+
+def test_capture_recapture_dup_estimate(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.dedup import (
+        capture_recapture_dup_estimate,
+    )
+
+    docs = (
+        ["alpha beta gamma delta epsilon zeta"] * 4      # true dup group
+        + ["alpha beta gamma DIFFERENT middle zeta"] * 2  # shares pre+suf
+        + ["alpha beta gamma other ending here"]          # shares prefix
+        + ["nothing in common epsilon zeta"]              # shares suffix
+        + [f"unique document number {i}" for i in range(10)]
+    )
+    df = pd.DataFrame({"doc_id": np.arange(len(docs), dtype=np.int64),
+                       "text": docs})
+    out = capture_recapture_dup_estimate(
+        rd.from_pandas(df).repartition(4), affix_len=16
+    )
+
+    # brute-force mirror over normalized affixes
+    import collections
+    import re
+
+    def norm(s):
+        return re.sub(r"[^a-z0-9]+", " ", s.lower()).strip()
+
+    pre = collections.Counter(norm(s)[:16] for s in docs)
+    suf = collections.Counter(norm(s)[::-1][:16] for s in docs)
+    both = collections.Counter(
+        (norm(s)[:16], norm(s)[::-1][:16]) for s in docs)
+    A = sum(v * (v - 1) // 2 for v in pre.values())
+    B = sum(v * (v - 1) // 2 for v in suf.values())
+    AB = sum(v * (v - 1) // 2 for v in both.values())
+    assert out["n_prefix_pairs"].iloc[0] == A
+    assert out["n_suffix_pairs"].iloc[0] == B
+    assert out["n_both_pairs"].iloc[0] == AB
+    want = math.floor(A * B / AB * 1e6 + 0.5) / 1e6
+    assert out["estimate"].iloc[0] == want
+
+    # no co-captured pairs -> NULL estimate
+    z = capture_recapture_dup_estimate(
+        rd.from_pandas(pd.DataFrame({
+            "doc_id": np.int64([1, 2]),
+            "text": ["totally distinct one", "another unrelated two"],
+        })))
+    assert z["estimate"].iloc[0] is None or pd.isna(z["estimate"].iloc[0])
