@@ -348,6 +348,20 @@ def _q_cusum(sf_dir: str):
                         target=0.0, slack=0.5, threshold=40.0)
 
 
+def _q_late_events(sf_dir: str):
+    """Watermark / late-data audit over the events stream: arrival order
+    = event_id, watermark = running max event time - 1h."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.relational import late_event_audit
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "event_type"],
+    )
+    return late_event_audit(ds, lateness_us=3_600_000_000)
+
+
 def queries():
     from record_matcher_ray.pipelines import (  # noqa: F401
         relational,
@@ -389,11 +403,35 @@ def queries():
         "ewma_events": _q_ewma,
         "cusum_events": _q_cusum,
         "cube_orders": _q_cube,
+        "late_events": _q_late_events,
     }
 
 
 def oracles():
     return {
+        "late_events": """
+            WITH t AS (
+              SELECT event_id, epoch_us(ts) AS tsu, event_type
+              FROM events
+              WHERE event_id IS NOT NULL AND ts IS NOT NULL
+            ), w AS (
+              SELECT event_type, tsu,
+                     max(tsu) OVER (ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS prior_max
+              FROM t
+            )
+            SELECT event_type,
+                   count(*)::BIGINT AS n_events,
+                   sum(CASE WHEN prior_max IS NOT NULL
+                             AND tsu < prior_max - 3600000000
+                            THEN 1 ELSE 0 END)::BIGINT AS n_late,
+                   coalesce(max(CASE WHEN prior_max IS NOT NULL
+                                      AND tsu < prior_max - 3600000000
+                                     THEN prior_max - tsu END),
+                            0)::BIGINT AS max_lag_us
+            FROM w GROUP BY event_type ORDER BY event_type
+        """,
         "lineitem_agg": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,

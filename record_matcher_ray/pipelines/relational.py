@@ -2236,3 +2236,103 @@ def attribute_conversions(
         .map_groups(lambda t: local(t.drop_columns(["__ab__"])),
                     batch_format="pyarrow")
     )
+
+
+def late_event_audit(
+    ds: ray.data.Dataset,
+    *,
+    lateness_us: int = 3_600_000_000,
+    id_col: str = "event_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> ray.data.Dataset:
+    """Watermark / late-data audit — the streaming-semantics primitive
+    next to the window family: replay events in ARRIVAL order
+    (``id_col``), maintain the watermark ``max(event time so far) −
+    lateness``, and flag every event whose time falls behind the
+    watermark of the PRIOR arrivals (what a streaming engine would drop
+    or side-output) → per ``type_col``:
+    (event_type, n_events, n_late, max_lag_us).
+
+    All-integer semantics (µs timestamps, strict comparison
+    ``ts < prior_max − lateness``) so the SQL running-max window replay
+    is hash-exact; the first arrival is never late.
+
+    Scale shape: one sort by arrival id, then the `global_row_number`
+    two-pass trick for the cross-block running max — pass 1 reads each
+    sorted block's (first id, max ts), the driver prefix-maxes them into
+    an exclusive carry per block, pass 2 flags lateness block-locally
+    with the broadcast carry. Final reduce is a tiny hash aggregate."""
+    look = np.int64(int(lateness_us))
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t[id_col]),
+                             pc.is_valid(t[ts_col])))
+        return pa.table({
+            id_col: pc.cast(t[id_col], pa.int64()),
+            "__ts__": pc.cast(t[ts_col], pa.int64()),
+            type_col: pc.cast(t[type_col], pa.string()),
+        })
+
+    m = ds.map_batches(prep, batch_format="pyarrow").sort(id_col).materialize()
+
+    def head(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table({"__fid__": pa.array([], pa.int64()),
+                             "__mx__": pa.array([], pa.int64())})
+        return pa.table({
+            "__fid__": pa.array([t[id_col][0].as_py()], pa.int64()),
+            "__mx__": pa.array(
+                [int(t["__ts__"].to_numpy().max())], pa.int64()),
+        })
+
+    heads = m.map_batches(head, batch_size=None,
+                          batch_format="pyarrow").to_pandas()
+    heads = heads.sort_values("__fid__").reset_index(drop=True)
+    mx = heads["__mx__"].to_numpy(dtype=np.int64)
+    # exclusive prefix max: carry for block i = max over blocks < i
+    carry = np.full(len(mx), np.iinfo(np.int64).min, dtype=np.int64)
+    if len(mx) > 1:
+        carry[1:] = np.maximum.accumulate(mx)[:-1]
+    carry_of = dict(zip(heads["__fid__"].to_numpy(dtype=np.int64),
+                        carry))
+
+    out_schema = pa.schema([
+        (type_col, pa.string()), ("n", pa.int64()),
+        ("late", pa.int64()), ("lag", pa.int64()),
+    ])
+
+    def flag(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return out_schema.empty_table()
+        ts = t["__ts__"].to_numpy()
+        c = carry_of[int(t[id_col][0].as_py())]
+        run = np.empty(len(ts), np.int64)
+        run[0] = c
+        if len(ts) > 1:
+            run[1:] = np.maximum(np.maximum.accumulate(ts)[:-1], c)
+        late = (run != np.iinfo(np.int64).min) & (ts < run - look)
+        lag = np.where(late, run - ts, 0)
+        tv = t[type_col].to_numpy(zero_copy_only=False)
+        import pandas as _pd
+
+        codes, uniq = _pd.factorize(tv)
+        return pa.table({
+            type_col: pa.array(np.asarray(uniq, object), pa.string()),
+            "n": pa.array(np.bincount(codes).astype(np.int64)),
+            "late": pa.array(np.bincount(
+                codes, weights=late.astype(np.int64)).astype(np.int64)),
+            "lag": pa.array(np.array([
+                int(lag[codes == k].max()) if (codes == k).any() else 0
+                for k in range(len(uniq))], np.int64)),
+        })
+
+    parts = m.map_batches(flag, batch_size=None,
+                          batch_format="pyarrow").to_pandas()
+    agg = parts.groupby(type_col).agg(
+        n_events=("n", "sum"), n_late=("late", "sum"),
+        max_lag_us=("lag", "max"),
+    ).reset_index().sort_values(type_col).reset_index(drop=True)
+    import ray.data as rd
+
+    return rd.from_pandas(agg)

@@ -2672,3 +2672,30 @@ def test_chao1_vocab(ray_session):
     empty = df.iloc[:0]
     z = chao1_vocab(rd.from_pandas(empty)).to_pandas()
     assert z["n_terms"].tolist() == [0] and z["chao1"].isna().all()
+
+
+def test_late_event_audit(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.relational import late_event_audit
+
+    # arrival order = event_id; ts in us
+    df = pd.DataFrame({
+        "event_id": np.arange(8, dtype=np.int64),
+        "ts": np.int64([100, 200, 50, 190, 300, 100, 310, 305]),
+        "event_type": ["a", "a", "a", "b", "b", "b", "a", "b"],
+        "value": np.zeros(8),
+    })
+    # lateness 60: prior-max watermarks:
+    # id2: prior max 200, 50 < 140 -> late (lag 150)
+    # id5: prior max 300, 100 < 240 -> late (lag 200)
+    # id7: prior max 310, 305 > 250 -> on time
+    out = late_event_audit(
+        rd.from_pandas(df).repartition(3), lateness_us=60
+    ).to_pandas().set_index("event_type")
+    assert out.loc["a", "n_late"] == 1 and out.loc["a", "max_lag_us"] == 150
+    assert out.loc["b", "n_late"] == 1 and out.loc["b", "max_lag_us"] == 200
+    assert out["n_events"].sum() == 8
+    # huge lateness: nothing late
+    z = late_event_audit(rd.from_pandas(df), lateness_us=10**9).to_pandas()
+    assert z["n_late"].sum() == 0
