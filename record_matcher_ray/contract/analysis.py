@@ -599,6 +599,19 @@ def quality(sf_dir):
     return analysis.quality_scores(ds)
 
 
+def _q_standardize(sf_dir: str):
+    """Dictionary token standardization (st->street etc.) over the
+    documents table — order-preserving token replace, broadcast map."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.analysis import standardize_tokens
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return standardize_tokens(ds)
+
+
 def queries():
     return {
         "token_count_docs": token_counts,
@@ -613,7 +626,33 @@ def queries():
         "char_entropy_docs": _q_char_entropy,
         "script_profile_docs": _q_script_profile,
         "soundex_part": _q_soundex,
+        "standardize_docs": _q_standardize,
     }
+
+
+_STD_VALUES = """('st', 'street'),
+                   ('ave', 'avenue'),
+                   ('rd', 'road'),
+                   ('blvd', 'boulevard'),
+                   ('dr', 'drive'),
+                   ('ln', 'lane'),
+                   ('ct', 'court'),
+                   ('hwy', 'highway'),
+                   ('apt', 'apartment'),
+                   ('ste', 'suite'),
+                   ('n', 'north'),
+                   ('s', 'south'),
+                   ('e', 'east'),
+                   ('w', 'west'),
+                   ('corp', 'corporation'),
+                   ('inc', 'incorporated'),
+                   ('co', 'company'),
+                   ('ltd', 'limited'),
+                   ('llc', 'llc'),
+                   ('mt', 'mount'),
+                   ('ft', 'fort'),
+                   ('jr', 'junior'),
+                   ('sr', 'senior')"""
 
 
 def oracles():
@@ -622,6 +661,30 @@ def oracles():
     bpe = BPE  # noqa: F841
 
     return {
+        "standardize_docs": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(coalesce(text, '')),
+                                         '[^a-z0-9]+', ' ', 'g')) AS nt
+              FROM documents
+            ), tok AS (
+              SELECT doc_id, u.tok, u.pos
+              FROM t, LATERAL (
+                SELECT unnest(string_split(nt, ' ')) AS tok,
+                       generate_subscripts(string_split(nt, ' '), 1) AS pos
+              ) u
+            ), m(abbr, expd) AS (
+              VALUES {_STD_VALUES}
+            ), r AS (
+              SELECT tok.doc_id, coalesce(m.expd, tok.tok) AS tk, tok.pos,
+                     CASE WHEN m.expd IS NULL THEN 0 ELSE 1 END AS hit
+              FROM tok LEFT JOIN m ON m.abbr = tok.tok
+            )
+            SELECT doc_id,
+                   string_agg(tk, ' ' ORDER BY pos) AS std_text,
+                   sum(hit)::BIGINT AS n_replaced
+            FROM r GROUP BY doc_id
+        """,
         "lang_id_docs": """
             WITH t AS (
               SELECT doc_id,

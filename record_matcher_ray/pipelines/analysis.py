@@ -839,3 +839,71 @@ def soundex_codes(
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def standardize_tokens(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mapping: "dict[str, str] | None" = None,
+) -> ray.data.Dataset:
+    """Dictionary-driven token standardization — the classic ER
+    normalization step (st→street, ave→avenue, corp→corporation) that
+    precedes blocking/scoring so abbreviation variants block together:
+    normalize (lower + non-alphanumeric→space + collapse), then replace
+    every token found in ``mapping`` with its expansion, preserving
+    token order → rows (id_col, std_text, n_replaced).
+
+    Default mapping covers the common US address / business-suffix
+    abbreviations. The mapping is a broadcast (task-closure) dictionary;
+    replacement is a vectorized pandas map over the flattened token
+    array — zero shuffle, one streaming pass. The DuckDB
+    ``list_transform`` + MAP replay is hash-exact.
+    """
+    mapping = dict(STANDARDIZE_DEFAULT if mapping is None else mapping)
+
+    def fn(t: pa.Table) -> pa.Table:
+        import pandas as _pd
+
+        text = pc.fill_null(pc.cast(t[text_col], pa.string()), "")
+        nt = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(
+                pc.utf8_lower(text), r"[^a-z0-9]+", " "
+            )
+        )
+        pieces = pc.split_pattern(nt, " ")
+        if isinstance(pieces, pa.ChunkedArray):
+            pieces = pieces.combine_chunks()
+        flat = pieces.flatten()
+        off = pieces.offsets
+        toks = _pd.Series(flat.to_numpy(zero_copy_only=False))
+        mapped = toks.map(mapping)
+        hit = mapped.notna()
+        out_flat = toks.where(~hit, mapped).to_numpy()
+        offs = off.to_numpy().astype(np.int64)
+        hits = hit.to_numpy().astype(np.int64)
+        cum = np.concatenate(([0], np.cumsum(hits)))
+        n_repl = cum[offs[1:]] - cum[offs[:-1]]
+        std = pc.binary_join(
+            pa.ListArray.from_arrays(
+                off, pa.array(out_flat.astype(object), pa.string())
+            ),
+            " ",
+        )
+        return pa.table({
+            id_col: t[id_col],
+            "std_text": std,
+            "n_replaced": pa.array(n_repl, pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+STANDARDIZE_DEFAULT = {
+    "st": "street", "ave": "avenue", "rd": "road", "blvd": "boulevard",
+    "dr": "drive", "ln": "lane", "ct": "court", "hwy": "highway",
+    "apt": "apartment", "ste": "suite", "n": "north", "s": "south",
+    "e": "east", "w": "west", "corp": "corporation", "inc": "incorporated",
+    "co": "company", "ltd": "limited", "llc": "llc", "mt": "mount",
+    "ft": "fort", "jr": "junior", "sr": "senior",
+}

@@ -806,3 +806,29 @@ def test_ndcg_at_k(ray_session):
     z = ndcg_at_k(rd.from_pandas(
         pd.DataFrame({"doc_id": np.int64([1]), "text": ["xyz"]})), q, k=3)
     assert z["ndcg"].iloc[0] is None or pd.isna(z["ndcg"].iloc[0])
+
+
+def test_standardize_tokens(ray_session):
+    import pandas as pd
+
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.analysis import standardize_tokens
+
+    df = pd.DataFrame({
+        "doc_id": np.int64([1, 2, 3, 4]),
+        "text": ["123 Oak St, Apt 4", "ACME Corp", "no abbreviations here",
+                 None],
+    })
+    out = (standardize_tokens(rd.from_pandas(df).repartition(2))
+           .to_pandas().set_index("doc_id").sort_index())
+    assert out.loc[1, "std_text"] == "123 oak street apartment 4"
+    assert out.loc[1, "n_replaced"] == 2
+    assert out.loc[2, "std_text"] == "acme corporation"
+    assert out.loc[3, "n_replaced"] == 0
+    assert out.loc[4, "std_text"] == ""
+    # custom mapping
+    out2 = standardize_tokens(
+        rd.from_pandas(df), mapping={"acme": "apex"}
+    ).to_pandas().set_index("doc_id")
+    assert out2.loc[2, "std_text"] == "apex corp"
