@@ -448,6 +448,20 @@ def _q_capture_recapture(sf_dir: str):
     return capture_recapture_dup_estimate(ds, affix_len=16)
 
 
+def _q_k_anonymity(sf_dir: str):
+    """k-anonymity audit of customers under the (nation, segment)
+    quasi-identifier pair at k=5."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.pii import k_anonymity_audit
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_nationkey", "c_mktsegment"],
+    )
+    return k_anonymity_audit(ds, ["c_nationkey", "c_mktsegment"], k=5)
+
+
 def queries():
     return {
         "dedup_exact_docs": _q_dedup_exact_docs,
@@ -468,11 +482,30 @@ def queries():
         "contamination_docs": _q_containment,
         "dedup_keep_best_docs": _q_dedup_keep_best,
         "capture_recapture_docs": _q_capture_recapture,
+        "k_anonymity_customer": _q_k_anonymity,
     }
 
 
 def oracles():
     return {
+        "k_anonymity_customer": """
+            WITH g AS (
+              SELECT coalesce(c_nationkey::VARCHAR, chr(0) || 'null'
+                              || chr(0)) AS a,
+                     coalesce(c_mktsegment::VARCHAR, chr(0) || 'null'
+                              || chr(0)) AS b,
+                     count(*)::BIGINT AS c
+              FROM customer GROUP BY 1, 2
+            )
+            SELECT sum(c)::BIGINT AS n_rows,
+                   count(*)::BIGINT AS n_groups,
+                   sum(CASE WHEN c < 5 THEN c ELSE 0 END)::BIGINT
+                     AS n_at_risk_rows,
+                   sum(CASE WHEN c < 5 THEN 1 ELSE 0 END)::BIGINT
+                     AS n_at_risk_groups,
+                   min(c)::BIGINT AS min_group
+            FROM g
+        """,
         "capture_recapture_docs": """
             WITH t AS (
               SELECT trim(regexp_replace(lower(coalesce(text, '')),

@@ -386,12 +386,51 @@ def _q_transitivity(sf_dir: str):
     )
 
 
+def _q_stable_relabel(sf_dir: str):
+    """Stable entity ids across ER runs: the chain clustering
+    (connected_components_docs) relabelled onto the delta-merged
+    clustering (merge_components_docs) — min-old-id rule, contested ids
+    kept by the lowest component."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from record_matcher_ray.pipelines.cluster import (
+        connected_components,
+        merge_components,
+        stable_relabel,
+    )
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id"]
+    )
+
+    def base_edges(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy().astype(np.int64)
+        m = did % 7 != 6
+        return pa.table({"u": pa.array(did[m]), "v": pa.array(did[m] + 1)})
+
+    def delta_edges(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy().astype(np.int64)
+        m = did % 21 == 0
+        return pa.table({"u": pa.array(did[m]), "v": pa.array(did[m] + 7)})
+
+    old = connected_components(
+        docs.map_batches(base_edges, batch_format="pyarrow")
+    ).materialize()
+    new = merge_components(
+        old, docs.map_batches(delta_edges, batch_format="pyarrow")
+    ).materialize()
+    return stable_relabel(old, new)
+
+
 def queries():
     return {
         "pagerank_lineitem": _q_pagerank,
         "connected_components_docs": _q_connected_components,
         "merge_components_docs": _q_merge_components,
         "transitivity_orders": _q_transitivity,
+        "stable_relabel_docs": _q_stable_relabel,
         "ppr_lineitem": _q_ppr,
         "triangles_orders": _q_triangles,
         "labelprop_lineitem": _q_labelprop,
@@ -401,6 +440,50 @@ def queries():
 
 def oracles():
     return {
+        "stable_relabel_docs": """
+            WITH RECURSIVE eo0 AS (
+              SELECT doc_id AS a, doc_id + 1 AS b
+              FROM documents WHERE doc_id % 7 <> 6
+            ), eo AS (
+              SELECT a, b FROM eo0 UNION ALL SELECT b, a FROM eo0
+            ), no AS (SELECT DISTINCT a AS node FROM eo),
+            wo(node, r) AS (
+              SELECT node, node FROM no
+              UNION
+              SELECT w.node, eo.b FROM wo w JOIN eo ON eo.a = w.r
+            ), oldc AS (
+              SELECT node, min(r)::BIGINT AS oc FROM wo GROUP BY node
+            ), en0 AS (
+              SELECT a, b FROM eo0
+              UNION ALL
+              SELECT doc_id, doc_id + 7
+              FROM documents WHERE doc_id % 21 = 0
+            ), en AS (
+              SELECT a, b FROM en0 UNION ALL SELECT b, a FROM en0
+            ), nn AS (SELECT DISTINCT a AS node FROM en),
+            wn(node, r) AS (
+              SELECT node, node FROM nn
+              UNION
+              SELECT w.node, en.b FROM wn w JOIN en ON en.a = w.r
+            ), newc AS (
+              SELECT node, min(r)::BIGINT AS nc FROM wn GROUP BY node
+            ), claim AS (
+              SELECT n.nc, min(o.oc) AS m
+              FROM newc n LEFT JOIN oldc o USING (node)
+              GROUP BY n.nc
+            ), rk AS (
+              SELECT nc, m,
+                     row_number() OVER (PARTITION BY m ORDER BY nc) AS rn
+              FROM claim WHERE m IS NOT NULL
+            ), ids AS (
+              SELECT c.nc,
+                     CASE WHEN r.rn = 1 THEN r.m ELSE c.nc END AS eid
+              FROM claim c LEFT JOIN rk r ON r.nc = c.nc
+            )
+            SELECT newc.node, newc.nc AS component,
+                   coalesce(ids.eid, newc.nc)::BIGINT AS entity_id
+            FROM newc JOIN ids ON ids.nc = newc.nc
+        """,
         "transitivity_orders": """
             WITH raw AS (
               SELECT (o_orderkey % 512) AS u, (o_custkey % 512) AS v

@@ -18,6 +18,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 from ray.data.aggregate import Min, Sum
@@ -307,3 +308,137 @@ def merge_components(
 
     passthrough = clusters.map_batches(untouched, batch_format="pyarrow")
     return passthrough.union(ray.data.from_arrow(relabeled))
+
+
+def stable_relabel(
+    old: ray.data.Dataset,
+    new: ray.data.Dataset,
+    *,
+    node_col: str = "node",
+    comp_col: str = "component",
+    entity_col: str = "entity_id",
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Stable entity-ID assignment across ER runs — the production
+    requirement behind re-clustering: downstream systems key on entity
+    ids, so a re-run's fresh component labels must map back to the
+    PREVIOUS run's ids wherever clusters overlap. Rule (deterministic,
+    shuffle-friendly): each new component takes the MINIMUM old entity
+    id over its members; components with no previously-seen member keep
+    their (min-node) component label as a fresh id
+    → rows (node, component, entity_id).
+
+    The min rule is associative/commutative, so the assignment reduces
+    with hash partials and is partition-invariant; when one old entity
+    splits into several new clusters, each keeps a deterministic id and
+    exactly one keeps the old id (min-member wins) — the standard
+    split/merge bookkeeping caveat, documented not hidden.
+
+    Scale shape: one hash-join-shaped exchange on node (≤``n_buckets``
+    buckets), a per-component min reduce, then a broadcast-free second
+    pass attaching ids by component."""
+    from record_matcher_ray.core.hashkernels import column_hash64
+
+    def tag_old(t: pa.Table) -> pa.Table:
+        bk = (column_hash64(t[node_col]) % np.uint64(n_buckets)).astype(
+            np.int64)
+        return pa.table({
+            "n": pc.cast(t[node_col], pa.int64()),
+            "old_e": pc.cast(t[comp_col], pa.int64()),
+            "side": pa.array(np.zeros(len(t), np.int8)),
+            "comp": pa.array(np.full(len(t), -1, np.int64)),
+            "__b__": pa.array(bk),
+        })
+
+    def tag_new(t: pa.Table) -> pa.Table:
+        bk = (column_hash64(t[node_col]) % np.uint64(n_buckets)).astype(
+            np.int64)
+        return pa.table({
+            "n": pc.cast(t[node_col], pa.int64()),
+            "old_e": pa.array(np.full(len(t), -1, np.int64)),
+            "side": pa.array(np.ones(len(t), np.int8)),
+            "comp": pc.cast(t[comp_col], pa.int64()),
+            "__b__": pa.array(bk),
+        })
+
+    both = old.map_batches(tag_old, batch_format="pyarrow").union(
+        new.map_batches(tag_new, batch_format="pyarrow")
+    )
+
+    def join_min(t: pa.Table) -> pa.Table:
+        """per bucket: node-join old entities onto new members, then
+        per-new-component min(old entity) partial."""
+        n = t["n"].to_numpy()
+        side = t["side"].to_numpy()
+        old_e = t["old_e"].to_numpy()
+        comp = t["comp"].to_numpy()
+        o = side == 0
+        on = n[o]
+        order = np.argsort(on, kind="stable")
+        on_s, oe_s = on[order], old_e[o][order]
+        nm = ~o
+        nn, nc = n[nm], comp[nm]
+        if len(on_s):
+            pos = np.minimum(np.searchsorted(on_s, nn), len(on_s) - 1)
+            hit = on_s[pos] == nn
+            oldid = np.where(hit, oe_s[pos], np.iinfo(np.int64).max)
+        else:
+            oldid = np.full(len(nn), np.iinfo(np.int64).max, np.int64)
+        import pandas as _pd
+
+        codes, uniq = _pd.factorize(nc)
+        # sort-based segmented min (np.minimum.at is ~20x slower —
+        # CLAUDE.md)
+        order2 = np.argsort(codes, kind="stable")
+        c_s, v_s = codes[order2], oldid[order2]
+        if len(c_s):
+            b2 = np.nonzero(
+                np.concatenate(([True], c_s[1:] != c_s[:-1]))
+            )[0]
+            seg_min = np.minimum.reduceat(v_s, b2)
+            mins = np.full(len(uniq), np.iinfo(np.int64).max, np.int64)
+            mins[c_s[b2]] = seg_min
+        else:
+            mins = np.empty(0, np.int64)
+        return pa.table({"comp": pa.array(uniq.astype(np.int64)),
+                         "m": pa.array(mins)})
+
+    mins = (
+        both.groupby("__b__")
+        .map_groups(lambda t: join_min(t.drop_columns(["__b__"])),
+                    batch_format="pyarrow")
+        .groupby("comp")
+        .min("m")
+        .to_pandas()
+    )
+    mcol = [c for c in mins.columns if c.startswith("min")][0]
+    big = np.iinfo(np.int64).max
+    comps = mins["comp"].to_numpy(dtype=np.int64)
+    claims = mins[mcol].to_numpy(dtype=np.int64)
+    # uniqueness of ids when an old entity SPLITS: several new comps can
+    # claim the same old id; only the lowest-labelled claimant keeps it,
+    # the rest fall back to their own (min-node) component label
+    order = np.lexsort((comps, claims))
+    c_s, cl_s = comps[order], claims[order]
+    first = np.concatenate(([True], cl_s[1:] != cl_s[:-1]))
+    ent = np.where((cl_s != big) & first, cl_s, c_s)
+    comps_sorted_idx = np.argsort(c_s, kind="stable")
+    comp_keys = np.ascontiguousarray(c_s[comps_sorted_idx])
+    ent_vals = np.ascontiguousarray(ent[comps_sorted_idx])
+    ent_ref = ray.put((comp_keys, ent_vals))
+
+    def attach(t: pa.Table) -> pa.Table:
+        keys, vals = ray.get(ent_ref)  # zero-copy plasma arrays
+        comp = pc.cast(t[comp_col], pa.int64()).to_numpy()
+        if len(keys):
+            pos = np.minimum(np.searchsorted(keys, comp), len(keys) - 1)
+            ent_np = np.where(keys[pos] == comp, vals[pos], comp)
+        else:
+            ent_np = comp
+        return pa.table({
+            node_col: pc.cast(t[node_col], pa.int64()),
+            comp_col: pa.array(comp),
+            entity_col: pa.array(ent_np.astype(np.int64)),
+        })
+
+    return new.map_batches(attach, batch_format="pyarrow")

@@ -15,6 +15,7 @@ would slot in as an actor-pool stage exactly like
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
@@ -73,3 +74,72 @@ def redact_pii(
         return batch.set_column(i, text_col, text)
 
     return ds.map_batches(scrub, batch_format="pyarrow")
+
+
+def k_anonymity_audit(
+    ds: "ray.data.Dataset",
+    quasi_cols: list[str],
+    *,
+    k: int = 5,
+) -> "pd.DataFrame":
+    """k-anonymity audit over a quasi-identifier column set — the
+    privacy screen a training-data release needs next to `pii_counts`:
+    a row is AT RISK when its quasi-identifier combination occurs fewer
+    than ``k`` times → one row
+    (n_rows, n_groups, n_at_risk_rows, n_at_risk_groups, min_group).
+
+    Null quasi-values count as a distinct value (the conservative
+    reading — a null combo is still a fingerprint). All counts exact
+    integers; the DuckDB GROUP BY replay is hash-exact.
+
+    Scale shape: per-block combo-count partials through one hash
+    aggregate (raw rows never shuffle); the audit readout folds the
+    group-size histogram, never the groups themselves."""
+    import pandas as pd
+
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    if k < 2:
+        raise ValueError("k must be >= 2")
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as _pd
+
+        arrs = [
+            pc.fill_null(
+                pc.cast(t[c], pa.string()), "\x00null\x00"
+            ).to_numpy(zero_copy_only=False)
+            for c in quasi_cols
+        ]
+        codes, uniq = _pd.factorize(
+            _pd.MultiIndex.from_arrays(arrs) if len(arrs) > 1
+            else _pd.Index(arrs[0])
+        )
+        cnt = np.bincount(codes).astype(np.int64)
+        if len(arrs) > 1:
+            keys = np.array(["\x01".join(u) for u in uniq], dtype=object)
+        else:
+            keys = np.asarray(uniq, dtype=object)
+        return pa.table({"__k__": pa.array(keys, pa.string()),
+                         "__c__": pa.array(cnt)})
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__k__")
+        .sum("__c__")
+        .to_pandas()
+    )
+    if counts.empty:
+        return pd.DataFrame({"n_rows": [0], "n_groups": [0],
+                             "n_at_risk_rows": [0],
+                             "n_at_risk_groups": [0], "min_group": [0]})
+    ccol = [c for c in counts.columns if c.startswith("sum")][0]
+    sizes = counts[ccol].to_numpy(dtype=np.int64)
+    risk = sizes < k
+    return pd.DataFrame({
+        "n_rows": [int(sizes.sum())],
+        "n_groups": [int(len(sizes))],
+        "n_at_risk_rows": [int(sizes[risk].sum())],
+        "n_at_risk_groups": [int(risk.sum())],
+        "min_group": [int(sizes.min())],
+    })

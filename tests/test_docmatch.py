@@ -313,3 +313,38 @@ def test_merge_components_incremental(ray_session):
         old, rd.from_pandas(new_edges.iloc[:0])
     ).to_pandas().set_index("node")["component"].to_dict()
     assert same == old.to_pandas().set_index("node")["component"].to_dict()
+
+
+def test_stable_relabel(ray_session):
+    """Stable entity ids across runs: merged clusters inherit the MIN old
+    id; split clusters give the contested id to exactly one part; brand
+    new clusters mint their component label."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.cluster import stable_relabel
+
+    # old run: entities {1,2,3}->10, {4,5}->40, {6}->60
+    old = pd.DataFrame({
+        "node": np.int64([1, 2, 3, 4, 5, 6]),
+        "component": np.int64([10, 10, 10, 40, 40, 60]),
+    })
+    # new run: {1,2}->1 (part of old 10), {3,4,5}->3 (merges old 10+40),
+    # {6,7}->6 (extends 60), {8,9}->8 (brand new)
+    new = pd.DataFrame({
+        "node": np.int64([1, 2, 3, 4, 5, 6, 7, 8, 9]),
+        "component": np.int64([1, 1, 3, 3, 3, 6, 6, 8, 8]),
+    })
+    out = (stable_relabel(rd.from_pandas(old).repartition(2),
+                          rd.from_pandas(new).repartition(3))
+           .to_pandas().set_index("node").sort_index())
+    ent = out["entity_id"]
+    # both claimants of old id 10: comps 1 and 3 -> lowest comp (1) keeps
+    assert ent.loc[1] == 10 and ent.loc[2] == 10
+    # comp 3 claims min(10, 40) = 10 but loses to comp 1 -> falls back
+    assert ent.loc[3] == 3 and ent.loc[4] == 3 and ent.loc[5] == 3
+    assert ent.loc[6] == 60 and ent.loc[7] == 60
+    assert ent.loc[8] == 8 and ent.loc[9] == 8
+    # component labels pass through unchanged
+    assert out["component"].tolist() == [1, 1, 3, 3, 3, 6, 6, 8, 8]

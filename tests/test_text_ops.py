@@ -832,3 +832,30 @@ def test_standardize_tokens(ray_session):
         rd.from_pandas(df), mapping={"acme": "apex"}
     ).to_pandas().set_index("doc_id")
     assert out2.loc[2, "std_text"] == "apex corp"
+
+
+def test_k_anonymity_audit(ray_session):
+    import pandas as pd
+
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.pii import k_anonymity_audit
+
+    df = pd.DataFrame({
+        "zip": ["10001"] * 6 + ["10002"] * 2 + ["10003", None],
+        "age": ["30"] * 6 + ["40", "40", "50", "50"],
+    })
+    out = k_anonymity_audit(rd.from_pandas(df).repartition(3),
+                            ["zip", "age"], k=3)
+    # groups: (10001,30)x6 ok; (10002,40)x2 risk; (10003,50)x1 risk;
+    # (None,50)x1 risk
+    assert out["n_rows"].iloc[0] == 10
+    assert out["n_groups"].iloc[0] == 4
+    assert out["n_at_risk_groups"].iloc[0] == 3
+    assert out["n_at_risk_rows"].iloc[0] == 4
+    assert out["min_group"].iloc[0] == 1
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        k_anonymity_audit(rd.from_pandas(df), [], k=3)
+    with _pt.raises(ValueError):
+        k_anonymity_audit(rd.from_pandas(df), ["zip"], k=1)
