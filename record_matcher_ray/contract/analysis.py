@@ -530,6 +530,25 @@ def _hash_oracles() -> dict[str, str]:
         "simhash_docs": simhash_fp_cte + """
             SELECT id, simhash FROM sim ORDER BY id
         """,
+        "simhash_snm_docs": simhash_fp_cte + f"""
+            , ranked AS (
+              SELECT id, simhash,
+                     row_number() OVER (ORDER BY simhash, id) AS rn
+              FROM sim
+            )
+            SELECT least(a.id, b.id) AS id_a,
+                   greatest(a.id, b.id) AS id_b,
+                   bit_count(xor(
+                     ((a.simhash::HUGEINT % {M} + {M}) % {M})::UBIGINT,
+                     ((b.simhash::HUGEINT % {M} + {M}) % {M})::UBIGINT
+                   ))::BIGINT AS hamming
+            FROM ranked a JOIN ranked b
+              ON b.rn > a.rn AND b.rn < a.rn + 8
+            WHERE bit_count(xor(
+                    ((a.simhash::HUGEINT % {M} + {M}) % {M})::UBIGINT,
+                    ((b.simhash::HUGEINT % {M} + {M}) % {M})::UBIGINT
+                  )) <= 6
+        """,
         # minhash signature replay (hashkernels.batch_signatures via
         # blocking.batch_char_shingles): shingle = splitmix64(4-gram
         # fwd-poly) >> 3 (same chain as simhash's gram hash, no

@@ -462,6 +462,19 @@ def _q_k_anonymity(sf_dir: str):
     return k_anonymity_audit(ds, ["c_nationkey", "c_mktsegment"], k=5)
 
 
+def _q_simhash_snm(sf_dir: str):
+    """SimHash neighborhood dedup: fingerprint-order sliding window
+    (w=8) + Hamming <= 6 filter — the linear-pass near-dup path."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.dedup import simhash_snm_dedup
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return simhash_snm_dedup(ds, window=8, max_hamming=6)
+
+
 def queries():
     return {
         "dedup_exact_docs": _q_dedup_exact_docs,
@@ -483,6 +496,7 @@ def queries():
         "dedup_keep_best_docs": _q_dedup_keep_best,
         "capture_recapture_docs": _q_capture_recapture,
         "k_anonymity_customer": _q_k_anonymity,
+        "simhash_snm_docs": _q_simhash_snm,
     }
 
 

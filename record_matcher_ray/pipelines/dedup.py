@@ -1579,3 +1579,57 @@ def capture_recapture_dup_estimate(
         "n_both_pairs": [ab],
         "estimate": pd.Series([est], dtype="float64"),
     })
+
+
+def simhash_snm_dedup(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    window: int = 8,
+    max_hamming: int = 6,
+    shingle: int = 4,
+) -> "ray.data.Dataset":
+    """Near-dup candidates by SimHash NEIGHBORHOOD scan — the linear-
+    pass alternative to banded Hamming LSH (`simhash_near_dups`):
+    fingerprints sort once, each doc compares only to its ``window``
+    neighbors in fingerprint order, pairs at Hamming ≤ ``max_hamming``
+    survive → rows (id_a, id_b, hamming), id_a < id_b.
+
+    Similar fingerprints sort together (high bits dominate the signed
+    int64 order), so the window catches most low-Hamming pairs at
+    O(rows·window) comparisons with NO banding tables — the recall/cost
+    dial is just (window, max_hamming). Composition of `simhash64` and
+    `linkage.sorted_neighborhood_pairs(carry_cols=["simhash"])`; the
+    Hamming filter is a vectorized popcount over the carried values."""
+    from record_matcher_ray.pipelines.linkage import (
+        sorted_neighborhood_pairs,
+    )
+
+    sig = simhash64(ds, text_col, id_col, shingle=shingle)
+    pairs = sorted_neighborhood_pairs(
+        sig, ["simhash"], "id", window=window, carry_cols=["simhash"],
+    )
+
+    def ham(t: pa.Table) -> pa.Table:
+        a = t["x_simhash"].to_numpy().view(np.uint64)
+        b = t["y_simhash"].to_numpy().view(np.uint64)
+        x = a ^ b
+        # SWAR popcount (vectorized, no Python loop)
+        x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+        x = (x & np.uint64(0x3333333333333333)) + (
+            (x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+        x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        h = ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(
+            np.int64)
+        keep = h <= max_hamming
+        xa = t["x_id"].to_numpy()[keep]
+        ya = t["y_id"].to_numpy()[keep]
+        lo = np.minimum(xa, ya)
+        hi = np.maximum(xa, ya)
+        return pa.table({
+            "id_a": pa.array(lo), "id_b": pa.array(hi),
+            "hamming": pa.array(h[keep]),
+        })
+
+    return pairs.map_batches(ham, batch_format="pyarrow")

@@ -2557,12 +2557,16 @@ def sorted_neighborhood_pairs(
     *,
     window: int = 8,
     n_buckets: int = 256,
+    carry_cols: list[str] | None = None,
 ) -> ray.data.Dataset:
     """Sorted-neighborhood blocking (Hernández & Stolfo, SIGMOD 1995 —
     the classic merge/purge method): sort all records by ``sort_cols``
     and emit every candidate pair within a sliding ``window`` of the
     sort order → rows (x_id, y_id, gap) with gap = rank distance
-    (1..window-1), ordered-pair ids by rank. The complement to key-equality
+    (1..window-1), ordered-pair ids by rank; ``carry_cols`` additionally
+    emit both sides' values as x_<col>/y_<col> (they ride the range
+    groups anyway — no extra join to use them in a pair filter, e.g. the
+    simhash-neighborhood Hamming dedupe). The complement to key-equality
     blocking for near-boundary matches (reference blocks only on exact
     group keys, records.py:106-132 — SNM catches pairs an exact key
     split apart).
@@ -2575,10 +2579,11 @@ def sorted_neighborhood_pairs(
     """
     if window < 2:
         raise ValueError("window must be >= 2")
+    carry = list(carry_cols or [])
     from record_matcher_ray.pipelines.relational import global_row_number
 
     rn = global_row_number(
-        ds.select_columns(sorted(set(sort_cols + [id_col]))),
+        ds.select_columns(sorted(set(sort_cols + [id_col] + carry))),
         sort_cols + [id_col], rn_col="__rn__",
     )
     w = int(window)
@@ -2601,20 +2606,27 @@ def sorted_neighborhood_pairs(
         idx = pa.array(np.concatenate([np.arange(len(r), dtype=np.int64)] * 2)[keep])
         bk = (mix64(g[keep].astype(np.uint64))
               % np.uint64(n_buckets)).astype(np.int64)
-        return pa.table({
+        cols = {
             "__g__": pa.array(g[keep]),
             "__b__": pa.array(bk),
             "__rn__": pa.array(rr[keep]),
             "__own__": pa.array(own[keep]),
             id_col: pc.take(ids, idx),
-        })
+        }
+        for c in carry:
+            cols[c] = pc.take(t[c], idx)
+        return pa.table(cols)
 
     def emit(t: pa.Table) -> pa.Table:
-        out_schema = pa.schema([
+        out_fields = [
             ("x_id", t.schema.field(id_col).type),
             ("y_id", t.schema.field(id_col).type),
             ("gap", pa.int64()),
-        ])
+        ]
+        for c in carry:
+            ct = t.schema.field(c).type
+            out_fields += [(f"x_{c}", ct), (f"y_{c}", ct)]
+        out_schema = pa.schema(out_fields)
         n = len(t)
         if n == 0:
             return out_schema.empty_table()
@@ -2642,11 +2654,16 @@ def sorted_neighborhood_pairs(
             return out_schema.empty_table()
         xi = np.concatenate(xs)
         yi = np.concatenate(ys)
-        return pa.table({
+        cols = {
             "x_id": pc.take(ids, pa.array(xi)),
             "y_id": pc.take(ids, pa.array(yi)),
             "gap": pa.array(np.concatenate(gaps)),
-        })
+        }
+        for c in carry:
+            cv = pc.take(t[c].combine_chunks(), pa.array(order))
+            cols[f"x_{c}"] = pc.take(cv, pa.array(xi))
+            cols[f"y_{c}"] = pc.take(cv, pa.array(yi))
+        return pa.table(cols)
 
     return (
         rn.map_batches(to_groups, batch_format="pyarrow")

@@ -109,3 +109,37 @@ def test_capture_recapture_dup_estimate(ray_session):
             "text": ["totally distinct one", "another unrelated two"],
         })))
     assert z["estimate"].iloc[0] is None or pd.isna(z["estimate"].iloc[0])
+
+
+def test_simhash_snm_dedup(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.dedup import (
+        simhash64,
+        simhash_snm_dedup,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "keeps on running through the quiet forest for a while")
+    docs = [base, base + " extra", base.replace("quick", "quark"),
+            "completely different content about data engines and rays",
+            "another unrelated piece of text talking about nothing"]
+    df = pd.DataFrame({"doc_id": np.arange(len(docs), dtype=np.int64),
+                       "text": docs})
+    ds = rd.from_pandas(df).repartition(2)
+    out = simhash_snm_dedup(ds, window=5, max_hamming=16).to_pandas()
+    got = set(zip(out["id_a"], out["id_b"]))
+    # mirror: all-pairs hamming over the same fingerprints; window=5
+    # covers all 5 docs, so the neighborhood result == the all-pairs cut
+    sig = simhash64(ds, "text", "doc_id").to_pandas()
+    fp = dict(zip(sig["id"], sig["simhash"].astype(np.int64)))
+    want = set()
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            h = bin((fp[i] ^ fp[j]) & 0xFFFFFFFFFFFFFFFF).count("1")
+            if h <= 16:
+                want.add((i, j))
+    assert got == want
+    assert (out["hamming"] <= 16).all()
+    # the three near-identical docs must be found
+    assert (0, 1) in got and (0, 2) in got
