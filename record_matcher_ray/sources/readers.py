@@ -28,8 +28,21 @@ def read_documents(path: str, **kwargs) -> ray.data.Dataset:
 
 
 def read_table(path: str, columns: list[str] | None = None, **kwargs) -> ray.data.Dataset:
-    """Column-pruned parquet read (always pass ``columns`` in pipelines —
-    a read that loads all columns for a 2-column transform is wrong)."""
+    """Column-pruned table read, format-dispatched by extension:
+    parquet (default), ``.lance`` (when pylance importable), ``.csv``,
+    ``.json``/``.jsonl``. Always pass ``columns`` in pipelines — a read
+    that loads all columns for a 2-column transform is wrong. (CSV/JSON
+    prune AFTER decode via select — those formats are row-oriented, so
+    the decode itself can't skip columns; store hot tables as parquet.)"""
+    low = path.rstrip("/").lower()
+    if low.endswith(".lance"):
+        return read_documents(path, **kwargs)
+    if low.endswith(".csv"):
+        ds = ray.data.read_csv(path, **kwargs)
+        return ds.select_columns(columns) if columns else ds
+    if low.endswith((".json", ".jsonl")):
+        ds = ray.data.read_json(path, **kwargs)
+        return ds.select_columns(columns) if columns else ds
     return ray.data.read_parquet(path, columns=columns, **kwargs)
 
 

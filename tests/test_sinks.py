@@ -39,3 +39,29 @@ class TestWritePartitioned:
         # a reader pointed at one partition sees only that slice
         only_de = rd.read_parquet(f"{out}/lang=de").to_pandas()
         assert sorted(only_de["doc_id"]) == [6, 7, 8, 9]
+
+
+def test_read_table_format_dispatch(ray_session, tmp_path):
+    """r4: read_table dispatches by extension (parquet / csv / jsonl) and
+    prunes columns on every path."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from record_matcher_ray.sources.readers import read_table
+
+    df = pd.DataFrame({"k": [1, 2, 3], "v": ["a", "b", "c"],
+                       "extra": [9.0, 8.0, 7.0]})
+    pq_path = str(tmp_path / "t_parquet")
+    rd.from_pandas(df).write_parquet(pq_path)
+    csv_path = str(tmp_path / "t.csv")
+    df.to_csv(csv_path, index=False)
+    jl_path = str(tmp_path / "t.jsonl")
+    df.to_json(jl_path, orient="records", lines=True)
+
+    for path in (pq_path, csv_path, jl_path):
+        got = read_table(path, columns=["k", "v"]).to_pandas()
+        assert sorted(got.columns) == ["k", "v"], path
+        assert sorted(got["k"].astype(int)) == [1, 2, 3], path
+    full = read_table(jl_path).to_pandas()
+    assert sorted(full.columns) == ["extra", "k", "v"]
