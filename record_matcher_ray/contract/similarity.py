@@ -220,6 +220,19 @@ def _q_dbscan(sf_dir: str):
     return dbscan_embeddings(ds, eps_sim=0.35, min_pts=3)
 
 
+def _q_quantize(sf_dir: str):
+    """Per-vector symmetric int8 quantization of the embeddings table —
+    pinned divide/round chain, list output."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.similarity import quantize_embeddings
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return quantize_embeddings(ds, bits=8)
+
+
 def queries():
     return {
         "ann_topk": _q_ann_topk,
@@ -231,11 +244,35 @@ def queries():
         "dbscan_embeddings": _q_dbscan,
         "davies_bouldin_embeddings": _q_davies_bouldin,
         "centroid_cosine_embeddings": _q_centroid_cosine,
+        "quantize_embeddings": _q_quantize,
     }
 
 
 def oracles():
     return {
+        "quantize_embeddings": """
+            WITH t AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings
+            ), m AS (
+              SELECT vec_id, v,
+                     coalesce(list_max(list_transform(v, x -> abs(x))),
+                              0.0) AS s
+              FROM t
+            )
+            SELECT vec_id,
+                   floor(s * 1000000000.0 + 0.5) / 1000000000.0 AS scale,
+                   CASE WHEN s > 0 THEN
+                     list_transform(v, x ->
+                       (CASE WHEN x >= 0
+                             THEN floor(x / s * 127.0 + 0.5)
+                             ELSE -floor((-x) / s * 127.0 + 0.5)
+                        END)::TINYINT)
+                   ELSE list_transform(v, x -> 0::TINYINT)
+                   END AS qvec
+            FROM m
+        """,
         "embedding_near_dups": """
             SELECT e1.vec_id AS a, e2.vec_id AS b,
                    round(list_cosine_similarity(e1.embedding::DOUBLE[],

@@ -1328,3 +1328,66 @@ def davies_bouldin(
          "d_i": np.asarray([rnd(d_of[c]) for c in clusters], np.float64),
          "db": np.asarray([rnd(db)] * len(clusters), np.float64)}
     )
+
+
+def quantize_embeddings(
+    ds: "ray.data.Dataset",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    bits: int = 8,
+    ndigits: int = 9,
+) -> "ray.data.Dataset":
+    """Per-vector symmetric scalar quantization to ``bits``-bit integers
+    — the storage/transport prep before an ANN index ships (4× smaller
+    than float32 at 8 bits): q_j = floor(v_j / s · (2^(b−1)−1) + 0.5)
+    sign-aware half-up, with s = max_j |v_j| per vector → rows
+    (id, scale, qvec list<int8|int16>); all-zero vectors emit scale 0
+    and a zero qvec.
+
+    Deterministic and SQL-replayable (list_transform + the same pinned
+    divide/round chain — the oracle is hash-exact); dequantization is
+    q·s/(2^(b−1)−1). Zero shuffle, one streaming pass; the per-batch
+    kernel is flat-buffer numpy over the list column (no per-row
+    Python)."""
+    if bits not in (8, 16):
+        raise ValueError("bits must be 8 or 16")
+    qmax = (1 << (bits - 1)) - 1
+    out_t = pa.int8() if bits == 8 else pa.int16()
+
+    def fn(t: pa.Table) -> pa.Table:
+        col = t[vec_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = pc.cast(col.flatten(), pa.float64()).to_numpy()
+        off = col.offsets
+        offs = off.to_numpy().astype(np.int64)
+        widths = np.diff(offs)
+        # per-vector abs max via segmented reduce
+        if len(flat):
+            starts = offs[:-1]
+            absf = np.abs(flat)
+            seg_max = np.maximum.reduceat(
+                absf, starts[widths > 0]
+            ) if (widths > 0).any() else np.empty(0)
+            scale = np.zeros(len(widths), np.float64)
+            scale[widths > 0] = seg_max
+        else:
+            scale = np.zeros(len(widths), np.float64)
+        s_per_el = np.repeat(scale, widths)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            x = np.where(s_per_el > 0.0,
+                         flat / s_per_el * float(qmax), 0.0)
+        q = np.where(x >= 0, np.floor(x + 0.5),
+                     -np.floor(-x + 0.5)).astype(
+            np.int8 if bits == 8 else np.int16)
+        p10 = 10.0 ** ndigits
+        s_round = np.where(
+            scale >= 0, np.floor(scale * p10 + 0.5), 0.0) / p10
+        return pa.table({
+            id_col: t[id_col],
+            "scale": pa.array(s_round, pa.float64()),
+            "qvec": pa.ListArray.from_arrays(off, pa.array(q, out_t)),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -2699,3 +2699,40 @@ def test_late_event_audit(ray_session):
     # huge lateness: nothing late
     z = late_event_audit(rd.from_pandas(df), lateness_us=10**9).to_pandas()
     assert z["n_late"].sum() == 0
+
+
+def test_quantize_embeddings(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.similarity import quantize_embeddings
+
+    rng = np.random.default_rng(43)
+    vecs = [rng.standard_normal(8).astype(np.float32) for _ in range(50)]
+    vecs.append(np.zeros(8, np.float32))  # all-zero vector
+    df = pd.DataFrame({
+        "vec_id": np.arange(len(vecs), dtype=np.int64),
+        "embedding": [v.tolist() for v in vecs],
+    })
+    out = (quantize_embeddings(rd.from_pandas(df).repartition(3))
+           .to_pandas().set_index("vec_id").sort_index())
+    import math
+
+    for i, v in enumerate(vecs):
+        vd = v.astype(np.float64)
+        s = float(np.abs(vd).max())
+        assert abs(out.loc[i, "scale"] - round(s, 9)) < 1e-9
+        q = np.asarray(out.loc[i, "qvec"], np.int64)
+        if s == 0:
+            assert (q == 0).all()
+            continue
+        want = np.array([
+            math.floor(x / s * 127 + 0.5) if x >= 0
+            else -math.floor(-x / s * 127 + 0.5) for x in vd
+        ])
+        assert np.array_equal(q, want), i
+        # dequantization error bounded by half a quantization step
+        deq = q * s / 127.0
+        assert np.abs(deq - vd).max() <= s / 127.0 / 2 + 1e-12
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        quantize_embeddings(rd.from_pandas(df), bits=4)
