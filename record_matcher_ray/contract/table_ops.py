@@ -252,6 +252,55 @@ def _q_window_dedupe(sf_dir: str):
     )
 
 
+def _q_union_by_name(sf_dir: str):
+    """Schema-evolution union: two order 'vintages' with different
+    column subsets aligned by name (missing columns null-filled),
+    counted per status."""
+    import pyarrow as pa
+
+    import ray.data
+
+    from record_matcher_ray.pipelines.table_ops import union_by_name
+
+    old_v = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus"],
+    )
+    new_v = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+    )
+    u = union_by_name([old_v, new_v])
+
+    def agg(t: pa.Table) -> pa.Table:
+        import numpy as np
+        import pandas as _pd
+        import pyarrow.compute as pc
+
+        st = t["o_orderstatus"].to_numpy(zero_copy_only=False)
+        has_price = pc.is_valid(t["o_totalprice"]).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        codes, uniq = _pd.factorize(st)
+        return pa.table({
+            "o_orderstatus": pa.array(np.asarray(uniq, object),
+                                      pa.string()),
+            "n": pa.array(np.bincount(codes).astype(np.int64)),
+            "with_price": pa.array(
+                np.bincount(codes, weights=has_price).astype(np.int64)),
+        })
+
+    out = (
+        u.map_batches(agg, batch_format="pyarrow")
+        .groupby("o_orderstatus")
+        .sum(["n", "with_price"])
+        .to_pandas()
+        .rename(columns={"sum(n)": "n", "sum(with_price)": "with_price"})
+        .sort_values("o_orderstatus")
+        .reset_index(drop=True)
+    )
+    return out
+
+
 def queries():
     return {
         "uniqueness_customer": _q_uniqueness_customer,
@@ -268,11 +317,25 @@ def queries():
         "window_dedupe_events": _q_window_dedupe,
         "pareto_orders": _q_pareto,
         "explode_embeddings": _q_explode,
+        "union_by_name_orders": _q_union_by_name,
     }
 
 
 def oracles():
     return {
+        "union_by_name_orders": """
+            WITH u AS (
+              SELECT o_orderkey, o_orderstatus, NULL::DOUBLE
+                       AS o_totalprice
+              FROM orders
+              UNION ALL
+              SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+            )
+            SELECT o_orderstatus, count(*)::BIGINT AS n,
+                   sum(CASE WHEN o_totalprice IS NOT NULL
+                            THEN 1 ELSE 0 END)::BIGINT AS with_price
+            FROM u GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
         "uniqueness_customer": """
             SELECT col, uniqueness FROM (
               SELECT 'c_name' AS col,

@@ -955,3 +955,51 @@ def window_dedupe(
         .groupby("__wdb__")
         .map_groups(pick, batch_format="pyarrow")
     )
+
+
+def union_by_name(
+    datasets: "list[ray.data.Dataset]",
+) -> "ray.data.Dataset":
+    """Schema-evolution-tolerant union (SQL ``UNION ALL BY NAME``): align
+    every input to the UNION of their schemas by column name — missing
+    columns fill with nulls of the column's type — then concatenate.
+    The ingestion primitive for multi-vintage data lakes where older
+    partitions lack newer columns.
+
+    Column order = first-seen order across inputs. A name typed
+    differently in two inputs raises (silent casts hide corruption);
+    align types upstream. Zero shuffle — one map_batches per input."""
+    if not datasets:
+        raise ValueError("union_by_name needs at least one dataset")
+    fields: dict[str, pa.DataType] = {}
+    for ds in datasets:
+        sch = ds.schema()
+        for name, typ in zip(sch.names, sch.types):
+            if not isinstance(typ, pa.DataType):  # numpy dtype block
+                npd = np.dtype(typ)
+                typ = (pa.string() if npd == np.dtype(object)
+                       else pa.from_numpy_dtype(npd))
+            if name in fields:
+                if fields[name] != typ:
+                    raise ValueError(
+                        f"union_by_name: column {name!r} has type "
+                        f"{fields[name]} in one input and {typ} in "
+                        f"another; cast upstream."
+                    )
+            else:
+                fields[name] = typ
+    target = pa.schema(list(fields.items()))
+
+    def align(t: pa.Table) -> pa.Table:
+        cols = []
+        for f in target:
+            if f.name in t.column_names:
+                cols.append(pc.cast(t[f.name], f.type))
+            else:
+                cols.append(pa.nulls(len(t), f.type))
+        return pa.table(dict(zip(target.names, cols)))
+
+    out = datasets[0].map_batches(align, batch_format="pyarrow")
+    for ds in datasets[1:]:
+        out = out.union(ds.map_batches(align, batch_format="pyarrow"))
+    return out

@@ -2736,3 +2736,27 @@ def test_quantize_embeddings(ray_session):
     import pytest as _pt
     with _pt.raises(ValueError):
         quantize_embeddings(rd.from_pandas(df), bits=4)
+
+
+def test_union_by_name(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.table_ops import union_by_name
+
+    a = rd.from_pandas(pd.DataFrame(
+        {"k": np.int64([1, 2]), "v": ["a", "b"]}))
+    b = rd.from_pandas(pd.DataFrame(
+        {"v": ["c"], "extra": np.float64([9.5])}))
+    out = union_by_name([a, b]).to_pandas().sort_values(
+        "v").reset_index(drop=True)
+    assert list(out.columns) == ["k", "v", "extra"]
+    assert out["v"].tolist() == ["a", "b", "c"]
+    assert pd.isna(out["k"].iloc[2]) and pd.isna(out["extra"].iloc[0])
+
+    # mismatched types raise instead of silently casting
+    c = rd.from_pandas(pd.DataFrame({"k": ["oops"]}))
+    import pytest as _pt
+    with _pt.raises(ValueError, match="union_by_name"):
+        union_by_name([a, c])
+    with _pt.raises(ValueError):
+        union_by_name([])
