@@ -1509,3 +1509,52 @@ def test_bcubed_eval(ray_session):
     assert perfect["b3_f1"].iloc[0] == 1.0
     z = bcubed_eval(rd.from_pandas(df.iloc[:0]), "pred", "truth")
     assert z["n"].iloc[0] == 0
+
+
+def test_snm_fuzz_vs_bruteforce(ray_session):
+    """Property fuzz: arbitrary key distributions / windows / partition
+    layouts — SNM must equal the brute-force sliding window exactly."""
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.linkage import (
+        sorted_neighborhood_pairs,
+    )
+
+    rng = np.random.default_rng(59)
+    for trial in range(6):
+        n = int(rng.integers(3, 120))
+        w = int(rng.integers(2, 9))
+        parts = int(rng.integers(1, 7))
+        keys = rng.integers(0, max(2, n // 3), n)
+        df = pd.DataFrame({
+            "k": [f"v{int(x):04d}" for x in keys],
+            "rid": np.arange(n, dtype=np.int64),
+        })
+        out = sorted_neighborhood_pairs(
+            rd.from_pandas(df).repartition(parts), ["k"], "rid", window=w
+        ).to_pandas()
+        order = sorted(range(n), key=lambda i: (df["k"][i], i))
+        want = {
+            (order[a], order[b], b - a)
+            for a in range(n)
+            for b in range(a + 1, min(a + w, n))
+        }
+        got = set(zip(out["x_id"], out["y_id"], out["gap"]))
+        assert got == want, (trial, n, w, parts)
+
+
+def test_auc_fuzz_extremes(ray_session):
+    """AUC sanity under extremes: perfect separation -> 1.0; inverted ->
+    0.0; all-tied scores -> 0.5."""
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.linkage import auc_score
+
+    n = 400
+    lab = np.array([0] * (n // 2) + [1] * (n // 2), np.int64)
+    perfect = pd.DataFrame({"s": lab * 10.0 + 1.0, "lab": lab})
+    assert auc_score(rd.from_pandas(perfect), "s", "lab")["auc"].iloc[0] == 1.0
+    inverted = pd.DataFrame({"s": (1 - lab) * 10.0, "lab": lab})
+    assert auc_score(rd.from_pandas(inverted), "s", "lab")["auc"].iloc[0] == 0.0
+    tied = pd.DataFrame({"s": np.full(n, 3.3), "lab": lab})
+    assert auc_score(rd.from_pandas(tied), "s", "lab")["auc"].iloc[0] == 0.5
