@@ -265,6 +265,20 @@ def _q_chi2(sf_dir: str):
     return chi_square_independence(ds, "o_orderstatus", "o_orderpriority")
 
 
+def _q_chi2_cells(sf_dir: str):
+    """Per-cell standardized residuals of status x priority — the
+    drill-down behind chi2_orders."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.stats import chi_square_cells
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_orderpriority"],
+    )
+    return chi_square_cells(ds, "o_orderstatus", "o_orderpriority")
+
+
 def queries():
     return {
         "linear_fit_lineitem": _q_linear_fit,
@@ -281,11 +295,41 @@ def queries():
         "entropy_customer_segments": _q_grouped_entropy,
         "ks_orders": _q_ks,
         "chi2_orders": _q_chi2,
+        "chi2_cells_orders": _q_chi2_cells,
     }
 
 
 def oracles():
     return {
+        "chi2_cells_orders": """
+            WITH base AS (
+              SELECT o_orderstatus AS a, o_orderpriority AS b
+              FROM orders
+              WHERE o_orderstatus IS NOT NULL
+                AND o_orderpriority IS NOT NULL
+            ), tot AS (SELECT count(*)::HUGEINT AS n FROM base),
+            ra AS (SELECT a, count(*)::HUGEINT AS r FROM base GROUP BY a),
+            cb AS (SELECT b, count(*)::HUGEINT AS c FROM base GROUP BY b),
+            obs AS (
+              SELECT a, b, count(*)::BIGINT AS o FROM base GROUP BY a, b
+            ), cells AS (
+              SELECT ra.a, cb.b, coalesce(obs.o, 0)::BIGINT AS o,
+                     ((ra.r * cb.c)::DOUBLE) / (tot.n::DOUBLE) AS e
+              FROM ra CROSS JOIN cb CROSS JOIN tot
+              LEFT JOIN obs ON obs.a = ra.a AND obs.b = cb.b
+            )
+            SELECT a, b, o AS observed,
+                   floor(e * 1000000.0 + 0.5) / 1000000.0 AS expected,
+                   CASE WHEN e > 0 THEN
+                     (CASE WHEN (o::DOUBLE - e) / sqrt(e) >= 0
+                           THEN floor((o::DOUBLE - e) / sqrt(e)
+                                      * 1000000.0 + 0.5) / 1000000.0
+                           ELSE -floor(-((o::DOUBLE - e) / sqrt(e))
+                                       * 1000000.0 + 0.5) / 1000000.0
+                      END)
+                   ELSE NULL END AS std_residual
+            FROM cells ORDER BY a, b
+        """,
         "chi2_orders": """
             WITH base AS (
               SELECT o_orderstatus AS a, o_orderpriority AS b

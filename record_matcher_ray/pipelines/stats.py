@@ -1429,3 +1429,94 @@ def chi_square_independence(
         "n": [n], "n_rows": [n_rows], "n_cols": [n_cols], "dof": [dof],
         "chi2": [math.floor(acc * p10 + 0.5) / p10],
     })
+
+
+def chi_square_cells(
+    ds: ray.data.Dataset,
+    col_a: str,
+    col_b: str,
+    *,
+    ndigits: int = 6,
+    max_cells: int = 1_000_000,
+) -> pd.DataFrame:
+    """Per-cell drill-down companion of `chi_square_independence`: the
+    full contingency cross product with expected counts and PEARSON
+    STANDARDIZED RESIDUALS (O − E)/√E — which (a, b) combinations drive
+    an association flag → rows (a, b, observed, expected, std_residual)
+    sorted by (a, b).
+
+    Parity recipe: observed/marginal counts exact integers; per cell
+    E = (r·c)/n is ONE double division, the residual one subtraction and
+    one libm sqrt — pinned order, DuckDB replay hash-exact."""
+    import math
+
+    def partial(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(t[col_a]), pc.is_valid(t[col_b]))
+        t = t.filter(ok)
+        a = pc.cast(t[col_a], pa.string()).to_numpy(zero_copy_only=False)
+        b = pc.cast(t[col_b], pa.string()).to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(pd.MultiIndex.from_arrays([a, b]))
+        cnt = np.bincount(codes).astype(np.int64)
+        from record_matcher_ray.core.hashkernels import column_hash64, mix64
+
+        ua = pa.array([u[0] for u in uniq], pa.string())
+        ub = pa.array([u[1] for u in uniq], pa.string())
+        bk = (
+            (mix64(column_hash64(ua) * np.uint64(1099511628211))
+             ^ column_hash64(ub)) % np.uint64(256)
+        ).astype(np.int64)
+        return pa.table({"__a__": ua, "__b__": ub, "__c__": pa.array(cnt),
+                         "__k__": pa.array(bk)})
+
+    def merge(t: pa.Table) -> pa.Table:
+        a = t["__a__"].to_numpy(zero_copy_only=False)
+        b = t["__b__"].to_numpy(zero_copy_only=False)
+        c = t["__c__"].to_numpy()
+        codes, uniq = pd.factorize(pd.MultiIndex.from_arrays([a, b]))
+        cnt = np.bincount(codes, weights=c).astype(np.int64)
+        return pa.table({
+            "__a__": pa.array([u[0] for u in uniq], pa.string()),
+            "__b__": pa.array([u[1] for u in uniq], pa.string()),
+            "__c__": pa.array(cnt),
+        })
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("__k__")
+        .map_groups(lambda t: merge(t.drop_columns(["__k__"])),
+                    batch_format="pyarrow")
+        .to_pandas()
+    )
+    if len(cells) > max_cells:
+        raise ValueError(
+            f"chi_square_cells: {len(cells)} cells exceed "
+            f"max_cells={max_cells}"
+        )
+    if cells.empty:
+        return pd.DataFrame({"a": [], "b": [], "observed": [],
+                             "expected": [], "std_residual": []})
+    n = int(cells["__c__"].sum())
+    ra = cells.groupby("__a__")["__c__"].sum().to_dict()
+    cb = cells.groupby("__b__")["__c__"].sum().to_dict()
+    obs = {(r["__a__"], r["__b__"]): int(r["__c__"])
+           for _, r in cells.iterrows()}
+    p10 = 10.0 ** ndigits
+
+    def rnd(v: float) -> float:
+        return (math.floor(v * p10 + 0.5) if v >= 0
+                else -math.floor(-v * p10 + 0.5)) / p10
+
+    rows = {"a": [], "b": [], "observed": [], "expected": [],
+            "std_residual": []}
+    for av in sorted(ra):
+        for bv in sorted(cb):
+            o = obs.get((av, bv), 0)
+            e = float(int(ra[av]) * int(cb[bv])) / float(n)
+            rows["a"].append(av)
+            rows["b"].append(bv)
+            rows["observed"].append(o)
+            rows["expected"].append(rnd(e))
+            rows["std_residual"].append(
+                rnd((float(o) - e) / math.sqrt(e)) if e > 0 else None
+            )
+    return pd.DataFrame(rows)

@@ -776,3 +776,32 @@ def test_chi_square_independence(ray_session):
     emp = chi_square_independence(rd.from_pandas(df.iloc[:0]), "a", "b")
     assert emp["n"].iloc[0] == 0
     assert emp["n_rows"].iloc[0] == 0
+
+
+def test_chi_square_cells(ray_session):
+    import math
+
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.stats import chi_square_cells
+
+    rng = np.random.RandomState(61)
+    n = 2000
+    a = rng.choice(["x", "y"], n)
+    b = np.where(rng.rand(n) < 0.3, a, rng.choice(["u", "v"], n))
+    df = pd.DataFrame({"a": a, "b": b})
+    out = chi_square_cells(rd.from_pandas(df).repartition(4), "a", "b")
+    ct = pd.crosstab(df["a"], df["b"])
+    assert len(out) == ct.shape[0] * ct.shape[1]
+    for _, r in out.iterrows():
+        o = ct.loc[r["a"], r["b"]] if r["b"] in ct.columns else 0
+        e = ct.loc[r["a"]].sum() * ct[r["b"]].sum() / n
+        assert r["observed"] == o
+        assert abs(r["expected"] - e) < 1e-5
+        assert abs(r["std_residual"] - (o - e) / math.sqrt(e)) < 1e-5
+    # residual sanity: sum of squared residuals == chi2
+    from record_matcher_ray.pipelines.stats import chi_square_independence
+
+    chi = chi_square_independence(rd.from_pandas(df), "a", "b")
+    ssr = (out["std_residual"] ** 2).sum()
+    assert abs(ssr - chi["chi2"].iloc[0]) < 1e-3
