@@ -364,7 +364,15 @@ def oracles():
                    (SELECT count(*) FROM cb)::BIGINT AS n_cols,
                    (((SELECT count(*) FROM ra) - 1)
                     * ((SELECT count(*) FROM cb) - 1))::BIGINT AS dof,
-                   floor(f.chi * 1000000.0 + 0.5) / 1000000.0 AS chi2
+                   floor(f.chi * 1000000.0 + 0.5) / 1000000.0 AS chi2,
+                   CASE WHEN least((SELECT count(*) FROM ra) - 1,
+                                   (SELECT count(*) FROM cb) - 1) > 0
+                        THEN floor(sqrt(f.chi / ((tot.n)::DOUBLE
+                               * (least((SELECT count(*) FROM ra) - 1,
+                                        (SELECT count(*) FROM cb) - 1)
+                                  )::DOUBLE))
+                               * 1000000.0 + 0.5) / 1000000.0
+                        ELSE NULL END AS cramers_v
             FROM tot, f
         """,
         "ks_orders": """

@@ -1343,7 +1343,9 @@ def chi_square_independence(
 ) -> pd.DataFrame:
     """Pearson χ² test of independence between two categorical columns
     (the association screen between, e.g., a data source and a quality
-    label) → one row (n, n_rows, n_cols, dof, chi2):
+    label) → one row (n, n_rows, n_cols, dof, chi2, cramers_v) —
+    Cramér's V = √(χ²/(n·min(r−1, c−1))) normalizes the statistic to
+    [0, 1] effect size (NULL for a degenerate 1×k table):
 
         χ² = Σ_cells (O·n − r·c)² / (n·r·c)
 
@@ -1407,7 +1409,8 @@ def chi_square_independence(
         )
     if cells.empty:
         return pd.DataFrame({"n": [0], "n_rows": [0], "n_cols": [0],
-                             "dof": [0], "chi2": [None]})
+                             "dof": [0], "chi2": [None],
+                             "cramers_v": [None]})
     n = int(cells["__c__"].sum())
     ra = cells.groupby("__a__")["__c__"].sum().to_dict()
     cb = cells.groupby("__b__")["__c__"].sum().to_dict()
@@ -1425,9 +1428,14 @@ def chi_square_independence(
             num = o * n - r * c
             acc = acc + float(num * num) / float(n * r * c)
     p10 = 10.0 ** ndigits
+    kmin = min(n_rows - 1, n_cols - 1)
+    v = (math.sqrt(acc / (float(n) * float(kmin))) if kmin > 0 else None)
     return pd.DataFrame({
         "n": [n], "n_rows": [n_rows], "n_cols": [n_cols], "dof": [dof],
         "chi2": [math.floor(acc * p10 + 0.5) / p10],
+        "cramers_v": pd.Series(
+            [math.floor(v * p10 + 0.5) / p10 if v is not None else np.nan],
+            dtype="float64"),
     })
 
 

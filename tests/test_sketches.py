@@ -769,6 +769,11 @@ def test_chi_square_independence(ray_session):
     assert abs(out["chi2"].iloc[0] - want) < 1e-4
     assert out["dof"].iloc[0] == 4
     assert out["n"].iloc[0] == n
+    import math as _math
+
+    assert abs(out["cramers_v"].iloc[0]
+               - _math.sqrt(want / (n * 2))) < 1e-5
+    assert 0.0 <= out["cramers_v"].iloc[0] <= 1.0
     # independence-by-construction scores near zero per cell count
     ind = pd.DataFrame({"a": ["p", "q"] * 500, "b": ["u", "v"] * 500})
     z = chi_square_independence(rd.from_pandas(ind), "a", "b")
