@@ -301,6 +301,18 @@ def _q_ndcg(sf_dir: str):
     return ndcg_at_k(ds, "merge scan vector window", k=10)
 
 
+def _q_search_eval(sf_dir: str):
+    """Recall@10 + MRR of the BM25 ranking vs term-overlap relevance."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.terms import search_eval_at_k
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return search_eval_at_k(ds, "merge scan vector window", k=10)
+
+
 def queries():
     return {
         "top_terms_docs": _q_top_terms,
@@ -317,11 +329,74 @@ def queries():
         "heaps_docs": _q_heaps,
         "chao1_docs": _q_chao1,
         "ndcg_docs": _q_ndcg,
+        "search_eval_docs": _q_search_eval,
     }
 
 
 def oracles():
     return {
+        "search_eval_docs": """
+            WITH t AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(coalesce(text, '')),
+                                         '[^a-z0-9]+', ' ', 'g')) AS nt
+              FROM documents
+            ), tok AS (
+              SELECT doc_id, unnest(string_split(nt, ' ')) AS term
+              FROM t WHERE len(nt) > 0
+            ), q AS (
+              SELECT unnest(['merge', 'scan', 'vector', 'window']) AS term
+            ), consts AS (
+              SELECT (SELECT count(*) FROM documents)::DOUBLE AS n_docs,
+                     (SELECT count(*) FROM tok)::DOUBLE AS n_toks
+            ), dl AS (
+              SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY doc_id
+            ), df AS (
+              SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tok
+              WHERE term IN (SELECT term FROM q) GROUP BY term
+            ), tf AS (
+              SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+              WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term
+            ), scored AS (
+              SELECT tf.doc_id,
+                     round(sum(
+                       ln((consts.n_docs - df.df + 0.5) / (df.df + 0.5)
+                          + 1.0)
+                       * tf.tf * (1.2 + 1.0)
+                       / (tf.tf + 1.2 * (1.0 - 0.75
+                          + 0.75 * dl.dl
+                            / (consts.n_toks / consts.n_docs)))
+                     ), 6) AS bm25
+              FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+              CROSS JOIN consts
+              GROUP BY tf.doc_id
+            ), ranked AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rn
+              FROM scored QUALIFY rn <= 10
+            ), rel AS (
+              SELECT DISTINCT doc_id FROM tok
+              WHERE term IN (SELECT term FROM q)
+            ), hits AS (
+              SELECT ranked.doc_id, ranked.rn FROM ranked
+              JOIN rel USING (doc_id)
+            ), agg AS (
+              SELECT (SELECT count(*) FROM rel)::BIGINT AS n_rel,
+                     (SELECT count(*) FROM hits)::BIGINT AS n_hit,
+                     (SELECT min(rn) FROM hits) AS first_rn
+            )
+            SELECT 10::BIGINT AS k, n_rel AS n_relevant,
+                   n_hit AS n_retrieved_relevant,
+                   CASE WHEN n_rel > 0
+                        THEN floor((n_hit::DOUBLE) / (n_rel::DOUBLE)
+                                   * 1000000.0 + 0.5) / 1000000.0
+                        ELSE NULL END AS recall,
+                   CASE WHEN first_rn IS NOT NULL
+                        THEN floor(1.0 / (first_rn::DOUBLE)
+                                   * 1000000.0 + 0.5) / 1000000.0
+                        ELSE 0.0 END AS mrr
+            FROM agg
+        """,
         "ndcg_docs": """
             WITH t AS (
               SELECT doc_id,

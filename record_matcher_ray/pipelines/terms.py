@@ -1267,3 +1267,76 @@ def ndcg_at_k(
         "k": [int(k)], "dcg": [rnd(dcg)], "idcg": [rnd(idcg)],
         "ndcg": [ndcg],
     })
+
+
+def search_eval_at_k(
+    ds: ray.data.Dataset,
+    query: str,
+    k: int = 10,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ndigits: int = 6,
+) -> "pd.DataFrame":
+    """Recall@k and MRR of the BM25 ranking against the term-overlap
+    relevance oracle (rel(doc) > 0 ⇒ relevant) — the binary-metric
+    companions of `ndcg_at_k`:
+
+        recall@k = |relevant ∩ top-k| / |relevant|
+        MRR      = 1 / rank of the first relevant doc in the ranking
+                   (0 when no relevant doc is retrieved in top-k)
+
+    → one row (k, n_relevant, n_retrieved_relevant, recall, mrr); recall
+    NULL when the corpus has no relevant docs. Exact integer counts,
+    one double division each. Scale shape: `bm25_topk`'s two passes plus
+    one zero-shuffle relevance pass (per-block partials)."""
+    import math
+
+    import pandas as pd
+
+    terms = sorted(set(_normalize(pa.array([query]))[0].as_py().split()))
+    top = bm25_topk(ds, query, k, text_col=text_col, id_col=id_col)
+    top_ids = [r[id_col] for r in top.take(k)]
+    id_arr = np.array(sorted(int(i) for i in top_ids), np.int64)
+
+    def partial(t: pa.Table) -> pa.Table:
+        toks, doc_idx, _ = _block_tokens(t[text_col])
+        n = len(t)
+        rel = np.zeros(n, bool)
+        for term in terms:
+            m = toks == term
+            rel[np.unique(doc_idx[m])] = True
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(id_arr):
+            pos = np.minimum(np.searchsorted(id_arr, ids),
+                             len(id_arr) - 1)
+            in_top = id_arr[pos] == ids
+        else:
+            in_top = np.zeros(n, bool)
+        hit_ids = ids[rel & in_top]
+        return pa.table({
+            "n_rel": pa.array([int(rel.sum())], pa.int64()),
+            "hits": pa.array([hit_ids.tolist()],
+                             pa.list_(pa.int64())),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n_rel = int(parts["n_rel"].sum())
+    hit_set = {int(x) for lst in parts["hits"] for x in lst}
+    n_hit = len(hit_set)
+    first_rank = 0
+    for i, did in enumerate(top_ids):
+        if int(did) in hit_set:
+            first_rank = i + 1
+            break
+    p10 = 10.0 ** ndigits
+    recall = (math.floor(n_hit / n_rel * p10 + 0.5) / p10
+              if n_rel > 0 else np.nan)
+    mrr = (math.floor(1.0 / first_rank * p10 + 0.5) / p10
+           if first_rank else 0.0)
+    return pd.DataFrame({
+        "k": [int(k)], "n_relevant": [n_rel],
+        "n_retrieved_relevant": [n_hit],
+        "recall": pd.Series([recall], dtype="float64"),
+        "mrr": [mrr],
+    })

@@ -859,3 +859,41 @@ def test_k_anonymity_audit(ray_session):
         k_anonymity_audit(rd.from_pandas(df), [], k=3)
     with _pt.raises(ValueError):
         k_anonymity_audit(rd.from_pandas(df), ["zip"], k=1)
+
+
+def test_search_eval_at_k(ray_session):
+    import pandas as pd
+
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.terms import (
+        bm25_topk,
+        search_eval_at_k,
+    )
+
+    docs = [
+        "merge scan vector window",
+        "merge scan",
+        "vector things",
+        "irrelevant alpha beta",
+        "window pane",
+        "gamma delta unrelated",
+    ] + [f"filler {i}" for i in range(10)]
+    df = pd.DataFrame({"doc_id": np.arange(len(docs), dtype=np.int64),
+                       "text": docs})
+    ds = rd.from_pandas(df).repartition(3)
+    q = "merge scan vector window"
+    out = search_eval_at_k(ds, q, k=3)
+    terms = set(q.split())
+    relevant = {i for i, s in enumerate(docs) if terms & set(s.split())}
+    top = [r["doc_id"] for r in bm25_topk(ds, q, 3).take(3)]
+    hits = [d for d in top if d in relevant]
+    assert out["n_relevant"].iloc[0] == len(relevant)
+    assert out["n_retrieved_relevant"].iloc[0] == len(set(hits))
+    assert out["recall"].iloc[0] == round(len(set(hits)) / len(relevant), 6)
+    first = next((i + 1 for i, d in enumerate(top) if d in relevant), 0)
+    assert out["mrr"].iloc[0] == (round(1.0 / first, 6) if first else 0.0)
+    # no relevant docs
+    z = search_eval_at_k(rd.from_pandas(pd.DataFrame({
+        "doc_id": np.int64([1]), "text": ["zzz"]})), q, k=3)
+    assert pd.isna(z["recall"].iloc[0]) and z["mrr"].iloc[0] == 0.0
