@@ -279,6 +279,20 @@ def _q_chi2_cells(sf_dir: str):
     return chi_square_cells(ds, "o_orderstatus", "o_orderpriority")
 
 
+def _q_hhi(sf_dir: str):
+    """HHI concentration of order share per customer within each
+    priority class — exact integer sums, one double division."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.stats import hhi_by_group
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_custkey"],
+    )
+    return hhi_by_group(ds, "o_orderpriority", "o_custkey")
+
+
 def queries():
     return {
         "linear_fit_lineitem": _q_linear_fit,
@@ -296,11 +310,27 @@ def queries():
         "ks_orders": _q_ks,
         "chi2_orders": _q_chi2,
         "chi2_cells_orders": _q_chi2_cells,
+        "hhi_orders": _q_hhi,
     }
 
 
 def oracles():
     return {
+        "hhi_orders": """
+            WITH cells AS (
+              SELECT o_orderpriority AS g, o_custkey AS m,
+                     count(*)::HUGEINT AS c
+              FROM orders
+              WHERE o_orderpriority IS NOT NULL AND o_custkey IS NOT NULL
+              GROUP BY 1, 2
+            )
+            SELECT g AS "group", sum(c)::BIGINT AS n,
+                   count(*)::BIGINT AS n_members,
+                   floor((sum(c * c)::DOUBLE)
+                         / ((sum(c) * sum(c))::DOUBLE)
+                         * 1000000.0 + 0.5) / 1000000.0 AS hhi
+            FROM cells GROUP BY g ORDER BY g
+        """,
         "chi2_cells_orders": """
             WITH base AS (
               SELECT o_orderstatus AS a, o_orderpriority AS b

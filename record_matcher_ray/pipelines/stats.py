@@ -1528,3 +1528,68 @@ def chi_square_cells(
                 rnd((float(o) - e) / math.sqrt(e)) if e > 0 else None
             )
     return pd.DataFrame(rows)
+
+
+def hhi_by_group(
+    ds: ray.data.Dataset,
+    group_col: str,
+    member_col: str,
+    *,
+    ndigits: int = 6,
+) -> ray.data.Dataset:
+    """Herfindahl–Hirschman concentration index per group over MEMBER
+    COUNTS: within each ``group_col`` value, each distinct
+    ``member_col`` value's share s_i = c_i / Σc, HHI = Σ s_i² ∈
+    (0, 1] — 1 when one member dominates, →1/n under perfect balance.
+    The duplication/market-share screen next to `gini_by_group`
+    (rank-based) and `entropy` (log-based) → rows (group, n, n_members,
+    hhi).
+
+    Parity recipe: HHI = (Σ c_i²) / (Σ c_i)² with both sums EXACT
+    integers (per-(group,member) counts through one hash aggregate) and
+    ONE double division — the DuckDB replay is hash-exact."""
+    import math
+
+    def partial(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(t[group_col]), pc.is_valid(t[member_col]))
+        t = t.filter(ok)
+        g = pc.cast(t[group_col], pa.string()).to_numpy(
+            zero_copy_only=False)
+        m = pc.cast(t[member_col], pa.string()).to_numpy(
+            zero_copy_only=False)
+        codes, uniq = pd.factorize(pd.MultiIndex.from_arrays([g, m]))
+        cnt = np.bincount(codes).astype(np.int64)
+        return pa.table({
+            "__g__": pa.array([u[0] for u in uniq], pa.string()),
+            "__m__": pa.array([u[1] for u in uniq], pa.string()),
+            "__c__": pa.array(cnt),
+        })
+
+    cells = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["__g__", "__m__"])
+        .sum("__c__")
+        .to_pandas()
+    )
+    import ray.data as rd
+
+    if cells.empty:
+        return rd.from_pandas(pd.DataFrame({
+            "group": pd.Series([], dtype=object),
+            "n": pd.Series([], dtype="int64"),
+            "n_members": pd.Series([], dtype="int64"),
+            "hhi": pd.Series([], dtype="float64"),
+        }))
+    ccol = [c for c in cells.columns if c.startswith("sum")][0]
+    p10 = 10.0 ** ndigits
+    rows = {"group": [], "n": [], "n_members": [], "hhi": []}
+    for gval, sub in cells.groupby("__g__", sort=True):
+        s0 = sum(int(v) for v in sub[ccol])
+        s2 = sum(int(v) * int(v) for v in sub[ccol])
+        rows["group"].append(gval)
+        rows["n"].append(s0)
+        rows["n_members"].append(len(sub))
+        rows["hhi"].append(
+            math.floor(float(s2) / float(s0 * s0) * p10 + 0.5) / p10
+        )
+    return rd.from_pandas(pd.DataFrame(rows))

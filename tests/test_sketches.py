@@ -810,3 +810,21 @@ def test_chi_square_cells(ray_session):
     chi = chi_square_independence(rd.from_pandas(df), "a", "b")
     ssr = (out["std_residual"] ** 2).sum()
     assert abs(ssr - chi["chi2"].iloc[0]) < 1e-3
+
+
+def test_hhi_by_group(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.stats import hhi_by_group
+
+    df = pd.DataFrame({
+        "g": ["a"] * 8 + ["b"] * 4,
+        "m": ["x"] * 8 + ["p", "q", "r", "s"],  # a: monopoly; b: balanced
+    })
+    out = hhi_by_group(rd.from_pandas(df).repartition(3), "g", "m"
+                       ).to_pandas().set_index("group")
+    assert out.loc["a", "hhi"] == 1.0
+    assert out.loc["b", "hhi"] == 0.25
+    assert out.loc["a", "n"] == 8 and out.loc["b", "n_members"] == 4
+    z = hhi_by_group(rd.from_pandas(df.iloc[:0]), "g", "m").to_pandas()
+    assert len(z) == 0
