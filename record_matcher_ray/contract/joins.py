@@ -407,6 +407,23 @@ def _q_q5_star(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_join_card(sf_dir: str):
+    """Pre-flight exact join cardinality: lineitem x orders on orderkey
+    without running the join."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.joins import estimate_join_cardinality
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey"]
+    )
+    return estimate_join_cardinality(li, orders, "l_orderkey",
+                                     "o_orderkey")
+
+
 def queries():
     return {
         "orders_customer_full": _q_orders_customer_full,
@@ -416,11 +433,30 @@ def queries():
         "q3_shipping": _q_q3_shipping,
         "q5_region_revenue": _q_q5_star,
         "next_purchase_asof": _q_next_purchase,
+        "join_cardinality_lineitem": _q_join_card,
     }
 
 
 def oracles():
     return {
+        "join_cardinality_lineitem": """
+            WITH cl AS (
+              SELECT l_orderkey::VARCHAR AS k, count(*)::HUGEINT AS c
+              FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1
+            ), cr AS (
+              SELECT o_orderkey::VARCHAR AS k, count(*)::HUGEINT AS c
+              FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1
+            ), j AS (
+              SELECT cl.c AS a, cr.c AS b FROM cl JOIN cr USING (k)
+            )
+            SELECT (SELECT sum(c) FROM cl)::BIGINT AS n_left,
+                   (SELECT sum(c) FROM cr)::BIGINT AS n_right,
+                   (SELECT count(*) FROM j)::BIGINT AS n_shared_keys,
+                   coalesce((SELECT sum(a * b) FROM j), 0)::BIGINT
+                     AS join_rows,
+                   coalesce((SELECT max(a * b) FROM j), 0)::BIGINT
+                     AS max_key_rows
+        """,
         "building_orders_bloom": """
             SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
             FROM orders

@@ -2760,3 +2760,33 @@ def test_union_by_name(ray_session):
         union_by_name([a, c])
     with _pt.raises(ValueError):
         union_by_name([])
+
+
+def test_estimate_join_cardinality(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.joins import (
+        estimate_join_cardinality,
+        hash_join,
+    )
+
+    rng = np.random.default_rng(67)
+    lk = rng.integers(0, 30, 500)
+    rk = rng.integers(10, 50, 400)
+    left = pd.DataFrame({"k": lk, "v": np.arange(500)})
+    right = pd.DataFrame({"rk": rk, "w": np.arange(400)})
+    out = estimate_join_cardinality(
+        rd.from_pandas(left).repartition(4),
+        rd.from_pandas(right).repartition(3), "k", "rk")
+    true_rows = hash_join(
+        rd.from_pandas(left), rd.from_pandas(right), "k", "rk").count()
+    assert out["join_rows"].iloc[0] == true_rows
+    assert out["n_left"].iloc[0] == 500
+    assert out["n_right"].iloc[0] == 400
+    import collections
+
+    cl = collections.Counter(lk)
+    cr = collections.Counter(rk)
+    assert out["n_shared_keys"].iloc[0] == len(set(cl) & set(cr))
+    assert out["max_key_rows"].iloc[0] == max(
+        cl[x] * cr[x] for x in set(cl) & set(cr))
