@@ -293,6 +293,21 @@ def _q_hhi(sf_dir: str):
     return hhi_by_group(ds, "o_orderpriority", "o_custkey")
 
 
+def _q_spearman(sf_dir: str):
+    """Spearman rank correlation of quantity vs extendedprice per
+    returnflag — exact doubled-average-rank moments."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.stats import spearman_by_group
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    return spearman_by_group(ds, "l_returnflag", "l_quantity",
+                             "l_extendedprice")
+
+
 def queries():
     return {
         "linear_fit_lineitem": _q_linear_fit,
@@ -311,11 +326,58 @@ def queries():
         "chi2_orders": _q_chi2,
         "chi2_cells_orders": _q_chi2_cells,
         "hhi_orders": _q_hhi,
+        "spearman_lineitem": _q_spearman,
     }
 
 
 def oracles():
     return {
+        "spearman_lineitem": """
+            WITH t AS (
+              SELECT l_returnflag AS g,
+                     (floor(l_quantity * 100.0 + 0.5))::BIGINT AS qx,
+                     (floor(l_extendedprice * 100.0 + 0.5))::BIGINT AS qy
+              FROM lineitem
+              WHERE l_returnflag IS NOT NULL
+                AND l_quantity IS NOT NULL
+                AND l_extendedprice IS NOT NULL
+            ), r AS (
+              SELECT g,
+                     (2 * rank() OVER (PARTITION BY g ORDER BY qx)
+                      + count(*) OVER (PARTITION BY g, qx) - 1)::HUGEINT
+                       AS rx,
+                     (2 * rank() OVER (PARTITION BY g ORDER BY qy)
+                      + count(*) OVER (PARTITION BY g, qy) - 1)::HUGEINT
+                       AS ry
+              FROM t
+            ), m AS (
+              SELECT g, count(*)::HUGEINT AS n,
+                     sum(rx)::HUGEINT AS sx, sum(ry)::HUGEINT AS sy,
+                     sum(rx * ry)::HUGEINT AS sxy,
+                     sum(rx * rx)::HUGEINT AS sxx,
+                     sum(ry * ry)::HUGEINT AS syy
+              FROM r GROUP BY g
+            )
+            SELECT g AS l_returnflag, n::BIGINT AS n,
+                   CASE WHEN n < 2 OR (n * sxx - sx * sx) = 0
+                          OR (n * syy - sy * sy) = 0
+                        THEN NULL
+                        ELSE (CASE WHEN
+                          ((n * sxy - sx * sy)::DOUBLE)
+                          / sqrt(((n * sxx - sx * sx)::DOUBLE)
+                                 * ((n * syy - sy * sy)::DOUBLE)) >= 0
+                          THEN floor(((n * sxy - sx * sy)::DOUBLE)
+                                 / sqrt(((n * sxx - sx * sx)::DOUBLE)
+                                        * ((n * syy - sy * sy)::DOUBLE))
+                                 * 1000000.0 + 0.5) / 1000000.0
+                          ELSE -floor(-(((n * sxy - sx * sy)::DOUBLE)
+                                 / sqrt(((n * sxx - sx * sx)::DOUBLE)
+                                        * ((n * syy - sy * sy)::DOUBLE)))
+                                 * 1000000.0 + 0.5) / 1000000.0
+                         END)
+                   END AS rho
+            FROM m ORDER BY g
+        """,
         "hhi_orders": """
             WITH cells AS (
               SELECT o_orderpriority AS g, o_custkey AS m,

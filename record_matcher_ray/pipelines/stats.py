@@ -1593,3 +1593,120 @@ def hhi_by_group(
             math.floor(float(s2) / float(s0 * s0) * p10 + 0.5) / p10
         )
     return rd.from_pandas(pd.DataFrame(rows))
+
+
+def spearman_by_group(
+    ds: ray.data.Dataset,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    *,
+    scale: float = 100.0,
+    ndigits: int = 6,
+    n_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Spearman rank correlation per group — the monotone-association
+    twin of `grouped_corr` (Pearson), robust to outliers and nonlinear
+    monotone relations → rows (group, n, rho), NULL rho for degenerate
+    groups (n < 2 or zero rank variance).
+
+    EXACT tie handling in integers: with min-rank r and peer count p,
+    the DOUBLED average rank 2·avg = 2r + p − 1 is an integer, so the
+    Pearson moments over doubled ranks accumulate exactly (Python big
+    ints) and the readout is the one pinned num/√(denx·deny) chain —
+    the DuckDB rank()-window replay is hash-exact. Values quantize once
+    (``floor(v·scale + 0.5)``) so ties cut identically both sides.
+
+    Scale shape: one ≤``n_buckets`` group-hash exchange; within a
+    bucket ranks come from two argsorts per group (vectorized boundary
+    diffs, no per-row Python)."""
+    import math
+
+    def prep(t: pa.Table) -> pa.Table:
+        from record_matcher_ray.core.hashkernels import column_hash64
+
+        ok = pc.and_(
+            pc.is_valid(t[group_col]),
+            pc.and_(pc.is_valid(t[x_col]), pc.is_valid(t[y_col])),
+        )
+        t = t.filter(ok)
+        qx = np.floor(
+            pc.cast(t[x_col], pa.float64()).to_numpy() * scale + 0.5
+        ).astype(np.int64)
+        qy = np.floor(
+            pc.cast(t[y_col], pa.float64()).to_numpy() * scale + 0.5
+        ).astype(np.int64)
+        bk = (column_hash64(t[group_col]) % np.uint64(n_buckets)).astype(
+            np.int64)
+        return pa.table({
+            group_col: t[group_col], "__x__": pa.array(qx),
+            "__y__": pa.array(qy), "__sb__": pa.array(bk),
+        })
+
+    def rank2(vals: np.ndarray) -> np.ndarray:
+        """Doubled average ranks (2r + p − 1) of one group's values."""
+        order = np.argsort(vals, kind="stable")
+        vs = vals[order]
+        bounds = np.nonzero(
+            np.concatenate(([True], vs[1:] != vs[:-1]))
+        )[0]
+        peers = np.diff(np.append(bounds, len(vs)))
+        minrank = bounds + 1
+        r2_sorted = np.repeat(2 * minrank + peers - 1, peers)
+        out = np.empty(len(vals), np.int64)
+        out[order] = r2_sorted
+        return out
+
+    def local(t: pa.Table) -> pa.Table:
+        gtype = t.schema.field(group_col).type
+        if len(t) == 0:
+            return pa.table({group_col: pa.array([], gtype),
+                             "n": pa.array([], pa.int64()),
+                             "rho": pa.array([], pa.float64())})
+        g = t[group_col].to_numpy(zero_copy_only=False)
+        qx = t["__x__"].to_numpy()
+        qy = t["__y__"].to_numpy()
+        gc, _ = pd.factorize(g)
+        order = np.argsort(gc, kind="stable")
+        starts = np.nonzero(
+            np.concatenate(([True], gc[order][1:] != gc[order][:-1]))
+        )[0]
+        sizes = np.diff(np.append(starts, len(gc)))
+        out_i, out_n, out_rho = [], [], []
+        p10 = 10.0 ** ndigits
+        for si, sz in zip(starts, sizes):
+            idx = order[si:si + sz]
+            rx = rank2(qx[idx])
+            ry = rank2(qy[idx])
+            n = int(sz)
+            sx = _exact_sum(rx)
+            sy = _exact_sum(ry)
+            bound = 2 * n  # |rank2| ≤ 2n
+            sxy = _exact_sum_budget(rx * ry, bound * bound)
+            sxx = _exact_sum_budget(rx * rx, bound * bound)
+            syy = _exact_sum_budget(ry * ry, bound * bound)
+            out_i.append(idx[0])
+            out_n.append(n)
+            num = n * sxy - sx * sy
+            denx = n * sxx - sx * sx
+            deny = n * syy - sy * sy
+            if n < 2 or denx == 0 or deny == 0:
+                out_rho.append(None)
+                continue
+            v = float(num) / math.sqrt(float(denx) * float(deny))
+            out_rho.append(
+                (math.floor(v * p10 + 0.5) if v >= 0
+                 else -math.floor(-v * p10 + 0.5)) / p10
+            )
+        return pa.table({
+            group_col: t[group_col].take(pa.array(out_i)),
+            "n": pa.array(out_n, pa.int64()),
+            "rho": pa.array(out_rho, pa.float64()),
+        })
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("__sb__")
+        .map_groups(lambda t: local(t.drop_columns(["__sb__"])),
+                    batch_format="pyarrow")
+    )

@@ -828,3 +828,44 @@ def test_hhi_by_group(ray_session):
     assert out.loc["a", "n"] == 8 and out.loc["b", "n_members"] == 4
     z = hhi_by_group(rd.from_pandas(df.iloc[:0]), "g", "m").to_pandas()
     assert len(z) == 0
+
+
+def test_spearman_by_group(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.stats import spearman_by_group
+
+    rng = np.random.RandomState(71)
+    n = 600
+    x = np.round(rng.uniform(0, 50, n), 1)
+    df = pd.DataFrame({
+        "grp": np.repeat(["mono", "noisy", "anti"], n // 3),
+        "x": x[: n],
+        "y": np.concatenate([
+            np.round(x[: n // 3] ** 2 / 10, 1),           # monotone
+            np.round(rng.uniform(0, 50, n // 3), 1),       # independent
+            np.round(-x[2 * n // 3:] + 60, 1),             # inverse
+        ]),
+    })
+    out = (spearman_by_group(rd.from_pandas(df).repartition(5),
+                             "grp", "x", "y")
+           .to_pandas().set_index("grp"))
+
+    def mirror(sub):
+        qx = np.floor(sub["x"].to_numpy() * 100 + 0.5)
+        qy = np.floor(sub["y"].to_numpy() * 100 + 0.5)
+        rx = pd.Series(qx).rank(method="average").to_numpy()
+        ry = pd.Series(qy).rank(method="average").to_numpy()
+        return np.corrcoef(rx, ry)[0, 1]
+
+    for g, sub in df.groupby("grp"):
+        assert abs(out.loc[g, "rho"] - mirror(sub)) < 1e-5, g
+    assert out.loc["mono", "rho"] > 0.99
+    assert out.loc["anti", "rho"] < -0.99
+    assert abs(out.loc["noisy", "rho"]) < 0.2
+    # constant column -> NULL rho
+    const = pd.DataFrame({"grp": ["c"] * 10, "x": [1.0] * 10,
+                          "y": np.arange(10.0)})
+    z = spearman_by_group(rd.from_pandas(const), "grp", "x", "y"
+                          ).to_pandas()
+    assert pd.isna(z["rho"].iloc[0])
