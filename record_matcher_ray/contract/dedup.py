@@ -475,6 +475,25 @@ def _q_simhash_snm(sf_dir: str):
     return simhash_snm_dedup(ds, window=8, max_hamming=6)
 
 
+def _q_ngram_containment(sf_dir: str):
+    """Max-containment n-gram pairs (quote/subset detector): same exact
+    inverted-index machinery as ngram_jaccard_docs, denominator
+    min(|A|, |B|)."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.dedup import ngram_jaccard_dedup
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    out = ngram_jaccard_dedup(
+        ds, "text", "doc_id", jaccard_threshold=60.0,
+        metric="containment",
+    ).to_pandas()
+    out["containment"] = out["containment"].round(6)
+    return out
+
+
 def queries():
     return {
         "dedup_exact_docs": _q_dedup_exact_docs,
@@ -497,11 +516,43 @@ def queries():
         "capture_recapture_docs": _q_capture_recapture,
         "k_anonymity_customer": _q_k_anonymity,
         "simhash_snm_docs": _q_simhash_snm,
+        "ngram_containment_docs": _q_ngram_containment,
     }
 
 
 def oracles():
     return {
+        "ngram_containment_docs": """
+            WITH t AS (
+              SELECT doc_id,
+                     trim(regexp_replace(lower(coalesce(text, '')),
+                                         '[^a-z0-9]+', ' ', 'g')) AS nt
+              FROM documents
+            ), g AS (
+              SELECT doc_id, unnest(list_distinct(
+                CASE WHEN length(nt) = 0 THEN CAST([] AS VARCHAR[])
+                     WHEN length(nt) < 4 THEN [nt]
+                     ELSE list_transform(generate_series(1, length(nt) - 3),
+                                         i -> substr(nt, i, 4))
+                END)) AS gram
+              FROM t
+            ), sizes AS (
+              SELECT doc_id, count(*) AS n FROM g GROUP BY 1
+            ), pairs AS (
+              SELECT g1.doc_id AS id_a, g2.doc_id AS id_b,
+                     count(*) AS n_common
+              FROM g g1 JOIN g g2
+                ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT p.id_a, p.id_b, p.n_common,
+                   round(100.0 * p.n_common / least(sa.n, sb.n), 6)
+                     AS containment
+            FROM pairs p
+            JOIN sizes sa ON p.id_a = sa.doc_id
+            JOIN sizes sb ON p.id_b = sb.doc_id
+            WHERE 100.0 * p.n_common / least(sa.n, sb.n) >= 60.0
+        """,
         "k_anonymity_customer": """
             WITH g AS (
               SELECT coalesce(c_nationkey::VARCHAR, chr(0) || 'null'

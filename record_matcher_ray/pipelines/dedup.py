@@ -1110,8 +1110,13 @@ def ngram_jaccard_dedup(
     n_buckets: int = 256,
     max_doc_freq: int | None = None,
     max_broadcast_docs: int = 50_000_000,
+    metric: str = "jaccard",
 ) -> ray.data.Dataset:
     """EXACT n-gram-Jaccard near-dup pairs — no LSH approximation.
+    ``metric="containment"`` scores 100·|A∩B| / min(|A|, |B|) instead
+    (MAX containment — the quote/subset detector: a short doc fully
+    embedded in a long one scores 100 where jaccard stays low); the
+    score column is then named ``containment``.
 
     The non-approximate sibling of :func:`minhash_dedup` (same normalized
     character-``shingle`` domain): inverted index on shingle hashes →
@@ -1129,6 +1134,9 @@ def ngram_jaccard_dedup(
     with a ``max_broadcast_docs`` guard; beyond that, attach sizes with
     ``joins.hash_join`` instead.
     """
+    if metric not in ("jaccard", "containment"):
+        raise ValueError(f"unknown metric {metric!r}")
+    score_name = metric
     sh = _shingle_table(ds, text_col, id_col, shingle).materialize()
 
     # ---- per-doc distinct-shingle counts, broadcast once ----------------
@@ -1213,7 +1221,7 @@ def ngram_jaccard_dedup(
     def sum_and_score(t: pa.Table) -> pa.Table:
         empty = pa.schema(
             [("id_a", pa.int64()), ("id_b", pa.int64()),
-             ("n_common", pa.int64()), ("jaccard", pa.float64())]
+             ("n_common", pa.int64()), (score_name, pa.float64())]
         ).empty_table()
         if len(t) == 0:
             return empty
@@ -1231,13 +1239,16 @@ def ngram_jaccard_dedup(
         sid, sn = _ray.get(sizes_ref)
         na = sn[np.searchsorted(sid, ua)]
         nb = sn[np.searchsorted(sid, ub)]
-        denom = (na + nb - n_common).astype(np.float64)
+        if metric == "containment":
+            denom = np.minimum(na, nb).astype(np.float64)
+        else:
+            denom = (na + nb - n_common).astype(np.float64)
         jac = 100.0 * n_common / denom
         keep = jac >= jaccard_threshold
         return pa.table(
             {"id_a": pa.array(ua[keep]), "id_b": pa.array(ub[keep]),
              "n_common": pa.array(n_common[keep].astype(np.int64)),
-             "jaccard": pa.array(jac[keep])}
+             score_name: pa.array(jac[keep])}
         )
 
     return (

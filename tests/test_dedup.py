@@ -143,3 +143,29 @@ def test_simhash_snm_dedup(ray_session):
     assert (out["hamming"] <= 16).all()
     # the three near-identical docs must be found
     assert (0, 1) in got and (0, 2) in got
+
+
+def test_ngram_containment_metric(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.dedup import ngram_jaccard_dedup
+
+    short = "alpha beta gamma delta"
+    long_ = short + " plus a very long unrelated tail of extra words here"
+    df = pd.DataFrame({"doc_id": np.int64([1, 2]),
+                       "text": [short, long_]})
+    ds = rd.from_pandas(df)
+    # containment: the short doc is fully embedded -> 100
+    cont = ngram_jaccard_dedup(
+        ds, "text", "doc_id", jaccard_threshold=90.0,
+        metric="containment",
+    ).to_pandas()
+    assert len(cont) == 1 and cont["containment"].iloc[0] == 100.0
+    # jaccard of the same pair is far below 90 -> filtered out
+    jac = ngram_jaccard_dedup(
+        ds, "text", "doc_id", jaccard_threshold=90.0,
+    ).to_pandas()
+    assert len(jac) == 0
+    import pytest as _pt
+    with _pt.raises(ValueError, match="metric"):
+        ngram_jaccard_dedup(ds, "text", "doc_id", metric="dice")
