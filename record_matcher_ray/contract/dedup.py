@@ -494,6 +494,18 @@ def _q_ngram_containment(sf_dir: str):
     return out
 
 
+def _q_dedup_savings(sf_dir: str):
+    """Exact-dup savings accounting over the documents table."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.dedup import dedup_savings_report
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return dedup_savings_report(ds)
+
+
 def queries():
     return {
         "dedup_exact_docs": _q_dedup_exact_docs,
@@ -517,11 +529,24 @@ def queries():
         "k_anonymity_customer": _q_k_anonymity,
         "simhash_snm_docs": _q_simhash_snm,
         "ngram_containment_docs": _q_ngram_containment,
+        "dedup_savings_docs": _q_dedup_savings,
     }
 
 
 def oracles():
     return {
+        "dedup_savings_docs": """
+            WITH g AS (
+              SELECT coalesce(text, '') AS t, count(*)::BIGINT AS c
+              FROM documents GROUP BY 1
+            )
+            SELECT sum(c)::BIGINT AS n_docs,
+                   count(*)::BIGINT AS n_distinct_texts,
+                   sum(c - 1)::BIGINT AS n_dup_docs,
+                   sum(length(t) * c)::BIGINT AS chars_total,
+                   sum(length(t) * (c - 1))::BIGINT AS chars_removable
+            FROM g
+        """,
         "ngram_containment_docs": """
             WITH t AS (
               SELECT doc_id,

@@ -1644,3 +1644,56 @@ def simhash_snm_dedup(
         })
 
     return pairs.map_batches(ham, batch_format="pyarrow")
+
+
+def dedup_savings_report(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "pd.DataFrame":
+    """Exact-dup savings report — the before/after accounting a dedup
+    rollout decision needs: one row (n_docs, n_distinct_texts,
+    n_dup_docs, chars_total, chars_removable) where removable = the
+    characters of every non-keeper copy (keep-one-per-distinct-text
+    policy; codepoint counts — what SQL length() reads too).
+    Null texts count as one distinct empty group.
+
+    Scale shape: per-block (text, count) pre-aggregation (duplicate
+    copies collapse before the wire), one groupby(text) exchange,
+    five-integer readout. All counts exact; the DuckDB replay is
+    hash-exact."""
+    import pandas as pd
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as _pd
+
+        txt = pc.fill_null(pc.cast(t[text_col], pa.string()), "")
+        arr = txt.to_numpy(zero_copy_only=False)
+        codes, uniq = _pd.factorize(arr)
+        cnt = np.bincount(codes).astype(np.int64)
+        return pa.table({
+            "t": pa.array(np.asarray(uniq, object), pa.string()),
+            "c": pa.array(cnt),
+        })
+
+    per_text = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("t")
+        .sum("c")
+        .to_pandas()
+    )
+    if per_text.empty:
+        return pd.DataFrame({
+            "n_docs": [0], "n_distinct_texts": [0], "n_dup_docs": [0],
+            "chars_total": [0], "chars_removable": [0],
+        })
+    ccol = [c for c in per_text.columns if c.startswith("sum")][0]
+    c = per_text[ccol].to_numpy(dtype=np.int64)
+    blen = per_text["t"].str.len().to_numpy(dtype=np.int64)
+    return pd.DataFrame({
+        "n_docs": [int(c.sum())],
+        "n_distinct_texts": [int(len(c))],
+        "n_dup_docs": [int((c - 1).sum())],
+        "chars_total": [int((blen * c).sum())],
+        "chars_removable": [int((blen * (c - 1)).sum())],
+    })

@@ -169,3 +169,22 @@ def test_ngram_containment_metric(ray_session):
     import pytest as _pt
     with _pt.raises(ValueError, match="metric"):
         ngram_jaccard_dedup(ds, "text", "doc_id", metric="dice")
+
+
+def test_dedup_savings_report(ray_session):
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.dedup import dedup_savings_report
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": ["aaaa", "aaaa", "aaaa", "bb", "bb", "unique"],
+    })
+    out = dedup_savings_report(rd.from_pandas(df).repartition(3))
+    assert out["n_docs"].iloc[0] == 6
+    assert out["n_distinct_texts"].iloc[0] == 3
+    assert out["n_dup_docs"].iloc[0] == 3
+    assert out["chars_total"].iloc[0] == 4 * 3 + 2 * 2 + 6
+    assert out["chars_removable"].iloc[0] == 4 * 2 + 2 * 1
+    z = dedup_savings_report(rd.from_pandas(df.iloc[:0]))
+    assert z["n_docs"].iloc[0] == 0
