@@ -2762,7 +2762,6 @@ def auc_score(
     # collapse to per-score (pos, neg) counts, ascending score
     qs, cs, ls = q[order], c[order], lab[order]
     bounds = np.nonzero(np.concatenate(([True], qs[1:] != qs[:-1])))[0]
-    sizes = np.diff(np.append(bounds, len(qs)))
     pos = np.add.reduceat(np.where(ls, cs, 0), bounds)
     neg = np.add.reduceat(np.where(ls, 0, cs), bounds)
     P = int(pos.sum())
