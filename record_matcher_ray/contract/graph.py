@@ -389,8 +389,9 @@ def _q_transitivity(sf_dir: str):
 def _q_stable_relabel(sf_dir: str):
     """Stable entity ids across ER runs: the chain clustering
     (connected_components_docs) relabelled onto the delta-merged
-    clustering (merge_components_docs) — min-old-id rule, contested ids
-    kept by the lowest component."""
+    clustering (merge_components_docs) — min-old-id rule; a contested id
+    is kept by the claimant whose label equals it, else the lowest
+    component, and colliding fallbacks bump to fresh ids."""
     import pyarrow as pa
 
     import ray.data
@@ -473,12 +474,27 @@ def oracles():
               GROUP BY n.nc
             ), rk AS (
               SELECT nc, m,
-                     row_number() OVER (PARTITION BY m ORDER BY nc) AS rn
+                     row_number() OVER (
+                       PARTITION BY m ORDER BY (nc <> m), nc
+                     ) AS rn
               FROM claim WHERE m IS NOT NULL
-            ), ids AS (
+            ), won AS (
+              SELECT m FROM rk WHERE rn = 1
+            ), prelim AS (
               SELECT c.nc,
-                     CASE WHEN r.rn = 1 THEN r.m ELSE c.nc END AS eid
+                     CASE WHEN r.rn = 1 THEN r.m ELSE c.nc END AS eid,
+                     (r.rn IS NULL OR r.rn > 1) AS fb
               FROM claim c LEFT JOIN rk r ON r.nc = c.nc
+            ), bump AS (
+              SELECT nc,
+                     1 + greatest(coalesce((SELECT max(m) FROM won), -1),
+                                  (SELECT max(nc) FROM claim))
+                       + row_number() OVER (ORDER BY nc) - 1 AS eid2
+              FROM prelim
+              WHERE fb AND eid IN (SELECT m FROM won)
+            ), ids AS (
+              SELECT p.nc, coalesce(b.eid2, p.eid) AS eid
+              FROM prelim p LEFT JOIN bump b ON b.nc = p.nc
             )
             SELECT newc.node, newc.nc AS component,
                    coalesce(ids.eid, newc.nc)::BIGINT AS entity_id

@@ -331,8 +331,13 @@ def stable_relabel(
     The min rule is associative/commutative, so the assignment reduces
     with hash partials and is partition-invariant; when one old entity
     splits into several new clusters, each keeps a deterministic id and
-    exactly one keeps the old id (min-member wins) — the standard
-    split/merge bookkeeping caveat, documented not hidden.
+    exactly one keeps the old id — the claimant whose component label
+    equals the claimed id wins (its min node IS the old min node), else
+    the lowest-labelled claimant. Losers fall back to their component
+    label; if that label coincides with a claim some OTHER component
+    won, the loser is bumped to a fresh id past every label/claim so
+    entity ids stay globally unique — the standard split/merge
+    bookkeeping caveat, documented not hidden.
 
     Scale shape: one hash-join-shaped exchange on node (≤``n_buckets``
     buckets), a per-component min reduce, then a broadcast-free second
@@ -416,12 +421,28 @@ def stable_relabel(
     comps = mins["comp"].to_numpy(dtype=np.int64)
     claims = mins[mcol].to_numpy(dtype=np.int64)
     # uniqueness of ids when an old entity SPLITS: several new comps can
-    # claim the same old id; only the lowest-labelled claimant keeps it,
-    # the rest fall back to their own (min-node) component label
-    order = np.lexsort((comps, claims))
+    # claim the same old id; the claimant whose component label EQUALS
+    # the claimed id keeps it (its min node is the old min node), else
+    # the lowest-labelled claimant; the rest fall back to their own
+    # (min-node) component label
+    order = np.lexsort((comps, comps != claims, claims))
     c_s, cl_s = comps[order], claims[order]
     first = np.concatenate(([True], cl_s[1:] != cl_s[:-1]))
-    ent = np.where((cl_s != big) & first, cl_s, c_s)
+    winner = (cl_s != big) & first
+    ent = np.where(winner, cl_s, c_s)
+    # residual collisions: a loser/non-claimant's fallback label can
+    # still equal a claim WON by a different comp (e.g. the label-owner
+    # claimed a smaller id and lost it) — bump those comps to fresh ids
+    # past every label and claim so entity ids stay globally unique
+    won = np.sort(cl_s[winner])
+    if len(won):
+        pos = np.minimum(np.searchsorted(won, c_s), len(won) - 1)
+        collide = (~winner) & (won[pos] == c_s)
+        if collide.any():
+            offset = 1 + max(int(won[-1]), int(comps.max()))
+            idx = np.nonzero(collide)[0]
+            rank = np.argsort(np.argsort(c_s[idx], kind="stable"))
+            ent[idx] = offset + rank
     comps_sorted_idx = np.argsort(c_s, kind="stable")
     comp_keys = np.ascontiguousarray(c_s[comps_sorted_idx])
     ent_vals = np.ascontiguousarray(ent[comps_sorted_idx])

@@ -348,3 +348,56 @@ def test_stable_relabel(ray_session):
     assert ent.loc[8] == 8 and ent.loc[9] == 8
     # component labels pass through unchanged
     assert out["component"].tolist() == [1, 1, 3, 3, 3, 6, 6, 8, 8]
+
+
+def test_stable_relabel_split_min_node_isolated(ray_session):
+    """Contested-claim regression (ADVICE r4): old {3,5}->3 splits into
+    new comps {1,5} and {3}; both claim 3. The comp whose label equals
+    the claim (it contains the old min node 3) must win, and the loser's
+    fallback must not duplicate it."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.cluster import stable_relabel
+
+    old = pd.DataFrame({"node": np.int64([3, 5]),
+                        "component": np.int64([3, 3])})
+    new = pd.DataFrame({"node": np.int64([1, 5, 3]),
+                        "component": np.int64([1, 1, 3])})
+    out = (stable_relabel(rd.from_pandas(old), rd.from_pandas(new))
+           .to_pandas().set_index("node"))
+    ent = out["entity_id"]
+    assert ent.loc[3] == 3          # label==claim claimant keeps the id
+    assert ent.loc[1] == 1 and ent.loc[5] == 1
+    comp_ids = out.groupby("component")["entity_id"].first()
+    assert comp_ids.is_unique
+
+
+def test_stable_relabel_fallback_collides_with_won_claim(ray_session):
+    """Cascade regression: a loser's fallback label equals a claim WON
+    by a different comp — must bump to a fresh id, never duplicate.
+    old {1,10}->1, {2,11}->2; new {1}, {2,10}, {11}: comp 2 claims 1 and
+    loses to comp 1 (label==claim), falls back to label 2 — but comp 11
+    won claim 2, so comp 2 bumps to a fresh id (12)."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.cluster import stable_relabel
+
+    old = pd.DataFrame({"node": np.int64([1, 10, 2, 11]),
+                        "component": np.int64([1, 1, 2, 2])})
+    new = pd.DataFrame({"node": np.int64([1, 2, 10, 11]),
+                        "component": np.int64([1, 2, 2, 11])})
+    out = (stable_relabel(rd.from_pandas(old).repartition(2),
+                          rd.from_pandas(new).repartition(2))
+           .to_pandas().set_index("node"))
+    ent = out["entity_id"]
+    assert ent.loc[1] == 1           # label==claim, wins claim 1
+    assert ent.loc[11] == 2          # uncontested claim 2
+    # comp 2's fallback label 2 collides with won claim 2 -> fresh id
+    # past max(labels, claims) = 11
+    assert ent.loc[2] == 12 and ent.loc[10] == 12
+    comp_ids = out.groupby("component")["entity_id"].first()
+    assert comp_ids.is_unique
