@@ -1415,6 +1415,13 @@ def chi_square_independence(
     ra = cells.groupby("__a__")["__c__"].sum().to_dict()
     cb = cells.groupby("__b__")["__c__"].sum().to_dict()
     n_rows, n_cols = len(ra), len(cb)
+    if n_rows * n_cols > max_cells:
+        raise ValueError(
+            f"chi_square_independence: full cross product "
+            f"{n_rows}×{n_cols} exceeds max_cells={max_cells} — zero "
+            f"cells are enumerated too, so sparse observed cells alone "
+            f"don't bound the work"
+        )
     dof = (n_rows - 1) * (n_cols - 1)
     # observed cells in pinned (a, b) order; ZERO cells contribute
     # (0·n − r·c)²/(n·r·c) = r·c/n too — enumerate the full cross product
@@ -1506,6 +1513,12 @@ def chi_square_cells(
     n = int(cells["__c__"].sum())
     ra = cells.groupby("__a__")["__c__"].sum().to_dict()
     cb = cells.groupby("__b__")["__c__"].sum().to_dict()
+    if len(ra) * len(cb) > max_cells:
+        raise ValueError(
+            f"chi_square_cells: full cross product "
+            f"{len(ra)}×{len(cb)} exceeds max_cells={max_cells} — the "
+            f"output enumerates zero cells too"
+        )
     obs = {(r["__a__"], r["__b__"]): int(r["__c__"])
            for _, r in cells.iterrows()}
     p10 = 10.0 ** ndigits

@@ -968,12 +968,27 @@ def union_by_name(
 
     Column order = first-seen order across inputs. A name typed
     differently in two inputs raises (silent casts hide corruption);
-    align types upstream. Zero shuffle — one map_batches per input."""
+    align types upstream. Zero shuffle — one map_batches per input.
+
+    The schema probe needs each input's schema BEFORE mapping it, and
+    peeking at a lazy dataset re-executes its upstream (CLAUDE.md).
+    Inputs whose schema is already known without execution (fresh
+    parquet reads, materialized handles) stream through untouched;
+    anything else is materialized ONCE here and that handle feeds the
+    union — so no input pipeline ever executes twice, and a plain
+    100-TB read stays a streaming read."""
     if not datasets:
         raise ValueError("union_by_name needs at least one dataset")
-    fields: dict[str, pa.DataType] = {}
+    probed = []
     for ds in datasets:
-        sch = ds.schema()
+        sch = ds.schema(fetch_if_missing=False)
+        if sch is None:
+            ds = ds.materialize()
+            sch = ds.schema()
+        probed.append((ds, sch))
+    datasets = [ds for ds, _ in probed]
+    fields: dict[str, pa.DataType] = {}
+    for _, sch in probed:
         for name, typ in zip(sch.names, sch.types):
             if not isinstance(typ, pa.DataType):  # numpy dtype block
                 npd = np.dtype(typ)

@@ -812,6 +812,31 @@ def test_chi_square_cells(ray_session):
     assert abs(ssr - chi["chi2"].iloc[0]) < 1e-3
 
 
+def test_chi_square_cross_product_guard(ray_session):
+    """ADVICE r4: sparse observed cells can pass the cell-count guard
+    while the n_rows × n_cols cross product (zero cells included) is
+    astronomically larger — both functions must refuse, not hang."""
+    import pytest
+
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.stats import (
+        chi_square_cells,
+        chi_square_independence,
+    )
+
+    # 200 × 200 distinct marginals but only 200 observed (diagonal)
+    # cells: passes max_cells=500 on observed cells, 40k cross product
+    ids = np.arange(200)
+    df = pd.DataFrame({"a": [f"a{i}" for i in ids],
+                       "b": [f"b{i}" for i in ids]})
+    with pytest.raises(ValueError, match="cross product"):
+        chi_square_independence(rd.from_pandas(df), "a", "b",
+                                max_cells=500)
+    with pytest.raises(ValueError, match="cross product"):
+        chi_square_cells(rd.from_pandas(df), "a", "b", max_cells=500)
+
+
 def test_hhi_by_group(ray_session):
     import ray.data as rd
 
