@@ -332,6 +332,7 @@ def match_documents(
     reduce_driver_cap: int = 500_000,
     shuffle_partitions: int | None = None,
     y_prepared: "tuple[ray.data.Dataset, ray.data.Dataset] | None" = None,
+    x_block_cap: int | None = None,
 ) -> DocMatchResult:
     """x_docs / y_docs: (doc_id, spans) tables (corpus schema). Returns
     per-x assignments, accepted-pair edges and entity clusters.
@@ -345,8 +346,16 @@ def match_documents(
     — a MATERIALIZED normalized-flats dataset and its expanded key table
     (as written by :func:`build_doc_index`). When given, ``y_docs`` is
     ignored and the y-side flatten + key expansion are skipped entirely —
-    the incremental/delta path (:func:`match_documents_delta`)."""
+    the incremental/delta path (:func:`match_documents_delta`).
+
+    ``x_block_cap``: x-side per-key width cap (defaults to
+    ``max_block_side``). The sharded path passes
+    ``ceil(max_block_side / n_shards)`` so a key's admitted pair budget
+    stays invariant to resharding — a shard sees ~1/n of each key's x
+    width, so an unscaled cap would admit ~n× the pairs the unsharded
+    run caps away."""
     cfg = cfg or default_doc_config()
+    x_cap = int(max_block_side if x_block_cap is None else x_block_cap)
 
     def _tick(stage: str, info: dict) -> None:
         if callable(progress):
@@ -563,7 +572,7 @@ def match_documents(
         ny_g = sizes - nx_g
         valid = (
             (nx_g > 0) & (ny_g > 0)
-            & (nx_g <= max_block_side) & (ny_g <= max_block_side)
+            & (nx_g <= x_cap) & (ny_g <= max_block_side)
         )
         # groups with both sides present but over the cap are DROPPED —
         # counted, never silent (docstring contract)
@@ -1097,6 +1106,7 @@ def match_documents_checkpointed(
     root: str,
     *,
     n_shards: int = 4,
+    shard_concurrency: int | None = None,
     fingerprint: str = "",
     cfg: MatchConfig | None = None,
     **kw,
@@ -1107,14 +1117,40 @@ def match_documents_checkpointed(
     skips completed shards on restart without rescoring them. Clustering
     runs as a final checkpointed stage over the union of shard outputs.
 
-    Note: the y side's key expansion recomputes per shard — the trade for
-    embarrassingly-parallel shard independence; at scale prefer
-    checkpointing the y key table once as its own stage.
-    """
+    The y side is flattened + key-expanded exactly ONCE, as the
+    checkpointed registry index (:func:`build_doc_index` stages
+    ``y_flat``/``y_keys``/``y_keyset`` under the same ``root``); every
+    shard then matches against the loaded ``y_prepared`` handle — no
+    per-shard y recompute, and a resumed run reuses the index manifests
+    as-is.
+
+    ``shard_concurrency`` (default ``min(n_shards, 4)``) runs that many
+    shard pipelines at once from driver threads — the single-driver
+    analogue of parallel shard jobs on a cluster; it overlaps each
+    shard's fixed stage latencies while the shards share the cluster's
+    CPUs. Set 1 for strictly sequential shards."""
     from record_matcher_ray.state.checkpoint import StageRunner, hash_partition_ids
 
+    cfg = cfg or default_doc_config()
     runner = StageRunner(root, fingerprint=fingerprint)
     parts = hash_partition_ids(n_shards)
+    _, y_prepared = _load_y_prepared(
+        y_docs, root, cfg,
+        num_perm=kw.get("num_perm", 64),
+        seed=kw.get("seed", 1),
+        n_buckets=kw.get("n_buckets", 256),
+        max_block_side=kw.get("max_block_side", 32),
+        fingerprint=fingerprint,
+    )
+
+    conc = (shard_concurrency if shard_concurrency is not None
+            else min(n_shards, 4))
+    if "shuffle_partitions" not in kw and conc > 1:
+        # each concurrent shard sizes its exchanges for its SHARE of the
+        # cluster, not the whole of it (the 64-partition floor was tuned
+        # for a single pipeline at 32 cpus)
+        ncpu = int(ray.cluster_resources().get("CPU", 32))
+        kw["shuffle_partitions"] = max(32, 2 * ncpu // conc)
 
     def shard_fn(part: str) -> ray.data.Dataset:
         i = int(part)
@@ -1126,10 +1162,15 @@ def match_documents_checkpointed(
 
         x_shard = x_docs.map_batches(keep, batch_format="pyarrow")
         return match_documents(
-            x_shard, y_docs, cfg, cluster_edges=False, **kw
+            x_shard, None, cfg, cluster_edges=False,
+            y_prepared=y_prepared,
+            x_block_cap=-(-kw.get("max_block_side", 32) // n_shards),
+            **kw
         ).assignments
 
-    assignments = runner.run_partitioned("assignments", parts, shard_fn)
+    assignments = runner.run_partitioned(
+        "assignments", parts, shard_fn, max_concurrent=conc,
+    )
     edges = edges_from_assignments(assignments).materialize()
     clusters = runner.run(
         "clusters", lambda: connected_components(edges)
@@ -1236,6 +1277,65 @@ def build_doc_index(
     return runner
 
 
+def _load_y_prepared(
+    y_docs: ray.data.Dataset,
+    root: str,
+    cfg: MatchConfig,
+    *,
+    num_perm: int,
+    seed: int,
+    n_buckets: int,
+    max_block_side: int,
+    fingerprint: str,
+):
+    """Build (or manifest-skip) the registry index under ``root`` and
+    load its plasma-resident form ``(y_flat, yk, yset_ref)``, session-
+    cached so repeated calls against one registry pay the load once.
+    Shared by the delta and checkpointed paths."""
+    runner = build_doc_index(
+        y_docs, root, cfg=cfg, num_perm=num_perm, seed=seed,
+        n_buckets=n_buckets, fingerprint=fingerprint,
+        max_block_side=max_block_side,
+    )
+    from record_matcher_ray.state.checkpoint import read_partition
+
+    carry = sorted(set(cfg.x_match_columns()) | set(cfg.y_columns_needed()))
+    cache_key = (root, fingerprint, num_perm, seed, n_buckets,
+                 tuple(carry), max_block_side)
+    cached = _DELTA_INDEX_CACHE.get("entry")
+    if cached is not None and cached[0] == cache_key:
+        return runner, cached[1]
+    # read back ONLY rid + the scorer (carry) columns: the long
+    # `body` fed key expansion at index-build time and never rides
+    # again — at registry scale it is most of the flats' bytes.
+    # Re-assert the single-chunk guarantee after the parquet
+    # round-trip (score_bucket's views are zero-copy only over
+    # single-chunk columns).
+    need = ["rid"] + carry
+    y_flat = (
+        read_partition(root, "y_flat", "all", columns=need)
+        .map_batches(lambda t: _normalize_carry_cols(t, carry),
+                     batch_format="pyarrow")
+        .materialize()
+    )
+    yk = read_partition(root, "y_keys", "all").materialize()
+    set_parts = ray.get(
+        [_key_partial.remote(r)
+         for r in read_partition(
+             root, "y_keyset", "all"
+         ).to_arrow_refs()]
+    )
+    yset = (np.unique(np.concatenate(set_parts)) if set_parts
+            else np.empty(0, np.int64))
+    yset_ref = ray.put(yset) if len(yset) else None
+    # one live entry: a daily-delta service processes many arriving
+    # batches against ONE registry index per session — keep its
+    # plasma-resident form (flats + key table + keyset) warm so only
+    # the first delta pays the load
+    _DELTA_INDEX_CACHE["entry"] = (cache_key, (y_flat, yk, yset_ref))
+    return runner, (y_flat, yk, yset_ref)
+
+
 def match_documents_delta(
     x_new_docs: ray.data.Dataset,
     y_docs: ray.data.Dataset,
@@ -1258,51 +1358,15 @@ def match_documents_delta(
     Returns the standard :class:`DocMatchResult` restricted to the new
     docs; ``res.runner`` carries the index skip/compute accounting."""
     cfg = cfg or default_doc_config()
-    runner = build_doc_index(
-        y_docs, root, cfg=cfg, num_perm=num_perm, seed=seed,
-        n_buckets=n_buckets, fingerprint=fingerprint,
+    runner, y_prepared = _load_y_prepared(
+        y_docs, root, cfg, num_perm=num_perm, seed=seed,
+        n_buckets=n_buckets,
         max_block_side=kw.get("max_block_side", 32),
+        fingerprint=fingerprint,
     )
-    from record_matcher_ray.state.checkpoint import read_partition
-
-    carry = sorted(set(cfg.x_match_columns()) | set(cfg.y_columns_needed()))
-    cache_key = (root, fingerprint, num_perm, seed, n_buckets,
-                 tuple(carry), kw.get("max_block_side", 32))
-    cached = _DELTA_INDEX_CACHE.get("entry")
-    if cached is not None and cached[0] == cache_key:
-        y_flat, yk, yset_ref = cached[1]
-    else:
-        # read back ONLY rid + the scorer (carry) columns: the long
-        # `body` fed key expansion at index-build time and never rides
-        # again — at registry scale it is most of the flats' bytes.
-        # Re-assert the single-chunk guarantee after the parquet
-        # round-trip (score_bucket's views are zero-copy only over
-        # single-chunk columns).
-        need = ["rid"] + carry
-        y_flat = (
-            read_partition(root, "y_flat", "all", columns=need)
-            .map_batches(lambda t: _normalize_carry_cols(t, carry),
-                         batch_format="pyarrow")
-            .materialize()
-        )
-        yk = read_partition(root, "y_keys", "all").materialize()
-        set_parts = ray.get(
-            [_key_partial.remote(r)
-             for r in read_partition(
-                 root, "y_keyset", "all"
-             ).to_arrow_refs()]
-        )
-        yset = (np.unique(np.concatenate(set_parts)) if set_parts
-                else np.empty(0, np.int64))
-        yset_ref = ray.put(yset) if len(yset) else None
-        # one live entry: a daily-delta service processes many arriving
-        # batches against ONE registry index per session — keep its
-        # plasma-resident form (flats + key table + keyset) warm so only
-        # the first delta pays the load
-        _DELTA_INDEX_CACHE["entry"] = (cache_key, (y_flat, yk, yset_ref))
     res = match_documents(
         x_new_docs, None, cfg, num_perm=num_perm, seed=seed,
-        n_buckets=n_buckets, y_prepared=(y_flat, yk, yset_ref), **kw
+        n_buckets=n_buckets, y_prepared=y_prepared, **kw
     )
     res.runner = runner
     return res

@@ -75,6 +75,32 @@ def manifest(root: str, stage: str, part: str) -> dict:
         return json.load(f)
 
 
+def _settle_racy_lazy_imports() -> None:
+    """Pre-settle optional imports that Ray Data attempts lazily on EVERY
+    ``read_parquet`` call. A FAILED module import is removed from
+    ``sys.modules``, so when ``aiohttp`` is absent, concurrent dataset
+    construction from driver threads races on the partially-executed
+    ``fsspec.implementations.http`` module and raises
+    ``ImportError: cannot import name 'HTTPFileSystem'`` (observed
+    2026-08-20, shard threads). If the import fails, install a stub
+    module whose ``HTTPFileSystem`` class is never instantiated — every
+    later import then succeeds deterministically and
+    ``_is_http_filesystem`` still (correctly) answers False."""
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+    except Exception:
+        import sys
+        import types
+
+        stub = types.ModuleType("fsspec.implementations.http")
+
+        class HTTPFileSystem:  # aiohttp absent — nothing instantiates this
+            pass
+
+        stub.HTTPFileSystem = HTTPFileSystem
+        sys.modules["fsspec.implementations.http"] = stub
+
+
 class StageRunner:
     """Resumable stage executor.
 
@@ -104,10 +130,20 @@ class StageRunner:
         parts: list[str],
         fn: Callable[[str], ray.data.Dataset],
         counters: Callable[[ray.data.Dataset], dict] | None = None,
+        max_concurrent: int = 1,
     ) -> ray.data.Dataset:
         """Run ``fn(part)`` for every incomplete partition, write each
         atomically with its manifest, and return the union of ALL partition
-        outputs (completed partitions are read back, never recomputed)."""
+        outputs (completed partitions are read back, never recomputed).
+
+        ``max_concurrent > 1`` executes incomplete partitions from a
+        driver-side thread pool — the single-driver analogue of launching
+        shard jobs in parallel on a cluster. Each partition's Dataset
+        execution is independent (own streaming executor); they share the
+        cluster's CPUs, so concurrency overlaps the per-shard fixed
+        latencies (driver folds, exchange setup) that a sequential loop
+        serializes. Manifest writes stay atomic per partition, so a kill
+        mid-flight still resumes on whatever completed."""
         if not parts:
             raise ValueError(
                 f"run_partitioned('{stage}'): empty partition list — pass at "
@@ -115,13 +151,16 @@ class StageRunner:
             )
         stage_dir = os.path.join(self.root, f"stage={stage}")
         os.makedirs(stage_dir, exist_ok=True)
-        datasets = []
+        by_part: dict[str, ray.data.Dataset] = {}
+        todo: list[str] = []
         for part in parts:
-            tag = f"{stage}/{part}"
             if is_complete(self.root, stage, part, self.fingerprint or None):
-                self.skipped.append(tag)
-                datasets.append(read_partition(self.root, stage, part))
-                continue
+                self.skipped.append(f"{stage}/{part}")
+                by_part[part] = read_partition(self.root, stage, part)
+            else:
+                todo.append(part)
+
+        def compute_one(part: str) -> ray.data.Dataset:
             final_dir = _part_dir(self.root, stage, part)
             mpath = _manifest_path(self.root, stage, part)
             tmp_dir = os.path.join(stage_dir, f"_tmp_{part}")
@@ -146,8 +185,23 @@ class StageRunner:
             with open(mpath + ".tmp", "w") as f:
                 json.dump(m, f)
             os.rename(mpath + ".tmp", mpath)
-            self.computed.append(tag)
-            datasets.append(done)
+            self.computed.append(f"{stage}/{part}")
+            return done
+
+        if max_concurrent > 1 and len(todo) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            _settle_racy_lazy_imports()
+            with ThreadPoolExecutor(
+                max_workers=min(max_concurrent, len(todo))
+            ) as pool:
+                futs = {p: pool.submit(compute_one, p) for p in todo}
+                for p, f in futs.items():
+                    by_part[p] = f.result()
+        else:
+            for part in todo:
+                by_part[part] = compute_one(part)
+        datasets = [by_part[p] for p in parts]
         out = datasets[0]
         for d in datasets[1:]:
             out = out.union(d)
