@@ -26,6 +26,15 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
+def _read(path, columns=None):
+    """All bench parquet reads go through the engine reader: it passes a
+    metadata-free schema so exchanges never hit Ray's unhashable-schema
+    slow path ("Failed to hash the schemas", VERDICT r4 nit)."""
+    from record_matcher_ray.sources.readers import read_table
+
+    return read_table(path, columns=columns)
+
+
 # corpus size for the flagship doc pipeline (independent of sf_dir; scaled
 # to exercise blocking+scoring+clustering for tens of seconds at 32 cpus —
 # raised 100k→300k→1M as kernel speedups landed (vectorized blocking, then
@@ -65,8 +74,8 @@ def bench_docmatch() -> dict:
 
     d = _corpus_dir()
     res = match_documents(
-        rd.read_parquet(f"{d}/corpus.parquet"),
-        rd.read_parquet(f"{d}/registry.parquet"),
+        _read(f"{d}/corpus.parquet"),
+        _read(f"{d}/registry.parquet"),
     )
     n = res.assignments.count()
     return {"rows": n, "pairs_scored": res.counters["pairs_scored"],
@@ -82,7 +91,7 @@ def _fuzzy_inputs():
 
     import ray.data as rd
 
-    base = rd.read_parquet(f"{SF_DIR}/customer.parquet")
+    base = _read(f"{SF_DIR}/customer.parquet")
     n_cust = base.count()
 
     def expand(corrupt_names: bool):
@@ -163,8 +172,8 @@ def bench_match_fuzzy() -> dict:
     from record_matcher_ray.pipelines.match import match_datasets
 
     x_path, y_path, _ = _fuzzy_inputs()
-    x = rd.read_parquet(x_path)
-    cust = rd.read_parquet(y_path)
+    x = _read(x_path)
+    cust = _read(y_path)
 
     def to_y(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -222,7 +231,7 @@ def bench_minhash_dedup() -> dict:
 
     d = _corpus_dir(MINHASH_ENTITIES)
     docs = (
-        rd.read_parquet(f"{d}/corpus.parquet")
+        _read(f"{d}/corpus.parquet")
         .map_batches(flatten_spans, batch_format="pyarrow")
         .map_batches(add_int_ids, batch_format="pyarrow")
         .map_batches(lambda t: t.select(["rid", "body"]), batch_format="pyarrow")
@@ -240,7 +249,7 @@ def bench_ann() -> dict:
 
     from record_matcher_ray.pipelines.similarity import brute_force_topk
 
-    ds = rd.read_parquet(
+    ds = _read(
         f"{SF_DIR}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     head = pq.read_table(
@@ -261,16 +270,16 @@ def bench_join_dup() -> dict:
     from record_matcher_ray.pipelines.joins import hash_join
     from record_matcher_ray.pipelines.table_ops import duplicated_by_column
 
-    li = rd.read_parquet(
+    li = _read(
         f"{SF_DIR}/lineitem.parquet",
         columns=["l_orderkey", "l_partkey", "l_quantity"],
     )
-    orders = rd.read_parquet(
+    orders = _read(
         f"{SF_DIR}/orders.parquet", columns=["o_orderkey", "o_custkey"]
     )
     joined = hash_join(li, orders, "l_orderkey", "o_orderkey").count()
     dups = duplicated_by_column(
-        rd.read_parquet(f"{SF_DIR}/lineitem.parquet",
+        _read(f"{SF_DIR}/lineitem.parquet",
                         columns=["l_orderkey", "l_partkey"]),
         "l_partkey",
     ).count()
@@ -651,26 +660,26 @@ def run_delta_proof() -> None:
             )
             return t.filter(pa.array(np.mod(rid.to_numpy(), DELTA_MOD) == 0))
 
-        (rd.read_parquet(corpus)
+        (_read(corpus)
          .map_batches(keep, batch_format="pyarrow")
          .repartition(32).write_parquet(delta_path + ".tmp"))
         os.rename(delta_path + ".tmp", delta_path)
 
     def delta_ds():
-        return rd.read_parquet(delta_path)
+        return _read(delta_path)
 
     t0 = time.time()
-    full = match_documents(rd.read_parquet(corpus), rd.read_parquet(registry))
+    full = match_documents(_read(corpus), _read(registry))
     n_full = full.assignments.count()
     t_full = round(time.time() - t0, 2)
 
     t0 = time.time()
-    build_doc_index(rd.read_parquet(registry), root,
+    build_doc_index(_read(registry), root,
                     fingerprint="delta-proof")
     t_index = round(time.time() - t0, 2)
 
     t0 = time.time()
-    res = match_documents_delta(delta_ds(), rd.read_parquet(registry), root,
+    res = match_documents_delta(delta_ds(), _read(registry), root,
                                 fingerprint="delta-proof")
     n_delta = res.assignments.count()
     t_delta_cold = round(time.time() - t0, 2)
@@ -679,7 +688,7 @@ def run_delta_proof() -> None:
     # session against one registry — the second run reuses the
     # plasma-resident index (flats + key table + keyset broadcast)
     t0 = time.time()
-    res2 = match_documents_delta(delta_ds(), rd.read_parquet(registry),
+    res2 = match_documents_delta(delta_ds(), _read(registry),
                                  root, fingerprint="delta-proof")
     n_delta2 = res2.assignments.count()
     t_delta_warm = round(time.time() - t0, 2)
@@ -751,8 +760,8 @@ def run_skew_proof() -> None:
     def run(d: str) -> tuple[float, dict]:
         t0 = time.time()
         res = match_documents(
-            rd.read_parquet(f"{d}/corpus.parquet"),
-            rd.read_parquet(f"{d}/registry.parquet"),
+            _read(f"{d}/corpus.parquet"),
+            _read(f"{d}/registry.parquet"),
         )
         n = res.assignments.count()
         return round(time.time() - t0, 2), {
@@ -769,8 +778,8 @@ def run_skew_proof() -> None:
     t_uni = min(t_uni1, t_uni2)
 
     hist = pairs_by_key_tag(
-        rd.read_parquet(f"{d_zipf}/corpus.parquet"),
-        rd.read_parquet(f"{d_zipf}/registry.parquet"),
+        _read(f"{d_zipf}/corpus.parquet"),
+        _read(f"{d_zipf}/registry.parquet"),
     )
     ray.shutdown()
     per_doc_ratio = (t_zipf / n_docs_zipf) / (t_uni / n_docs_uni)

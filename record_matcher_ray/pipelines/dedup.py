@@ -51,11 +51,39 @@ def _with_tuple_bucket(
                 h = mix64(
                     h * np.uint64(0x9E3779B97F4A7C15) ^ column_hash64(t[c])
                 )
-        return t.append_column(
+        # strip parquet/pandas schema metadata: a pa.Schema with metadata
+        # is UNHASHABLE (the dict), so Ray's reduce-side schema dedup
+        # warns "Failed to hash the schemas" and falls back to slow-path
+        # unification on every exchange fed by parquet-born blocks
+        return t.replace_schema_metadata(None).append_column(
             col, pa.array((h % np.uint64(n_buckets)).astype(np.int64))
         )
 
     return ds.map_batches(add, batch_format="pyarrow")
+
+
+def _tuple_groups_sorted(t: pa.Table, columns: list[str], id_col: str):
+    """Arrow-native in-bucket grouping (VERDICT r4 item 5): dictionary-
+    encode each key column (exact value equality — never a hash), lexsort
+    rows by (codes..., id), and diff group boundaries — the docmatch
+    score_bucket pattern, so the corpus-scale text column is never copied
+    into pandas objects. Returns ``(order, first, ids_sorted)``: the sort
+    permutation, the group-start mask over sorted rows, and the sorted
+    ids (group start = min id per tuple)."""
+    ids = pc.cast(t[id_col], pa.int64()).to_numpy(zero_copy_only=False)
+    codes = []
+    for c in columns:
+        di = pc.dictionary_encode(t[c].combine_chunks())
+        idx = pc.fill_null(pc.cast(di.indices, pa.int64()), -1)
+        codes.append(idx.to_numpy(zero_copy_only=False))
+    order = np.lexsort((ids, *reversed(codes)))
+    first = np.zeros(len(ids), bool)
+    if len(ids):
+        first[0] = True
+        for cd in codes:
+            cs = cd[order]
+            first[1:] |= cs[1:] != cs[:-1]
+    return order, first, ids[order]
 
 
 def exact_dedup(
@@ -63,18 +91,17 @@ def exact_dedup(
 ) -> ray.data.Dataset:
     """Keep the min-id row per distinct value tuple of ``columns``.
     Hash-partition on a bounded bucket of the tuple + one vectorized
-    drop_duplicates per bucket (SURVEY.md §7.3)."""
+    Arrow sort+boundary-diff per bucket (SURVEY.md §7.3)."""
 
-    def pick(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(id_col, kind="stable")
-        return df.drop_duplicates(subset=columns, keep="first").drop(
-            columns="__xb__"
-        )
+    def pick(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["__xb__"])
+        order, first, _ = _tuple_groups_sorted(t, columns, id_col)
+        return t.take(pa.array(order[first]))
 
     return (
         _with_tuple_bucket(ds, columns, n_buckets)
         .groupby("__xb__")
-        .map_groups(pick, batch_format="pandas")
+        .map_groups(pick, batch_format="pyarrow")
     )
 
 
@@ -85,21 +112,19 @@ def exact_dup_groups(
     the min id per value tuple. One bounded-bucket shuffle, vectorized
     group-first inside each bucket."""
 
-    def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(id_col, kind="stable")
-        keeper = df.groupby(columns, sort=False, dropna=False)[id_col].transform(
-            "first"
-        )
-        dup = df[id_col] != keeper
-        return pd.DataFrame(
-            {"keeper_id": keeper[dup].to_numpy(dtype=np.int64),
-             "dup_id": df[id_col][dup].to_numpy(dtype=np.int64)}
-        )
+    def pairs(t: pa.Table) -> pa.Table:
+        _, first, ids_s = _tuple_groups_sorted(t, columns, id_col)
+        bounds = np.nonzero(first)[0]
+        sizes = np.diff(np.concatenate((bounds, [len(ids_s)])))
+        keeper = np.repeat(ids_s[bounds], sizes)
+        dup = ~first
+        return pa.table({"keeper_id": pa.array(keeper[dup]),
+                         "dup_id": pa.array(ids_s[dup])})
 
     return (
         _with_tuple_bucket(ds, columns, n_buckets)
         .groupby("__xb__")
-        .map_groups(pairs, batch_format="pandas")
+        .map_groups(pairs, batch_format="pyarrow")
     )
 
 
@@ -112,22 +137,17 @@ def tuple_representatives(
     sampling.leakage_safe_split so all copies of a document land on the
     same train/val/test side."""
 
-    def reps(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(id_col, kind="stable")
-        rep = df.groupby(columns, sort=False, dropna=False)[id_col].transform(
-            "first"
-        )
-        return pd.DataFrame(
-            {
-                id_col: df[id_col].to_numpy(dtype=np.int64),
-                "rep": rep.to_numpy(dtype=np.int64),
-            }
-        )
+    def reps(t: pa.Table) -> pa.Table:
+        _, first, ids_s = _tuple_groups_sorted(t, columns, id_col)
+        bounds = np.nonzero(first)[0]
+        sizes = np.diff(np.concatenate((bounds, [len(ids_s)])))
+        rep = np.repeat(ids_s[bounds], sizes)
+        return pa.table({id_col: pa.array(ids_s), "rep": pa.array(rep)})
 
     return (
         _with_tuple_bucket(ds, columns, n_buckets)
         .groupby("__xb__")
-        .map_groups(reps, batch_format="pandas")
+        .map_groups(reps, batch_format="pyarrow")
     )
 
 

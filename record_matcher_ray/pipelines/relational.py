@@ -24,10 +24,20 @@ from ray.data.aggregate import Count, Sum
 from record_matcher_ray.pipelines.joins import broadcast_lookup
 
 
+
+def _read_parquet(path, **kw):
+    """Engine reader (metadata-free schema): raw parquet reads carry a
+    b'pandas' schema-metadata dict that makes pa.Schema unhashable, so
+    every exchange over such blocks hits Ray's slow schema-unify path
+    ("Failed to hash the schemas" in the reduce workers)."""
+    from record_matcher_ray.sources.readers import read_table
+
+    return read_table(path, **kw)
+
 def lineitem_agg(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q1-shaped: per (returnflag, linestatus) sums. Partial
     aggregation inside map_batches → groupby over partials."""
-    ds = ray.data.read_parquet(
+    ds = _read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity",
                  "l_extendedprice", "l_discount"],
@@ -67,14 +77,14 @@ def lineitem_agg(sf_dir: str) -> pd.DataFrame:
 
 def customer_nation_topk(sf_dir: str, k: int = 20) -> pd.DataFrame:
     """customer ⋈ nation ⋈ region (broadcast dims) → top-k by acctbal."""
-    nation = ray.data.read_parquet(
+    nation = _read_parquet(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name", "n_regionkey"]
     )
-    region = ray.data.read_parquet(
+    region = _read_parquet(
         f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
     )
     dim = broadcast_lookup(nation, region, "n_regionkey", "r_regionkey").to_pandas()
-    cust = ray.data.read_parquet(
+    cust = _read_parquet(
         f"{sf_dir}/customer.parquet",
         columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal"],
     )
@@ -88,7 +98,7 @@ def customer_nation_topk(sf_dir: str, k: int = 20) -> pd.DataFrame:
 
 def orders_by_status(sf_dir: str) -> pd.DataFrame:
     """Grouped count + sum over orders (pre-aggregated)."""
-    ds = ray.data.read_parquet(
+    ds = _read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderstatus", "o_totalprice"]
     )
     out = (
@@ -105,7 +115,7 @@ def events_tumbling_window(sf_dir: str, window_s: int = 3600) -> pd.DataFrame:
     """Stream-shaped tumbling window: per (event_type, hour-window) count +
     value sum. Window key derived vectorized; ordering assumption: none
     needed for tumbling aggregates (associative)."""
-    ds = ray.data.read_parquet(
+    ds = _read_parquet(
         f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
     )
 
@@ -138,7 +148,7 @@ def topk_per_group(
     """Top-k orders by totalprice per customer — grouped top-k via
     hash-bucketed groupby + vectorized within-bucket ranking (no per-group
     Python calls)."""
-    ds = ray.data.read_parquet(
+    ds = _read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_totalprice"],
     )
@@ -175,7 +185,7 @@ def sessionize_events(
     event exceeds ``gap_s``). Ordering assumption: events sorted by
     (ts, event_id) within each user — done inside the per-bucket transform;
     tumbling/associative state only, so buckets are independent."""
-    ds = ray.data.read_parquet(
+    ds = _read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "value"]
     )
 
@@ -218,11 +228,11 @@ def last_error_asof(sf_dir: str) -> pd.DataFrame:
 
     from record_matcher_ray.pipelines.joins import asof_join
 
-    left = ray.data.read_parquet(
+    left = _read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
     )
     right = (
-        ray.data.read_parquet(
+        _read_parquet(
             f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
         )
         .map_batches(
@@ -249,7 +259,7 @@ def events_sliding_window(
     covering it (window w spans [w*slide, w*slide + window)). Expansion is
     a vectorized row-replication in map_batches (the Ray flat_map shape),
     then a grouped count/sum over (event_type, window)."""
-    ds = ray.data.read_parquet(
+    ds = _read_parquet(
         f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
     )
     w_us = window_s * 1_000_000
@@ -288,7 +298,7 @@ def building_orders_semi(sf_dir: str) -> pd.DataFrame:
     (broadcast key-set filter, no shuffle)."""
     from record_matcher_ray.pipelines.joins import semi_join
 
-    cust = ray.data.read_parquet(
+    cust = _read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     )
     keys = cust.map_batches(
@@ -297,7 +307,7 @@ def building_orders_semi(sf_dir: str) -> pd.DataFrame:
         ),
         batch_format="pyarrow",
     )
-    orders = ray.data.read_parquet(
+    orders = _read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_totalprice"],
     )
@@ -310,7 +320,7 @@ def events_props_extract(sf_dir: str) -> pd.DataFrame:
     """Semi-structured extraction: pull the integer field ``k`` out of the
     JSON ``props`` string column — vectorized Arrow regex (no per-row JSON
     parse in the hot path; swap in a real JSON kernel for nested payloads)."""
-    ds = ray.data.read_parquet(
+    ds = _read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "props"]
     )
 
@@ -336,10 +346,10 @@ def supplier_nation_jaro(sf_dir: str) -> pd.DataFrame:
     ASCII, see scorers.py:96)."""
     from record_matcher_ray.functions.scorers import jaro_winkler_matrix
 
-    sup = ray.data.read_parquet(
+    sup = _read_parquet(
         f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
     )
-    nat = ray.data.read_parquet(
+    nat = _read_parquet(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
     ).to_pandas()
     nat_ref = ray.put(nat)
@@ -368,10 +378,10 @@ def supplier_nation_levenshtein(sf_dir: str) -> pd.DataFrame:
     (scorer-kernel correctness surface for the DuckDB oracle)."""
     from record_matcher_ray.functions.scorers import levenshtein_matrix
 
-    sup = ray.data.read_parquet(
+    sup = _read_parquet(
         f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
     )
-    nat = ray.data.read_parquet(
+    nat = _read_parquet(
         f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
     ).to_pandas()
     nat_ref = ray.put(nat)

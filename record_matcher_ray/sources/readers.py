@@ -7,6 +7,7 @@ the same schema (SURVEY.md §7.4)."""
 
 from __future__ import annotations
 
+import pyarrow as pa
 import ray.data
 
 
@@ -43,6 +44,23 @@ def read_table(path: str, columns: list[str] | None = None, **kwargs) -> ray.dat
     if low.endswith((".json", ".jsonl")):
         ds = ray.data.read_json(path, **kwargs)
         return ds.select_columns(columns) if columns else ds
+    if "schema" not in kwargs:
+        # pass an explicit METADATA-FREE schema: parquet files carry a
+        # b'pandas' schema-metadata dict that makes pa.Schema UNHASHABLE,
+        # so every downstream exchange over parquet-born blocks hits
+        # Ray's "Failed to hash the schemas (for deduplication)" slow
+        # path in the reduce workers. One footer read here silences it
+        # at the source. (Ray applies the schema to the PROJECTED batch,
+        # so it must list exactly `columns` when given.)
+        try:
+            import pyarrow.dataset as pds
+
+            full = pds.dataset(path).schema
+            sch = (pa.schema([full.field(c) for c in columns])
+                   if columns else full)
+            kwargs["schema"] = sch.remove_metadata()
+        except Exception:
+            pass  # odd layouts fall back to Ray's own schema inference
     return ray.data.read_parquet(path, columns=columns, **kwargs)
 
 
