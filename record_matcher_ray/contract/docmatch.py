@@ -212,7 +212,7 @@ def _q_media_frames(sf_dir: str):
 
 def _q_media_real(sf_dir: str):
     """REAL multimodal decode end-to-end (r3/r4): genuinely decodable PNG
-    images, PCM-WAV audio and AVI video (raw-DIB / MPNG frames) flow
+    images, PCM-WAV audio and AVI video (raw-DIB / MPNG / MJPG frames) flow
     through resize (decode → nearest-resize → re-encode) then featurize
     with ``decoder='real'`` (stdlib codecs — stages/mediacodec.py;
     PIL/pyav picked up via import guards when present). Deterministic

@@ -8,10 +8,10 @@ Two decode paths, selected per stage:
 - ``decoder="real"`` — ACTUAL decoding. Prefers PIL / pyav when the
   import guards below find them; otherwise falls back to the pure-stdlib
   codecs in :mod:`record_matcher_ray.stages.mediacodec` (PNG, BMP, PCM
-  WAV, and AVI video with raw-DIB or PNG-compressed frames), so the real
+  WAV, and AVI video with raw-DIB, PNG or Motion-JPEG frames), so the real
   path — including video — WORKS in this container (VERDICT r2 missing
   item #1; r3 item #2 closed the video gap). Formats neither path can
-  decode (e.g. MJPG without pyav) follow each stage's undecodable policy.
+  decode follow each stage's undecodable policy.
 
 Batch-size note: binary payloads are heavy — callers should pass a small
 ``batch_size`` (e.g. 64) so batch × concurrency fits the worker heap.
@@ -64,8 +64,8 @@ def synth_media_table(
     """Deterministic fake media rows for plumbing tests.
 
     ``real_payloads=True`` emits genuinely decodable payloads — PNG images
-    (stdlib encoder), 16-bit PCM WAV audio, and AVI video (raw-DIB /
-    MPNG frames alternating) — so the ``decoder="real"`` path is
+    (stdlib encoder), 16-bit PCM WAV audio, and AVI video (cycling
+    raw-DIB, MPNG and MJPG frames) — so the ``decoder="real"`` path is
     exercisable end-to-end for every media kind in this container."""
     rng = np.random.RandomState(seed)
     rows = []
@@ -86,7 +86,8 @@ def synth_media_table(
             vid = [rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
                    for _ in range(nf)]
             payload = mediacodec.encode_avi(
-                vid, fps=4.0, codec="raw" if i % 2 else "mpng"
+                vid, fps=4.0,
+                codec=("raw", "mpng", "mjpg")[(i // 3) % 3],
             )
             w = h = 8
             rows.append(
@@ -313,7 +314,7 @@ class FrameSampler:
     one OUTPUT ROW PER FRAME (the expansion shape a real ffmpeg stage
     has), rows of other kinds are dropped. ``mode="real"`` decodes with
     pyav when importable, else the pure-stdlib AVI codec
-    (mediacodec.decode_avi — raw-DIB or MPNG frames); ``mode="fake"``
+    (mediacodec.decode_avi — raw-DIB, MPNG or MJPG frames); ``mode="fake"``
     emits deterministic per-frame bytes seeded by (content hash, frame
     index) with timestamps derived from ``duration_ms``.
     """

