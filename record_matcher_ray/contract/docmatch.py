@@ -278,10 +278,73 @@ def _q_media_real(sf_dir: str):
     ).sort_values("media_id").reset_index(drop=True)
 
 
+def _q_incremental_er(sf_dir: str):
+    """End-to-end incremental ER (VERDICT r4 item 7,
+    jobs/incremental_job.py): day 1 bootstraps a full match + clustering
+    over 2/3 of the corpus; day 2's delta (the remaining 1/3) matches
+    against the persisted registry index, merges into the day-1
+    clustering and is stable-relabelled. SELF-CHECKING output: per-node
+    ``stable_ok`` (nodes surviving from day 1 keep their entity id),
+    plus constant ``n_id_collisions`` (0 — entity ids unique across
+    components) and ``stability`` (fraction of surviving nodes with
+    unchanged ids; 1.0 in a healthy run)."""
+    import shutil
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from jobs.incremental_job import run_day
+    from record_matcher_ray.sources.corpus import generate_corpus
+
+    scale = {"0.001": 60, "0.01": 200, "0.1": 800}.get(
+        sf_dir.rstrip("/").split("sf")[-1], 200
+    )
+    d = f"/tmp/rmr_corpus_{scale}"
+    if not os.path.exists(f"{d}/truth.parquet"):
+        generate_corpus(d, n_entities=scale, seed=42)
+    root = f"/tmp/rmr_incr_{scale}"
+    shutil.rmtree(root, ignore_errors=True)
+
+    def split(is_delta: bool):
+        def keep(t: pa.Table) -> pa.Table:
+            rid = pc.cast(
+                pc.utf8_slice_codeunits(t["doc_id"], 1, 99), pa.int64()
+            )
+            m = np.mod(rid.to_numpy(), 3) == 0
+            return t.filter(pa.array(m == is_delta))
+
+        return ray.data.read_parquet(f"{d}/corpus.parquet").map_batches(
+            keep, batch_format="pyarrow"
+        )
+
+    reg = ray.data.read_parquet(f"{d}/registry.parquet")
+    e1, _ = run_day(root, 1, split(False), reg, fingerprint=f"incr-{scale}")
+    e2, _ = run_day(root, 2, split(True), reg, fingerprint=f"incr-{scale}")
+    p1 = e1.to_pandas().set_index("node")["entity_id"]
+    m = e2.to_pandas()
+    prev = m["node"].map(p1)
+    m["survived"] = prev.notna()
+    m["stable_ok"] = ~m["survived"] | (m["entity_id"] == prev.fillna(-3))
+    comp_ids = m.groupby("component")["entity_id"].nunique()
+    per_comp = m.groupby("component")["entity_id"].first()
+    m["n_id_collisions"] = int(
+        (comp_ids != 1).sum() + (len(per_comp) - per_comp.nunique())
+    )
+    surv = m[m["survived"]]
+    m["stability"] = round(
+        float(surv["stable_ok"].mean()) if len(surv) else 1.0, 6
+    )
+    return m.sort_values("node").reset_index(drop=True)
+
+
 def queries():
     return {
         "docmatch_corpus": _q_docmatch,
         "delta_match_docs": _q_delta_match,
+        "incremental_er_docs": _q_incremental_er,
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
         "media_real": _q_media_real,

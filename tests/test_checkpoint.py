@@ -135,3 +135,86 @@ def test_read_partition_no_hive_columns(ray_session, tmp_path):
     assert again.schema().names == ["k"]
     pruned = read_partition(root, "keys", "all", columns=["k"])
     assert pruned.schema().names == ["k"]
+
+
+def test_run_partitioned_concurrent_matches_sequential(ray_session, tmp_path):
+    """max_concurrent > 1 must produce the same partition outputs and
+    manifests as the sequential path, and still resume."""
+    import pandas as pd
+    import ray.data as rd
+
+    from record_matcher_ray.state.checkpoint import StageRunner
+
+    def fn(part: str) -> rd.Dataset:
+        i = int(part)
+        return rd.from_pandas(
+            pd.DataFrame({"p": [i] * 3, "v": [i * 10 + k for k in range(3)]})
+        )
+
+    parts = [str(i) for i in range(4)]
+    seq = StageRunner(str(tmp_path / "seq"), fingerprint="f").run_partitioned(
+        "s", parts, fn
+    ).to_pandas().sort_values(["p", "v"]).reset_index(drop=True)
+    r2 = StageRunner(str(tmp_path / "conc"), fingerprint="f")
+    conc = r2.run_partitioned("s", parts, fn, max_concurrent=4)
+    got = conc.to_pandas().sort_values(["p", "v"]).reset_index(drop=True)
+    assert got.equals(seq)
+    assert sorted(r2.computed) == [f"s/{p}" for p in parts]
+    # resume skips everything, concurrently too
+    r3 = StageRunner(str(tmp_path / "conc"), fingerprint="f")
+    r3.run_partitioned("s", parts, fn, max_concurrent=4)
+    assert sorted(r3.skipped) == [f"s/{p}" for p in parts]
+    assert r3.computed == []
+
+
+def test_incremental_er_job(ray_session):
+    """jobs/incremental_job.py end-to-end on the fixture corpus: day-2
+    delta merges into day-1 clusters with stable, collision-free entity
+    ids; re-running a day is a manifest read-back."""
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from jobs.incremental_job import run_day
+    from record_matcher_ray.sources.corpus import generate_corpus
+
+    d = "/tmp/rmr_corpus_60"
+    if not __import__("os").path.exists(f"{d}/truth.parquet"):
+        generate_corpus(d, n_entities=60, seed=42)
+    root = "/tmp/rmr_incr_pytest"
+    shutil.rmtree(root, ignore_errors=True)
+
+    def split(is_delta: bool):
+        def keep(t: pa.Table) -> pa.Table:
+            rid = pc.cast(
+                pc.utf8_slice_codeunits(t["doc_id"], 1, 99), pa.int64()
+            )
+            m = np.mod(rid.to_numpy(), 3) == 0
+            return t.filter(pa.array(m == is_delta))
+
+        return rd.read_parquet(f"{d}/corpus.parquet").map_batches(
+            keep, batch_format="pyarrow"
+        )
+
+    reg = rd.read_parquet(f"{d}/registry.parquet")
+    e1, r1 = run_day(root, 1, split(False), reg, fingerprint="t")
+    p1 = e1.to_pandas()
+    assert r1.computed == ["day0001_entities/all"]
+    e2, r2 = run_day(root, 2, split(True), reg, fingerprint="t")
+    p2 = e2.to_pandas()
+    assert len(p2) > len(p1)  # delta added nodes
+    # exactly one entity id per component, unique across components
+    per = p2.groupby("component")["entity_id"].agg(["nunique", "first"])
+    assert (per["nunique"] == 1).all()
+    assert per["first"].is_unique
+    # surviving nodes keep their day-1 ids
+    old = p1.set_index("node")["entity_id"]
+    prev = p2["node"].map(old)
+    surv = prev.notna()
+    assert (p2["entity_id"][surv] == prev[surv]).all()
+    # day 2 re-run resumes from the manifest
+    _, r3 = run_day(root, 2, split(True), reg, fingerprint="t")
+    assert r3.skipped == ["day0002_entities/all"] and r3.computed == []

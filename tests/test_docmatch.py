@@ -401,3 +401,36 @@ def test_stable_relabel_fallback_collides_with_won_claim(ray_session):
     assert ent.loc[2] == 12 and ent.loc[10] == 12
     comp_ids = out.groupby("component")["entity_id"].first()
     assert comp_ids.is_unique
+
+
+def test_stable_relabel_exchange_path_matches_broadcast(ray_session):
+    """broadcast_cap=0 forces the bucketed-exchange path; it must agree
+    with the (default) broadcast path row for row."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.cluster import stable_relabel
+
+    rng = np.random.RandomState(5)
+    n = 4000
+    old = pd.DataFrame({
+        "node": np.arange(n, dtype=np.int64),
+        "component": (np.arange(n) // 3 * 3).astype(np.int64),
+    })
+    # new clustering: merge pairs of old comps, drop some nodes, add new
+    new = pd.DataFrame({
+        "node": np.concatenate([np.arange(0, n, 1)[rng.rand(n) > 0.1],
+                                np.arange(n, n + 500)]).astype(np.int64),
+    })
+    new["component"] = (new["node"] // 6 * 6).astype(np.int64)
+    a = (stable_relabel(rd.from_pandas(old).repartition(4),
+                        rd.from_pandas(new).repartition(5))
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    b = (stable_relabel(rd.from_pandas(old).repartition(4),
+                        rd.from_pandas(new).repartition(5),
+                        broadcast_cap=0)
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    assert a.equals(b)
+    per = a.groupby("component")["entity_id"].agg(["nunique", "first"])
+    assert (per["nunique"] == 1).all() and per["first"].is_unique
