@@ -683,10 +683,17 @@ def grouped_entropy(
         .take_all()
     )
     if len(cells) > max_cells:
+        # name the fattest groups so the error is actionable at scale
+        # (VERDICT r4 nit 3): which keys blew the budget, not just that
+        # one did
+        import collections
+
+        width = collections.Counter(r[group_col] for r in cells)
+        top = ", ".join(f"{g!r}×{c:,}" for g, c in width.most_common(5))
         raise ValueError(
             f"{len(cells):,} (group, value) cells exceeds max_cells="
             f"{max_cells:,}; grouped_entropy is for bounded-cardinality "
-            "categorical columns."
+            f"categorical columns. Widest groups: {top}."
         )
     by_group: dict = {}
     for row in cells:

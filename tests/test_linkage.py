@@ -594,6 +594,11 @@ def test_grouped_entropy_cell_guard(ray_session):
     ds = _ds({"g": list(range(30)), "v": list(range(30))})
     with pytest.raises(ValueError, match="max_cells"):
         grouped_entropy(ds, "g", "v", max_cells=10)
+    # r5: the error names the widest offending groups (actionable at
+    # scale — which key blew the budget, not just that one did)
+    ds2 = _ds({"g": ["fat"] * 20 + ["thin"], "v": list(range(21))})
+    with pytest.raises(ValueError, match="Widest groups: 'fat'×20"):
+        grouped_entropy(ds2, "g", "v", max_cells=10)
 
 
 def test_token_sort_pairs(ray_session):
