@@ -46,6 +46,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="local-mode CPU cap (ignored on a cluster)")
     p.add_argument("--shards", type=int, default=4,
                    help="checkpoint shard count (with --checkpoint)")
+    p.add_argument("--shard-concurrency", type=int, default=None,
+                   help="concurrent shard pipelines (default min(shards, 4); "
+                        "1 = strictly sequential)")
     p.add_argument("--fingerprint", default="",
                    help="input fingerprint recorded in manifests; a "
                         "mismatch forces recompute instead of stale reuse")
@@ -75,6 +78,7 @@ def main(argv: list[str] | None = None) -> int:
         res = match_documents_checkpointed(
             corpus, registry, args.checkpoint,
             n_shards=args.shards, fingerprint=args.fingerprint,
+            shard_concurrency=args.shard_concurrency,
         )
     else:
         res = match_documents(corpus, registry)
