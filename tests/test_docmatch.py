@@ -403,6 +403,65 @@ def test_stable_relabel_fallback_collides_with_won_claim(ray_session):
     assert comp_ids.is_unique
 
 
+def test_stable_relabel_uniqueness_property(ray_session):
+    """Randomized adversarial splits/merges/deletes: entity ids must be
+    globally unique across components, every claimed-and-won old id goes
+    to exactly one component, and an old entity surviving INTACT in one
+    component keeps its id (the contract the ADVICE r4 bug violated)."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.cluster import stable_relabel
+
+    for seed in range(6):
+        rng = np.random.RandomState(seed)
+        n = 300
+        nodes = np.arange(n, dtype=np.int64)
+        # old comps: random segmentation; label = min node of comp
+        cuts = np.sort(rng.choice(np.arange(1, n), size=40, replace=False))
+        comp_of = np.zeros(n, np.int64)
+        start = 0
+        for c in list(cuts) + [n]:
+            comp_of[start:c] = start
+            start = c
+        old = pd.DataFrame({"node": nodes, "component": comp_of})
+        # new clustering: drop ~15% of nodes, add fresh ones, re-segment
+        keep = rng.rand(n) > 0.15
+        newn = np.concatenate([nodes[keep],
+                               np.arange(n, n + 30, dtype=np.int64)])
+        newn = np.sort(newn)
+        cuts2 = np.sort(rng.choice(np.arange(1, len(newn)),
+                                   size=50, replace=False))
+        comp2 = np.zeros(len(newn), np.int64)
+        start = 0
+        for c in list(cuts2) + [len(newn)]:
+            comp2[start:c] = newn[start]
+            start = c
+        new = pd.DataFrame({"node": newn, "component": comp2})
+        out = (stable_relabel(rd.from_pandas(old).repartition(3),
+                              rd.from_pandas(new).repartition(4))
+               .to_pandas())
+        per = out.groupby("component")["entity_id"].agg(["nunique", "first"])
+        assert (per["nunique"] == 1).all(), seed
+        assert per["first"].is_unique, seed
+        # an old entity whose surviving members all landed in ONE new
+        # comp, and whose comp has no smaller-claiming member, keeps its
+        # id there when it is that comp's min claim
+        oldmap = old.set_index("node")["component"]
+        j = out.merge(old, on="node", how="left",
+                      suffixes=("", "_old")).dropna(subset=["component_old"])
+        claims = j.groupby("component")["component_old"].min()
+        won = {}
+        for comp, claim in claims.items():
+            c = int(claim)
+            won.setdefault(c, []).append(comp)
+        for c, claimants in won.items():
+            ids = out.groupby("component")["entity_id"].first()
+            got = [comp for comp in claimants if ids[comp] == c]
+            assert len(got) == 1, (seed, c, claimants)  # exactly one wins
+
+
 def test_stable_relabel_exchange_path_matches_broadcast(ray_session):
     """broadcast_cap=0 forces the bucketed-exchange path; it must agree
     with the (default) broadcast path row for row."""
