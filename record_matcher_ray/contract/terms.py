@@ -313,9 +313,135 @@ def _q_search_eval(sf_dir: str):
     return search_eval_at_k(ds, "merge scan vector window", k=10)
 
 
+
+
+_BPE_MERGES = 12
+_BPE_WORDS = 2048
+
+
+def _q_bpe_merges(sf_dir: str):
+    """Distributed BPE tokenizer training (Sennrich-style): one corpus
+    word-frequency reduce + the greedy merge loop on the capped vocab —
+    the merge TABLE itself is the result, all-integer so the DuckDB
+    replay of every single merge iteration is hash-exact."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.terms import bpe_train
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+    return bpe_train(ds, num_merges=_BPE_MERGES, max_words=_BPE_WORDS)
+
+
+def _q_bpe_encode(sf_dir: str):
+    """Apply the trained merge table back to the corpus → per-doc
+    subword token counts (the vocab-fit diagnostic). Vectorized: K
+    literal-replace Arrow passes, zero shuffle."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.terms import bpe_encode, bpe_train
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    m = bpe_train(
+        ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["text"]),
+        num_merges=_BPE_MERGES, max_words=_BPE_WORDS,
+    )
+    return bpe_encode(ds, m)
+
+
+def _bpe_train_ctes(K: int, V: int) -> str:
+    """Chained-CTE replay of the ENTIRE greedy BPE training: per
+    iteration, pair counts from the space-joined symbol sequences
+    (list_zip of the split against its own [2:] slice), argmax with the
+    (count DESC, lhs, rhs) tie-break, and the non-overlapping
+    left-to-right padded literal replace — DuckDB replace == Python
+    str.replace semantics, so every iteration is value-identical."""
+    steps = []
+    prev = "it0"
+    for k in range(1, K + 1):
+        steps.append(f"""
+        p{k} AS (
+          SELECT z[1] AS a, z[2] AS b, sum(freq)::BIGINT AS c
+          FROM {prev}, unnest(list_zip(string_split(seq, ' '),
+                                       string_split(seq, ' ')[2:])) AS u(z)
+          WHERE z[2] IS NOT NULL
+          GROUP BY a, b
+        ), m{k} AS MATERIALIZED (
+          SELECT a, b, c FROM p{k} ORDER BY c DESC, a, b LIMIT 1
+        ), it{k} AS MATERIALIZED (
+          SELECT w, freq,
+                 trim(replace(' ' || seq || ' ',
+                      ' ' || (SELECT a FROM m{k}) || ' '
+                          || (SELECT b FROM m{k}) || ' ',
+                      ' ' || (SELECT a || b FROM m{k}) || ' ')) AS seq
+          FROM {prev}
+        )""")
+        prev = f"it{k}"
+    return f"""
+        words AS (
+          SELECT unnest(string_split(trim(regexp_replace(
+                   lower(coalesce(text, '')), '[^a-z0-9]+', ' ', 'g')),
+                 ' ')) AS w
+          FROM documents
+        ), wc AS (
+          SELECT w, count(*)::BIGINT AS freq FROM words WHERE w <> ''
+          GROUP BY w ORDER BY freq DESC, w LIMIT {V}
+        ), it0 AS MATERIALIZED (
+          SELECT w, freq,
+                 array_to_string(
+                   list_append(regexp_extract_all(w, '.'), '_'), ' '
+                 ) AS seq
+          FROM wc
+        ),{",".join(steps)}"""
+
+
+def _bpe_merges_sql(K: int = _BPE_MERGES, V: int = _BPE_WORDS) -> str:
+    sel = " UNION ALL ".join(
+        f"SELECT {k}::BIGINT AS merge_rank, a AS lhs, b AS rhs, "
+        f"c::BIGINT AS pair_count FROM m{k}"
+        for k in range(1, K + 1)
+    )
+    return (f"WITH {_bpe_train_ctes(K, V)} "
+            f"SELECT * FROM ({sel}) ORDER BY merge_rank")
+
+
+def _bpe_encode_sql(K: int = _BPE_MERGES, V: int = _BPE_WORDS) -> str:
+    reps = []
+    prev = "' ' || seq || ' '"
+    for k in range(1, K + 1):
+        prev = (f"replace({prev}, ' ' || (SELECT a FROM m{k}) || ' ' || "
+                f"(SELECT b FROM m{k}) || ' ', "
+                f"' ' || (SELECT a || b FROM m{k}) || ' ')")
+    return f"""
+        WITH {_bpe_train_ctes(K, V)},
+        d0 AS (
+          SELECT doc_id,
+                 trim(regexp_replace(lower(coalesce(text, '')),
+                      '[^a-z0-9]+', ' ', 'g')) AS nt
+          FROM documents
+        ), d1 AS (
+          SELECT doc_id,
+                 CASE WHEN nt = '' THEN 0
+                      ELSE len(string_split(nt, ' ')) END AS n_words,
+                 array_to_string(regexp_extract_all(
+                   replace(nt, ' ', '_') || '_', '.'), ' ') AS seq
+          FROM d0
+        )
+        SELECT doc_id, n_words::BIGINT AS n_words,
+               len(string_split(trim({prev}), ' '))::BIGINT AS n_tokens
+        FROM d1 ORDER BY doc_id
+    """
+
+
 def queries():
     return {
         "top_terms_docs": _q_top_terms,
+        "bpe_merges_docs": _q_bpe_merges,
+        "bpe_encode_docs": _q_bpe_encode,
         "hashed_tfidf_docs": _q_hashed_tfidf,
         "inverted_index_docs": _q_inverted_index,
         "bm25_docs": _q_bm25,
@@ -335,6 +461,8 @@ def queries():
 
 def oracles():
     return {
+        "bpe_merges_docs": _bpe_merges_sql(),
+        "bpe_encode_docs": _bpe_encode_sql(),
         "search_eval_docs": """
             WITH t AS (
               SELECT doc_id,

@@ -1340,3 +1340,138 @@ def search_eval_at_k(
         "recall": pd.Series([recall], dtype="float64"),
         "mrr": [mrr],
     })
+
+
+def bpe_train(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    *,
+    num_merges: int = 16,
+    max_words: int = 65536,
+) -> pa.Table:
+    """Byte-pair-encoding merge-table training (the Sennrich-style
+    subword tokenizer trainer a training-data pipeline sizes its vocab
+    with). Greedy: repeatedly merge the most frequent adjacent symbol
+    pair across the (word, frequency) table.
+
+    Scale shape: the CORPUS-scale work is one distributed
+    word-frequency reduce (block partial counts → groupby sum →
+    distributed (freq desc, word asc) top-``max_words`` cut); the merge
+    loop then runs on that bounded compressed table on the driver —
+    BPE's merge sequence is inherently serial (merge k+1 depends on
+    merge k), but its input is the capped vocabulary, not the corpus,
+    so 100 TB of text costs one reduce plus a vocabulary-sized loop.
+
+    Determinism/parity: repo-standard ``[a-z0-9]+`` pre-tokens; each
+    word's symbol sequence is its characters plus an end-of-word marker
+    ``'_'`` (pre-tokens never contain ``_``); ties break
+    (count DESC, lhs ASC, rhs ASC) over ASCII strings; a merge rewrites
+    the space-joined sequence via non-overlapping left-to-right literal
+    replacement of ``' a b '`` → ``' ab '`` — Python ``str.replace`` and
+    DuckDB ``replace`` share those semantics, so the oracle replays the
+    whole training hash-exactly (all-integer counts, no floats).
+
+    → ``pa.Table (merge_rank int64 1-based, lhs, rhs, pair_count)``;
+    stops early if fewer than ``num_merges`` distinct pairs remain.
+    """
+    def partial(batch: pa.Table) -> pa.Table:
+        toks, _, _ = _block_tokens(batch[text_col])
+        if len(toks) == 0:
+            return pa.table({"w": pa.array([], pa.string()),
+                             "freq": pa.array([], pa.int64())})
+        codes, uniq = pd.factorize(toks)
+        cnt = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        return pa.table({"w": pa.array(uniq.astype(object), pa.string()),
+                         "freq": pa.array(cnt)})
+
+    top = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("w")
+        .aggregate(Sum("freq", alias_name="freq"))
+        .sort(["freq", "w"], descending=[True, False])
+        .limit(max_words)
+        .take_all()
+    )
+    freqs = [int(r["freq"]) for r in top]
+    seqs = [" ".join(list(r["w"]) + ["_"]) for r in top]
+    ranks, lhs, rhs, cnts = [], [], [], []
+    for k in range(num_merges):
+        counts: dict = {}
+        for s, f in zip(seqs, freqs):
+            parts = s.split(" ")
+            for a, b in zip(parts, parts[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        pat, rep = f" {a} {b} ", f" {a}{b} "
+        seqs = [(" " + s + " ").replace(pat, rep).strip() for s in seqs]
+        ranks.append(k + 1)
+        lhs.append(a)
+        rhs.append(b)
+        cnts.append(c)
+    return pa.table({
+        "merge_rank": pa.array(ranks, pa.int64()),
+        "lhs": pa.array(lhs, pa.string()),
+        "rhs": pa.array(rhs, pa.string()),
+        "pair_count": pa.array(cnts, pa.int64()),
+    })
+
+
+def bpe_encode(
+    ds: ray.data.Dataset,
+    merges: "pa.Table | list[tuple[str, str]]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Apply a :func:`bpe_train` merge table to a corpus → per-document
+    subword token counts ``(id_col, n_words, n_tokens)`` — the vocab-fit
+    diagnostic (tokens/word falls as merges are added).
+
+    Fully vectorized, zero shuffle: each document becomes ONE
+    space-joined symbol string (inter-word spaces → the ``'_'`` marker,
+    one trailing marker, then every char spaced), and each merge is one
+    Arrow ``replace_substring`` literal pass over the whole column.
+    Applying merges to the concatenated doc string equals per-word
+    application: a learned lhs never contains the marker (marker-bearing
+    symbols are word-terminal, so they only ever appear as rhs), hence
+    no pattern can match across a word boundary. K merges = K C-kernel
+    passes over the text — document-count independent of the driver.
+    """
+    if isinstance(merges, pa.Table):
+        pairs = list(zip(merges["lhs"].to_pylist(),
+                         merges["rhs"].to_pylist()))
+    else:
+        pairs = list(merges)
+
+    def encode(t: pa.Table) -> pa.Table:
+        from record_matcher_ray.pipelines.terms import _normalize
+
+        nt = _normalize(t[text_col])
+        if isinstance(nt, pa.ChunkedArray):
+            nt = nt.combine_chunks()
+        n_words = pc.add(
+            pc.count_substring(nt, " "),
+            pc.if_else(pc.equal(nt, ""), 0, 1),
+        )
+        glued = pc.binary_join_element_wise(
+            pc.replace_substring(nt, " ", "_"), "_", ""
+        )
+        seq = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(glued, "(.)", r"\1 ")
+        )
+        padded = pc.binary_join_element_wise(" ", seq, " ", "")
+        for a, b in pairs:
+            padded = pc.replace_substring(
+                padded, f" {a} {b} ", f" {a}{b} "
+            )
+        n_tokens = pc.add(
+            pc.count_substring(pc.utf8_trim_whitespace(padded), " "), 1
+        )
+        return pa.table({
+            id_col: t[id_col],
+            "n_words": pc.cast(n_words, pa.int64()),
+            "n_tokens": pc.cast(n_tokens, pa.int64()),
+        })
+
+    return ds.map_batches(encode, batch_format="pyarrow")

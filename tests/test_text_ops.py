@@ -897,3 +897,78 @@ def test_search_eval_at_k(ray_session):
     z = search_eval_at_k(rd.from_pandas(pd.DataFrame({
         "doc_id": np.int64([1]), "text": ["zzz"]})), q, k=3)
     assert pd.isna(z["recall"].iloc[0]) and z["mrr"].iloc[0] == 0.0
+
+
+def test_bpe_train_matches_bruteforce_mirror(ray_session):
+    """Engine BPE training == an independent per-word brute-force mirror
+    (greedy most-frequent pair, (count DESC, pair ASC) ties, padded
+    non-overlapping replace), and encode == per-word application."""
+    import collections
+    import re
+
+    import pandas as pd
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.terms import bpe_encode, bpe_train
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["the cat sat on the mat", "the hat, the bat!",
+                 "matter chatter", "aaaa aa a"],
+    })
+    ds = rd.from_pandas(df)
+    m = bpe_train(ds, num_merges=10, max_words=100)
+
+    wc = collections.Counter()
+    for t in df.text:
+        wc.update(re.sub(r"[^a-z0-9]+", " ", t.lower()).split())
+    seqs = {w: " ".join(list(w) + ["_"]) for w in wc}
+    merges = []
+    for _ in range(10):
+        cnt = collections.Counter()
+        for w, s in seqs.items():
+            p = s.split(" ")
+            for a, b in zip(p, p[1:]):
+                cnt[(a, b)] += wc[w]
+        if not cnt:
+            break
+        (a, b), c = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, c))
+        for w in seqs:
+            seqs[w] = (" " + seqs[w] + " ").replace(
+                f" {a} {b} ", f" {a}{b} ").strip()
+    got = list(zip(m["lhs"].to_pylist(), m["rhs"].to_pylist(),
+                   m["pair_count"].to_pylist()))
+    assert got == merges
+
+    enc = bpe_encode(ds, m).to_pandas().set_index("doc_id")
+    for _, row in df.iterrows():
+        words = re.sub(r"[^a-z0-9]+", " ", row.text.lower()).split()
+        want = sum(len(seqs[w].split(" ")) for w in words)
+        assert enc.loc[row.doc_id, "n_tokens"] == want
+        assert enc.loc[row.doc_id, "n_words"] == len(words)
+
+
+def test_bpe_encode_monotone_and_edges(ray_session):
+    """More merges never increase a doc's token count; empty/null text
+    degrades to the lone end marker."""
+    import pandas as pd
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.terms import bpe_encode, bpe_train
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["banana bandana", "", None],
+    })
+    ds = rd.from_pandas(df)
+    m = bpe_train(ds, num_merges=6, max_words=50)
+    prev = None
+    for k in (0, 2, 4, 6):
+        sub = pa_slice = m.slice(0, k)
+        enc = bpe_encode(ds, pa_slice).to_pandas().set_index("doc_id")
+        if prev is not None:
+            assert (enc["n_tokens"] <= prev["n_tokens"]).all()
+        prev = enc
+    assert prev.loc[2, "n_tokens"] == 1 and prev.loc[2, "n_words"] == 0
+    assert prev.loc[3, "n_tokens"] == 1 and prev.loc[3, "n_words"] == 0
