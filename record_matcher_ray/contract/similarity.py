@@ -233,12 +233,77 @@ def _q_quantize(sf_dir: str):
     return quantize_embeddings(ds, bits=8)
 
 
+
+
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup-style semantic dedup (arXiv:2303.09540): fixed-point
+    k-means buckets + within-bucket exact-cosine near-dup components,
+    min-id representative per semantic copy group — clustering,
+    predicate and components all bit-replayed by the oracle."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.similarity import semantic_dedup
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return semantic_dedup(ds, k=8, iters=5, threshold=0.4)
+
+
+def _semantic_dedup_oracle(threshold: float = 0.4,
+                           qscale: int = 1 << 20) -> str:
+    from record_matcher_ray.contract.sketches import _kmeans_oracle
+
+    tail = f"""
+        , asg AS (
+          SELECT vec_id, cid AS cluster FROM (
+            SELECT p.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY p.vec_id
+                                      ORDER BY {{DIST}}, c.cid) AS rn
+            FROM q p CROSS JOIN {{LAST}} c) WHERE rn = 1
+        ), q2 AS (
+          SELECT vec_id AS id, i AS dim,
+                 CAST(floor((embedding[i])::DOUBLE * {float(qscale)!r}
+                            + 0.5) AS HUGEINT) AS w
+          FROM embeddings,
+               unnest(generate_series(1, len(embedding))) AS u(i)
+        ), nr AS (SELECT id, sum(w*w) AS nv FROM q2 GROUP BY id),
+        d2 AS (
+          SELECT a.id AS ia, b.id AS ib, sum(a.w * b.w) AS dot
+          FROM q2 a JOIN q2 b ON a.dim = b.dim AND a.id < b.id
+          JOIN asg xa ON xa.vec_id = a.id
+          JOIN asg xb ON xb.vec_id = b.id AND xb.cluster = xa.cluster
+          GROUP BY 1, 2
+        ), e AS (
+          SELECT ia, ib
+          FROM d2 JOIN nr na ON na.id = d2.ia
+                  JOIN nr nb ON nb.id = d2.ib
+          WHERE na.nv > 0 AND nb.nv > 0
+            AND (dot)::DOUBLE / (sqrt((na.nv)::DOUBLE)
+                                 * sqrt((nb.nv)::DOUBLE))
+                >= ({threshold!r})::DOUBLE
+        ), sym AS (
+          SELECT ia AS a, ib AS b FROM e UNION ALL SELECT ib, ia FROM e
+        ), walk(node, r) AS (
+          SELECT vec_id, vec_id FROM asg
+          UNION
+          SELECT w.node, sym.b FROM walk w JOIN sym ON sym.a = w.r
+        ), lbl AS (SELECT node, min(r) AS rep FROM walk GROUP BY node)
+        SELECT asg.vec_id, (asg.cluster)::BIGINT AS cluster,
+               (lbl.rep)::BIGINT AS rep,
+               (lbl.rep <> asg.vec_id) AS is_dup
+        FROM asg JOIN lbl ON lbl.node = asg.vec_id
+        ORDER BY asg.vec_id"""
+    return _kmeans_oracle(tail=tail, recursive=True)
+
+
 def queries():
     return {
         "ann_topk": _q_ann_topk,
         "lsh_topk": _q_lsh_topk,
         "embedding_near_dups": _q_embedding_near_dups,
         "kmeans_embeddings": _q_kmeans,
+        "semantic_dedup_embeddings": _q_semantic_dedup,
         "semantic_decontam_embeddings": _q_semantic_decontam,
         "mutual_nn_embeddings": _q_mutual_nn,
         "dbscan_embeddings": _q_dbscan,
@@ -250,6 +315,7 @@ def queries():
 
 def oracles():
     return {
+        "semantic_dedup_embeddings": _semantic_dedup_oracle(),
         "quantize_embeddings": """
             WITH t AS (
               SELECT vec_id,

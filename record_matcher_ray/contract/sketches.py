@@ -226,6 +226,7 @@ def _kmeans_oracle(
     k: int = 8, iters: int = 5, d: int = 64,
     scale_bits: int = 20, seed: int = 0,
     tail: str | None = None,
+    recursive: bool = False,
 ) -> str:
     """Exact replay of pipelines/similarity.kmeans: because the engine
     runs Lloyd's entirely in fixed-point integer arithmetic (quantize →
@@ -239,8 +240,9 @@ def _kmeans_oracle(
     cte, hcol = sql_sample_hash_cte("vec_id", seed=seed)
     dist = ("list_sum(list_transform(list_zip(p.qv, c.qv), "
             "z -> (z[1]-z[2])*(z[1]-z[2])))")
+    rec = "RECURSIVE " if recursive else ""
     sql = [f"""
-        WITH q AS (
+        WITH {rec}q AS (
           SELECT vec_id,
                  list_transform(embedding,
                    x -> CAST(floor(x::DOUBLE * {C} + 0.5) AS BIGINT)) AS qv

@@ -1391,3 +1391,156 @@ def quantize_embeddings(
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+@ray.remote
+def _sem_cluster_reps(ids: np.ndarray, qm: np.ndarray, thr: float,
+                      max_edges: int):
+    """One k-means bucket of semantic_dedup: within-cluster threshold
+    edges (chunked exact-int cosine, the dbscan predicate) → min-id
+    connected-component representative per member."""
+    from record_matcher_ray.pipelines.cluster import (
+        connected_components_arrays,
+    )
+
+    nrm = (qm * qm).sum(axis=1)
+    sq = np.sqrt(nrm)
+    out_a, out_b = [], []
+    step = max(1, (8 << 20) // max(len(ids), 1))
+    for s in range(0, len(qm), step):
+        e = min(s + step, len(qm))
+        sims = (qm[s:e] @ qm.T) / (sq[s:e, None] * sq[None, :])
+        hit = sims >= thr
+        hit &= ids[s:e, None] < ids[None, :]
+        # zero-norm rows divide to nan -> never >= thr, never hit
+        bi, oi = np.nonzero(hit)
+        out_a.append(ids[s:e][bi])
+        out_b.append(ids[oi])
+    ea = np.concatenate(out_a) if out_a else np.array([], np.int64)
+    eb = np.concatenate(out_b) if out_b else np.array([], np.int64)
+    if len(ea) > max_edges:
+        raise ValueError(
+            f"semantic_dedup: {len(ea):,} within-cluster edges exceed "
+            f"max_edges={max_edges:,}; raise threshold or k."
+        )
+    sid = np.sort(ids)
+    rep = sid.copy()
+    if len(ea):
+        nodes, comp = connected_components_arrays(ea, eb)
+        rep[np.searchsorted(sid, nodes)] = comp
+    return sid, rep
+
+
+def semantic_dedup(
+    ds: ray.data.Dataset,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    k: int = 8,
+    iters: int = 5,
+    threshold: float = 0.9,
+    scale_bits: int = 20,
+    seed: int = 0,
+    qscale: int = 1 << 20,
+    max_broadcast_rows: int = 1_000_000,
+    max_edges: int = 50_000_000,
+) -> "pd.DataFrame":
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-bucket the embedding space, then find
+    near-duplicate pairs ONLY within each bucket (cosine ≥
+    ``threshold``) and elect one representative — the MIN id of each
+    within-cluster duplicate component — per semantic copy group.
+
+    → DataFrame ``(vec_id, cluster, rep, is_dup)`` for every input row,
+    sorted by vec_id; ``is_dup`` marks rows to drop (``rep`` keeps).
+
+    The clustering is the scale trick: candidate-pair work falls from
+    O(n²) to Σ|cluster|² while semantic copies still collide (near-dups
+    share a nearest centroid). Buckets process as parallel Ray tasks.
+
+    Determinism/parity: the fixed-point k-means assignment is
+    bit-replayable (``similarity.kmeans``); the cosine predicate uses
+    exact-integer quantized dots with the pinned double form
+    ``dot / (sqrt(na)·sqrt(nb))`` (the dbscan recipe), and the
+    representative is a min-label component readout — the DuckDB oracle
+    replays clustering, predicate and components hash-exactly.
+
+    This is the exact bounded variant (``max_broadcast_rows`` /
+    ``max_edges`` guards with actionable errors); at corpus scale raise
+    ``k`` so buckets stay bounded — the per-bucket cost is the square of
+    the LARGEST bucket, not of the corpus.
+    """
+    import pandas as pd
+    import ray as _ray
+
+    _, assign = kmeans(ds, vec_col=vec_col, id_col=id_col, k=k,
+                       iters=iters, scale_bits=scale_bits, seed=seed)
+    adf = assign.to_pandas()
+
+    def quantize(t: pa.Table) -> pa.Table:
+        col = t[vec_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.chunk(0) if col.num_chunks == 1 else col.combine_chunks()
+        offs = col.offsets.to_numpy().astype(np.int64)
+        flat = col.values.to_numpy(zero_copy_only=False).astype(np.float64)
+        lens = np.diff(offs)
+        if len(lens) and (lens != lens[0]).any():
+            raise ValueError("semantic_dedup needs equal-length vectors")
+        d = int(lens[0]) if len(lens) else 0
+        qv = np.floor(flat * float(qscale) + 0.5)
+        qv = qv[offs[0]:offs[-1]] if len(offs) else qv[:0]
+        return pa.table({
+            "id": pc.cast(t[id_col], pa.int64()),
+            "qv": pa.FixedSizeListArray.from_arrays(
+                pa.array(qv.reshape(-1), pa.float64()), d
+            ) if d else pa.nulls(len(t), pa.list_(pa.float64())),
+        })
+
+    qds = ds.map_batches(quantize, batch_format="pyarrow").materialize()
+    tbls = [t for t in _ray.get(qds.to_arrow_refs()) if len(t)]
+    if not tbls:
+        return pd.DataFrame({
+            "vec_id": pd.Series([], dtype="int64"),
+            "cluster": pd.Series([], dtype="int64"),
+            "rep": pd.Series([], dtype="int64"),
+            "is_dup": pd.Series([], dtype="bool"),
+        })
+    cat = pa.concat_tables(tbls).combine_chunks()
+    ids_all = cat["id"].to_numpy()
+    n = len(ids_all)
+    if n > max_broadcast_rows:
+        raise ValueError(
+            f"{n:,} rows exceeds max_broadcast_rows="
+            f"{max_broadcast_rows:,}; raise k and shard buckets, or "
+            "block candidates first (embedding_near_dups/ivf_topk)."
+        )
+    qcol = cat["qv"]
+    qcol = qcol.chunk(0) if qcol.num_chunks == 1 else qcol.combine_chunks()
+    dim = qcol.type.list_size
+    qmat = qcol.values.to_numpy(zero_copy_only=False).reshape(n, dim)
+    maxq = float(np.abs(qmat).max()) if qmat.size else 0.0
+    if dim * maxq * maxq >= 2.0**53:
+        raise ValueError(
+            "quantized dot products would exceed float64's exact-integer "
+            f"range (dim={dim}, max|q|={maxq:.0f}); lower qscale"
+        )
+    order = np.argsort(ids_all, kind="stable")
+    sid, qmat = ids_all[order], qmat[order]
+    if n > 1 and (sid[1:] == sid[:-1]).any():
+        raise ValueError("semantic_dedup requires unique ids")
+    cl_of = adf.set_index(adf[id_col].astype("int64"))["cluster"]
+    cl = cl_of.reindex(sid).to_numpy(dtype=np.int64)
+
+    futs = []
+    for c in np.unique(cl):
+        m = cl == c
+        futs.append((int(c), _sem_cluster_reps.remote(
+            sid[m], qmat[m], float(threshold), int(max_edges))))
+    rep = np.empty(n, np.int64)
+    for c, f in futs:
+        cids, creps = _ray.get(f)
+        rep[np.searchsorted(sid, cids)] = creps
+    return pd.DataFrame({
+        "vec_id": sid, "cluster": cl, "rep": rep,
+        "is_dup": rep != sid,
+    })

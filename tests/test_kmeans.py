@@ -173,3 +173,56 @@ def test_davies_bouldin_mirror_and_invariance(ray_session):
         tot2 = tot2 + ds_of[c]
     db = tot2 / float(len(agg))
     assert (out["db"] == math.floor(db * 1e9 + 0.5) / 1e9).all()
+
+
+def test_semantic_dedup(ray_session):
+    """SemDeDup composition: within-bucket near-dup groups elect the min
+    id; distinct directions never merge; every input row is present
+    exactly once with rep consistency."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.similarity import semantic_dedup
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(6, 16).astype(np.float64)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    vecs, ids = [], []
+    nid = 0
+    for g in range(6):
+        for rep_i in range(3):  # 3 near-copies per direction
+            v = base[g] + 0.01 * rng.randn(16)
+            vecs.append(v / np.linalg.norm(v))
+            ids.append(nid)
+            nid += 1
+    df = pd.DataFrame({"vec_id": np.int64(ids),
+                       "embedding": [list(map(float, v)) for v in vecs]})
+    out = semantic_dedup(rd.from_pandas(df), k=3, iters=4, threshold=0.95)
+    assert sorted(out.vec_id) == ids
+    # each triple of near-copies shares one rep == its min id (they are
+    # ~identical so they land in the same kmeans bucket)
+    for g in range(6):
+        grp = out[out.vec_id.isin([3 * g, 3 * g + 1, 3 * g + 2])]
+        assert grp.rep.nunique() == 1
+        assert grp.rep.iloc[0] == 3 * g
+        assert list(grp.sort_values("vec_id").is_dup) == [False, True, True]
+    # reps are real members of their own cluster
+    m = out.set_index("vec_id")
+    for _, r in out.iterrows():
+        assert m.loc[r.rep, "cluster"] == r.cluster
+        assert not m.loc[r.rep, "is_dup"]
+
+
+def test_semantic_dedup_guards(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.similarity import semantic_dedup
+
+    df = pd.DataFrame({"vec_id": np.int64([1, 2, 3]),
+                       "embedding": [[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]]})
+    with pytest.raises(ValueError, match="max_broadcast_rows"):
+        semantic_dedup(rd.from_pandas(df), k=2, max_broadcast_rows=2)
