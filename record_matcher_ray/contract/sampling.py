@@ -283,8 +283,93 @@ def _sampling_oracles() -> dict[str, str]:
     }
 
 
+
+
+def _q_pack_sequences(sf_dir: str):
+    """Training sequence packing: per-doc word counts (the standard
+    tokenizer surrogate) packed next-fit into capacity-128 bins within
+    doc_id//50 pack buckets — bin identity, offsets and truncation flags
+    are a pure function of (ids, lengths), replayed row-exactly by a
+    per-bucket recursive-CTE scan."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from record_matcher_ray.pipelines.sampling import pack_sequences
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def wc(t: pa.Table) -> pa.Table:
+        nt = pc.utf8_trim_whitespace(pc.replace_substring_regex(
+            pc.utf8_lower(pc.fill_null(pc.cast(t["text"], pa.string()),
+                                       "")),
+            r"[^a-z0-9]+", " "))
+        n = pc.add(pc.count_substring(nt, " "),
+                   pc.if_else(pc.equal(nt, ""), 0, 1))
+        return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                         "n_tokens": pc.cast(n, pa.int64())})
+
+    return pack_sequences(
+        ds.map_batches(wc, batch_format="pyarrow"),
+        capacity=128, bucket_size=50,
+    )
+
+
+_PACK_SQL = """
+    WITH RECURSIVE d0 AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(coalesce(text, '')),
+                  '[^a-z0-9]+', ' ', 'g')) AS nt
+      FROM documents
+    ), d AS (
+      SELECT doc_id,
+             (CASE WHEN nt = '' THEN 0
+                   ELSE len(string_split(nt, ' ')) END)::BIGINT AS ln,
+             (doc_id // 50)::BIGINT AS pb,
+             row_number() OVER (PARTITION BY doc_id // 50
+                                ORDER BY doc_id) AS rn
+      FROM d0
+    ), walk(pb, rn, doc_id, ln, bin, off, open_after, fill_after,
+            trunc) AS (
+      SELECT pb, rn, doc_id, ln,
+             0::BIGINT, 0::BIGINT,
+             CASE WHEN ln > 128 THEN 1 ELSE 0 END::BIGINT,
+             CASE WHEN ln > 128 THEN 0 ELSE ln END::BIGINT,
+             ln > 128
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.pb, d.rn, d.doc_id, d.ln,
+             CASE WHEN d.ln > 128 THEN
+                    w.open_after + (CASE WHEN w.fill_after > 0
+                                         THEN 1 ELSE 0 END)
+                  WHEN w.fill_after + d.ln > 128 THEN w.open_after + 1
+                  ELSE w.open_after END,
+             CASE WHEN d.ln > 128 THEN 0
+                  WHEN w.fill_after + d.ln > 128 THEN 0
+                  ELSE w.fill_after END,
+             CASE WHEN d.ln > 128 THEN
+                    w.open_after + (CASE WHEN w.fill_after > 0
+                                         THEN 1 ELSE 0 END) + 1
+                  WHEN w.fill_after + d.ln > 128 THEN w.open_after + 1
+                  ELSE w.open_after END,
+             CASE WHEN d.ln > 128 THEN 0
+                  WHEN w.fill_after + d.ln > 128 THEN d.ln
+                  ELSE w.fill_after + d.ln END,
+             d.ln > 128
+      FROM walk w JOIN d ON d.pb = w.pb AND d.rn = w.rn + 1
+    )
+    SELECT doc_id, ln AS seq_len, pb AS pack_bucket,
+           bin AS bin_in_bucket, off AS bin_offset, trunc AS truncated
+    FROM walk ORDER BY doc_id
+"""
+
+
 def queries():
     return {
+        "pack_sequences_docs": _q_pack_sequences,
         "sample_docs": _q_sample_docs,
         "weighted_sample_docs": _q_weighted_sample,
         "shuffle_docs": _q_shuffle_docs,
@@ -300,6 +385,7 @@ def queries():
 
 def oracles():
     return {
+        "pack_sequences_docs": _PACK_SQL,
         "chunk_docs": __import__(
             "record_matcher_ray.pipelines.chunking", fromlist=["x"]
         ).sql_chunk_documents(size=64, overlap=16),

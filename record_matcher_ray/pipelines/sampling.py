@@ -21,6 +21,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray.data
+from ray.data.aggregate import Max, Sum
 
 from record_matcher_ray.core.hashkernels import mix64
 
@@ -346,3 +347,157 @@ def weighted_topk(
     parts = parts.sort_values(["key", "id"], kind="mergesort").head(k)
     parts["key"] = np.floor(parts["key"].to_numpy() * POW10 + 0.5) / POW10
     return parts.reset_index(drop=True)
+
+
+def pack_sequences(
+    ds: ray.data.Dataset,
+    len_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    *,
+    capacity: int = 2048,
+    bucket_size: int = 64,
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """Training **sequence packing**: assign each document to a
+    fixed-capacity token bin (next-fit in id order), the step that turns
+    a ragged corpus into dense fixed-length pretraining batches with
+    minimal padding waste.
+
+    Deterministic-parallel contract: documents partition into
+    ``id // bucket_size`` PACK BUCKETS; within each bucket, documents
+    are scanned in ascending id and packed next-fit (a document that
+    does not fit the open bin closes it and opens the next; a document
+    longer than ``capacity`` occupies a bin alone, flagged
+    ``truncated``). Bin identity is ``(pack_bucket, bin_in_bucket)`` —
+    packing is a pure function of (ids, lengths, capacity, bucket_size),
+    independent of physical partitioning, and each bucket packs
+    independently, so the whole operator is one bounded hash exchange
+    (≤``n_buckets`` groups) plus per-bucket scans. The cross-bucket
+    padding cost vs one global scan is ≤ one partial bin per bucket —
+    the price of parallelism, stated not hidden.
+
+    → rows ``(id_col, seq_len, pack_bucket, bin_in_bucket, bin_offset,
+    truncated)`` where ``bin_offset`` is the document's token start
+    within its bin.
+    Next-fit's sequential scan runs per bucket over ≤``bucket_size``
+    rows — the Python loop is bounded by the bucket, never the corpus.
+    """
+    if capacity < 1:
+        raise ValueError(f"capacity must be >= 1, got {capacity}")
+    if bucket_size < 1:
+        raise ValueError(f"bucket_size must be >= 1, got {bucket_size}")
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = pa.compute.cast(t[id_col], pa.int64()).to_numpy()
+        ln = pa.compute.cast(t[len_col], pa.int64()).to_numpy()
+        pb = ids // bucket_size
+        bk = (mix64(pb.astype(np.uint64)) % np.uint64(n_buckets)).astype(
+            np.int64)
+        return pa.table({
+            "id": pa.array(ids), "len": pa.array(ln),
+            "pb": pa.array(pb), "__b__": pa.array(bk),
+        })
+
+    def pack(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy()
+        ln = t["len"].to_numpy()
+        pb = t["pb"].to_numpy()
+        order = np.lexsort((ids, pb))
+        ids, ln, pb = ids[order], ln[order], pb[order]
+        n = len(ids)
+        bin_no = np.empty(n, np.int64)
+        off = np.empty(n, np.int64)
+        trunc = np.empty(n, bool)
+        cur_pb, cur_bin, fill = None, 0, 0
+        for i in range(n):
+            if pb[i] != cur_pb:
+                cur_pb, cur_bin, fill = pb[i], 0, 0
+            v = int(ln[i])
+            if v > capacity:
+                # oversize doc: its own bin, truncated at capacity
+                if fill > 0:
+                    cur_bin += 1
+                bin_no[i], off[i], trunc[i] = cur_bin, 0, True
+                cur_bin += 1
+                fill = 0
+                continue
+            if fill + v > capacity:
+                cur_bin += 1
+                fill = 0
+            bin_no[i], off[i], trunc[i] = cur_bin, fill, False
+            fill += v
+        return pa.table({
+            id_col: pa.array(ids), "seq_len": pa.array(ln),
+            "pack_bucket": pa.array(pb),
+            "bin_in_bucket": pa.array(bin_no),
+            "bin_offset": pa.array(off),
+            "truncated": pa.array(trunc),
+        })
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .groupby("__b__")
+        .map_groups(lambda t: pack(t.drop_columns(["__b__"])),
+                    batch_format="pyarrow")
+    )
+
+
+def packing_stats(
+    packed: ray.data.Dataset, *, capacity: int
+) -> pd.DataFrame:
+    """Padding-waste readout of :func:`pack_sequences` → one row
+    (n_docs, n_bins, n_truncated, token_sum, bin_capacity_sum,
+    fill_pct) — all-integer except the final pinned percentage."""
+    import math
+
+    def partial(t: pa.Table) -> pa.Table:
+        # per-(pack_bucket) partials survive any re-batching: bins per
+        # bucket = max(bin_in_bucket) + 1 via a max-reduce; docs /
+        # truncated / token sums via sum-reduces on the same key
+        empty = pa.schema([("pb", pa.int64()), ("mx", pa.int64()),
+                           ("docs", pa.int64()), ("trunc", pa.int64()),
+                           ("tok", pa.int64())]).empty_table()
+        if len(t) == 0:
+            return empty
+        pb = t["pack_bucket"].to_numpy()
+        bn = t["bin_in_bucket"].to_numpy()
+        ln = np.minimum(t["seq_len"].to_numpy(), capacity)
+        tr = t["truncated"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(pb, kind="stable")
+        pbs = pb[order]
+        b = (np.nonzero(np.concatenate(([True], pbs[1:] != pbs[:-1])))[0]
+             if len(pbs) else np.empty(0, np.int64))
+        ends = np.concatenate((b, [len(pbs)])) if len(pbs) else b
+        sizes = np.diff(ends)
+        return pa.table({
+            "pb": pa.array(pbs[b] if len(pbs) else pbs),
+            "mx": pa.array(np.maximum.reduceat(bn[order], b)
+                           if len(pbs) else np.empty(0, np.int64)),
+            "docs": pa.array(sizes.astype(np.int64)),
+            "trunc": pa.array(np.add.reduceat(tr[order], b)
+                              if len(pbs) else np.empty(0, np.int64)),
+            "tok": pa.array(np.add.reduceat(ln[order], b)
+                            if len(pbs) else np.empty(0, np.int64)),
+        })
+
+    agg = (
+        packed.map_batches(partial, batch_format="pyarrow")
+        .groupby("pb")
+        .aggregate(Max("mx", alias_name="mx"),
+                   Sum("docs", alias_name="docs"),
+                   Sum("trunc", alias_name="trunc"),
+                   Sum("tok", alias_name="tok"))
+        .to_pandas()
+    )
+    n_docs = int(agg["docs"].sum())
+    n_bins = int((agg["mx"] + 1).sum())
+    tok = int(agg["tok"].sum())
+    cap_sum = n_bins * capacity
+    fill = (math.floor(tok / cap_sum * 1e6 + 0.5) / 1e6 * 100.0
+            if cap_sum else 0.0)
+    return pd.DataFrame({
+        "n_docs": [n_docs], "n_bins": [n_bins],
+        "n_truncated": [int(agg["trunc"].sum())],
+        "token_sum": [tok], "bin_capacity_sum": [cap_sum],
+        "fill_pct": [round(fill, 4)],
+    })

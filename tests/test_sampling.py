@@ -292,3 +292,72 @@ def test_weighted_topk_empty(ray_session):
                                  "w": pa.array([], pa.float64())}))
     out = weighted_topk(ds, "id", "w", 5)
     assert len(out) == 0 and list(out.columns) == ["id", "w", "key"]
+
+
+def test_pack_sequences_mirror(ray_session):
+    """Next-fit packing == a per-bucket brute-force scan; bin token sums
+    never exceed capacity; packing is partition-invariant."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.sampling import (
+        pack_sequences,
+        packing_stats,
+    )
+
+    rng = np.random.RandomState(3)
+    n = 400
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "n_tokens": rng.randint(1, 900, n).astype(np.int64),
+    })
+    df.loc[11, "n_tokens"] = 9000  # oversize → own bin, truncated
+    cap, bsz = 2048, 64
+    packed = pack_sequences(rd.from_pandas(df).repartition(7),
+                            capacity=cap, bucket_size=bsz)
+    p = packed.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    rows = []
+    for pb, grp in df.assign(pb=df.doc_id // bsz).groupby("pb"):
+        cur, fill = 0, 0
+        for _, r in grp.sort_values("doc_id").iterrows():
+            v = int(r.n_tokens)
+            if v > cap:
+                if fill > 0:
+                    cur += 1
+                rows.append((r.doc_id, v, pb, cur, 0, True))
+                cur += 1
+                fill = 0
+                continue
+            if fill + v > cap:
+                cur += 1
+                fill = 0
+            rows.append((r.doc_id, v, pb, cur, fill, False))
+            fill += v
+    mir = pd.DataFrame(rows, columns=[
+        "doc_id", "seq_len", "pack_bucket", "bin_in_bucket",
+        "bin_offset", "truncated",
+    ]).sort_values("doc_id").reset_index(drop=True)
+    for c in mir.columns:
+        assert (p[c].to_numpy() == mir[c].to_numpy()).all(), c
+
+    # per-bin capacity invariant (non-truncated bins)
+    sums = p[~p.truncated].groupby(
+        ["pack_bucket", "bin_in_bucket"])["seq_len"].sum()
+    assert (sums <= cap).all()
+
+    # partition invariance
+    p2 = (pack_sequences(rd.from_pandas(df).repartition(2),
+                         capacity=cap, bucket_size=bsz)
+          .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert p2.equals(p)
+
+    st = packing_stats(packed, capacity=cap)
+    want_bins = mir.groupby("pack_bucket")["bin_in_bucket"].max() + 1
+    assert int(st.n_bins.iloc[0]) == int(want_bins.sum())
+    assert int(st.n_docs.iloc[0]) == n
+    assert int(st.n_truncated.iloc[0]) == 1
+    assert int(st.token_sum.iloc[0]) == int(
+        np.minimum(mir.seq_len, cap).sum())
+    assert 0 < st.fill_pct.iloc[0] <= 100.0
