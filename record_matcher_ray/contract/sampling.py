@@ -367,8 +367,101 @@ _PACK_SQL = """
 """
 
 
+
+
+def _q_pretrain_pack(sf_dir: str):
+    """Capstone composition (jobs/pretrain_data_job.py): normalize →
+    eval holdout → quality gate → exact dedup → decontaminate →
+    deterministic mix → sequence packing, end to end over the document
+    table — the WHOLE funnel replays hash-exactly as one DuckDB query."""
+    import ray.data
+
+    from jobs.pretrain_data_job import assemble_pretraining_data
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    packed, _ = assemble_pretraining_data(ds)
+    return packed
+
+
+def _pretrain_pack_sql() -> str:
+    from record_matcher_ray.pipelines.sampling import (
+        _TWO64,
+        sql_sample_hash_cte,
+    )
+
+    thr = min(int(0.8 * _TWO64), _TWO64 - 1)
+    cte, hcol = sql_sample_hash_cte("doc_id", seed=7, table="cl")
+    return f"""
+    WITH RECURSIVE d0 AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(coalesce(text, '')),
+                  '[^a-z0-9]+', ' ', 'g')) AS nt
+      FROM documents
+    ), d1 AS (
+      SELECT doc_id, nt,
+             (CASE WHEN nt = '' THEN 0
+                   ELSE len(string_split(nt, ' ')) END)::BIGINT AS ln
+      FROM d0
+    ), ev AS (
+      SELECT DISTINCT nt FROM d1 WHERE doc_id % 97 = 0
+    ), tr AS (
+      SELECT * FROM d1
+      WHERE doc_id % 97 <> 0 AND ln BETWEEN 10 AND 2000
+    ), dd AS (
+      SELECT doc_id, nt, ln FROM (
+        SELECT *, min(doc_id) OVER (PARTITION BY nt) AS rep FROM tr
+      ) WHERE doc_id = rep
+    ), cl AS (
+      SELECT doc_id, ln FROM dd
+      WHERE nt NOT IN (SELECT nt FROM ev)
+    ),{cte},
+    mx AS (
+      SELECT doc_id, ln FROM s5 WHERE {hcol} < CAST({thr} AS UBIGINT)
+    ), d AS (
+      SELECT doc_id, ln, (doc_id // 50)::BIGINT AS pb,
+             row_number() OVER (PARTITION BY doc_id // 50
+                                ORDER BY doc_id) AS rn
+      FROM mx
+    ), walk(pb, rn, doc_id, ln, bin, off, open_after, fill_after,
+            trunc) AS (
+      SELECT pb, rn, doc_id, ln,
+             0::BIGINT, 0::BIGINT,
+             CASE WHEN ln > 128 THEN 1 ELSE 0 END::BIGINT,
+             CASE WHEN ln > 128 THEN 0 ELSE ln END::BIGINT,
+             ln > 128
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.pb, d.rn, d.doc_id, d.ln,
+             CASE WHEN d.ln > 128 THEN
+                    w.open_after + (CASE WHEN w.fill_after > 0
+                                         THEN 1 ELSE 0 END)
+                  WHEN w.fill_after + d.ln > 128 THEN w.open_after + 1
+                  ELSE w.open_after END,
+             CASE WHEN d.ln > 128 THEN 0
+                  WHEN w.fill_after + d.ln > 128 THEN 0
+                  ELSE w.fill_after END,
+             CASE WHEN d.ln > 128 THEN
+                    w.open_after + (CASE WHEN w.fill_after > 0
+                                         THEN 1 ELSE 0 END) + 1
+                  WHEN w.fill_after + d.ln > 128 THEN w.open_after + 1
+                  ELSE w.open_after END,
+             CASE WHEN d.ln > 128 THEN 0
+                  WHEN w.fill_after + d.ln > 128 THEN d.ln
+                  ELSE w.fill_after + d.ln END,
+             d.ln > 128
+      FROM walk w JOIN d ON d.pb = w.pb AND d.rn = w.rn + 1
+    )
+    SELECT doc_id, ln AS seq_len, pb AS pack_bucket,
+           bin AS bin_in_bucket, off AS bin_offset, trunc AS truncated
+    FROM walk ORDER BY doc_id
+    """
+
+
 def queries():
     return {
+        "pretrain_pack_docs": _q_pretrain_pack,
         "pack_sequences_docs": _q_pack_sequences,
         "sample_docs": _q_sample_docs,
         "weighted_sample_docs": _q_weighted_sample,
@@ -385,6 +478,7 @@ def queries():
 
 def oracles():
     return {
+        "pretrain_pack_docs": _pretrain_pack_sql(),
         "pack_sequences_docs": _PACK_SQL,
         "chunk_docs": __import__(
             "record_matcher_ray.pipelines.chunking", fromlist=["x"]

@@ -361,3 +361,56 @@ def test_pack_sequences_mirror(ray_session):
     assert int(st.token_sum.iloc[0]) == int(
         np.minimum(mir.seq_len, cap).sum())
     assert 0 < st.fill_pct.iloc[0] <= 100.0
+
+
+def test_pretrain_assembly_funnel(ray_session):
+    """Capstone job invariants: the funnel only shrinks, every packed
+    doc survived every gate, no eval-band or contaminated doc leaks,
+    and the dedup stage keeps exactly one doc per normalized text."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from jobs.pretrain_data_job import assemble_pretraining_data
+
+    rng = np.random.RandomState(11)
+    words = ["alpha", "beta", "gamma", "delta", "eps"]
+    texts = []
+    for i in range(600):
+        n = rng.randint(1, 40)
+        texts.append(" ".join(rng.choice(words, n)))
+    texts[5] = texts[0 * 97]          # duplicate of an eval doc (id 0? )
+    texts[101] = texts[100]           # exact dup pair in train
+    df = pd.DataFrame({"doc_id": np.arange(600, dtype=np.int64),
+                       "text": texts})
+    packed, funnel = assemble_pretraining_data(
+        rd.from_pandas(df).repartition(4),
+        min_words=3, max_words=50, sample_rate=0.9, capacity=32,
+        bucket_size=40, audit=True,
+    )
+    p = packed.to_pandas()
+    assert (funnel["input"] >= funnel["quality"] >= funnel["dedup"]
+            >= funnel["decontam"] >= funnel["mix"] == len(p))
+
+    def norm(t):
+        return re.sub(r"[^a-z0-9]+", " ", t.lower()).strip()
+
+    nmap = {i: norm(t) for i, t in zip(df.doc_id, df.text)}
+    evset = {nmap[i] for i in df.doc_id if i % 97 == 0}
+    kept = set(p.doc_id)
+    for i in kept:
+        assert i % 97 != 0                      # eval band excluded
+        assert 3 <= len(nmap[i].split()) <= 50  # quality gate
+        assert nmap[i] not in evset             # decontaminated
+    # dedup: one survivor per surviving normalized text, the min id
+    # among QUALITY-PASSING train docs of that text
+    by_norm = {}
+    for i in sorted(kept):
+        by_norm.setdefault(nmap[i], []).append(i)
+    assert all(len(v) == 1 for v in by_norm.values())
+    # capacity invariant
+    sums = p[~p.truncated].groupby(
+        ["pack_bucket", "bin_in_bucket"])["seq_len"].sum()
+    assert (sums <= 32).all()
