@@ -715,8 +715,189 @@ def _q_bcubed(sf_dir: str):
     return bcubed_eval(ds, "c_mktsegment", "c_nationkey")
 
 
+
+
+def _q_blocking_sweep(sf_dir: str):
+    """Blocking-scheme selection: four candidate key sets over customer
+    ranked by reduction ratio / pairs completeness / pairs quality
+    against a deterministic (nation, segment, |balance diff|<100) truth
+    — n_cand counted from group sizes, never materialized."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+
+    from record_matcher_ray.pipelines.linkage import blocking_scheme_sweep
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        bal = t["c_acctbal"].to_numpy()
+        return pa.table({
+            "id": pc.cast(t["c_custkey"], pa.int64()),
+            "nation": pc.cast(t["c_nationkey"], pa.int64()),
+            "seg": pc.cast(t["c_mktsegment"], pa.string()),
+            "band": pa.array(np.floor(bal / 1000.0).astype(np.int64)),
+            "bal": pa.array(bal.astype(np.float64)),
+        })
+
+    recs = ds.map_batches(prep, batch_format="pyarrow").materialize()
+    # deterministic pseudo-truth: same (nation, segment), balances
+    # within 100 — built driver-side at fixture scale
+    df = recs.to_pandas()
+    m = df.merge(df, on=["nation", "seg"], suffixes=("_a", "_b"))
+    m = m[(m.id_a < m.id_b)
+          & ((m.bal_a - m.bal_b).abs() < 100.0)]
+    truth = ray.data.from_pandas(pd.DataFrame({
+        "x_id": m.id_a.to_numpy(np.int64),
+        "y_id": m.id_b.to_numpy(np.int64),
+    }))
+    return blocking_scheme_sweep(
+        recs,
+        {"nation": ["nation"], "segment": ["seg"],
+         "nation_segment": ["nation", "seg"], "balance_band": ["band"]},
+        truth, "id",
+    )
+
+
+_BLOCK_SWEEP_SQL = """
+    WITH c AS (
+      SELECT (c_custkey)::BIGINT AS id, (c_nationkey)::BIGINT AS nation,
+             c_mktsegment AS seg,
+             CAST(floor((c_acctbal)::DOUBLE / 1000.0) AS BIGINT) AS band,
+             (c_acctbal)::DOUBLE AS bal
+      FROM customer
+    ), nrec AS (SELECT count(*)::HUGEINT AS n FROM c),
+    truth AS (
+      SELECT a.id AS x, b.id AS y
+      FROM c a JOIN c b
+        ON a.id < b.id AND a.nation = b.nation AND a.seg = b.seg
+       AND abs(a.bal - b.bal) < (100.0)::DOUBLE
+    ), nt AS (SELECT count(*)::BIGINT AS v FROM truth),
+    g1 AS (SELECT count(*)::HUGEINT AS m FROM c GROUP BY nation),
+    g2 AS (SELECT count(*)::HUGEINT AS m FROM c GROUP BY seg),
+    g3 AS (SELECT count(*)::HUGEINT AS m FROM c GROUP BY nation, seg),
+    g4 AS (SELECT count(*)::HUGEINT AS m FROM c GROUP BY band),
+    raw AS (
+      SELECT 'nation' AS scheme,
+             (SELECT sum(m*(m-1)//2) FROM g1) AS nc,
+             (SELECT count(*) FROM truth t
+              JOIN c a ON a.id = t.x JOIN c b ON b.id = t.y
+              WHERE a.nation = b.nation) AS nh
+      UNION ALL
+      SELECT 'segment',
+             (SELECT sum(m*(m-1)//2) FROM g2),
+             (SELECT count(*) FROM truth t
+              JOIN c a ON a.id = t.x JOIN c b ON b.id = t.y
+              WHERE a.seg = b.seg)
+      UNION ALL
+      SELECT 'nation_segment',
+             (SELECT sum(m*(m-1)//2) FROM g3),
+             (SELECT count(*) FROM truth t
+              JOIN c a ON a.id = t.x JOIN c b ON b.id = t.y
+              WHERE a.nation = b.nation AND a.seg = b.seg)
+      UNION ALL
+      SELECT 'balance_band',
+             (SELECT sum(m*(m-1)//2) FROM g4),
+             (SELECT count(*) FROM truth t
+              JOIN c a ON a.id = t.x JOIN c b ON b.id = t.y
+              WHERE a.band = b.band)
+    )
+    SELECT scheme, (nc)::BIGINT AS n_cand,
+           (SELECT v FROM nt) AS n_truth, (nh)::BIGINT AS n_hit,
+           floor((1.0 - (nc)::DOUBLE
+                  / (((SELECT n FROM nrec) * ((SELECT n FROM nrec) - 1)
+                      // 2))::DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+             AS reduction_ratio,
+           floor(((nh)::DOUBLE / ((SELECT v FROM nt))::DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS pairs_completeness,
+           floor(((nh)::DOUBLE / (nc)::DOUBLE) * 1000000.0 + 0.5)
+             / 1000000.0 AS pairs_quality
+    FROM raw ORDER BY scheme
+"""
+
+
+
+
+_FS_SCORE_SQL = """
+            WITH f AS (
+              SELECT c_custkey AS id, c_nationkey AS blk,
+                     c_mktsegment AS f1,
+                     CAST(floor(c_acctbal / (100.0)::DOUBLE) AS BIGINT)
+                       AS f2
+              FROM customer
+            ), nn AS (SELECT count(*) AS n FROM f),
+            u1 AS (
+              SELECT sum(c*c) AS ssq FROM (
+                SELECT count(*) AS c FROM f
+                WHERE f1 IS NOT NULL GROUP BY f1)
+            ), u2 AS (
+              SELECT sum(c*c) AS ssq FROM (
+                SELECT count(*) AS c FROM f
+                WHERE f2 IS NOT NULL GROUP BY f2)
+            ), uv AS (
+              SELECT (u1.ssq)::DOUBLE / ((nn.n * nn.n))::DOUBLE AS u1v,
+                     (u2.ssq)::DOUBLE / ((nn.n * nn.n))::DOUBLE AS u2v
+              FROM u1, u2, nn
+            ), w AS (
+              SELECT ln((0.9)::DOUBLE) - ln(u1v) AS wa1,
+                     ln((1.0)::DOUBLE - (0.9)::DOUBLE)
+                       - ln((1.0)::DOUBLE - u1v) AS wd1,
+                     ln((0.9)::DOUBLE) - ln(u2v) AS wa2,
+                     ln((1.0)::DOUBLE - (0.9)::DOUBLE)
+                       - ln((1.0)::DOUBLE - u2v) AS wd2
+              FROM uv
+            ), s AS (
+              SELECT a.id AS x_id, b.id AS y_id,
+                     (CASE WHEN a.f1 IS NOT NULL AND a.f1 = b.f1
+                           THEN w.wa1 ELSE w.wd1 END)
+                     + (CASE WHEN a.f2 IS NOT NULL AND a.f2 = b.f2
+                             THEN w.wa2 ELSE w.wd2 END) AS sc
+              FROM f a JOIN f b ON a.blk = b.blk AND a.id < b.id, w
+            )
+            SELECT x_id, y_id,
+                   CASE WHEN sc >= 0 THEN floor(sc * 1e6 + 0.5) / 1e6
+                        ELSE -floor(-sc * 1e6 + 0.5) / 1e6 END AS score,
+                   CASE WHEN sc >= (4.0)::DOUBLE THEN 'match'
+                        WHEN sc >= (0.0)::DOUBLE THEN 'possible'
+                        ELSE 'nonmatch' END AS decision
+            FROM s
+        """
+
+
+def _q_uncertainty(sf_dir: str):
+    """Active-learning review queue: the 200 FS-scored customer pairs
+    closest to the match threshold (4.0) — the pairs a labeler sees
+    next; pinned (gap, x, y) order replays exactly."""
+    from record_matcher_ray.pipelines.linkage import uncertainty_sample
+
+    return uncertainty_sample(
+        _q_fellegi_sunter(sf_dir), k=200, threshold=4.0
+    )
+
+
+def _uncertainty_sql() -> str:
+    base = _FS_SCORE_SQL
+    return f"""
+    WITH base AS ({base})
+    SELECT x_id, y_id, score, decision,
+           floor(abs(score - (4.0)::DOUBLE) * 1000000.0 + 0.5)
+             / 1000000.0 AS gap
+    FROM base
+    ORDER BY gap, x_id, y_id LIMIT 200
+    """
+
+
 def queries():
     return {
+        "uncertainty_sample_customer": _q_uncertainty,
+        "blocking_sweep_customer": _q_blocking_sweep,
         "edjoin_part": _q_edjoin,
         "fs_score_customer": _q_fellegi_sunter,
         "metablock_part": _q_metablock,
@@ -743,6 +924,8 @@ def queries():
 
 def oracles():
     return {
+        "uncertainty_sample_customer": _uncertainty_sql(),
+        "blocking_sweep_customer": _BLOCK_SWEEP_SQL,
         "bcubed_customer": """
             WITH cells AS (
               SELECT c_mktsegment AS p, c_nationkey AS t,
@@ -823,50 +1006,7 @@ def oracles():
             )
             SELECT x_id, y_id, (d)::BIGINT AS dist FROM c WHERE d <= 2
         """,
-        "fs_score_customer": """
-            WITH f AS (
-              SELECT c_custkey AS id, c_nationkey AS blk,
-                     c_mktsegment AS f1,
-                     CAST(floor(c_acctbal / (100.0)::DOUBLE) AS BIGINT)
-                       AS f2
-              FROM customer
-            ), nn AS (SELECT count(*) AS n FROM f),
-            u1 AS (
-              SELECT sum(c*c) AS ssq FROM (
-                SELECT count(*) AS c FROM f
-                WHERE f1 IS NOT NULL GROUP BY f1)
-            ), u2 AS (
-              SELECT sum(c*c) AS ssq FROM (
-                SELECT count(*) AS c FROM f
-                WHERE f2 IS NOT NULL GROUP BY f2)
-            ), uv AS (
-              SELECT (u1.ssq)::DOUBLE / ((nn.n * nn.n))::DOUBLE AS u1v,
-                     (u2.ssq)::DOUBLE / ((nn.n * nn.n))::DOUBLE AS u2v
-              FROM u1, u2, nn
-            ), w AS (
-              SELECT ln((0.9)::DOUBLE) - ln(u1v) AS wa1,
-                     ln((1.0)::DOUBLE - (0.9)::DOUBLE)
-                       - ln((1.0)::DOUBLE - u1v) AS wd1,
-                     ln((0.9)::DOUBLE) - ln(u2v) AS wa2,
-                     ln((1.0)::DOUBLE - (0.9)::DOUBLE)
-                       - ln((1.0)::DOUBLE - u2v) AS wd2
-              FROM uv
-            ), s AS (
-              SELECT a.id AS x_id, b.id AS y_id,
-                     (CASE WHEN a.f1 IS NOT NULL AND a.f1 = b.f1
-                           THEN w.wa1 ELSE w.wd1 END)
-                     + (CASE WHEN a.f2 IS NOT NULL AND a.f2 = b.f2
-                             THEN w.wa2 ELSE w.wd2 END) AS sc
-              FROM f a JOIN f b ON a.blk = b.blk AND a.id < b.id, w
-            )
-            SELECT x_id, y_id,
-                   CASE WHEN sc >= 0 THEN floor(sc * 1e6 + 0.5) / 1e6
-                        ELSE -floor(-sc * 1e6 + 0.5) / 1e6 END AS score,
-                   CASE WHEN sc >= (4.0)::DOUBLE THEN 'match'
-                        WHEN sc >= (0.0)::DOUBLE THEN 'possible'
-                        ELSE 'nonmatch' END AS decision
-            FROM s
-        """,
+        "fs_score_customer": _FS_SCORE_SQL,
         "em_fs_customer": _em_fs_oracle(n_iter=15),
         "match_1to1_part": _match_1to1_oracle(rounds=3),
         "soft_tfidf_part": """

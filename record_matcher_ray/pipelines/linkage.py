@@ -2889,3 +2889,167 @@ def bcubed_eval(
         "b3_recall": [rnd(rec)],
         "b3_f1": [rnd(f1)],
     })
+
+
+def blocking_scheme_sweep(
+    ds: ray.data.Dataset,
+    schemes: "dict[str, list[str]]",
+    truth: ray.data.Dataset,
+    id_col: str,
+    *,
+    n_buckets: int = 256,
+    max_truth_pairs: int = 5_000_000,
+) -> "pd.DataFrame":
+    """Blocking-scheme SELECTION — evaluate several candidate blocking
+    key sets in one sweep and rank them by the standard ER triple
+    (Christen 2012): for each scheme (a list of columns whose tuple
+    equality defines a block) report
+
+        n_cand             = Σ_blocks C(m, 2)   (pairs the scheme admits)
+        reduction_ratio    = 1 − n_cand / C(n_records, 2)
+        pairs_completeness = n_hit / n_truth    (truth pairs co-blocked)
+        pairs_quality      = n_hit / n_cand
+
+    → DataFrame, one row per scheme, sorted by scheme name.
+
+    Scale shape: ``n_cand`` NEVER materializes pairs — each scheme costs
+    one bounded tuple-hash exchange (≤``n_buckets`` groups) whose
+    buckets contribute Σ C(m,2) from exact per-tuple group sizes (the
+    dedup sort+boundary-diff kernel). ``n_hit`` touches only records
+    REFERENCED BY TRUTH: the truth-id set broadcasts once, the matching
+    records' key tuples come back through a narrow semi-join pass, and
+    the per-pair tuple comparison runs on that truth-sized table
+    driver-side (guarded by ``max_truth_pairs``). Corpus size enters
+    only through the counting exchanges.
+    """
+    import pandas as pd
+
+    from record_matcher_ray.pipelines.dedup import (
+        _tuple_groups_sorted,
+        _with_tuple_bucket,
+    )
+
+    all_cols = sorted({c for cols in schemes.values() for c in cols})
+    n_records = ds.count()
+
+    # ---- per-scheme admitted-pair counts (no pair materialization) ----
+    n_cand: dict[str, int] = {}
+    for name in sorted(schemes):
+        cols = schemes[name]
+
+        def bucket_pairs(t: pa.Table, cols=cols) -> pa.Table:
+            _, first, _ = _tuple_groups_sorted(
+                t.drop_columns(["__xb__"]), cols, id_col
+            )
+            b = np.nonzero(first)[0]
+            sizes = np.diff(np.concatenate((b, [len(first)])))
+            m = sizes.astype(object)  # python ints: C(m,2) can pass 2**63
+            tot = int(sum(v * (v - 1) // 2 for v in m))
+            return pa.table({"c": pa.array([tot], pa.int64())})
+
+        parts = (
+            _with_tuple_bucket(
+                ds.select_columns([id_col] + cols), cols, n_buckets
+            )
+            .groupby("__xb__")
+            .map_groups(bucket_pairs, batch_format="pyarrow")
+            .to_pandas()
+        )
+        n_cand[name] = int(parts["c"].sum())
+
+    # ---- truth-pair co-blocking: narrow semi-join on truth ids -------
+    tp = truth.to_pandas()
+    if len(tp) > max_truth_pairs:
+        raise ValueError(
+            f"{len(tp):,} truth pairs exceed max_truth_pairs="
+            f"{max_truth_pairs:,}"
+        )
+    need = np.unique(np.concatenate([
+        tp["x_id"].to_numpy(np.int64), tp["y_id"].to_numpy(np.int64)
+    ])) if len(tp) else np.empty(0, np.int64)
+    need_ref = ray.put(need)
+
+    def keep_needed(t: pa.Table) -> pa.Table:
+        nd = ray.get(need_ref)
+        ids = pc.cast(t[id_col], pa.int64()).to_numpy()
+        if len(nd) == 0:
+            return t.slice(0, 0)
+        pos = np.minimum(np.searchsorted(nd, ids), len(nd) - 1)
+        return t.filter(pa.array(nd[pos] == ids))
+
+    keyed = (
+        ds.select_columns([id_col] + all_cols)
+        .map_batches(keep_needed, batch_format="pyarrow")
+        .to_pandas()
+        .set_index(id_col)
+    )
+    rows = []
+    nt = len(tp)
+    C2 = n_records * (n_records - 1) // 2
+
+    def rnd(v: float) -> float:
+        return math.floor(v * 1e6 + 0.5) / 1e6
+
+    for name in sorted(schemes):
+        cols = schemes[name]
+        if nt:
+            xa = keyed.reindex(tp["x_id"])[cols].reset_index(drop=True)
+            yb = keyed.reindex(tp["y_id"])[cols].reset_index(drop=True)
+            same = np.ones(nt, bool)
+            for c in cols:
+                a, b = xa[c], yb[c]
+                same &= ((a == b) | (a.isna() & b.isna())).to_numpy()
+            n_hit = int(same.sum())
+        else:
+            n_hit = 0
+        nc = n_cand[name]
+        rows.append({
+            "scheme": name, "n_cand": nc, "n_truth": nt, "n_hit": n_hit,
+            "reduction_ratio": rnd(1.0 - nc / C2) if C2 else np.nan,
+            "pairs_completeness": rnd(n_hit / nt) if nt else np.nan,
+            "pairs_quality": rnd(n_hit / nc) if nc else np.nan,
+        })
+    return pd.DataFrame(rows).sort_values("scheme").reset_index(drop=True)
+
+
+def uncertainty_sample(
+    pairs: ray.data.Dataset,
+    *,
+    k: int = 100,
+    score_col: str = "score",
+    threshold: float = 0.0,
+    x_col: str = "x_id",
+    y_col: str = "y_id",
+) -> ray.data.Dataset:
+    """Active-learning labeling batch — the pairs a human should label
+    NEXT: the ``k`` scored pairs whose score sits closest to the
+    decision ``threshold`` (classic uncertainty sampling for linkage
+    review queues; Sarawagi & Bhamidipaty, KDD 2002). Deterministic
+    total order ``(|score − threshold| asc, x_id, y_id)`` over the
+    column's emitted (rounded) score values, so the selection replays
+    exactly in SQL.
+
+    Scale shape: per-block partial top-k prune (each block forwards at
+    most ``k`` rows) → one small global sort+limit — the heavy scored
+    stream never converges anywhere whole."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    thr = float(threshold)
+
+    def gap_prune(t: pa.Table) -> pa.Table:
+        s = t[score_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        g = np.abs(s - thr)
+        g = np.floor(g * 1e6 + 0.5) / 1e6
+        t = t.append_column("gap", pa.array(g, pa.float64()))
+        if len(t) > k:
+            x = pc.cast(t[x_col], pa.int64()).to_numpy()
+            y = pc.cast(t[y_col], pa.int64()).to_numpy()
+            take = np.lexsort((y, x, g))[:k]
+            t = t.take(pa.array(np.sort(take)))
+        return t
+
+    return (
+        pairs.map_batches(gap_prune, batch_format="pyarrow")
+        .sort(["gap", x_col, y_col])
+        .limit(k)
+    )

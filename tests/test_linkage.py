@@ -1563,3 +1563,69 @@ def test_auc_fuzz_extremes(ray_session):
     assert auc_score(rd.from_pandas(inverted), "s", "lab")["auc"].iloc[0] == 0.0
     tied = pd.DataFrame({"s": np.full(n, 3.3), "lab": lab})
     assert auc_score(rd.from_pandas(tied), "s", "lab")["auc"].iloc[0] == 0.5
+
+
+def test_blocking_scheme_sweep(ray_session):
+    """Scheme metrics vs hand counts on a tiny table."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.linkage import blocking_scheme_sweep
+
+    df = pd.DataFrame({
+        "id": np.arange(6, dtype=np.int64),
+        "a": np.int64([1, 1, 1, 2, 2, 3]),     # blocks 3+2+1
+        "b": ["x", "x", "y", "y", "y", "y"],   # blocks 2+4
+    })
+    truth = pd.DataFrame({"x_id": np.int64([0, 2, 4]),
+                          "y_id": np.int64([1, 3, 5])})
+    out = blocking_scheme_sweep(
+        rd.from_pandas(df).repartition(3),
+        {"a": ["a"], "b": ["b"], "ab": ["a", "b"]},
+        rd.from_pandas(truth), "id",
+    ).set_index("scheme")
+    # a: C(3,2)+C(2,2)=4 cand; truth hits: (0,1) same a; (2,3) diff;
+    # (4,5) diff -> 1
+    assert out.loc["a", "n_cand"] == 4 and out.loc["a", "n_hit"] == 1
+    # b: C(2,2)+C(4,2)=7; hits: (0,1) x=x; (2,3) y=y; (4,5) y=y -> 3
+    assert out.loc["b", "n_cand"] == 7 and out.loc["b", "n_hit"] == 3
+    # ab blocks: (1,x)*2, (1,y), (2,y)*2, (3,y) -> C2: 1+0+1+0 = 2;
+    # hits: (0,1) both (1,x); (2,3) (1,y)vs(2,y) no; (4,5) (2,y)vs(3,y) no
+    assert out.loc["ab", "n_cand"] == 2 and out.loc["ab", "n_hit"] == 1
+    assert (out["n_truth"] == 3).all()
+    # reduction ratio uses C(6,2)=15
+    assert out.loc["a", "reduction_ratio"] == round(1 - 4 / 15, 6)
+    assert out.loc["b", "pairs_completeness"] == 1.0
+    assert out.loc["b", "pairs_quality"] == round(3 / 7, 6)
+
+
+def test_uncertainty_sample(ray_session):
+    """Top-k closest-to-threshold selection with deterministic ties and
+    the per-block prune leaving results partition-invariant."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.linkage import uncertainty_sample
+
+    rng = np.random.RandomState(2)
+    n = 500
+    df = pd.DataFrame({
+        "x_id": np.arange(n, dtype=np.int64),
+        "y_id": np.arange(n, dtype=np.int64) + 1000,
+        "score": np.round(rng.uniform(-10, 10, n), 6),
+    })
+    out = uncertainty_sample(
+        rd.from_pandas(df).repartition(8), k=25, threshold=4.0
+    ).to_pandas()
+    gaps = np.floor(np.abs(df.score - 4.0) * 1e6 + 0.5) / 1e6
+    want = (df.assign(gap=gaps)
+            .sort_values(["gap", "x_id", "y_id"]).head(25)
+            .reset_index(drop=True))
+    assert list(out.x_id) == list(want.x_id)
+    assert np.allclose(out.gap, want.gap)
+    out2 = uncertainty_sample(
+        rd.from_pandas(df).repartition(2), k=25, threshold=4.0
+    ).to_pandas()
+    assert list(out2.x_id) == list(out.x_id)
