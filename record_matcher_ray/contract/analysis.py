@@ -635,9 +635,80 @@ def _q_standardize(sf_dir: str):
     return standardize_tokens(ds)
 
 
+
+
+def _q_luhn_cards(sf_dir: str):
+    """Checksum-validated payment-card detection (ISO/IEC 7812 Luhn):
+    each doc's text is suffixed with a deterministic 16-digit run
+    (4000000000000000 + 137·doc_id) so candidate counts and the Luhn
+    verdict carry real signal — ~1 in 10 seeded runs passes the
+    checksum, and the SQL replay folds the identical digit-doubling."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from record_matcher_ray.pipelines.pii import luhn_card_counts
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def seed_cards(t: pa.Table) -> pa.Table:
+        did = pc.cast(t["doc_id"], pa.int64()).to_numpy()
+        cards = pa.array([str(4000000000000000 + 137 * int(i))
+                          for i in did], pa.string())
+        txt = pc.binary_join_element_wise(
+            pc.fill_null(pc.cast(t["text"], pa.string()), ""),
+            cards, " "
+        )
+        return pa.table({"doc_id": t["doc_id"], "text": txt})
+
+    return luhn_card_counts(ds.map_batches(seed_cards,
+                                           batch_format="pyarrow"))
+
+
+_LUHN_SQL = """
+    WITH seeded AS (
+      SELECT doc_id,
+             coalesce(text, '') || ' ' ||
+             (4000000000000000 + 137 * doc_id)::VARCHAR AS text
+      FROM documents
+    ), runs AS (
+      SELECT doc_id,
+             regexp_extract_all(text, '[0-9]{13,19}') AS rs
+      FROM seeded
+    ), cand AS (
+      SELECT doc_id, unnest(rs) AS r FROM runs
+    ), luhn AS (
+      SELECT doc_id,
+             ((list_sum(list_transform(
+                 range(1, length(r) + 1),
+                 i -> CASE WHEN (i - 1) % 2 = 1 THEN
+                        CASE WHEN 2 * (ascii(r[length(r) - i + 1]) - 48)
+                                  > 9
+                             THEN 2 * (ascii(r[length(r) - i + 1]) - 48)
+                                  - 9
+                             ELSE 2 * (ascii(r[length(r) - i + 1]) - 48)
+                             END
+                      ELSE ascii(r[length(r) - i + 1]) - 48 END))
+               % 10) = 0) AS ok
+      FROM cand
+    ), v AS (
+      SELECT doc_id, count(*)::BIGINT AS nv FROM luhn
+      WHERE ok GROUP BY doc_id
+    )
+    SELECT r.doc_id, coalesce(len(r.rs), 0)::BIGINT AS n_candidates,
+           coalesce(v.nv, 0)::BIGINT AS n_luhn_valid
+    FROM runs r LEFT JOIN v ON v.doc_id = r.doc_id
+    ORDER BY r.doc_id
+"""
+
+
 def queries():
     return {
         "token_count_docs": token_counts,
+        "luhn_cards_docs": _q_luhn_cards,
         "quality_docs": quality,
         "lm_quality_docs": _q_lm_quality,
         "lang_id_docs": _q_lang_id,
@@ -684,6 +755,7 @@ def oracles():
     bpe = BPE  # noqa: F841
 
     return {
+        "luhn_cards_docs": _LUHN_SQL,
         "standardize_docs": f"""
             WITH t AS (
               SELECT doc_id,

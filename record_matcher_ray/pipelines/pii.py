@@ -143,3 +143,51 @@ def k_anonymity_audit(
         "n_at_risk_groups": [int(risk.sum())],
         "min_group": [int(sizes.min())],
     })
+
+
+def luhn_card_counts(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> ray.data.Dataset:
+    """Payment-card detection with CHECKSUM validation: count contiguous
+    13-19-digit runs per document and how many pass the Luhn check
+    (ISO/IEC 7812) — the standard precision upgrade over a bare digit
+    regex, which false-positives on order ids and timestamps.
+    → (id_col, n_candidates, n_luhn_valid).
+
+    Zero shuffle, one pass. Candidate extraction is the RE2 kernel;
+    the Luhn fold runs per CANDIDATE (a Python loop bounded by matches,
+    not corpus text). Non-overlapping leftmost extraction and the
+    digit-doubling checksum replay verbatim in the DuckDB oracle
+    (regexp_extract_all + a per-position list_transform parity fold)."""
+    import re
+
+    pat = re.compile(r"[0-9]{13,19}")
+
+    def luhn_ok(s: str) -> bool:
+        tot = 0
+        for i, ch in enumerate(reversed(s)):
+            d = ord(ch) - 48
+            if i % 2 == 1:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            tot += d
+        return tot % 10 == 0
+
+    def count(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(pc.cast(batch[text_col], pa.string()), "")
+        n_cand = np.zeros(len(batch), np.int64)
+        n_valid = np.zeros(len(batch), np.int64)
+        for i, s in enumerate(text.to_pylist()):
+            runs = pat.findall(s)
+            n_cand[i] = len(runs)
+            n_valid[i] = sum(1 for r in runs if luhn_ok(r))
+        return pa.table({
+            id_col: batch[id_col],
+            "n_candidates": pa.array(n_cand),
+            "n_luhn_valid": pa.array(n_valid),
+        })
+
+    return ds.map_batches(count, batch_format="pyarrow")

@@ -972,3 +972,27 @@ def test_bpe_encode_monotone_and_edges(ray_session):
         prev = enc
     assert prev.loc[2, "n_tokens"] == 1 and prev.loc[2, "n_words"] == 0
     assert prev.loc[3, "n_tokens"] == 1 and prev.loc[3, "n_words"] == 0
+
+
+def test_luhn_card_counts(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.pii import luhn_card_counts
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "pay 4539578763621486 or 4539578763621487 now",  # valid+invalid
+            "order 123456789012 too short",                   # 12 digits
+            "run 12345678901234567890123 overlong",           # 19 match
+            None,
+        ],
+    })
+    out = (luhn_card_counts(rd.from_pandas(df)).to_pandas()
+           .set_index("doc_id"))
+    assert out.loc[1, "n_candidates"] == 2
+    assert out.loc[1, "n_luhn_valid"] == 1
+    assert out.loc[2, "n_candidates"] == 0
+    assert out.loc[3, "n_candidates"] == 1  # first 19 digits only
+    assert out.loc[4, "n_candidates"] == 0 and out.loc[4, "n_luhn_valid"] == 0
