@@ -49,6 +49,7 @@ def assemble_pretraining_data(
     capacity: int = 128,
     bucket_size: int = 50,
     audit: bool = False,
+    max_eval_rows: int = 2_000_000,
 ):
     """→ ``(packed, funnel)``: the packed training manifest Dataset
     ``(doc_id, seq_len, pack_bucket, bin_in_bucket, bin_offset,
@@ -96,6 +97,13 @@ def assemble_pretraining_data(
             .to_arrow_refs()
         ) if len(t)
     ] or [np.array([], object)]))
+    if len(eval_norms) > max_eval_rows:
+        raise ValueError(
+            f"{len(eval_norms):,} held-out eval texts exceed "
+            f"max_eval_rows={max_eval_rows:,} — the exact-text "
+            "decontamination broadcasts the eval set; at this scale use "
+            "the n-gram pipelines.decontam pass instead."
+        )
     eval_ref = ray.put(eval_norms)
 
     train = normed.map_batches(is_train, batch_format="pyarrow")

@@ -1475,6 +1475,13 @@ def semantic_dedup(
 
     _, assign = kmeans(ds, vec_col=vec_col, id_col=id_col, k=k,
                        iters=iters, scale_bits=scale_bits, seed=seed)
+    n_rows = assign.count()
+    if n_rows > max_broadcast_rows:
+        raise ValueError(
+            f"{n_rows:,} rows exceeds max_broadcast_rows="
+            f"{max_broadcast_rows:,}; raise k and shard buckets, or "
+            "block candidates first (embedding_near_dups/ivf_topk)."
+        )
     adf = assign.to_pandas()
 
     def quantize(t: pa.Table) -> pa.Table:
@@ -1508,12 +1515,6 @@ def semantic_dedup(
     cat = pa.concat_tables(tbls).combine_chunks()
     ids_all = cat["id"].to_numpy()
     n = len(ids_all)
-    if n > max_broadcast_rows:
-        raise ValueError(
-            f"{n:,} rows exceeds max_broadcast_rows="
-            f"{max_broadcast_rows:,}; raise k and shard buckets, or "
-            "block candidates first (embedding_near_dups/ivf_topk)."
-        )
     qcol = cat["qv"]
     qcol = qcol.chunk(0) if qcol.num_chunks == 1 else qcol.combine_chunks()
     dim = qcol.type.list_size
