@@ -705,10 +705,75 @@ _LUHN_SQL = """
 """
 
 
+
+
+def _q_line_dedup(sf_dir: str):
+    """CCNet-style line-level boilerplate removal: every doc gets a
+    shared footer line plus an alternating banner so the global line
+    census has guaranteed boilerplate to strip; surviving docs
+    reassemble from their remaining lines in order."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from record_matcher_ray.pipelines.analysis import line_dedup
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def seed_lines(t: pa.Table) -> pa.Table:
+        did = pc.cast(t["doc_id"], pa.int64()).to_numpy()
+        extra = pa.array([
+            "\nshared footer line"
+            + ("\ncookie banner" if int(i) % 2 == 0
+               else f"\npage {int(i)}")
+            for i in did
+        ], pa.string())
+        txt = pc.binary_join_element_wise(
+            pc.fill_null(pc.cast(t["text"], pa.string()), ""), extra, ""
+        )
+        return pa.table({"doc_id": t["doc_id"], "text": txt})
+
+    return line_dedup(ds.map_batches(seed_lines, batch_format="pyarrow"),
+                      min_df=2)
+
+
+_LINE_DEDUP_SQL = """
+    WITH t AS (
+      SELECT doc_id,
+             coalesce(text, '') || chr(10) || 'shared footer line'
+             || CASE WHEN doc_id % 2 = 0
+                     THEN chr(10) || 'cookie banner'
+                     ELSE chr(10) || 'page ' || doc_id::VARCHAR END
+               AS text
+      FROM documents
+    ), sp AS (
+      SELECT doc_id, string_split(text, chr(10)) AS parts FROM t
+    ), l AS (
+      SELECT doc_id, i AS idx, parts[i] AS line
+      FROM sp, unnest(generate_series(1, len(parts))) u(i)
+    ), dfq AS (
+      SELECT line, count(DISTINCT doc_id) AS df FROM l GROUP BY line
+    ), k AS (
+      SELECT l.doc_id, l.idx, l.line, dfq.df < 2 AS keep
+      FROM l JOIN dfq USING (line)
+    )
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)
+                               ORDER BY idx), '') AS text,
+           count(*)::BIGINT AS n_lines,
+           sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_removed
+    FROM k GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def queries():
     return {
         "token_count_docs": token_counts,
         "luhn_cards_docs": _q_luhn_cards,
+        "line_dedup_docs": _q_line_dedup,
         "quality_docs": quality,
         "lm_quality_docs": _q_lm_quality,
         "lang_id_docs": _q_lang_id,
@@ -756,6 +821,7 @@ def oracles():
 
     return {
         "luhn_cards_docs": _LUHN_SQL,
+        "line_dedup_docs": _LINE_DEDUP_SQL,
         "standardize_docs": f"""
             WITH t AS (
               SELECT doc_id,

@@ -924,3 +924,108 @@ STANDARDIZE_DEFAULT = {
     "co": "company", "ltd": "limited", "llc": "llc", "mt": "mount",
     "ft": "fort", "jr": "junior", "sr": "senior",
 }
+
+
+def line_dedup(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_df: int = 2,
+    n_buckets: int = 256,
+) -> ray.data.Dataset:
+    """CCNet-style line-level boilerplate removal (Wenzek et al. 2020):
+    drop every line that appears in ≥ ``min_df`` DISTINCT documents
+    (nav bars, cookie banners, footers — the highest-yield web-corpus
+    cleaning step after document dedup) and reassemble each document
+    from its surviving lines in order
+    → (id_col, text, n_lines, n_removed).
+
+    Scale shape — NO broadcast (the boilerplate line set is itself
+    corpus-sized on the web): two bounded hash exchanges. Lines route
+    by line-hash bucket (≤``n_buckets`` groups) where exact in-bucket
+    document frequencies come from the dictionary-encode +
+    boundary-diff kernel; surviving and dropped line markers then route
+    BACK by doc-hash bucket and each document reassembles from
+    (line_idx-sorted) pieces. Exchange volume ≈ the corpus text — the
+    unavoidable cost of an exact global line census.
+    """
+    from record_matcher_ray.core.hashkernels import column_hash64
+
+    def explode(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t[text_col], pa.string()), "")
+        parts = pc.split_pattern(txt, "\n")
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        flat = parts.flatten()
+        offs = parts.offsets.to_numpy().astype(np.int64)
+        counts = np.diff(offs)
+        ids = pc.cast(t[id_col], pa.int64()).to_numpy()
+        doc = np.repeat(ids, counts)
+        idx = np.arange(len(flat), dtype=np.int64) - np.repeat(
+            offs[:-1], counts)
+        lb = (column_hash64(flat) % np.uint64(n_buckets)).astype(np.int64)
+        return pa.table({
+            "doc": pa.array(doc), "idx": pa.array(idx),
+            "line": flat, "__lb__": pa.array(lb),
+        })
+
+    def census(t: pa.Table) -> pa.Table:
+        # exact per-line DISTINCT-doc frequency within the bucket (a
+        # line hashes to exactly one bucket, so in-bucket df is global)
+        di = pc.dictionary_encode(t["line"].combine_chunks())
+        codes = pc.fill_null(pc.cast(di.indices, pa.int64()), -1)\
+            .to_numpy(zero_copy_only=False)
+        doc = t["doc"].to_numpy()
+        order = np.lexsort((doc, codes))
+        cs, ds_ = codes[order], doc[order]
+        newdoc = np.ones(len(cs), bool)
+        if len(cs):
+            newdoc[1:] = (cs[1:] != cs[:-1]) | (ds_[1:] != ds_[:-1])
+        if len(cs):
+            df = np.bincount(cs[newdoc], minlength=int(codes.max()) + 1)
+            keep = df[codes] < min_df
+        else:
+            keep = np.zeros(0, bool)
+        db = (t["doc"].to_numpy().view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+              >> np.uint64(40)) % np.uint64(n_buckets)
+        return pa.table({
+            "doc": t["doc"], "idx": t["idx"], "line": t["line"],
+            "keep": pa.array(keep),
+            "__db__": pa.array(db.astype(np.int64)),
+        })
+
+    def reassemble(t: pa.Table) -> pa.Table:
+        doc = t["doc"].to_numpy()
+        idx = t["idx"].to_numpy()
+        keep = t["keep"].to_numpy(zero_copy_only=False)
+        lines = t["line"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((idx, doc))
+        doc, idx, keep, lines = (doc[order], idx[order], keep[order],
+                                 lines[order])
+        b = np.nonzero(np.concatenate(([True], doc[1:] != doc[:-1])))[0] \
+            if len(doc) else np.empty(0, np.int64)
+        ends = np.concatenate((b, [len(doc)])) if len(doc) else b
+        out_id, out_txt, n_lines, n_rm = [], [], [], []
+        for s, e in zip(ends[:-1], ends[1:]):
+            k = keep[s:e]
+            out_id.append(int(doc[s]))
+            out_txt.append("\n".join(lines[s:e][k]))
+            n_lines.append(int(e - s))
+            n_rm.append(int((~k).sum()))
+        return pa.table({
+            id_col: pa.array(out_id, pa.int64()),
+            text_col: pa.array(out_txt, pa.string()),
+            "n_lines": pa.array(n_lines, pa.int64()),
+            "n_removed": pa.array(n_rm, pa.int64()),
+        })
+
+    return (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby("__lb__")
+        .map_groups(lambda t: census(t.drop_columns(["__lb__"])),
+                    batch_format="pyarrow")
+        .groupby("__db__")
+        .map_groups(lambda t: reassemble(t.drop_columns(["__db__"])),
+                    batch_format="pyarrow")
+    )

@@ -996,3 +996,38 @@ def test_luhn_card_counts(ray_session):
     assert out.loc[2, "n_candidates"] == 0
     assert out.loc[3, "n_candidates"] == 1  # first 19 digits only
     assert out.loc[4, "n_candidates"] == 0 and out.loc[4, "n_luhn_valid"] == 0
+
+
+def test_line_dedup(ray_session):
+    """Boilerplate lines (df >= min_df across DISTINCT docs) vanish;
+    unique lines survive in order; counts match a brute mirror; a doc
+    whose line repeats WITHIN itself but nowhere else survives."""
+    import collections
+
+    import pandas as pd
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.analysis import line_dedup
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "keep me\ncookie banner\nunique one",
+            "cookie banner\nanother unique\nfooter",
+            "footer\nlast unique\ncookie banner",
+            "solo solo\nsolo solo\nown line",   # intra-doc repeat: df=1
+        ],
+    })
+    out = (line_dedup(rd.from_pandas(df).repartition(3), min_df=2)
+           .to_pandas().set_index("doc_id").sort_index())
+    dfreq = collections.Counter()
+    for t in df.text:
+        dfreq.update(set(t.split("\n")))
+    for _, r in df.iterrows():
+        lines = r.text.split("\n")
+        want = "\n".join(ln for ln in lines if dfreq[ln] < 2)
+        assert out.loc[r.doc_id, "text"] == want
+        assert out.loc[r.doc_id, "n_lines"] == len(lines)
+        assert out.loc[r.doc_id, "n_removed"] == sum(
+            1 for ln in lines if dfreq[ln] >= 2)
+    assert out.loc[4, "text"] == "solo solo\nsolo solo\nown line"
