@@ -769,11 +769,52 @@ _LINE_DEDUP_SQL = """
 """
 
 
+
+
+def _q_chunk_passages(sf_dir: str):
+    """RAG passage chunking: 16-word windows stepping by 12 (4-word
+    overlap), trailing partial kept — stable (doc, passage_idx) ids,
+    word-slice replay in SQL."""
+    import ray.data
+
+    from record_matcher_ray.pipelines.analysis import chunk_passages
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return chunk_passages(ds, window=16, overlap=4)
+
+
+_CHUNK_SQL = """
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split(trim(regexp_replace(
+               lower(coalesce(text, '')), '[^a-z0-9]+', ' ', 'g')), ' '),
+               x -> x <> '') AS w
+      FROM documents
+    ), p AS (
+      SELECT doc_id, w, i AS passage_idx
+      FROM d, unnest(generate_series(
+        0, CASE WHEN len(w) = 0 THEN -1 ELSE (len(w) - 1) // 12 END
+      )) u(i)
+    )
+    SELECT doc_id, passage_idx::BIGINT AS passage_idx,
+           (passage_idx * 12)::BIGINT AS start_word,
+           (least(passage_idx * 12 + 16, len(w))
+            - passage_idx * 12)::BIGINT AS n_words,
+           array_to_string(
+             w[passage_idx * 12 + 1 : least(passage_idx * 12 + 16,
+                                            len(w))], ' ') AS passage
+    FROM p ORDER BY doc_id, passage_idx
+"""
+
+
 def queries():
     return {
         "token_count_docs": token_counts,
         "luhn_cards_docs": _q_luhn_cards,
         "line_dedup_docs": _q_line_dedup,
+        "chunk_passages_docs": _q_chunk_passages,
         "quality_docs": quality,
         "lm_quality_docs": _q_lm_quality,
         "lang_id_docs": _q_lang_id,
@@ -822,6 +863,7 @@ def oracles():
     return {
         "luhn_cards_docs": _LUHN_SQL,
         "line_dedup_docs": _LINE_DEDUP_SQL,
+        "chunk_passages_docs": _CHUNK_SQL,
         "standardize_docs": f"""
             WITH t AS (
               SELECT doc_id,

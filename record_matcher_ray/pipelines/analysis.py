@@ -1029,3 +1029,57 @@ def line_dedup(
         .map_groups(lambda t: reassemble(t.drop_columns(["__db__"])),
                     batch_format="pyarrow")
     )
+
+
+def chunk_passages(
+    ds: ray.data.Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    window: int = 64,
+    overlap: int = 16,
+) -> ray.data.Dataset:
+    """Retrieval passage chunking — split each document into overlapping
+    ``window``-word passages stepping by ``window − overlap`` words (the
+    RAG indexing primitive; the trailing partial window is kept) →
+    (id_col, passage_idx, start_word, n_words, passage).
+
+    Zero shuffle, one pass; words come from the repo-standard
+    ``[a-z0-9]+`` normalization so the slicing replays verbatim in SQL.
+    A document with W > 0 words yields ``(W−1)//step + 1`` passages;
+    empty documents yield none. Passage ids ``(doc, passage_idx)`` are
+    stable across runs and partitionings."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if not 0 <= overlap < window:
+        raise ValueError(f"need 0 <= overlap < window, got {overlap}")
+    step = window - overlap
+
+    from record_matcher_ray.pipelines.terms import _block_tokens
+
+    def chunk(t: pa.Table) -> pa.Table:
+        toks, doc_idx, n_per_doc = _block_tokens(t[text_col])
+        ids = pc.cast(t[id_col], pa.int64()).to_numpy()
+        starts_per_doc = np.where(
+            n_per_doc > 0, (n_per_doc - 1) // step + 1, 0
+        ).astype(np.int64)
+        doc_of_p = np.repeat(np.arange(len(ids), dtype=np.int64),
+                             starts_per_doc)
+        offs = np.concatenate(([0], np.cumsum(starts_per_doc)[:-1]))
+        pidx = (np.arange(len(doc_of_p), dtype=np.int64)
+                - np.repeat(offs, starts_per_doc))
+        tok_off = np.concatenate(([0], np.cumsum(n_per_doc)[:-1]))
+        s = pidx * step
+        e = np.minimum(s + window, n_per_doc[doc_of_p])
+        base = tok_off[doc_of_p]
+        texts = [" ".join(toks[base[i] + s[i]:base[i] + e[i]])
+                 for i in range(len(doc_of_p))]
+        return pa.table({
+            id_col: pa.array(ids[doc_of_p]),
+            "passage_idx": pa.array(pidx),
+            "start_word": pa.array(s),
+            "n_words": pa.array((e - s).astype(np.int64)),
+            "passage": pa.array(texts, pa.string()),
+        })
+
+    return ds.map_batches(chunk, batch_format="pyarrow")

@@ -1031,3 +1031,24 @@ def test_line_dedup(ray_session):
         assert out.loc[r.doc_id, "n_removed"] == sum(
             1 for ln in lines if dfreq[ln] >= 2)
     assert out.loc[4, "text"] == "solo solo\nsolo solo\nown line"
+
+
+def test_chunk_passages(ray_session):
+    import pandas as pd
+    import pytest
+    import ray.data as rd
+
+    from record_matcher_ray.pipelines.analysis import chunk_passages
+
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "text": ["a b c d e f g", "x", ""]})
+    out = (chunk_passages(rd.from_pandas(df), window=3, overlap=1)
+           .to_pandas())
+    got = out[out.doc_id == 1]
+    assert list(got.passage) == ["a b c", "c d e", "e f g", "g"]
+    assert list(got.start_word) == [0, 2, 4, 6]
+    assert list(got.n_words) == [3, 3, 3, 1]
+    assert list(out[out.doc_id == 2].passage) == ["x"]
+    assert (out.doc_id == 3).sum() == 0  # empty doc: no passages
+    with pytest.raises(ValueError):
+        chunk_passages(rd.from_pandas(df), window=4, overlap=4)
